@@ -1,0 +1,159 @@
+package graft.store
+
+import graft.core.SchemaMerge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.collection.concurrent.TrieMap
+
+/** Per-destination ("database id") namespace of auto-created columnar
+  * tables, the rebuild's analogue of ScratchDB's destination database.
+  *
+  * Reference behavior being reproduced:
+  *  - tables auto-created on first insert with only `__row_id BIGINT`
+  *    (/root/reference/pkg/destinations/duckdb/insert.go:72-76);
+  *  - columns only ever ADDed, never dropped (`ALTER TABLE ADD COLUMN IF
+  *    NOT EXISTS`, duckdb/insert.go:12-26); missing keys land as NULL
+  *    (`INSERT ... BY NAME`, duckdb/insert.go:56-70).
+  *
+  * Storage is parquet under `<root>/<db>/<table>/data/`, schema pinned in
+  * `<root>/<db>/<table>/_schema.json`. Data files are sorted within
+  * partitions by `__row_id` before write so parquet min/max stats give
+  * rough time-clustering — the Spark analogue of ClickHouse's
+  * `MergeTree PRIMARY KEY (__row_id)` (clickhouse/destination.go:14-17).
+  *
+  * Scale posture: appends are O(batch); reads prune via explicit schema
+  * (no mergeSchema scan of every footer at 100 TB). The rare widening of
+  * an existing column (FIXTURES A6 pinned semantics) rewrites the table —
+  * additive evolution, the common case, never rewrites.
+  */
+final class TableCatalog(rootDir: String) {
+  private val schemas = TrieMap.empty[(String, String), StructType]
+
+  val RowId = "__row_id"
+  private def tableDir(db: String, table: String) = new File(new File(rootDir, db), table)
+  private def dataDir(db: String, table: String) = new File(tableDir(db, table), "data")
+  private def schemaFile(db: String, table: String) = new File(tableDir(db, table), "_schema.json")
+
+  def emptySchema: StructType = StructType(Seq(StructField(RowId, LongType, nullable = true)))
+
+  def exists(db: String, table: String): Boolean = schemaFile(db, table).exists() || schemas.contains((db, table))
+
+  def createEmptyTable(db: String, table: String): Unit =
+    if (!exists(db, table)) setSchema(db, table, emptySchema)
+
+  def schema(db: String, table: String): Option[StructType] =
+    schemas.get((db, table)).orElse {
+      val f = schemaFile(db, table)
+      if (f.exists()) {
+        val st = DataType.fromJson(Files.readString(f.toPath)).asInstanceOf[StructType]
+        schemas.putIfAbsent((db, table), st)
+        Some(st)
+      } else None
+    }
+
+  private def setSchema(db: String, table: String, st: StructType): Unit = {
+    val dir = tableDir(db, table)
+    dir.mkdirs()
+    dataDir(db, table).mkdirs()
+    val tmp = new File(dir, "_schema.json.tmp")
+    Files.writeString(tmp.toPath, st.json)
+    Files.move(tmp.toPath, schemaFile(db, table).toPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    schemas.put((db, table), st)
+  }
+
+  /** ALTER-equivalent: union-merge the incoming batch schema into the
+    * table schema (additive + widening). Returns the merged schema.
+    * If an EXISTING column widened (long->double etc.) the stored parquet
+    * is migrated (read-cast-rewrite) — rare by construction. */
+  def evolve(spark: SparkSession, db: String, table: String, incoming: StructType): StructType =
+    synchronized {
+      createEmptyTable(db, table)
+      val current = schema(db, table).get
+      val merged = SchemaMerge.merge(current, incoming)
+      if (merged != current) {
+        val widened = current.fields.exists(f => merged(f.name).dataType != f.dataType)
+        if (widened && hasData(db, table)) migrate(spark, db, table, current, merged)
+        setSchema(db, table, merged)
+      }
+      merged
+    }
+
+  private def hasData(db: String, table: String): Boolean = {
+    val d = dataDir(db, table)
+    d.exists() && d.listFiles() != null && d.listFiles().exists(_.getName.endsWith(".parquet"))
+  }
+
+  private def migrate(spark: SparkSession, db: String, table: String,
+                      oldSchema: StructType, newSchema: StructType): Unit = {
+    val dir = dataDir(db, table)
+    val tmp = new File(tableDir(db, table), "data_migrating")
+    val df = spark.read.schema(oldSchema).parquet(dir.getAbsolutePath)
+    align(df, newSchema).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    deleteRecursive(dir.toPath)
+    Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Name-based column alignment with NULL fill — DuckDB `INSERT ... BY
+    * NAME` semantics (duckdb/insert.go:56-70). Extra input columns are
+    * dropped (callers evolve() first, so none in the ingest path). */
+  def align(df: DataFrame, target: StructType): DataFrame = {
+    val in = df.schema.fieldNames.toSet
+    df.select(target.fields.map { f =>
+      if (in.contains(f.name)) col(s"`${f.name}`").cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+  }
+
+  /** Append a batch: align to the (already evolved) table schema, sort
+    * within partitions by __row_id for min/max pruning, append parquet. */
+  def append(spark: SparkSession, db: String, table: String, df: DataFrame): Long = {
+    val st = schema(db, table).getOrElse {
+      evolve(spark, db, table, df.schema)
+    }
+    val aligned = align(df, st).sortWithinPartitions(RowId)
+    aligned.write.mode("append").parquet(dataDir(db, table).getAbsolutePath)
+    df.count()
+  }
+
+  /** Read a table as a DataFrame with the pinned schema (missing columns
+    * in older parquet files are NULL-filled by the explicit schema). */
+  def read(spark: SparkSession, db: String, table: String): DataFrame = {
+    val st = schema(db, table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $db.$table"))
+    if (hasData(db, table)) spark.read.schema(st).parquet(dataDir(db, table).getAbsolutePath)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+  }
+
+  def listTables(db: String): Seq[String] = {
+    val d = new File(rootDir, db)
+    val onDisk = Option(d.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && new File(f, "_schema.json").exists()).map(_.getName)
+    (onDisk ++ schemas.keys.collect { case (`db`, t) => t }).distinct.sorted.toSeq
+  }
+
+  def listColumns(db: String, table: String): Seq[(String, String)] =
+    schema(db, table).map(_.fields.map(f => f.name -> f.dataType.sql).toSeq).getOrElse(Seq.empty)
+
+  def dropTable(db: String, table: String): Boolean = {
+    schemas.remove((db, table))
+    val dir = tableDir(db, table)
+    if (dir.exists()) { deleteRecursive(dir.toPath); true } else false
+  }
+
+  /** Register every table of the tenant as a temp view on the session —
+    * the resolve step before spark.sql serves a tenant query. */
+  def registerViews(spark: SparkSession, db: String): Unit =
+    listTables(db).foreach { t =>
+      read(spark, db, t).createOrReplaceTempView(t)
+    }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator.foreach(Files.delete)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.store
+
+import graft.core._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.io.File
+import java.nio.file.Files
+
+class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def tmpDir(): String = Files.createTempDirectory("graft-store").toString
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("auto-create, additive evolution, NULL fill across batches (FIXTURES A6)") {
+    val cat = new TableCatalog(tmpDir())
+    val ing = new IngestService(spark, cat)
+    ing.ingestLines("db1", "t", Seq("""{"a": 1, "__row_id": 10}"""))
+    assert(cat.schema("db1", "t").get.fieldNames.toSet == Set("__row_id", "a"))
+    ing.ingestLines("db1", "t", Seq("""{"a": 2, "b": "hi", "__row_id": 11}"""))
+    val rows = cat.read(spark, "db1", "t").orderBy("__row_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("a") == 1L && rows(0).isNullAt(rows(0).fieldIndex("b")))
+    assert(rows(1).getAs[String]("b") == "hi")
+  }
+
+  test("widening an existing column migrates stored data (int batch then float batch)") {
+    val cat = new TableCatalog(tmpDir())
+    val ing = new IngestService(spark, cat)
+    ing.ingestLines("db1", "w", Seq("""{"a": 1, "__row_id": 1}"""))
+    assert(cat.schema("db1", "w").get("a").dataType == LongType)
+    ing.ingestLines("db1", "w", Seq("""{"a": 3.5, "__row_id": 2}"""))
+    assert(cat.schema("db1", "w").get("a").dataType == DoubleType)
+    val vals = cat.read(spark, "db1", "w").orderBy("__row_id")
+      .collect().map(_.getAs[Double]("a")).toSeq
+    assert(vals == Seq(1.0, 3.5))
+  }
+
+  test("insertDirect: flatten + stamp + partial-success semantics (FIXTURES A7/A8)") {
+    val cat = new TableCatalog(tmpDir())
+    val ing = new IngestService(spark, cat)
+    val r = ing.insertDirect("db1", "e", """[{"ok": 1}, "noflat", {"ok": 2}]""")
+    assert(r.inserted == 2 && r.failed == 1 && r.message == "Partially inserted data" && r.status == 500)
+    val all = ing.insertDirect("db1", "e", """"just-a-string"""")
+    assert(all.message == "Unable to insert data")
+    // pre-supplied __row_id is kept
+    ing.insertDirect("db1", "keep", """{"__row_id": 42, "v": "keep"}""")
+    assert(cat.read(spark, "db1", "keep").collect().head.getAs[Long]("__row_id") == 42L)
+    // auto-stamped ids are present and unique
+    val ids = cat.read(spark, "db1", "e").collect().map(_.getAs[Long]("__row_id")).toSeq
+    assert(ids.size == 2 && ids.distinct.size == 2 && ids.forall(_ > 0))
+  }
+
+  test("vertical flatten through ingest: doc explodes into linked rows") {
+    val cat = new TableCatalog(tmpDir())
+    val ing = new IngestService(spark, cat)
+    ing.insertDirect("db1", "v", """{"k": 1, "xs": [{"s": "a"}, {"s": "b"}]}""", "vertical")
+    val df = cat.read(spark, "db1", "v")
+    assert(df.count() == 2)
+    assert(df.select("___document_id").distinct().count() == 1)
+    assert(df.select("xs_s").collect().map(_.getString(0)).toSet == Set("a", "b"))
+  }
+
+  test("spool: rotation by rows + closed-file handoff") {
+    val dir = tmpDir()
+    var closed = Vector.empty[File]
+    val spool = new Spool(dir, SpoolConfig(maxRows = 3, maxAgeSeconds = 3600,
+      rotatePeriodMillis = 50), f => closed :+= f)
+    (1 to 7).foreach(i => spool.writeData("db1", "t", s"""{"i": $i}"""))
+    Thread.sleep(200)
+    assert(closed.size == 2) // two full files of 3; 1 row still open
+    spool.flush()
+    assert(closed.size == 3)
+    val lines = closed.flatMap(f => scala.io.Source.fromFile(f).getLines())
+    assert(lines.size == 7)
+    assert(spool.ownerOf(closed.head) == ("db1", "t"))
+    spool.shutdown()
+  }
+
+  test("spool + ingest end-to-end: closed file lands in catalog queryable") {
+    val cat = new TableCatalog(tmpDir())
+    val ing = new IngestService(spark, cat)
+    val spool = new Spool(tmpDir(), SpoolConfig(maxRows = 2, rotatePeriodMillis = 50),
+      f => { val (db, t) = (f.getParentFile.getParentFile.getName, f.getParentFile.getName); ing.ingestFile(db, t, f) })
+    val res = ing.acceptBody(spool, "db9", "ev", """[{"u": "alice"}, {"u": "bob"}]""", "")
+    assert(res.status == 200)
+    Thread.sleep(300)
+    assert(cat.read(spark, "db9", "ev").count() == 2)
+    spool.shutdown()
+  }
+
+  test("catalog introspection + drop") {
+    val cat = new TableCatalog(tmpDir())
+    val ing = new IngestService(spark, cat)
+    ing.ingestLines("d", "t1", Seq("""{"a": 1}"""))
+    ing.ingestLines("d", "t2", Seq("""{"b": "x"}"""))
+    assert(cat.listTables("d") == Seq("t1", "t2"))
+    assert(cat.listColumns("d", "t2").toMap == Map("__row_id" -> "BIGINT", "b" -> "STRING"))
+    assert(cat.dropTable("d", "t1"))
+    assert(cat.listTables("d") == Seq("t2"))
+  }
+}

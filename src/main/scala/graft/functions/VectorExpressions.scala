@@ -1,0 +1,186 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions over embedding columns
+  * (`ARRAY<FLOAT>`), used by the similarity-search and embedding-dedup
+  * operators. All are codegen'd (single fused loop, no boxing) so they
+  * stay inside whole-stage codegen on the brute-force scan path — the
+  * property that makes brute-force top-k viable at scale.
+  *
+  * Accumulation is double-precision and strictly sequential (index
+  * 0..n-1), so results are bit-deterministic for a given row.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two ARRAY<FLOAT> arguments")
+  }
+}
+
+/** dot(a, b); null when lengths differ. */
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "dot_product"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; } else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** cosine(a, b) = dot / (|a| |b|); null on length mismatch or zero norm. */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "cosine_sim"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) null
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; } else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $x.getFloat($i);
+         |    double $yi = (double) $y.getFloat($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH bucket: sign bit of dot(vec, plane_j) for each of
+  * `nPlanes` hyperplanes (flattened row-major into `planes`), packed into
+  * an int. Cosine-similar vectors collide with high probability — the
+  * blocking key for embedding dedup / ANN search. */
+case class HyperplaneBucket(child: Expression, planes: Array[Double], nPlanes: Int)
+    extends UnaryExpression {
+  require(nPlanes >= 1 && nPlanes <= 30, "nPlanes must be in [1, 30]")
+  override def prettyName: String = "lsh_bucket"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  private lazy val dim = planes.length / nPlanes
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != dim) null
+    else {
+      var bucket = 0; var j = 0
+      while (j < nPlanes) {
+        var dot = 0.0; var i = 0; val off = j * dim
+        while (i < n) { dot += x.getFloat(i).toDouble * planes(off + i); i += 1 }
+        if (dot > 0) bucket |= (1 << j)
+        j += 1
+      }
+      bucket
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val bucket = ctx.freshName("bucket"); val off = ctx.freshName("off")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $dim) { ${ev.isNull} = true; } else {
+         |  int $bucket = 0;
+         |  for (int $j = 0; $j < $nPlanes; $j++) {
+         |    double $dot = 0.0; int $off = $j * $dim;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += (double) $x.getFloat($i) * $planesRef[$off + $i];
+         |    }
+         |    if ($dot > 0) $bucket |= (1 << $j);
+         |  }
+         |  ${ev.value} = $bucket;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object VectorFunctions {
+  import org.apache.spark.sql.graftbridge.Bridge.{column => C, expression => E}
+  def dot_product(a: Column, b: Column): Column = C(DotProduct(E(a), E(b)))
+  def cosine_sim(a: Column, b: Column): Column = C(CosineSimilarity(E(a), E(b)))
+  def lsh_bucket(v: Column, planes: Array[Double], nPlanes: Int): Column =
+    C(HyperplaneBucket(E(v), planes, nPlanes))
+
+  /** Deterministic pseudo-random hyperplanes (SplitMix64 stream). */
+  def makePlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Double] = {
+    var s = seed
+    def next(): Long = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.fill(nPlanes * dim)((next().toDouble / Long.MaxValue))
+  }
+}

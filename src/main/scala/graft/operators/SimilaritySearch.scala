@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (ARRAY<FLOAT>).
+  *
+  * Two tiers, as a 100 TB design requires:
+  *  - bruteForceTopK: exact. One codegen'd scan computing cosine per row
+  *    + TakeOrderedAndProject (top-k without a global sort). The right
+  *    baseline, and the right answer whenever the corpus fits a scan.
+  *  - LSH tier: random-hyperplane buckets as a pre-filter. Probing the
+  *    query's bucket plus all 1-bit-flip neighbors bounds recall loss
+  *    while scanning ~ (nPlanes+1)/2^nPlanes of the data. Buckets are a
+  *    plain column — at scale, partition/Z-order the corpus by bucket so
+  *    probes prune parquet row groups instead of scanning.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k by cosine similarity against one query vector. */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     query: Array[Float], k: Int): DataFrame = {
+    val q = typedlit(query.toSeq)
+    corpus.select(col(idCol), cosine_sim(col(vecCol), q).as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Annotate a corpus with its LSH bucket (do this once, persist it). */
+  def withBucket(corpus: DataFrame, vecCol: String, nPlanes: Int = 12,
+                 dim: Int = 64, seed: Long = 42L): DataFrame =
+    corpus.withColumn("bucket", lsh_bucket(col(vecCol), makePlanes(nPlanes, dim, seed), nPlanes))
+
+  /** ANN top-k: scan only the query's bucket and its 1-bit-flip
+    * neighbors (multi-probe), then exact cosine within the probed set. */
+  def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], k: Int, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+    val planes = makePlanes(nPlanes, query.length, seed)
+    val qBucket = bucketOf(query, planes, nPlanes)
+    val probes = qBucket +: (0 until nPlanes).map(b => qBucket ^ (1 << b))
+    val bucketed = withBucket(corpus, vecCol, nPlanes, query.length, seed)
+    bruteForceTopK(bucketed.filter(col("bucket").isin(probes: _*)), idCol, vecCol, query, k)
+  }
+
+  /** k-NN join: top-k corpus neighbors for EVERY query row. Bucket-equi
+    * join + per-query window rank — the scalable shape (bucket join
+    * instead of cross join). Exact variant (crossJoin) for validation. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, exact: Boolean = false, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
+    val paired =
+      if (exact) q.crossJoin(c)
+      else {
+        val planes = makePlanes(nPlanes, dim, 42L)
+        q.withColumn("bucket", lsh_bucket(col("query_vec"), planes, nPlanes))
+          .join(c.withColumn("bucket", lsh_bucket(col("neighbor_vec"), planes, nPlanes)), "bucket")
+          .drop("bucket")
+      }
+    val scored = paired
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine_sim(col("query_vec"), col("neighbor_vec")))
+      .filter(col("cosine").isNotNull)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: bucket join + cosine >= threshold.
+    * (Embedding-cosine near-dup detection for dedup pipelines.) */
+  def embeddingDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.95, nPlanes: Int = 10, dim: Int = 64): DataFrame = {
+    val planes = makePlanes(nPlanes, dim, 42L)
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", lsh_bucket(col("vec"), planes, nPlanes))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine_sim(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      .distinct()
+  }
+
+  /** Driver-side bucket of one vector (same planes as the expression). */
+  def bucketOf(v: Array[Float], planes: Array[Double], nPlanes: Int): Int = {
+    val dim = planes.length / nPlanes
+    var bucket = 0; var j = 0
+    while (j < nPlanes) {
+      var dot = 0.0; var i = 0
+      while (i < dim) { dot += v(i).toDouble * planes(j * dim + i); i += 1 }
+      if (dot > 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+}

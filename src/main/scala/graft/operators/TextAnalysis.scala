@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * token counting, quality scoring, language ID, and document
+  * fingerprinting. Everything except the fingerprint composes from
+  * codegen'd built-ins (split/filter/size/length), so these run as pure
+  * map stages — no shuffle, no UDF boxing, embarrassingly parallel at
+  * 100 TB.
+  */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Token count (whitespace segmentation). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count approximation: words + punctuation marks
+    * counted as separate tokens (regex segmentation, no model needed). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)).cast("long") +
+      size(filter(split(text, "[\\p{L}\\p{N}\\s]+"), t => length(t) > 0)).cast("long")
+
+  /** Quality heuristics: length, mean word length, punctuation ratio,
+    * digit ratio, uppercase ratio, stopword ratio — the standard cheap
+    * filters for web-scale corpora. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val n = length(text).cast("double")
+    val toks = tokens(text)
+    Seq(
+      "n_chars_m" -> length(text).cast("long"),
+      "n_tokens" -> size(toks).cast("long"),
+      "mean_token_len" -> (length(regexp_replace(text, "\\s+", "")).cast("double") /
+        greatest(size(toks), lit(1)).cast("double")),
+      "punct_ratio" -> (n - length(regexp_replace(text, "[\\p{Punct}]", ""))) / greatest(n, lit(1.0)),
+      "digit_ratio" -> (n - length(regexp_replace(text, "[0-9]", ""))) / greatest(n, lit(1.0)),
+      "stopword_ratio" -> (size(filter(toks, t => t.isin(EnStopwords: _*))).cast("double") /
+        greatest(size(toks), lit(1)).cast("double")))
+  }
+
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "this", "was", "are", "be", "at", "by")
+
+  /** Stopword tables for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "los", "las", "por"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "dans", "que", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "eine", "mit", "den", "zu", "auf"))
+
+  /** Language ID: score = stopword hits per language; CJK-character
+    * ratio short-circuits to zh. Deterministic argmax (ties break by
+    * language code order). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val cjk = length(regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+    val scored: Seq[(String, Column)] = LangMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    }
+    val best = scored.tail.foldLeft(struct(scored.head._2.as("score"), lit(scored.head._1).as("lang"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"), struct(score.as("score"), lit(lang).as("lang")))
+          .otherwise(acc)
+    }
+    when(cjk > 0.2, "zh")
+      .when(best.getField("score") === 0, "unknown")
+      .otherwise(best.getField("lang"))
+  }
+
+  /** 64-bit content fingerprint (FNV-1a over normalized text). */
+  def fingerprint(text: Column): Column =
+    TextFunctions.fingerprint64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Convenience: annotate a corpus with all text-analysis columns. */
+  def annotate(df: DataFrame, textCol: String): DataFrame = {
+    val base = qualityColumns(col(textCol)).foldLeft(df) { case (d, (name, c)) =>
+      d.withColumn(name, c)
+    }
+    base
+      .withColumn("lang_pred", langId(col(textCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+  }
+}

@@ -78,9 +78,9 @@ object ExtQueries {
           col("doc_id"),
           length(col("text")).cast("long").as("n_chars_m"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          ((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          (regexp_count(col("text"), lit("[0-9]"))
             .cast("double") / length(col("text")).cast("double")).as("digit_ratio"),
-          ((length(col("text")) - length(regexp_replace(col("text"), "[aeiou]", "")))
+          (regexp_count(col("text"), lit("[aeiou]"))
             .cast("double") / length(col("text")).cast("double")).as("vowel_ratio"))
           .orderBy("doc_id"),
       Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,

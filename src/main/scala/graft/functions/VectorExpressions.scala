@@ -126,17 +126,17 @@ case class HyperplaneBucket(child: Expression, planes: Array[Double], nPlanes: I
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
     val n = x.numElements()
-    if (n != dim) null
-    else {
-      var bucket = 0; var j = 0
-      while (j < nPlanes) {
-        var dot = 0.0; var i = 0; val off = j * dim
-        while (i < n) { dot += x.getFloat(i).toDouble * planes(off + i); i += 1 }
-        if (dot > 0) bucket |= (1 << j)
-        j += 1
-      }
-      bucket
+    // fail loudly: a wrong-dim vector would otherwise silently bucket to
+    // null and the downstream join would return empty results
+    if (n != dim) throw HyperplaneBucket.dimMismatch(n, dim)
+    var bucket = 0; var j = 0
+    while (j < nPlanes) {
+      var dot = 0.0; var i = 0; val off = j * dim
+      while (i < n) { dot += x.getFloat(i).toDouble * planes(off + i); i += 1 }
+      if (dot > 0) bucket |= (1 << j)
+      j += 1
     }
+    bucket
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -146,22 +146,28 @@ case class HyperplaneBucket(child: Expression, planes: Array[Double], nPlanes: I
       val dot = ctx.freshName("dot"); val bucket = ctx.freshName("bucket"); val off = ctx.freshName("off")
       s"""
          |int $n = $x.numElements();
-         |if ($n != $dim) { ${ev.isNull} = true; } else {
-         |  int $bucket = 0;
-         |  for (int $j = 0; $j < $nPlanes; $j++) {
-         |    double $dot = 0.0; int $off = $j * $dim;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      $dot += (double) $x.getFloat($i) * $planesRef[$off + $i];
-         |    }
-         |    if ($dot > 0) $bucket |= (1 << $j);
+         |if ($n != $dim) { throw graft.functions.HyperplaneBucket.dimMismatch($n, $dim); }
+         |int $bucket = 0;
+         |for (int $j = 0; $j < $nPlanes; $j++) {
+         |  double $dot = 0.0; int $off = $j * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $x.getFloat($i) * $planesRef[$off + $i];
          |  }
-         |  ${ev.value} = $bucket;
+         |  if ($dot > 0) $bucket |= (1 << $j);
          |}
+         |${ev.value} = $bucket;
        """.stripMargin
     })
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HyperplaneBucket {
+  /** Shared by interpreted + generated code paths. */
+  def dimMismatch(got: Int, expected: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"lsh_bucket: vector has dim $got but hyperplanes expect dim $expected")
 }
 
 object VectorFunctions {

@@ -4,16 +4,24 @@ import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines.
   *
   * Scale design (the part that matters at 100 TB):
   *  - exact dedup is one hash-partitioned shuffle on the dedup key;
   *  - near-dup methods never self-join the full corpus: they block first
-  *    (MinHash LSH bands / SimHash pigeonhole bands / shared shingles),
-  *    so the join key-space is (band-id, band-value) buckets and only
-  *    bucket-mates meet. Skewed mega-buckets should be salted or capped
-  *    (cap is a TODO documented on minHashCandidates).
+  *    (MinHash LSH bands / SimHash pigeonhole bands / shared shingles)
+  *    and pair **within** blocks via groupBy + collect_list + pair
+  *    explode — one shuffle, no self-join, and the block size is CAPPED
+  *    (`maxBucketSize` / `maxDf`), so a pathological hot bucket (a
+  *    boilerplate page shared by 1% of the corpus) is dropped instead of
+  *    going quadratic. Dropping mega-blocks is the standard production
+  *    trade: their members are boilerplate, and exact dedup already
+  *    collapses identical texts.
+  *  - candidate pairs carry ONLY ids through the shuffle; signatures are
+  *    re-joined once from a persisted signature table for scoring (no
+  *    sketch arrays amplified across bands).
   *  - all sketches are computed with native codegen'd expressions
   *    (MinHashSignature / SimHash64), one map pass, no UDF boxing.
   */
@@ -31,46 +39,66 @@ object Dedup {
   def exactByHash(df: DataFrame, textCol: String, idCol: String): DataFrame =
     exact(df.withColumn("__h", md5(col(textCol))), Seq("__h"), idCol).drop("__h")
 
-  /** Lowercased word shingles of size `w`, hashed to 64 bits. */
-  def shingleHashes(text: Column, w: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val n = size(toks)
-    val shingles = when(n >= w,
-      transform(sequence(lit(0), n - w), i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w))))))
-      .otherwise(transform(sequence(lit(0), lit(0)), _ => xxhash64(concat_ws(" ", toks))))
-    array_distinct(shingles)
+  /** Lowercased word shingles of size `w`, hashed to 64 bits (distinct,
+    * first-occurrence order). Native codegen'd expression — one
+    * tokenize+hash pass per row. */
+  def shingleHashes(text: Column, w: Int): Column =
+    TextFunctions.shingle_hashes(text, w)
+
+  /** Ordered (id_a < id_b) unique id pairs from every block of
+    * `keyCols`-equal rows, skipping blocks larger than `cap`.
+    *
+    * This is THE skew-safe near-dup pairing shape: one shuffle
+    * (groupBy block key), block membership lists bounded by `cap`
+    * (a block of B rows emits B(B-1)/2 pairs — capped, never the
+    * corpus-quadratic blowup of an uncapped self-join). */
+  private def blockPairs(df: DataFrame, idCol: String, keyCols: Seq[String],
+                         cap: Int): DataFrame = {
+    val grouped = df.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, cap))
+      .withColumn("ids", array_sort(col("ids")))
+    val ids = col("ids")
+    // nested transform: for each i, pair ids[i] with every later element
+    val pairs = flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        b => struct(a.as("id_a"), b.as("id_b")))))
+    grouped.select(explode(pairs).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
   }
 
   /** MinHash LSH candidate pairs: signature of `numHashes`, cut into
     * `bands`; docs sharing any band bucket become a candidate pair,
     * scored by signature agreement (unbiased Jaccard estimate).
     *
-    * Plan shape: map (sig) -> explode bands (xN) -> shuffle on
-    * (band, bucket) -> within-bucket pairing -> distinct pairs.
-    * At 100 TB add a bucket-size cap (count per bucket, drop/salt
-    * pathological buckets) before pairing.
+    * Plan shape: one scan computes signatures (persisted — reused by the
+    * banding pass and both scoring re-joins); explode bands (ids only);
+    * groupBy (band, bucket) with a `maxBucketSize` cap -> pair explode
+    * -> distinct pairs -> two id-equi joins back to the signature table
+    * for scoring. Buckets above the cap are dropped (boilerplate guard).
     */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 32, bands: Int = 8,
-                        shingleWidth: Int = 3): DataFrame = {
+                        shingleWidth: Int = 3, maxBucketSize: Int = 500): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sigs = df.select(col(idCol).as("id"),
         TextFunctions.minhash_signature(shingleHashes(col(textCol), shingleWidth), numHashes).as("sig"))
       .filter(col("sig").isNotNull)
-    // band value = hash of its signature slice
-    val banded = sigs.select(col("id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
-          .as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // band value = hash of its signature slice; ids only past this point
+    val banded = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+        .as(Seq("band", "bucket")))
+    val pairs = blockPairs(banded, "id", Seq("band", "bucket"), maxBucketSize)
+    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
-      .distinct()
   }
 
   /** MinHash dedup: candidates above `threshold` collapse; every doc that
@@ -78,8 +106,10 @@ object Dedup {
     * union-find — transitive chains keep their minimum representative
     * with one extra iteration at most; good enough for corpus dedup). */
   def minHashDedup(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val dupIds = minHashCandidates(df, idCol, textCol, numHashes, bands)
+                   threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
+                   maxBucketSize: Int = 500): DataFrame = {
+    val dupIds = minHashCandidates(df, idCol, textCol, numHashes, bands,
+        maxBucketSize = maxBucketSize)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
@@ -88,44 +118,61 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     * Blocking is pigeonhole-exact: the 64-bit simhash is cut into
     * (maxHamming+1) bands — any pair within distance k must agree on at
-    * least one band, so the band-equality join loses no true pair. */
+    * least one band, so the band-equality blocking loses no true pair
+    * (up to the `maxBucketSize` skew cap). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Int = 500): DataFrame = {
     val nBands = maxHamming + 1
     val width = 64 / nBands
     val sh = df.select(col(idCol).as("id"),
-      TextFunctions.simhash64(transform(TextAnalysis.tokens(col(textCol)), xxhash64(_))).as("sh"))
+      TextFunctions.simhash64(TextFunctions.token_hashes(col(textCol))).as("sh"))
       .filter(col("sh").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val mask = (1L << width) - 1
-    val banded = sh.select(col("id"), col("sh"),
+    val banded = sh.select(col("id"),
       posexplode(expr(
         s"transform(sequence(0, ${nBands - 1}), b -> shiftright(sh, b * $width) & $mask)"))
         .as(Seq("band", "bits")))
-    val l = banded.select(col("band"), col("bits"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bits"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bits"))
-      .filter(col("id_a") < col("id_b"))
+    val pairs = blockPairs(banded, "id", Seq("band", "bits"), maxBucketSize)
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs that share at
     * least one shingle-hash (inverted-index blocking: explode shingles,
-    * join on shingle, count shared; |A∪B| = |A|+|B|-shared). Full
-    * exactness without a cross join. `minShared` prunes the long tail of
-    * single-shingle collisions before the expensive distinct. */
+    * group per shingle, pair within the group; |A∪B| = |A|+|B|-shared).
+    *
+    * Skew guards, both lossless-by-default at sane settings:
+    *  - shingles appearing in exactly one doc pair with nothing, so the
+    *    `>= 2` group filter is exactness-preserving and prunes the vast
+    *    majority of the inverted index;
+    *  - shingles appearing in more than `maxDf` docs (stop-phrases) are
+    *    dropped — the 100 TB guard. Pairs whose every shared shingle is
+    *    that common under-count `shared`; set `maxDf` above the corpus's
+    *    true near-dup cluster size to keep the result exact.
+    * `minShared` prunes single-collision pairs before the jaccard math. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleWidth: Int = 3, threshold: Double = 0.5,
-                        minShared: Int = 2): DataFrame = {
+                        minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleWidth).as("shingles"))
       .withColumn("n_sh", size(col("shingles")).cast("long"))
-    val inv = sh.select(col("id"), col("n_sh"), explode(col("shingles")).as("shingle"))
-    val l = inv.select(col("shingle"), col("id").as("id_a"), col("n_sh").as("n_a"))
-    val r = inv.select(col("shingle"), col("id").as("id_b"), col("n_sh").as("n_b"))
-    l.join(r, "shingle")
-      .filter(col("id_a") < col("id_b"))
+    val inv = sh.select(explode(col("shingles")).as("shingle"),
+      struct(col("id"), col("n_sh")).as("doc"))
+    val grouped = inv.groupBy("shingle")
+      .agg(collect_list(col("doc")).as("docs"))
+      .filter(size(col("docs")).between(2, maxDf))
+      .withColumn("docs", array_sort(col("docs"))) // struct sort: by id, ids unique -> id_a < id_b
+    val docs = col("docs")
+    val pairs = flatten(transform(docs, (a, i) =>
+      transform(slice(docs, i + lit(2), size(docs)),
+        b => struct(a.as("a"), b.as("b")))))
+    grouped.select(explode(pairs).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.a.n_sh").as("n_a"),
+        col("p.b.id").as("id_b"), col("p.b.n_sh").as("n_b"))
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

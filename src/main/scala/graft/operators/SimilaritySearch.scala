@@ -17,8 +17,20 @@ import org.apache.spark.sql.functions._
   *    while scanning ~ (nPlanes+1)/2^nPlanes of the data. Buckets are a
   *    plain column — at scale, partition/Z-order the corpus by bucket so
   *    probes prune parquet row groups instead of scanning.
+  *
+  * Embedding dimensionality is DERIVED from the data (first non-empty
+  * vector — one tiny LocalLimit job), and `lsh_bucket` throws on any
+  * row whose dim disagrees, so a mixed-dim corpus fails loudly instead
+  * of silently bucketing to null / returning empty joins.
   */
 object SimilaritySearch {
+
+  /** Embedding dim of the first non-empty vector (one LocalLimit job). */
+  def dimOf(df: DataFrame, vecCol: String): Int = {
+    val head = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0).head(1)
+    require(head.nonEmpty, s"cannot derive embedding dim: no non-empty vectors in $vecCol")
+    head.head.getInt(0)
+  }
 
   /** Exact top-k by cosine similarity against one query vector. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
@@ -32,8 +44,10 @@ object SimilaritySearch {
 
   /** Annotate a corpus with its LSH bucket (do this once, persist it). */
   def withBucket(corpus: DataFrame, vecCol: String, nPlanes: Int = 12,
-                 dim: Int = 64, seed: Long = 42L): DataFrame =
+                 seed: Long = 42L): DataFrame = {
+    val dim = dimOf(corpus, vecCol)
     corpus.withColumn("bucket", lsh_bucket(col(vecCol), makePlanes(nPlanes, dim, seed), nPlanes))
+  }
 
   /** ANN top-k: scan only the query's bucket and its 1-bit-flip
     * neighbors (multi-probe), then exact cosine within the probed set. */
@@ -42,7 +56,8 @@ object SimilaritySearch {
     val planes = makePlanes(nPlanes, query.length, seed)
     val qBucket = bucketOf(query, planes, nPlanes)
     val probes = qBucket +: (0 until nPlanes).map(b => qBucket ^ (1 << b))
-    val bucketed = withBucket(corpus, vecCol, nPlanes, query.length, seed)
+    val bucketed = corpus.withColumn("bucket",
+      lsh_bucket(col(vecCol), planes, nPlanes))
     bruteForceTopK(bucketed.filter(col("bucket").isin(probes: _*)), idCol, vecCol, query, k)
   }
 
@@ -50,13 +65,13 @@ object SimilaritySearch {
     * join + per-query window rank — the scalable shape (bucket join
     * instead of cross join). Exact variant (crossJoin) for validation. */
   def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, exact: Boolean = false, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+              k: Int, exact: Boolean = false, nPlanes: Int = 8): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
     val paired =
       if (exact) q.crossJoin(c)
       else {
-        val planes = makePlanes(nPlanes, dim, 42L)
+        val planes = makePlanes(nPlanes, dimOf(corpus, vecCol), 42L)
         q.withColumn("bucket", lsh_bucket(col("query_vec"), planes, nPlanes))
           .join(c.withColumn("bucket", lsh_bucket(col("neighbor_vec"), planes, nPlanes)), "bucket")
           .drop("bucket")
@@ -74,8 +89,8 @@ object SimilaritySearch {
   /** Embedding near-duplicate pairs: bucket join + cosine >= threshold.
     * (Embedding-cosine near-dup detection for dedup pipelines.) */
   def embeddingDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.95, nPlanes: Int = 10, dim: Int = 64): DataFrame = {
-    val planes = makePlanes(nPlanes, dim, 42L)
+                        threshold: Double = 0.95, nPlanes: Int = 10): DataFrame = {
+    val planes = makePlanes(nPlanes, dimOf(corpus, vecCol), 42L)
     val b = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", lsh_bucket(col("vec"), planes, nPlanes))
     val l = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))

@@ -28,17 +28,19 @@ object TextAnalysis {
 
   /** Quality heuristics: length, mean word length, punctuation ratio,
     * digit ratio, uppercase ratio, stopword ratio — the standard cheap
-    * filters for web-scale corpora. */
+    * filters for web-scale corpora. Character-class ratios count matches
+    * (`regexp_count`) instead of rebuilding the string via
+    * `regexp_replace` — same values, no per-doc string allocation. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
     val n = length(text).cast("double")
     val toks = tokens(text)
     Seq(
       "n_chars_m" -> length(text).cast("long"),
       "n_tokens" -> size(toks).cast("long"),
-      "mean_token_len" -> (length(regexp_replace(text, "\\s+", "")).cast("double") /
+      "mean_token_len" -> ((n - regexp_count(text, lit("\\s"))) /
         greatest(size(toks), lit(1)).cast("double")),
-      "punct_ratio" -> (n - length(regexp_replace(text, "[\\p{Punct}]", ""))) / greatest(n, lit(1.0)),
-      "digit_ratio" -> (n - length(regexp_replace(text, "[0-9]", ""))) / greatest(n, lit(1.0)),
+      "punct_ratio" -> regexp_count(text, lit("[\\p{Punct}]")).cast("double") / greatest(n, lit(1.0)),
+      "digit_ratio" -> regexp_count(text, lit("[0-9]")).cast("double") / greatest(n, lit(1.0)),
       "stopword_ratio" -> (size(filter(toks, t => t.isin(EnStopwords: _*))).cast("double") /
         greatest(size(toks), lit(1)).cast("double")))
   }
@@ -56,23 +58,10 @@ object TextAnalysis {
 
   /** Language ID: score = stopword hits per language; CJK-character
     * ratio short-circuits to zh. Deterministic argmax (ties break by
-    * language code order). */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val cjk = length(regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", "")).cast("double") /
-      greatest(length(text), lit(1)).cast("double")
-    val scored: Seq[(String, Column)] = LangMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isin(words: _*)))
-    }
-    val best = scored.tail.foldLeft(struct(scored.head._2.as("score"), lit(scored.head._1).as("lang"))) {
-      case (acc, (lang, score)) =>
-        when(score > acc.getField("score"), struct(score.as("score"), lit(lang).as("lang")))
-          .otherwise(acc)
-    }
-    when(cjk > 0.2, "zh")
-      .when(best.getField("score") === 0, "unknown")
-      .otherwise(best.getField("lang"))
-  }
+    * language code order). Native codegen'd expression — the previous
+    * declarative `when`-fold duplicated the (interpreted) stopword
+    * filters exponentially per row. */
+  def langId(text: Column): Column = TextFunctions.lang_id(text)
 
   /** 64-bit content fingerprint (FNV-1a over normalized text). */
   def fingerprint(text: Column): Column =

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("minHashCandidates finds near-identical docs, not unrelated ones") {
+    val base = "the quick brown fox jumps over the lazy dog again and again every single day"
+    val df = docs(
+      1L -> base,
+      2L -> (base + " tonight"),                       // near-dup of 1
+      3L -> "completely different text about spark catalyst optimizer rules and physical plans",
+      4L -> "unrelated musings on distributed shuffle hash joins at terabyte scale today")
+    val pairs = Dedup.minHashCandidates(df, "doc_id", "text")
+      .filter(org.apache.spark.sql.functions.col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard over distinct shingles") {
+    // doc1: shingles {a b c, b c d}; doc2 identical -> jaccard 1.0
+    val df = docs(1L -> "a b c d", 2L -> "a b c d", 3L -> "x y z w")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", shingleWidth = 3,
+      threshold = 0.5, minShared = 1).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(out.head.getDouble(2) == 1.0)
+  }
+
+  test("simHashPairs finds hamming-close docs") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val df = docs(1L -> base, 2L -> (base + " thirteen"),
+      3L -> "entirely disjoint vocabulary words alpha beta gamma delta epsilon zeta eta")
+    val pairs = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("hot-bucket corpus: caps bound the pair explosion and complete") {
+    // 400 identical docs -> every band bucket has 400 members. With
+    // cap=50 the bucket is dropped entirely; uncapped this would be
+    // 79,800 pairs per band. The op must finish and respect the cap.
+    val hot = docs((1L to 400L).map(i => i -> "same boilerplate text repeated forever and ever on every page"): _*)
+    val capped = Dedup.minHashCandidates(hot, "doc_id", "text", maxBucketSize = 50).count()
+    assert(capped == 0) // hot bucket dropped, not exploded
+    val cappedNg = Dedup.ngramJaccardPairs(hot, "doc_id", "text", maxDf = 50).count()
+    assert(cappedNg == 0)
+    // sanity: with a cap above the cluster size the pairs ARE found
+    val small = docs((1L to 10L).map(i => i -> "same boilerplate text repeated forever and ever on every page"): _*)
+    assert(Dedup.minHashCandidates(small, "doc_id", "text").count() == 45)
+  }
+
+  test("knnJoin and embeddingDupPairs derive dim from data (32-dim corpus)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(32)(rnd.nextFloat() * 2 - 1)
+    def perturb(eps: Float) = base.zipWithIndex.map { case (v, i) => v + eps * (if (i % 2 == 0) 1 else -1) }
+    val vecs = Seq(
+      (0L, base.toSeq), (1L, perturb(0.01f).toSeq), (2L, perturb(0.02f).toSeq),
+      (3L, Array.fill(32)(rnd.nextFloat() * 2 - 1).toSeq),
+      (4L, Array.fill(32)(rnd.nextFloat() * 2 - 1).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+    val knn = SimilaritySearch.knnJoin(df, df, "vec_id", "embedding", k = 1)
+    val top = knn.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top(0L) == 1L) // nearest neighbor of base is its tiny perturbation
+    val dupes = SimilaritySearch.embeddingDupPairs(df, "vec_id", "embedding", threshold = 0.99)
+    val pairs = dupes.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("lsh_bucket throws on mixed-dim corpus instead of silently returning empty") {
+    import spark.implicits._
+    val df = Seq((0L, Seq.fill(32)(0.5f)), (1L, Seq.fill(16)(0.5f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      SimilaritySearch.embeddingDupPairs(df, "vec_id", "embedding").count()
+    }
+    assert(ex.getMessage != null)
+  }
+}

@@ -93,6 +93,8 @@ object ExtQueries {
              |FROM documents ORDER BY doc_id""".stripMargin))),
 
     // Language-ID heuristic vs the labeled lang column (accuracy table).
+    // Oracle re-implements the stopword-argmax + CJK-ratio heuristic in
+    // SQL (ties -> first language in code order, zero hits -> unknown).
     "q44_langid" -> ((
       (s: SparkSession, d: String) =>
         docs(s, d)
@@ -100,17 +102,62 @@ object ExtQueries {
           .groupBy(col("lang"), col("lang_pred"))
           .agg(count(lit(1)).as("n"))
           .orderBy("lang", "lang_pred"),
-      None)),
+      Some("""WITH tk AS (
+             |  SELECT lang, text,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+             |  FROM documents
+             |), scored AS (
+             |  SELECT lang,
+             |    len(list_filter(t, x -> list_contains(['der','die','das','und','ist','von','ein','eine','mit','den','zu','auf'], x))) AS s_de,
+             |    len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','a'], x))) AS s_en,
+             |    len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','una','es','los','las','por'], x))) AS s_es,
+             |    len(list_filter(t, x -> list_contains(['le','la','les','de','des','et','un','une','est','dans','que','pour'], x))) AS s_fr,
+             |    CAST(length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS DOUBLE)
+             |      / greatest(length(text), 1) AS cjk
+             |  FROM tk
+             |)
+             |SELECT lang, lang_pred, count(*) AS n FROM (
+             |  SELECT lang, CASE
+             |    WHEN cjk > 0.2 THEN 'zh'
+             |    WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+             |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             |    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             |    WHEN s_es >= s_fr THEN 'es'
+             |    ELSE 'fr' END AS lang_pred
+             |  FROM scored) t
+             |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin))),
 
     // Document fingerprints (FNV-1a rolling hash, custom codegen'd
-    // Expression) — distribution check.
+    // Expression) — distribution check. Oracle replays FNV-1a 64 over the
+    // normalized UTF-8 bytes in SQL: list_reduce over hex-decoded bytes
+    // with HUGEINT mod-2^64 arithmetic, then two's-complement to BIGINT.
     "q45_fingerprint" -> ((
       (s: SparkSession, d: String) =>
         docs(s, d)
           .select(TextAnalysis.fingerprint(col("text")).as("fp"))
           .agg(count(lit(1)).as("n"), countDistinct(col("fp")).as("n_distinct"),
                min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp")),
-      None)),
+      Some("""WITH norm AS (
+             |  SELECT hex(encode(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS hx FROM documents
+             |), fp AS (
+             |  SELECT list_reduce(
+             |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |      list_transform(range(1, len(hx) // 2 + 1), i ->
+             |        CAST((strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+             |           + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1) AS HUGEINT))),
+             |    (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT) * 1099511628211)
+             |              % CAST('18446744073709551616' AS HUGEINT)
+             |  ) AS f
+             |  FROM norm
+             |), signed AS (
+             |  SELECT CASE WHEN f >= CAST('9223372036854775808' AS HUGEINT)
+             |              THEN CAST(f - CAST('18446744073709551616' AS HUGEINT) AS BIGINT)
+             |              ELSE CAST(f AS BIGINT) END AS fp
+             |  FROM fp
+             |)
+             |SELECT count(*) AS n, count(DISTINCT fp) AS n_distinct,
+             |       min(fp) AS min_fp, max(fp) AS max_fp
+             |FROM signed""".stripMargin))),
 
     // MinHash LSH near-dup candidates (32 hashes, 8 bands).
     "q46_minhash_candidates" -> ((
@@ -134,21 +181,53 @@ object ExtQueries {
           .orderBy("id_a", "id_b"),
       None)),
 
-    // Exact n-gram Jaccard pairs via inverted-index blocking.
+    // Exact n-gram Jaccard pairs via inverted-index blocking. The oracle
+    // recomputes jaccard over distinct 3-token shingle STRINGS with a
+    // plain O(n^2) pair scan — equal to the hash-based Spark result
+    // because 64-bit shingle-hash collisions are negligible and the
+    // blocking (shared-shingle + DF cap) is lossless at this scale.
     "q49_ngram_jaccard" -> ((
       (s: SparkSession, d: String) =>
         Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
           shingleWidth = 3, threshold = 0.3)
           .orderBy("id_a", "id_b"),
-      None)),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(t) >= 3
+             |      THEN list_distinct(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))
+             |      ELSE [array_to_string(t, ' ')] END AS s
+             |  FROM tk
+             |), pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         len(list_intersect(a.s, b.s)) AS shared, len(a.s) AS na, len(b.s) AS nb
+             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+             |)
+             |SELECT id_a, id_b, CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+             |FROM pairs
+             |WHERE shared >= 2 AND CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.3
+             |ORDER BY id_a, id_b""".stripMargin))),
 
     // Brute-force cosine top-k (exact ANN baseline; codegen'd cosine +
-    // TakeOrderedAndProject).
+    // TakeOrderedAndProject). Oracle: double-precision dot/norms in index
+    // order — bitwise-identical accumulation to the codegen'd loop.
     "q50_ann_bruteforce" -> ((
       (s: SparkSession, d: String) =>
         SimilaritySearch.bruteForceTopK(embs(s, d), "vec_id", "embedding",
           queryVec(s, d), k = 10),
-      None)),
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+             |sims AS (
+             |  SELECT e.vec_id,
+             |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+             |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS dot,
+             |    list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             |    list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+             |  FROM embeddings e, q
+             |)
+             |SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cosine
+             |FROM sims ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin))),
 
     // LSH ANN (hyperplane buckets, multi-probe).
     "q51_ann_lsh" -> ((

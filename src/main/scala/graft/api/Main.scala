@@ -1,12 +1,21 @@
 package graft.api
 
 import graft.engine.QueryExecutor
-import graft.store.{IngestService, Spool, SpoolConfig, TableCatalog}
+import graft.store._
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.{Executors, TimeUnit}
 
-/** Boot the full engine: SparkSession + catalog + spool + HTTP API.
-  * Reproduces the reference quickstart (readme.md:33-49): insert JSON,
-  * query it back as a JSON array.
+/** Boot the full engine: SparkSession + catalog + metadata store + spool
+  * -> blob store -> ingest pipeline + HTTP API. Reproduces the reference
+  * quickstart (readme.md:33-49): insert JSON, query it back as a JSON
+  * array.
+  *
+  * Ingest is at-least-once: rotation uploads the closed NDJSON file into
+  * the [[BlobStore]] and ingests it; on failure the blob stays put and a
+  * periodic sweep (plus startup recovery of spool orphans and
+  * half-finished migrations) re-processes it — the single-process
+  * analogue of the reference's persistent queue + workers
+  * (/root/reference/pkg/workers/workers.go:34-52).
   *
   *   sbt "runMain graft.api.Main"   # PORT, GRAFT_DATA, GRAFT_API_KEY env
   */
@@ -28,7 +37,18 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     val catalog = new TableCatalog(s"$dataDir/tables")
+    // the static env key maps to tenant "1"; reserve it so dynamically
+    // created destinations never alias it
+    val meta = new MetaStore(dataDir, reservedIds = Set(1L))
     val ingest = new IngestService(spark, catalog)
+    val blobs = new LocalBlobStore(s"$dataDir/blobs")
+    val uploader = new Uploader(blobs, (db, table, f) => ingest.ingestFile(db, table, f))
+
+    // finish any half-done schema migration before serving reads
+    meta.listDestinations.map(_.id.toString).foreach { db =>
+      catalog.listTables(db).foreach(t => catalog.recoverMigration(db, t))
+    }
+
     // rotation: 1s age for snappy local queryability (reference default
     // thresholds are deploy-config, filesystem.go:30-33)
     val spool = new Spool(s"$dataDir/spool",
@@ -36,12 +56,24 @@ object Main {
       f => {
         val table = f.getParentFile.getName
         val db = f.getParentFile.getParentFile.getName
-        try ingest.ingestFile(db, table, f)
+        try uploader.accept(db, table, f)
         catch { case e: Exception => System.err.println(s"[ingest] ${f.getName}: ${e.getMessage}") }
       })
+    spool.recoverOrphans() // a previous process may have died mid-spool
+    uploader.retryPending() // ...or mid-ingest
+
     val executor = new QueryExecutor(spark, catalog)
     val server = new Server(ServerConfig(port, Map(apiKey -> "1"), sys.env.get("GRAFT_ADMIN_KEY")),
-      catalog, ingest, spool, executor)
+      catalog, ingest, spool, executor, meta)
+
+    val sweeper = Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-sweeper"); t.setDaemon(true); t
+    }
+    sweeper.scheduleWithFixedDelay(() => {
+      try { uploader.retryPending(); meta.purgeExpiredShares(); () }
+      catch { case e: Exception => System.err.println(s"[sweep] ${e.getMessage}") }
+    }, 30, 30, TimeUnit.SECONDS)
+
     val boundPort = server.start()
     println(s"scratchdbspark listening on :$boundPort (data: $dataDir)")
     Thread.currentThread().join()

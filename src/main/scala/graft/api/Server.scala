@@ -2,44 +2,54 @@ package graft.api
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.core.Json
-import graft.engine.{QueryExecutor, ResultEncoders}
-import graft.store.{IngestService, Spool, TableCatalog}
-import java.io.OutputStream
+import graft.engine.{QueryExecutor, QueryRejectedException, ResultEncoders}
+import graft.store.{IngestService, MetaStore, Spool, TableCatalog}
+import java.io.{File, OutputStream}
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-import java.util.UUID
-import scala.collection.concurrent.TrieMap
 import scala.util.control.NonFatal
 
 /** Static auth config: plaintext API keys map to a database id; an
   * optional admin key selects the tenant via `destination_id`
   * (reference semantics: /root/reference/pkg/api/auth.go:23-53 — keys
-  * are stored and compared as SHA-256 hashes). */
+  * are stored and compared as SHA-256 hashes). Keys minted at runtime
+  * via POST /api/destinations/{id}/keys live in the [[MetaStore]].
+  * `healthFailFile`: when this path exists, /healthcheck returns 503
+  * (healthcheck.go:12-24). */
 final case class ServerConfig(
     port: Int = 8080,
     apiKeys: Map[String, String] = Map("local" -> "1"),
-    adminKey: Option[String] = None)
+    adminKey: Option[String] = None,
+    healthFailFile: String = "/tmp/graft-unhealthy")
 
 /** HTTP surface of the engine — the reference's chi router rebuilt on the
   * JDK's HttpServer (routes: /root/reference/pkg/api/router.go:52-66).
   *
-  *   GET  /healthcheck
+  *   GET  /healthcheck                                  (503 if fail-file exists)
+  *   GET  /metrics                                      (Prometheus text)
   *   POST /api/data/insert/{table}?flatten=vertical     (auth)
-  *   GET|POST /api/data/query[?format=csv]              (auth)
+  *   GET|POST /api/data/query[?format=csv]              (auth; SELECT-only)
   *   GET  /api/tables                                   (auth)
   *   GET  /api/tables/{table}/columns                   (auth)
+  *   GET  /api/destinations                             (auth)
+  *   POST /api/destinations {type,name}                 (auth)
+  *   POST /api/destinations/{id}/keys                   (auth; own id or admin)
   *   POST /api/data/query/share {query, duration}       (auth)
   *   GET  /share/{uuid}/data.{format}                   (public)
   */
 final class Server(config: ServerConfig, catalog: TableCatalog,
-                   ingest: IngestService, spool: Spool, executor: QueryExecutor) {
+                   ingest: IngestService, spool: Spool, executor: QueryExecutor,
+                   meta: MetaStore, metrics: Metrics = new Metrics) {
 
-  private val hashedKeys: Map[String, String] = config.apiKeys.map { case (k, v) => sha256(k) -> v }
-  private val hashedAdmin: Option[String] = config.adminKey.map(sha256)
-  // uuid -> (databaseId, query, expiresAtMillis); reference stores these in
-  // its metadata DB with an expiry (gorm.go:93-129)
-  private val shares = TrieMap.empty[String, (String, String, Long)]
+  private val hashedKeys: Map[String, String] = config.apiKeys.map { case (k, v) => MetaStore.sha256(k) -> v }
+  private val hashedAdmin: Option[String] = config.adminKey.map(MetaStore.sha256)
+
+  /** `^[A-Za-z0-9_]+$` — table names and destination ids become
+    * filesystem path components (Spool/TableCatalog) and view names, so
+    * anything else (`..`, `/`, quotes) is rejected with a 400 before it
+    * touches storage. */
+  private val SafeName = "^[A-Za-z0-9_]+$".r
+  private def safeName(s: String): Boolean = SafeName.matches(s)
 
   private val server = HttpServer.create(new InetSocketAddress(config.port), 0)
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
@@ -52,10 +62,6 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
 
   def stop(): Unit = server.stop(0)
 
-  private def sha256(s: String): String =
-    MessageDigest.getInstance("SHA-256").digest(s.getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-
   private def params(ex: HttpExchange): Map[String, String] = {
     val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     raw.split("&").filter(_.nonEmpty).flatMap { kv =>
@@ -67,18 +73,24 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
     }.toMap
   }
 
-  /** Resolve the tenant database id, or None -> 401 (auth.go:23-53). */
-  private def authDb(p: Map[String, String], ex: HttpExchange): Option[String] = {
+  /** Principal: tenant database id + whether this is the admin key. */
+  private final case class Principal(db: String, admin: Boolean)
+
+  /** Resolve the caller, or None -> 401 (auth.go:23-53). Static config
+    * keys and MetaStore-minted keys are both accepted. */
+  private def authDb(p: Map[String, String], ex: HttpExchange): Option[Principal] = {
     val key = p.getOrElse("api_key",
       Option(ex.getRequestHeaders.getFirst("X-API-KEY")).getOrElse(""))
-    val hashed = sha256(key)
-    if (hashedAdmin.contains(hashed)) Some(p.getOrElse("destination_id", "-1"))
-    else hashedKeys.get(hashed)
+    val hashed = MetaStore.sha256(key)
+    if (hashedAdmin.contains(hashed)) Some(Principal(p.getOrElse("destination_id", "-1"), admin = true))
+    else hashedKeys.get(hashed).orElse(meta.resolveKey(hashed)).map(Principal(_, admin = false))
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String,
                       contentType: String = "text/plain"): Unit = {
     val b = body.getBytes(StandardCharsets.UTF_8)
+    ex.setAttribute("graft.status", code)
+    ex.setAttribute("graft.bytes", b.length.toLong)
     ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
     if (b.nonEmpty) ex.getResponseBody.write(b)
@@ -88,91 +100,163 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
-  private def route(ex: HttpExchange): Unit =
+  private def route(ex: HttpExchange): Unit = {
+    val t0 = System.nanoTime()
     try {
       val path = ex.getRequestURI.getPath
       val segs = path.split("/").filter(_.nonEmpty).toList
       val p = params(ex)
       (ex.getRequestMethod, segs) match {
-        case ("GET", List("healthcheck")) => respond(ex, 200, "ok")
-        case (_, "api" :: rest)           => withAuth(ex, p)(db => apiRoute(ex, p, db, rest))
+        case ("GET", List("healthcheck")) =>
+          ex.setAttribute("graft.route", "/healthcheck")
+          if (new File(config.healthFailFile).exists())
+            respond(ex, 503, "Status set to unhealthy")
+          else respond(ex, 200, "ok")
+        case ("GET", List("metrics")) =>
+          ex.setAttribute("graft.route", "/metrics")
+          respond(ex, 200, metrics.render, "text/plain; version=0.0.4")
+        case (_, "api" :: rest) =>
+          withAuth(ex, p)(who => apiRoute(ex, p, who, rest))
         case ("GET", List("share", uuid, data)) if data.startsWith("data.") =>
+          ex.setAttribute("graft.route", "/share/{uuid}/data.{format}")
           shareData(ex, uuid, data.stripPrefix("data."))
         case _ => respond(ex, 404, "not found")
       }
     } catch {
       case NonFatal(e) => try respond(ex, 500, Option(e.getMessage).getOrElse("error")) catch { case NonFatal(_) => () }
+    } finally {
+      val route = Option(ex.getAttribute("graft.route")).map(_.toString).getOrElse("<other>")
+      val status = Option(ex.getAttribute("graft.status")).map(_.toString.toInt).getOrElse(0)
+      val bytes = Option(ex.getAttribute("graft.bytes")).map(_.toString.toLong).getOrElse(0L)
+      metrics.observe(route, ex.getRequestMethod, status, (System.nanoTime() - t0) / 1e9, bytes)
     }
+  }
 
-  private def withAuth(ex: HttpExchange, p: Map[String, String])(f: String => Unit): Unit =
+  private def withAuth(ex: HttpExchange, p: Map[String, String])(f: Principal => Unit): Unit =
     authDb(p, ex) match {
-      case Some(db) => f(db)
-      case None     => respond(ex, 401, "Unauthorized")
+      case Some(who) => f(who)
+      case None      => respond(ex, 401, "Unauthorized")
     }
 
-  private def apiRoute(ex: HttpExchange, p: Map[String, String], db: String,
-                       rest: List[String]): Unit =
+  private def apiRoute(ex: HttpExchange, p: Map[String, String], who: Principal,
+                       rest: List[String]): Unit = {
+    ex.setAttribute("graft.route", "/api/" + rest.mkString("/"))
+    val db = who.db
     (ex.getRequestMethod, rest) match {
       case ("POST", List("data", "insert", table)) =>
-        val res = ingest.acceptBody(spool, db, table, readBody(ex), p.getOrElse("flatten", ""))
-        respond(ex, res.status, res.message)
+        ex.setAttribute("graft.route", "/api/data/insert/{table}")
+        if (!safeName(table)) respond(ex, 400, "invalid table name")
+        else if (!safeName(db)) respond(ex, 400, "invalid destination id")
+        else {
+          val res = ingest.acceptBody(spool, db, table, readBody(ex), p.getOrElse("flatten", ""))
+          respond(ex, res.status, res.message)
+        }
 
       case (m, List("data", "query")) if m == "GET" || m == "POST" =>
+        ex.setAttribute("graft.route", "/api/data/query")
         val q = if (m == "POST") readBody(ex) else p.getOrElse("query", "")
         if (q.trim.isEmpty) respond(ex, 400, "Query cannot be blank")
         else runQuery(ex, db, q, p.getOrElse("format", ""))
 
       case ("POST", List("data", "query", "share")) =>
+        ex.setAttribute("graft.route", "/api/data/query/share")
         Json.parse(readBody(ex)) match {
           case Some(n) if n.hasNonNull("query") && n.get("query").asText.nonEmpty =>
             val duration = if (n.has("duration")) n.get("duration").asLong else 60L
-            val id = UUID.randomUUID().toString
-            shares.put(id, (db, n.get("query").asText, System.currentTimeMillis() + duration * 1000))
+            val id = meta.createShare(db, n.get("query").asText, duration)
             respond(ex, 200, s"""{"id":"$id"}""", "application/json")
           case Some(_) => respond(ex, 400, "Query cannot be empty")
           case None    => respond(ex, 400, "Invalid request body")
         }
 
       case ("GET", List("tables")) =>
+        ex.setAttribute("graft.route", "/api/tables")
         val names = catalog.listTables(db).map(t => "\"" + Json.escape(t) + "\"")
         respond(ex, 200, names.mkString("[", ",", "]"), "application/json")
 
       case ("GET", List("tables", table, "columns")) =>
+        ex.setAttribute("graft.route", "/api/tables/{table}/columns")
         val cols = catalog.listColumns(db, table).map { case (n, t) =>
           s"""{"name":"${Json.escape(n)}","type":"${Json.escape(t)}"}"""
         }
         respond(ex, 200, cols.mkString("[", ",", "]"), "application/json")
 
       case ("GET", List("destinations")) =>
-        val ids = config.apiKeys.values.toSeq.distinct.sorted.map(d => s""""$d"""")
-        respond(ex, 200, ids.mkString("[", ",", "]"), "application/json")
+        ex.setAttribute("graft.route", "/api/destinations")
+        val static = config.apiKeys.values.toSeq.distinct.map(id =>
+          s"""{"id":$id,"type":"spark","name":"static"}""")
+        val dynamic = meta.listDestinations.map(d =>
+          s"""{"id":${d.id},"type":"${Json.escape(d.dtype)}","name":"${Json.escape(d.name)}"}""")
+        respond(ex, 200, (static ++ dynamic).mkString("[", ",", "]"), "application/json")
+
+      // Create a destination (destinations.go:37-68; settings accepted
+      // but ignored — every destination is served by the same engine).
+      case ("POST", List("destinations")) =>
+        ex.setAttribute("graft.route", "/api/destinations")
+        Json.parse(readBody(ex)) match {
+          case Some(n) =>
+            val dtype = if (n.hasNonNull("type")) n.get("type").asText else "spark"
+            val name = if (n.hasNonNull("name")) n.get("name").asText else "destination"
+            val d = meta.createDestination(dtype, name)
+            respond(ex, 200,
+              s"""{"id":${d.id},"type":"${Json.escape(d.dtype)}","name":"${Json.escape(d.name)}"}""",
+              "application/json")
+          case None => respond(ex, 400, "Invalid request body")
+        }
+
+      // Mint an API key (destinations.go:14-21): for your own
+      // destination, or any destination with the admin key.
+      case ("POST", List("destinations", id, "keys")) =>
+        ex.setAttribute("graft.route", "/api/destinations/{id}/keys")
+        if (!safeName(id)) respond(ex, 400, "invalid destination id")
+        else if (!who.admin && id != db) respond(ex, 403, "Forbidden")
+        else if (!who.admin && !meta.destinationExists(id) && !config.apiKeys.values.exists(_ == id))
+          respond(ex, 404, "no such destination")
+        else {
+          val key = meta.addKey(id)
+          respond(ex, 200, s"""{"key":"$key","destination_id":$id}""", "application/json")
+        }
 
       case _ => respond(ex, 404, "not found")
     }
+  }
 
   /** Stream a query result; 500 with the error only when nothing has been
     * written yet (reference data.go:53-55 — errors after streaming began
-    * are lost). */
+    * are lost). Statement-type / unknown-relation rejections are 400s. */
   private def runQuery(ex: HttpExchange, db: String, query: String, format: String): Unit =
     try {
       val df = executor.execute(db, query)
       val isCsv = format.equalsIgnoreCase("csv")
       ex.getResponseHeaders.set("Content-Type", if (isCsv) "text/csv" else "application/json")
+      ex.setAttribute("graft.status", 200)
       ex.sendResponseHeaders(200, 0) // chunked
-      val out: OutputStream = ex.getResponseBody
+      val out: OutputStream = new CountingOutputStream(ex.getResponseBody,
+        n => ex.setAttribute("graft.bytes", n))
       if (isCsv) ResultEncoders.writeCsv(df, out) else ResultEncoders.writeJson(df, out)
       out.close()
       ex.close()
     } catch {
+      case e: QueryRejectedException =>
+        try respond(ex, 400, e.getMessage) catch { case NonFatal(_) => ex.close() }
       case NonFatal(e) =>
         try respond(ex, 500, Option(e.getMessage).getOrElse("query failed"))
         catch { case NonFatal(_) => ex.close() }
     }
 
   private def shareData(ex: HttpExchange, uuid: String, format: String): Unit =
-    shares.get(uuid) match {
-      case Some((db, q, exp)) if exp > System.currentTimeMillis() =>
-        runQuery(ex, db, q, format)
-      case _ => respond(ex, 404, "Query not found")
+    meta.getShare(uuid) match {
+      case Some(s) => runQuery(ex, s.db, s.query, format)
+      case None    => respond(ex, 404, "Query not found")
     }
+}
+
+/** Counts bytes written through to the response stream (metrics). */
+private final class CountingOutputStream(under: OutputStream, onClose: Long => Unit)
+    extends OutputStream {
+  private var n = 0L
+  override def write(b: Int): Unit = { under.write(b); n += 1 }
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = { under.write(b, off, len); n += len }
+  override def flush(): Unit = under.flush()
+  override def close(): Unit = { onClose(n); under.close() }
 }

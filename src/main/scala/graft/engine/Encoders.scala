@@ -15,10 +15,18 @@ import java.nio.charset.StandardCharsets
 object ResultEncoders {
 
   /** Single JSON array of row objects, the reference's default format
-    * (`COPY (q) TO ... (FORMAT JSON, ARRAY TRUE)`, duckdb/query.go:56). */
+    * (`COPY (q) TO ... (FORMAT JSON, ARRAY TRUE)`, duckdb/query.go:56).
+    * Null columns serialize as `"col":null` — every row carries every
+    * schema key, like the reference's DuckDB JSON export (Spark's
+    * `toJSON` would drop null fields per row). */
   def writeJson(df: DataFrame, out: OutputStream): Unit = {
     val w = new BufferedWriter(new OutputStreamWriter(out, StandardCharsets.UTF_8), 1 << 16)
-    val it = df.toJSON.toLocalIterator()
+    val it =
+      if (df.schema.isEmpty) df.toJSON.toLocalIterator()
+      else df.select(
+        to_json(struct(df.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*),
+          java.util.Map.of("ignoreNullFields", "false")).as("j"))
+        .as(org.apache.spark.sql.Encoders.STRING).toLocalIterator()
     w.write("[")
     var first = true
     while (it.hasNext) {

@@ -3,30 +3,103 @@ package graft.engine
 import graft.core.SqlUtil
 import graft.store.TableCatalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.PlanExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, ParsedStatement, UnresolvedWith}
 import scala.collection.concurrent.TrieMap
+
+/** Rejected statements surface as 400s, not 500s. */
+final class QueryRejectedException(msg: String) extends IllegalArgumentException(msg)
 
 /** Executes a tenant's raw SQL against its catalog namespace.
   *
-  * The reference forwards query text verbatim to the destination engine
-  * (/root/reference/pkg/api/data.go:29-56 -> duckdb/query.go); here the
-  * "destination" is Catalyst: parse/analyze/optimize/execute all happen in
-  * `session.sql`. Tenant isolation = one child SparkSession per database
-  * id (`newSession()` shares the SparkContext but not temp views), with
-  * that tenant's tables registered as views before each query — the
-  * degenerate form of the reference's per-destination connection pool
-  * (destinations.go:85-126).
+  * The reference forwards query text verbatim to a PER-DESTINATION
+  * database (/root/reference/pkg/api/data.go:29-56 -> duckdb/query.go),
+  * so one tenant can never name another tenant's tables. Spark child
+  * sessions share one SparkContext and filesystem, so verbatim
+  * passthrough would NOT isolate: `SELECT * FROM parquet.`/any/path``
+  * reads arbitrary files and DDL hits the shared catalog. The executor
+  * therefore gates the PARSED plan before execution:
+  *
+  *  - only query-shaped plans (no Command / DDL / INSERT / statement
+  *    nodes anywhere in the tree) — the query endpoint is SELECT-only,
+  *    a documented deviation from the reference's raw passthrough
+  *    (table management happens via the insert API / catalog, as in
+  *    the auto-schema model);
+  *  - every referenced relation must be a single-part name that is one
+  *    of the tenant's tables or a CTE defined in the query itself —
+  *    path-based relations (`parquet.`...``), catalog-qualified names
+  *    and other tenants' tables are rejected before analysis.
+  *
+  * Views are registered once per catalog version (TableCatalog bumps on
+  * evolve/append/drop), not per query — no O(tables) metadata churn on
+  * a hot read path.
   */
 final class QueryExecutor(spark: SparkSession, catalog: TableCatalog) {
   private val sessions = TrieMap.empty[String, SparkSession]
+  // db -> (catalog version the views were registered at, table names)
+  private val registered = TrieMap.empty[String, (Long, Set[String])]
 
   def sessionFor(db: String): SparkSession =
     sessions.getOrElseUpdate(db, spark.newSession())
 
-  /** Raw passthrough, reference semantics: only TrimQuery sanitation
-    * (util/sql.go:9-13) — statement type is NOT gated. */
   def execute(db: String, sql: String): DataFrame = {
     val s = sessionFor(db)
-    catalog.registerViews(s, db)
-    s.sql(SqlUtil.trimQuery(sql))
+    val version = catalog.version(db)
+    val tables = registered.get(db) match {
+      case Some((v, t)) if v == version => t
+      case _ =>
+        catalog.registerViews(s, db)
+        val t = catalog.listTables(db).map(_.toLowerCase).toSet
+        registered.put(db, (version, t))
+        t
+    }
+    val trimmed = SqlUtil.trimQuery(sql)
+    val parsed = s.sessionState.sqlParser.parsePlan(trimmed)
+    validate(parsed, tables)
+    s.sql(trimmed)
+  }
+
+  /** Walk the parsed tree INCLUDING subquery expressions (scalar / IN /
+    * EXISTS / lateral subqueries hold nested plans inside expressions,
+    * which `LogicalPlan.foreach` does not descend into). */
+  private def walk(plan: LogicalPlan)(f: LogicalPlan => Unit): Unit = {
+    plan.foreach { node =>
+      f(node)
+      node.expressions.foreach(_.foreach {
+        case pe: PlanExpression[_] =>
+          pe.plan match {
+            case lp: LogicalPlan => walk(lp)(f)
+            case _ => ()
+          }
+        case _ => ()
+      })
+    }
+  }
+
+  private def validate(parsed: LogicalPlan, tables: Set[String]): Unit = {
+    var cteNames = Set.empty[String]
+    walk(parsed) {
+      case c: Command =>
+        throw new QueryRejectedException(
+          s"only SELECT queries are supported on the query endpoint (got ${c.nodeName})")
+      case st: ParsedStatement =>
+        throw new QueryRejectedException(
+          s"only SELECT queries are supported on the query endpoint (got ${st.nodeName})")
+      case _: InsertIntoStatement =>
+        throw new QueryRejectedException(
+          "only SELECT queries are supported on the query endpoint (got InsertIntoStatement)")
+      case w: UnresolvedWith =>
+        cteNames ++= w.cteRelations.map(_._1.toLowerCase)
+      case _ => ()
+    }
+    walk(parsed) {
+      case r: UnresolvedRelation =>
+        val parts = r.multipartIdentifier
+        val name = parts.map(_.toLowerCase).mkString(".")
+        if (parts.size != 1 || (!tables.contains(name) && !cteNames.contains(name)))
+          throw new QueryRejectedException(s"unknown table: $name")
+      case _ => ()
+    }
   }
 }

@@ -1,0 +1,107 @@
+package graft.store
+
+import java.io.File
+import java.nio.file.{Files, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** The scale-out seam between spool rotation and the insert workers —
+  * the reference's blob-storage interface (S3/local,
+  * /root/reference/pkg/storage/blobstore/, wired through
+  * filesystem.go:95-171 upload + queue notify).
+  *
+  * Single-process deployments use [[LocalBlobStore]]; a multi-node
+  * deployment drops in an S3-backed impl with the same four methods and
+  * the ingest loop runs anywhere. Keys are `db/table/filename` — the
+  * uploader derives them from the spool's closed-file layout.
+  */
+trait BlobStore {
+  /** Upload `src` under `key` (consumes the local file on success). */
+  def put(key: String, src: File): Unit
+
+  /** Fetch `key` to a local file for processing. */
+  def fetch(key: String, dest: File): Unit
+
+  /** List keys under a prefix, lexicographic. */
+  def list(prefix: String): Seq[String]
+
+  def delete(key: String): Unit
+}
+
+/** Filesystem-backed blob store: `put` is an atomic move into
+  * `<root>/<key>` — free on one node, and the contract (write fully,
+  * then appear) matches what an S3 multipart upload gives a remote
+  * impl. */
+final class LocalBlobStore(rootDir: String) extends BlobStore {
+  private val root: Path = new File(rootDir).toPath
+
+  private def resolve(key: String): Path = {
+    val p = root.resolve(key).normalize()
+    require(p.startsWith(root), s"blob key escapes the store root: $key")
+    p
+  }
+
+  override def put(key: String, src: File): Unit = {
+    val dest = resolve(key)
+    Files.createDirectories(dest.getParent)
+    Files.move(src.toPath, dest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def fetch(key: String, dest: File): Unit = {
+    Files.createDirectories(dest.toPath.getParent)
+    Files.copy(resolve(key), dest.toPath, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def list(prefix: String): Seq[String] = {
+    if (!Files.exists(root)) return Seq.empty
+    Files.walk(root).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => root.relativize(p).toString)
+      .filter(_.startsWith(prefix))
+      .toSeq.sorted
+  }
+
+  override def delete(key: String): Unit = Files.deleteIfExists(resolve(key))
+}
+
+/** Bridges spool rotation to durable storage and ingestion: closed spool
+  * file -> blob store (`db/table/name`) -> `process` -> delete blob.
+  * A failed `process` leaves the blob in place; [[retryPending]] rescans
+  * and re-processes everything still there (startup recovery + periodic
+  * retry), which is what makes ingest at-least-once like the reference's
+  * persistent queue (workers.go:34-52). */
+final class Uploader(store: BlobStore, process: (String, String, File) => Unit) {
+
+  def keyOf(db: String, table: String, name: String) = s"$db/$table/$name"
+
+  /** Spool `onClosed` hook: upload then try to ingest immediately. */
+  def accept(db: String, table: String, closedFile: File): Unit = {
+    val key = keyOf(db, table, closedFile.getName)
+    store.put(key, closedFile)
+    processKey(key)
+  }
+
+  /** Re-process every pending blob (crash recovery / failed-batch retry).
+    * Returns the number successfully processed. */
+  def retryPending(): Int = {
+    var ok = 0
+    store.list("").foreach { key =>
+      try { processKey(key); ok += 1 }
+      catch { case e: Exception => System.err.println(s"[ingest-retry] $key: ${e.getMessage}") }
+    }
+    ok
+  }
+
+  private def processKey(key: String): Unit = {
+    key.split("/", 3) match {
+      case Array(db, table, name) =>
+        val tmp = Files.createTempFile("graft-ingest", ".ndjson").toFile
+        try {
+          store.fetch(key, tmp)
+          process(db, table, tmp)
+          store.delete(key)
+        } finally Files.deleteIfExists(tmp.toPath)
+      case _ => // not an ingest key; ignore
+    }
+  }
+}

@@ -54,26 +54,31 @@ final class Spool(rootDir: String, config: SpoolConfig = SpoolConfig(),
   ticker.scheduleAtFixedRate(() => rotateDue(), config.rotatePeriodMillis,
     config.rotatePeriodMillis, TimeUnit.MILLISECONDS)
 
-  /** Append one flattened JSON row (filesystem.go:313-357). */
+  /** Append one flattened JSON row (filesystem.go:313-357). Locking is
+    * striped per (db, table): `ConcurrentHashMap.compute` serializes
+    * writers of the SAME table (bin lock) while different tables/tenants
+    * ingest fully in parallel — the reference's per-key mutex map
+    * (filesystem.go:63-71). */
   def writeData(db: String, table: String, jsonLine: String): Unit = {
     val key = (db, table)
-    val rotated = open.synchronized {
-      val f = open.computeIfAbsent(key, _ => new OpenFile(db, table))
+    var rotated: OpenFile = null
+    open.compute(key, (_, cur) => {
+      val f = if (cur == null) new OpenFile(db, table) else cur
       f.write(jsonLine)
-      if (f.needsRotation(System.currentTimeMillis())) { open.remove(key); Some(f) } else None
-    }
-    rotated.foreach(rotate)
+      if (f.needsRotation(System.currentTimeMillis())) { rotated = f; null } else f
+    })
+    if (rotated != null) rotate(rotated)
   }
 
   private def rotateDue(): Unit = {
     val now = System.currentTimeMillis()
-    val due = open.synchronized {
-      import scala.jdk.CollectionConverters._
-      val d = open.asScala.filter { case (_, f) => f.needsRotation(now) }.toSeq
-      d.foreach { case (k, _) => open.remove(k) }
-      d.map(_._2)
+    import scala.jdk.CollectionConverters._
+    open.keySet().asScala.toSeq.foreach { key =>
+      var due: OpenFile = null
+      open.computeIfPresent(key, (_, f) =>
+        if (f.needsRotation(now)) { due = f; null } else f)
+      if (due != null) rotate(due)
     }
-    due.foreach(rotate)
   }
 
   private def rotate(f: OpenFile): Unit = {
@@ -87,13 +92,35 @@ final class Spool(rootDir: String, config: SpoolConfig = SpoolConfig(),
 
   /** Force-rotate everything now (shutdown / test flush). */
   def flush(): Unit = {
-    val all = open.synchronized {
-      import scala.jdk.CollectionConverters._
-      val d = open.asScala.values.toSeq
-      open.clear()
-      d
+    import scala.jdk.CollectionConverters._
+    open.keySet().asScala.toSeq.foreach { key =>
+      var f: OpenFile = null
+      open.computeIfPresent(key, (_, cur) => { f = cur; null })
+      if (f != null) rotate(f)
     }
-    all.foreach(rotate)
+  }
+
+  /** Crash recovery, run at startup BEFORE accepting writes: any file
+    * still under `open/` belongs to a previous process — close it out by
+    * moving it to `closed/` (and firing `onClosed`) so no spooled rows
+    * are silently lost. Returns how many orphans were recovered. */
+  def recoverOrphans(): Int = {
+    val openRoot = new File(rootDir, "open")
+    if (!openRoot.exists()) return 0
+    var n = 0
+    for {
+      dbDir <- Option(openRoot.listFiles()).getOrElse(Array.empty[File]) if dbDir.isDirectory
+      tDir <- Option(dbDir.listFiles()).getOrElse(Array.empty[File]) if tDir.isDirectory
+      f <- Option(tDir.listFiles()).getOrElse(Array.empty[File]) if f.getName.endsWith(".ndjson")
+    } {
+      val dir = new File(new File(new File(rootDir, "closed"), dbDir.getName), tDir.getName)
+      dir.mkdirs()
+      val dest = new File(dir, f.getName)
+      Files.move(f.toPath, dest.toPath, StandardCopyOption.ATOMIC_MOVE)
+      onClosed(dest)
+      n += 1
+    }
+    n
   }
 
   /** Parse `<root>/closed/<db>/<table>/x.ndjson` back to its (db, table). */

@@ -31,6 +31,14 @@ import scala.collection.concurrent.TrieMap
   */
 final class TableCatalog(rootDir: String) {
   private val schemas = TrieMap.empty[(String, String), StructType]
+  private val versions = TrieMap.empty[String, Long]
+
+  /** Monotonic per-db counter, bumped whenever the db's visible state
+    * changes (schema evolve, append, drop). Lets QueryExecutor cache
+    * registered views and re-register only when something changed. */
+  def version(db: String): Long = versions.getOrElse(db, 0L)
+  private def bump(db: String): Unit =
+    versions.updateWith(db) { v => Some(v.getOrElse(0L) + 1) }
 
   val RowId = "__row_id"
   private def tableDir(db: String, table: String) = new File(new File(rootDir, db), table)
@@ -63,6 +71,7 @@ final class TableCatalog(rootDir: String) {
     Files.move(tmp.toPath, schemaFile(db, table).toPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     schemas.put((db, table), st)
+    bump(db)
   }
 
   /** ALTER-equivalent: union-merge the incoming batch schema into the
@@ -87,14 +96,38 @@ final class TableCatalog(rootDir: String) {
     d.exists() && d.listFiles() != null && d.listFiles().exists(_.getName.endsWith(".parquet"))
   }
 
+  /** Crash-safe rewrite: build `data_migrating`, move live `data` aside
+    * to `data_old`, promote, then delete the old copy — a crash at any
+    * point leaves either the old or the new data at a recoverable path
+    * (never "schema promises data that is gone"); [[recoverMigration]]
+    * finishes or rolls back on next open. */
   private def migrate(spark: SparkSession, db: String, table: String,
                       oldSchema: StructType, newSchema: StructType): Unit = {
     val dir = dataDir(db, table)
     val tmp = new File(tableDir(db, table), "data_migrating")
+    val old = new File(tableDir(db, table), "data_old")
+    if (tmp.exists()) deleteRecursive(tmp.toPath)
     val df = spark.read.schema(oldSchema).parquet(dir.getAbsolutePath)
     align(df, newSchema).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    deleteRecursive(dir.toPath)
+    Files.move(dir.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursive(old.toPath)
+  }
+
+  /** Repair an interrupted [[migrate]]: if `data` is missing, promote
+    * whichever of `data_migrating`/`data_old` exists; stale leftovers
+    * are deleted. Called from schema() lazily via table open is overkill
+    * — callers (Main) run it once per table at startup. */
+  def recoverMigration(db: String, table: String): Unit = synchronized {
+    val dir = dataDir(db, table)
+    val tmp = new File(tableDir(db, table), "data_migrating")
+    val old = new File(tableDir(db, table), "data_old")
+    if (!dir.exists() && old.exists())
+      Files.move(old.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+    else if (!dir.exists() && tmp.exists())
+      Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+    if (tmp.exists()) deleteRecursive(tmp.toPath)
+    if (old.exists()) deleteRecursive(old.toPath)
   }
 
   /** Name-based column alignment with NULL fill — DuckDB `INSERT ... BY
@@ -109,14 +142,16 @@ final class TableCatalog(rootDir: String) {
   }
 
   /** Append a batch: align to the (already evolved) table schema, sort
-    * within partitions by __row_id for min/max pruning, append parquet. */
-  def append(spark: SparkSession, db: String, table: String, df: DataFrame): Long = {
+    * within partitions by __row_id for min/max pruning, append parquet.
+    * One Spark job — the batch is read exactly once (callers already
+    * know the row count; recomputing it here would re-parse the batch). */
+  def append(spark: SparkSession, db: String, table: String, df: DataFrame): Unit = {
     val st = schema(db, table).getOrElse {
       evolve(spark, db, table, df.schema)
     }
     val aligned = align(df, st).sortWithinPartitions(RowId)
     aligned.write.mode("append").parquet(dataDir(db, table).getAbsolutePath)
-    df.count()
+    bump(db)
   }
 
   /** Read a table as a DataFrame with the pinned schema (missing columns
@@ -140,6 +175,7 @@ final class TableCatalog(rootDir: String) {
 
   def dropTable(db: String, table: String): Boolean = {
     schemas.remove((db, table))
+    bump(db)
     val dir = tableDir(db, table)
     if (dir.exists()) { deleteRecursive(dir.toPath); true } else false
   }

@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.engine.{QueryExecutor, ResultEncoders}
-import graft.store.{IngestService, Spool, SpoolConfig, TableCatalog}
+import graft.store.{IngestService, MetaStore, Spool, SpoolConfig, TableCatalog}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
@@ -17,19 +17,27 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 
+  private var base: String = _
   private var server: Server = _
   private var port: Int = 0
+  private var failFile: String = _
   private val client = HttpClient.newHttpClient()
 
-  override def beforeAll(): Unit = {
-    val base = Files.createTempDirectory("graft-api").toString
+  private def buildServer(): Server = {
     val catalog = new TableCatalog(s"$base/tables")
     val ingest = new IngestService(spark, catalog)
     val spool = new Spool(s"$base/spool", SpoolConfig(maxRows = 1, rotatePeriodMillis = 100),
       f => ingest.ingestFile(f.getParentFile.getParentFile.getName, f.getParentFile.getName, f))
     val executor = new QueryExecutor(spark, catalog)
-    server = new Server(ServerConfig(0, Map("key1" -> "1", "key2" -> "2"), Some("admin")),
-      catalog, ingest, spool, executor)
+    val meta = new MetaStore(base, Set(1L, 2L))
+    new Server(ServerConfig(0, Map("key1" -> "1", "key2" -> "2"), Some("admin"), failFile),
+      catalog, ingest, spool, executor, meta)
+  }
+
+  override def beforeAll(): Unit = {
+    base = Files.createTempDirectory("graft-api").toString
+    failFile = s"$base/unhealthy"
+    server = buildServer()
     port = server.start()
   }
 
@@ -82,12 +90,32 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     eventually {
       assert(get("/api/tables?api_key=key2").body() == """["mine"]""")
     }
-    // tenant 1 does not see tenant 2's table
+    // tenant 1 does not see tenant 2's table — rejected before analysis
     val t1 = get("/api/data/query?api_key=key1&query=" +
       java.net.URLEncoder.encode("select * from mine", "UTF-8"))
-    assert(t1.statusCode() == 500)
+    assert(t1.statusCode() == 400)
+    assert(t1.body().contains("unknown table"))
     // admin key reaches tenant 2 via destination_id
     assert(get("/api/tables?api_key=admin&destination_id=2").body() == """["mine"]""")
+  }
+
+  test("query gate: path-based relations and non-SELECT statements rejected") {
+    def q(sql: String): HttpResponse[String] =
+      get("/api/data/query?api_key=key1&query=" + java.net.URLEncoder.encode(sql, "UTF-8"))
+    // path-based relation = filesystem escape hatch (ADVICE r1, high)
+    val path = q("select * from parquet.`/etc`")
+    assert(path.statusCode() == 400 && path.body().contains("unknown table"))
+    assert(q("select * from text.`/etc/hostname`").statusCode() == 400)
+    // DDL / DML / config statements: the endpoint is SELECT-only
+    assert(q("drop table events").statusCode() == 400)
+    assert(q("create table zz (a int)").statusCode() == 400)
+    assert(q("insert into events values (1)").statusCode() == 400)
+    assert(q("set spark.sql.shuffle.partitions=1").statusCode() == 400)
+    // subquery relations are validated too
+    assert(q("select (select count(*) from parquet.`/etc`) x").statusCode() == 400)
+    // CTE names are allowed; SELECT still works end-to-end
+    val cte = q("with c as (select 1 as one) select one from c")
+    assert(cte.statusCode() == 200 && cte.body() == """[{"one":1}]""")
   }
 
   test("tables + columns introspection (A14)") {
@@ -96,6 +124,34 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cols.contains(""""name":"user","type":"STRING""""))
       assert(cols.contains(""""name":"__row_id","type":"BIGINT""""))
     }
+  }
+
+  test("invalid table / destination names rejected before touching storage") {
+    assert(post("/api/data/insert/a.b?api_key=key1", """{"a":1}""").statusCode() == 400)
+    assert(post("/api/data/insert/a%20b?api_key=key1", """{"a":1}""").statusCode() == 400)
+    assert(post("/api/data/insert/ok_1?api_key=admin&destination_id=..%2Fevil",
+      """{"a":1}""").statusCode() == 400)
+  }
+
+  test("destination management: create, mint key, insert+query on new tenant") {
+    val created = post("/api/destinations?api_key=admin", """{"type":"spark","name":"team-a"}""")
+    assert(created.statusCode() == 200)
+    val destId = created.body().split("\"id\":")(1).split(",")(0)
+    val minted = post(s"/api/destinations/$destId/keys?api_key=admin", "")
+    assert(minted.statusCode() == 200)
+    val key = minted.body().split("\"")(3)
+    // the minted key authenticates as the new tenant, end to end
+    post(s"/api/data/insert/widgets?api_key=$key", """{"sku": "x1", "qty": 3}""")
+    eventually {
+      val q = get(s"/api/data/query?api_key=$key&query=" +
+        java.net.URLEncoder.encode("select sku, qty from widgets", "UTF-8"))
+      assert(q.body() == """[{"sku":"x1","qty":3}]""")
+    }
+    assert(get("/api/destinations?api_key=key1").body().contains("team-a"))
+    // non-admin cannot mint keys for other destinations
+    assert(post(s"/api/destinations/1/keys?api_key=$key", "").statusCode() == 403)
+    // ...but can for its own
+    assert(post(s"/api/destinations/$destId/keys?api_key=$key", "").statusCode() == 200)
   }
 
   test("share links: create, replay without auth, expiry (A15)") {
@@ -115,21 +171,46 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get(s"/share/$eid/data.json").statusCode() == 404)
   }
 
+  test("share links and minted keys survive a server restart (gorm.go:93-129)") {
+    val created = post("/api/data/query/share?api_key=key1",
+      """{"query": "select 41+1 as answer", "duration": 3600}""")
+    val id = created.body().split("\"")(3)
+    server.stop()
+    server = buildServer() // fresh MetaStore over the same directory
+    port = server.start()
+    val replay = get(s"/share/$id/data.json")
+    assert(replay.statusCode() == 200 && replay.body() == """[{"answer":42}]""")
+  }
+
   test("partial insert semantics over HTTP (FIXTURES A7)") {
     val r = post("/api/data/insert/px?api_key=key1", """[{"ok":1}, 5, {"ok":2}]""")
     assert(r.statusCode() == 500 && r.body() == "Partially inserted data")
   }
 
-  test("json encoder: null handling and streaming shape") {
+  test("json encoder: nulls serialize as explicit \"col\":null") {
     import spark.implicits._
     val df = Seq((1, Option("a")), (2, None)).toDF("i", "s")
     val bos = new ByteArrayOutputStream()
     ResultEncoders.writeJson(df, bos)
-    assert(bos.toString("UTF-8") == """[{"i":1,"s":"a"},{"i":2}]""")
+    assert(bos.toString("UTF-8") == """[{"i":1,"s":"a"},{"i":2,"s":null}]""")
     val csv = new ByteArrayOutputStream()
     ResultEncoders.writeCsv(df, csv)
     assert(csv.toString("UTF-8") == "i,s\n1,a\n2,null\n")
   }
 
-  test("healthcheck") { assert(get("/healthcheck").body() == "ok") }
+  test("healthcheck: ok until the fail-file exists (healthcheck.go:12-24)") {
+    assert(get("/healthcheck").body() == "ok")
+    Files.writeString(java.nio.file.Path.of(failFile), "down")
+    assert(get("/healthcheck").statusCode() == 503)
+    Files.delete(java.nio.file.Path.of(failFile))
+    assert(get("/healthcheck").statusCode() == 200)
+  }
+
+  test("metrics endpoint exposes request counters and latency histogram") {
+    get("/healthcheck")
+    val m = get("/metrics").body()
+    assert(m.contains("graft_api_requests_total{route=\"/healthcheck\",method=\"GET\",status=\"200\"}"))
+    assert(m.contains("graft_api_request_duration_seconds_bucket"))
+    assert(m.contains("graft_api_response_size_bytes_total"))
+  }
 }

@@ -106,4 +106,71 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.dropTable("d", "t1"))
     assert(cat.listTables("d") == Seq("t2"))
   }
+
+  test("blob-store ingest seam: upload -> ingest -> delete; failures retried (A6)") {
+    val base = tmpDir()
+    val cat = new TableCatalog(s"$base/tables")
+    val ingest = new IngestService(spark, cat)
+    val store = new LocalBlobStore(s"$base/blobs")
+    var failFirst = true
+    val uploader = new Uploader(store, (db, table, f) => {
+      if (failFirst) { failFirst = false; sys.error("transient ingest failure") }
+      ingest.ingestFile(db, table, f)
+    })
+    val spoolFile = new File(base, "batch.ndjson")
+    Files.writeString(spoolFile.toPath, "{\"a\": 1, \"__row_id\": 10}\n{\"a\": 2, \"__row_id\": 11}\n")
+    // first attempt fails -> blob must remain for retry
+    intercept[RuntimeException] { uploader.accept("9", "blobbed", spoolFile) }
+    assert(store.list("9/blobbed/") == Seq("9/blobbed/batch.ndjson"))
+    // sweep retries and succeeds -> blob gone, rows queryable
+    assert(uploader.retryPending() == 1)
+    assert(store.list("").isEmpty)
+    assert(cat.read(spark, "9", "blobbed").count() == 2)
+  }
+
+  test("spool orphan recovery: open files of a dead process are closed out") {
+    val base = tmpDir()
+    var handed = Vector.empty[String]
+    // a previous process died with a row still in open/
+    val orphan = new File(s"$base/open/5/evts")
+    orphan.mkdirs()
+    Files.writeString(new File(orphan, "123.ndjson").toPath, "{\"a\":1}\n")
+    val spool = new Spool(base, SpoolConfig(), f => handed :+= f.getName)
+    assert(spool.recoverOrphans() == 1)
+    assert(handed == Vector("123.ndjson"))
+    assert(!new File(s"$base/open/5/evts/123.ndjson").exists())
+    assert(new File(s"$base/closed/5/evts/123.ndjson").exists())
+    spool.shutdown()
+  }
+
+  test("interrupted migration recovers: data_old or data_migrating promoted") {
+    val base = tmpDir()
+    val cat = new TableCatalog(base)
+    val ingest = new IngestService(spark, cat)
+    ingest.ingestLines("d", "m1", Seq("{\"v\": 1, \"__row_id\": 1}"))
+    // simulate a crash after `data` was moved aside but before promote
+    val tdir = new File(new File(base, "d"), "m1")
+    Files.move(new File(tdir, "data").toPath, new File(tdir, "data_old").toPath)
+    cat.recoverMigration("d", "m1")
+    assert(new File(tdir, "data").exists() && !new File(tdir, "data_old").exists())
+    assert(cat.read(spark, "d", "m1").count() == 1)
+  }
+
+  test("metastore: destinations, keys and shares persist across reopen") {
+    val base = tmpDir()
+    val m1 = new MetaStore(base, reservedIds = Set(1L))
+    val d = m1.createDestination("spark", "team-x")
+    assert(d.id == 2) // 1 is reserved for the static tenant
+    val key = m1.addKey(d.id.toString)
+    val uuid = m1.createShare(d.id.toString, "select 1", 3600)
+    val m2 = new MetaStore(base) // reopen from disk
+    assert(m2.resolveKey(MetaStore.sha256(key)).contains(d.id.toString))
+    assert(m2.listDestinations.map(_.name) == Seq("team-x"))
+    assert(m2.getShare(uuid).exists(_.query == "select 1"))
+    assert(m2.getShare("nope").isEmpty)
+    // expired shares are evicted lazily and by the purge sweep
+    val dead = m2.createShare("2", "select 2", -1)
+    assert(m2.getShare(dead).isEmpty)
+    assert(m2.purgeExpiredShares() == 0) // already evicted on read
+  }
 }

@@ -614,7 +614,89 @@ object Queries {
         t(s, d, "events").groupBy(col("event_type"))
           .agg(approx_count_distinct(col("user_id")).as("approx_users"))
           .orderBy("event_type"),
-      None))
+      None)),
+
+    // As-of join (DuckDB `ASOF JOIN` dialect row of §2B): each click gets
+    // the most recent error of the same user at or before it. Spark plan
+    // is union + ordered window (operators.AsofJoin) — ONE key shuffle,
+    // linear, never a range join; oracle is DuckDB's native ASOF LEFT
+    // JOIN.
+    "q36_asof_join" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("value"))
+        graft.operators.AsofJoin.asof(clicks, errors, Seq("user_id"), "ts", "ts", prefix = "err_")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+            date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"),
+            col("err_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT c.event_id, c.user_id,
+             |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+             |       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts,
+             |       e.value AS err_value
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+             |  ON c.user_id = e.user_id AND c.ts >= e.ts
+             |ORDER BY c.event_id""".stripMargin))),
+
+    // External file scans (§2B "Scans — external files"; reference loads
+    // DuckDB json/httpfs for exactly this). The query exports a slice of
+    // `events` to newline-delimited JSON under /tmp, then scans it back
+    // through sources.ExternalSources with an EXPLICIT schema (the 100 TB
+    // posture: no inference pass) and aggregates. Aggregates are chosen
+    // order-independent (count / min / max / integer sum) so the oracle
+    // — DuckDB read_json over the same files — hash-matches exactly.
+    "q37_external_json" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = s"/tmp/graft_external_${new java.io.File(d).getName}/events_json"
+        t(s, d, "events").select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .coalesce(1).write.mode("overwrite").json(dir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+        graft.sources.ExternalSources.readJson(s, dir, Some(schema))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+               max(col("value")).as("max_v"), sum(col("event_id")).cast("long").as("id_sum"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM read_json('/tmp/graft_external_sf0.01/events_json/part-*.json',
+             |               format='newline_delimited',
+             |               columns={event_id:'BIGINT', user_id:'BIGINT',
+             |                        event_type:'VARCHAR', value:'DOUBLE'})
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))),
+
+    // External CSV scan: same shape through the CSV reader (header +
+    // explicit schema both sides).
+    "q38_external_csv" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = s"/tmp/graft_external_${new java.io.File(d).getName}/events_csv"
+        t(s, d, "events").select(col("event_id"), col("event_type"), col("value"))
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+        graft.sources.ExternalSources.readCsv(s, dir, header = true, Some(schema))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+               max(col("value")).as("max_v"), sum(col("event_id")).cast("long").as("id_sum"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM read_csv('/tmp/graft_external_sf0.01/events_csv/part-*.csv', header=true,
+             |              columns={event_id:'BIGINT', event_type:'VARCHAR', value:'DOUBLE'})
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -83,6 +83,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("asof join: latest right row at-or-before left time, per key; left join semantics") {
+    import spark.implicits._
+    val quotes = Seq( // key, time, px
+      ("A", 1L, 10.0), ("A", 5L, 11.0), ("A", 9L, 12.0),
+      ("B", 4L, 20.0)).toDF("sym", "qt", "px")
+    val trades = Seq( // key, time
+      ("A", 0L), // before any quote -> null
+      ("A", 5L), // exactly at a quote -> 11.0 (<= matches)
+      ("A", 7L), // between -> 11.0
+      ("A", 99L), // after all -> 12.0
+      ("B", 3L), // before B's quote -> null
+      ("C", 9L) // key with no quotes -> null
+    ).toDF("sym", "tt")
+    val out = graft.operators.AsofJoin.asof(trades, quotes, Seq("sym"), "tt", "qt", prefix = "q_")
+      .orderBy("sym", "tt")
+      .select("sym", "tt", "q_qt", "q_px")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("A", 0L, -1L, -1.0), ("A", 5L, 5L, 11.0), ("A", 7L, 5L, 11.0),
+      ("A", 99L, 9L, 12.0), ("B", 3L, -1L, -1.0), ("C", 9L, -1L, -1.0)))
+  }
+
   test("lsh_bucket throws on mixed-dim corpus instead of silently returning empty") {
     import spark.implicits._
     val df = Seq((0L, Seq.fill(32)(0.5f)), (1L, Seq.fill(16)(0.5f))).toDF("vec_id", "embedding")

@@ -675,6 +675,30 @@ object Queries {
              |                        event_type:'VARCHAR', value:'DOUBLE'})
              |GROUP BY event_type ORDER BY event_type""".stripMargin))),
 
+    // Array/map functions exercised head-on (§2B row that round 1 only
+    // hit indirectly): split -> slice/join/contains/distinct + a map
+    // literal with element_at. Outputs are scalars so the oracle hash-
+    // compares without engine-specific nested-type encodings.
+    "q39_array_map" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"),
+            size(col("w")).cast("long").as("n_words"),
+            array_join(slice(col("w"), 1, 3), " ").as("first3"),
+            array_contains(col("w"), "the").as("has_the"),
+            size(array_distinct(col("w"))).cast("long").as("n_uniq"),
+            element_at(map(lit("n"), size(col("w")), lit("u"), size(array_distinct(col("w")))),
+              "u").cast("long").as("map_u"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             |       array_to_string(w[1:3], ' ') AS first3,
+             |       list_contains(w, 'the') AS has_the,
+             |       CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+             |       CAST(len(list_distinct(w)) AS BIGINT) AS map_u
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+             |ORDER BY doc_id""".stripMargin))),
+
     // External CSV scan: same shape through the CSV reader (header +
     // explicit schema both sides).
     "q38_external_csv" -> ((

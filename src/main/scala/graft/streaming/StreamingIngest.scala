@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.store.TableCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference's streaming model is micro-batch by file rotation
+  * (spool -> closed file -> insert worker; SURVEY §2A A5/A7), which the
+  * batch ingest loop reproduces exactly. This module is the
+  * Spark-NATIVE continuous form of the same dataflow, for deployments
+  * that want end-to-end Structured Streaming instead of the polling
+  * loop:
+  *
+  *  - [[ingestStream]]: `readStream` over the spool's closed-file
+  *    directory (file source tracks processed files in the checkpoint —
+  *    exactly-once per file, upgrading the polling loop's
+  *    at-least-once) -> `foreachBatch` append through the same
+  *    TableCatalog alignment path.
+  *  - [[windowedCounts]]: event-time tumbling windows + watermark —
+  *    late data beyond the watermark is dropped, state is bounded.
+  *  - [[sessionCounts]]: `session_window` gap sessions per key, the
+  *    streaming sibling of the batch sessionization query (q32).
+  *
+  * Scale posture: file-source listing is incremental (`maxFilesPerTrigger`
+  * bounds a micro-batch), windowed state is pruned by the watermark, and
+  * every transform is a plain declarative plan — the same code runs on a
+  * 1000-executor cluster with a durable checkpoint dir.
+  */
+object StreamingIngest {
+
+  /** Stream closed NDJSON spool files (`<spoolRoot>/closed/<db>/<table>`)
+    * into the catalog table. `schema` is pinned up front (file streams
+    * cannot infer per-batch; evolution happens on the batch path). */
+  def ingestStream(spark: SparkSession, catalog: TableCatalog, db: String, table: String,
+                   closedDir: String, schema: StructType, checkpointDir: String,
+                   maxFilesPerTrigger: Int = 100,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val in = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(closedDir)
+    in.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        catalog.evolve(batch.sparkSession, db, table, batch.schema)
+        catalog.append(batch.sparkSession, db, table, batch)
+      }
+      .start()
+  }
+
+  /** Event-time tumbling-window counts with a watermark: rows later than
+    * `watermark` past the max seen event time are dropped and their
+    * window state is released (bounded state at 100 TB/day rates). */
+  def windowedCounts(events: DataFrame, timeCol: String, keyCol: String,
+                     windowLength: String, watermark: String): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), windowLength), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"), col("total"))
+
+  /** Gap-based sessions (`session_window`): consecutive events of one key
+    * within `gap` merge into one session — streaming q32. */
+  def sessionCounts(events: DataFrame, timeCol: String, keyCol: String,
+                    gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(session_window(col(timeCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol), col("n_events"))
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.store.TableCatalog
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("ingestStream: closed NDJSON files land in the catalog, each file once") {
+    val base = Files.createTempDirectory("graft-stream").toString
+    val closed = s"$base/closed/1/ev"
+    new java.io.File(closed).mkdirs()
+    Files.writeString(java.nio.file.Path.of(closed, "a.ndjson"),
+      "{\"u\": \"alice\", \"__row_id\": 1}\n{\"u\": \"bob\", \"__row_id\": 2}\n")
+    val catalog = new TableCatalog(s"$base/tables")
+    val schema = StructType(Seq(
+      StructField("u", StringType), StructField("__row_id", LongType)))
+
+    val q1 = StreamingIngest.ingestStream(spark, catalog, "1", "ev", closed, schema,
+      s"$base/ckpt")
+    q1.awaitTermination()
+    assert(catalog.read(spark, "1", "ev").count() == 2)
+
+    // second file arrives; the checkpoint means the first is not re-read
+    Files.writeString(java.nio.file.Path.of(closed, "b.ndjson"),
+      "{\"u\": \"carol\", \"__row_id\": 3}\n")
+    val q2 = StreamingIngest.ingestStream(spark, catalog, "1", "ev", closed, schema,
+      s"$base/ckpt")
+    q2.awaitTermination()
+    val rows = catalog.read(spark, "1", "ev").orderBy("__row_id")
+      .select("u").collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("alice", "bob", "carol"))
+  }
+
+  test("windowedCounts: tumbling windows with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "k", "value")
+    val counts = StreamingIngest.windowedCounts(events, "ts", "k", "10 minutes", "5 minutes")
+    val q = counts.writeStream.outputMode("append").format("memory").queryName("wc").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "a", 1.0),
+      (Timestamp.valueOf("2024-01-01 00:04:00"), "a", 2.0),
+      (Timestamp.valueOf("2024-01-01 00:11:00"), "b", 5.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close the first windows
+    mem.addData((Timestamp.valueOf("2024-01-01 01:00:00"), "a", 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql("select k, n, total from wc order by k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    q.stop()
+    assert(rows.contains(("a", 2L, 3.0))) // 00:00-00:10 window for key a
+    assert(rows.contains(("b", 1L, 5.0)))
+  }
+
+  test("sessionCounts: gap sessions merge nearby events per key") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "k", "value")
+    val sessions = StreamingIngest.sessionCounts(events, "ts", "k", "5 minutes", "1 minute")
+    val q = sessions.writeStream.outputMode("append").format("memory").queryName("sc").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "a", 0.0),
+      (Timestamp.valueOf("2024-01-01 00:03:00"), "a", 0.0), // same session
+      (Timestamp.valueOf("2024-01-01 00:20:00"), "a", 0.0)) // new session
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2024-01-01 02:00:00"), "a", 0.0)) // close state
+    q.processAllAvailable()
+    val rows = spark.sql("select k, n_events from sc order by session_start").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    q.stop()
+    assert(rows.take(2) == Seq(("a", 2L), ("a", 1L)))
+  }
+}

@@ -245,6 +245,42 @@ object ExtQueries {
           .orderBy("query_id", "rank"),
       None)),
 
+    // IVF ANN (sampled-centroid inverted file, multi-cell probe): the
+    // second approximate tier next to hyperplane LSH (q51). Engine-
+    // defined cell layout -> rows-only check; the exactness property
+    // (nProbe = nCells == brute force) is pinned in OperatorsSpec.
+    "q57_ann_ivf" -> ((
+      (s: SparkSession, d: String) =>
+        SimilaritySearch.ivfTopK(embs(s, d), "vec_id", "embedding",
+          queryVec(s, d), k = 10, nCells = 16, nProbe = 4),
+      None)),
+
+    // Exact k-NN join (crossJoin validation path of knnJoin): top-3
+    // cosine neighbors for each of the first 20 vectors, hash-checked
+    // against a DuckDB cross join with identical double accumulation
+    // and (cosine DESC, neighbor_id) ranking.
+    "q56_knn_exact" -> ((
+      (s: SparkSession, d: String) =>
+        SimilaritySearch.knnJoin(
+          embs(s, d).filter(col("vec_id") < 20), embs(s, d),
+          "vec_id", "embedding", k = 3, exact = true)
+          .orderBy("query_id", "rank"),
+      Some("""WITH pairs AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+             |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) AS dot,
+             |    list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             |    list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+             |  FROM (SELECT * FROM embeddings WHERE vec_id < 20) q, embeddings c
+             |  WHERE q.vec_id <> c.vec_id
+             |)
+             |SELECT query_id, neighbor_id, cosine, rank FROM (
+             |  SELECT query_id, neighbor_id, dot / (sqrt(na) * sqrt(nb)) AS cosine,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |           ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, neighbor_id) AS BIGINT) AS rank
+             |  FROM pairs) t
+             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))),
+
     // Embedding-cosine near-duplicate pairs.
     "q53_embedding_dupes" -> ((
       (s: SparkSession, d: String) =>

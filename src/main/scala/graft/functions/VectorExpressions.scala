@@ -170,12 +170,65 @@ object HyperplaneBucket {
       s"lsh_bucket: vector has dim $got but hyperplanes expect dim $expected")
 }
 
+/** IVF cell assignment: index of the centroid with maximum dot product
+  * against the input vector. `centroids` is row-major (k x dim) and
+  * expected PRE-NORMALIZED (unit L2), so max-dot == max-cosine and the
+  * per-row work is one fused k*dim multiply-add loop. Codegen'd: cell
+  * assignment of a 100 TB corpus stays inside whole-stage codegen. */
+case class NearestCentroid(child: Expression, centroids: Array[Double], k: Int)
+    extends UnaryExpression {
+  require(k >= 1 && centroids.length % k == 0, "centroids must be k x dim row-major")
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  private lazy val dim = centroids.length / k
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != dim) throw HyperplaneBucket.dimMismatch(n, dim)
+    NearestCentroid.assign(x, centroids, k, dim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $dim) { throw graft.functions.HyperplaneBucket.dimMismatch($n, $dim); }
+         |${ev.value} = graft.functions.NearestCentroid.assign($x, $cRef, $k, $dim);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object NearestCentroid {
+  /** Shared by interpreted + generated code. */
+  def assign(x: ArrayData, centroids: Array[Double], k: Int, dim: Int): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var j = 0
+    while (j < k) {
+      var dot = 0.0; var i = 0; val off = j * dim
+      while (i < dim) { dot += x.getFloat(i).toDouble * centroids(off + i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = j }
+      j += 1
+    }
+    best
+  }
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.Bridge.{column => C, expression => E}
   def dot_product(a: Column, b: Column): Column = C(DotProduct(E(a), E(b)))
   def cosine_sim(a: Column, b: Column): Column = C(CosineSimilarity(E(a), E(b)))
   def lsh_bucket(v: Column, planes: Array[Double], nPlanes: Int): Column =
     C(HyperplaneBucket(E(v), planes, nPlanes))
+  def nearest_centroid(v: Column, centroids: Array[Double], k: Int): Column =
+    C(NearestCentroid(E(v), centroids, k))
 
   /** Deterministic pseudo-random hyperplanes (SplitMix64 stream). */
   def makePlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Double] = {

@@ -115,4 +115,63 @@ object SimilaritySearch {
     }
     bucket
   }
+
+  // ------------------------------------------------------------- IVF tier
+
+  /** IVF-flat centroids: a deterministic corpus sample (hash-ordered, so
+    * it is stable and spread across the id space), L2-normalized and
+    * flattened row-major for the codegen'd assignment expression. k
+    * centroids fit the driver trivially (k x dim doubles); at 100 TB
+    * they are a broadcast constant inside whole-stage codegen, and cell
+    * assignment is one map pass. (Sampled centroids are the standard
+    * IVF baseline; Lloyd refinement would only reshuffle cell sizes.) */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int): Array[Double] = {
+    val rows = corpus.select(col(vecCol))
+      .filter(size(col(vecCol)) > 0)
+      .orderBy(xxhash64(col(idCol)))
+      .limit(nCells)
+      .collect()
+    require(rows.nonEmpty, "cannot build IVF centroids from an empty corpus")
+    val dim = rows.head.getSeq[Float](0).length
+    val out = new Array[Double](rows.length * dim)
+    rows.zipWithIndex.foreach { case (r, j) =>
+      val v = r.getSeq[Float](0)
+      var norm = 0.0
+      var i = 0
+      while (i < dim) { val x = v(i).toDouble; norm += x * x; i += 1 }
+      val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+      i = 0
+      while (i < dim) { out(j * dim + i) = v(i).toDouble * inv; i += 1 }
+    }
+    out
+  }
+
+  /** Annotate each row with its IVF cell (argmax dot against normalized
+    * centroids). Persist/partition by `cell` once per corpus — probes
+    * then prune whole cells instead of scanning. */
+  def withIvfCell(corpus: DataFrame, vecCol: String, centroids: Array[Double],
+                  nCells: Int): DataFrame =
+    corpus.withColumn("cell", nearest_centroid(col(vecCol), centroids, nCells))
+
+  /** IVF ANN top-k: rank cells by centroid similarity to the query, scan
+    * the best `nProbe` cells, exact cosine within them. `nProbe = nCells`
+    * degenerates to exact brute force (recall 1) — the knob trades scan
+    * fraction (~nProbe/nCells) for recall. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String, query: Array[Float],
+              k: Int, nCells: Int = 16, nProbe: Int = 4,
+              centroids: Array[Double] = null): DataFrame = {
+    val cents = Option(centroids).getOrElse(ivfCentroids(corpus, idCol, vecCol, nCells))
+    val kCells = cents.length / query.length
+    // rank cells for the query on the driver (k x dim dot products)
+    val dim = query.length
+    val scored = (0 until kCells).map { j =>
+      var dot = 0.0; var i = 0
+      while (i < dim) { dot += query(i).toDouble * cents(j * dim + i); i += 1 }
+      (j, dot)
+    }.sortBy { case (j, dot) => (-dot, j) }
+    val probes = scored.take(math.min(nProbe, kCells)).map(_._1)
+    val cells = withIvfCell(corpus, vecCol, cents, kCells)
+    bruteForceTopK(cells.filter(col("cell").isin(probes: _*)), idCol, vecCol, query, k)
+  }
 }

@@ -106,6 +106,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("A", 99L, 9L, 12.0), ("B", 3L, -1L, -1.0), ("C", 9L, -1L, -1.0)))
   }
 
+  test("ivfTopK with nProbe = nCells equals brute force exactly; fewer probes still find the planted neighbor") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(16)(rnd.nextFloat() * 2 - 1).toSeq
+    val base = vec()
+    val near = base.map(_ + 0.01f)
+    val corpus = ((0L, base) +: (1L, near) +: (2L to 60L).map(i => i -> vec())).toDF("vec_id", "embedding")
+    val query = base.map(_.toFloat).toArray
+    val brute = SimilaritySearch.bruteForceTopK(corpus, "vec_id", "embedding", query, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val cents = SimilaritySearch.ivfCentroids(corpus, "vec_id", "embedding", 8)
+    val allProbes = SimilaritySearch.ivfTopK(corpus, "vec_id", "embedding", query,
+      k = 5, nCells = 8, nProbe = 8, centroids = cents)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(allProbes == brute) // full probe == exact
+    val few = SimilaritySearch.ivfTopK(corpus, "vec_id", "embedding", query,
+      k = 5, nCells = 8, nProbe = 2, centroids = cents)
+      .collect().map(_.getLong(0)).toSeq
+    assert(few.take(2) == Seq(0L, 1L)) // planted near-dup found in the probed cells
+  }
+
+  test("saltedJoin equals the plain join on a hot-key dataset (inner + left)") {
+    import spark.implicits._
+    // 90% of left rows share one hot key
+    val left = (1L to 200L).map(i => (if (i <= 180) "hot" else s"k$i", i)).toDF("k", "lv")
+    val right = Seq(("hot", 1), ("k181", 2), ("k185", 3), ("absent", 4)).toDF("k", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "lv", "rv").collect()
+        .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) -1 else r.getInt(2)))
+        .toSeq.sorted
+    assert(canon(SkewJoin.saltedJoin(left, right, Seq("k"), "lv", 8)) ==
+      canon(left.join(right, Seq("k"), "inner")))
+    assert(canon(SkewJoin.saltedJoin(left, right, Seq("k"), "lv", 8, "left")) ==
+      canon(left.join(right, Seq("k"), "left")))
+  }
+
   test("lsh_bucket throws on mixed-dim corpus instead of silently returning empty") {
     import spark.implicits._
     val df = Seq((0L, Seq.fill(32)(0.5f)), (1L, Seq.fill(16)(0.5f))).toDF("vec_id", "embedding")

@@ -69,9 +69,21 @@ object Main {
     val sweeper = Executors.newSingleThreadScheduledExecutor { r =>
       val t = new Thread(r, "graft-sweeper"); t.setDaemon(true); t
     }
+    val compactThreshold = sys.env.getOrElse("GRAFT_COMPACT_FILES", "64").toInt
     sweeper.scheduleWithFixedDelay(() => {
-      try { uploader.retryPending(); meta.purgeExpiredShares(); () }
-      catch { case e: Exception => System.err.println(s"[sweep] ${e.getMessage}") }
+      try {
+        uploader.retryPending()
+        meta.purgeExpiredShares()
+        // bounded small-file debt: rewrite fragmented tables in place
+        ("1" +: meta.listDestinations.map(_.id.toString)).distinct.foreach { db =>
+          catalog.listTables(db).foreach { t =>
+            if (catalog.fileCount(db, t) > compactThreshold) {
+              val (before, after) = catalog.compact(spark, db, t)
+              println(s"[compact] $db.$t: $before -> $after files")
+            }
+          }
+        }
+      } catch { case e: Exception => System.err.println(s"[sweep] ${e.getMessage}") }
     }, 30, 30, TimeUnit.SECONDS)
 
     val boundPort = server.start()

@@ -114,6 +114,46 @@ final class TableCatalog(rootDir: String) {
     deleteRecursive(old.toPath)
   }
 
+  /** Compact a table's parquet fragments: every ingest batch appends one
+    * small file (spool rotation is ~2 MB), so a hot table accumulates
+    * thousands of fragments — the classic small-file problem that kills
+    * scan throughput (per-file open cost, tiny row groups, no effective
+    * min/max pruning). Rewrites the data dir into
+    * ceil(bytes/targetFileBytes) files RANGE-partitioned by `__row_id`
+    * (global time-clustering: each output file owns a row-id range, so
+    * min/max pruning works across files, not just within them), swapped
+    * in with the same crash-safe aside/promote/delete as [[migrate]].
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, db: String, table: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = synchronized {
+    val st = schema(db, table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $db.$table"))
+    val dir = dataDir(db, table)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".parquet"))
+    if (files.length <= 1) return (files.length, files.length)
+    val bytes = files.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.schema(st).parquet(dir.getAbsolutePath)
+    val tmp = new File(tableDir(db, table), "data_migrating")
+    val old = new File(tableDir(db, table), "data_old")
+    if (tmp.exists()) deleteRecursive(tmp.toPath)
+    df.repartitionByRange(nOut, col(RowId)).sortWithinPartitions(RowId)
+      .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    Files.move(dir.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursive(old.toPath)
+    bump(db)
+    val after = Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .count(_.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
+
+  /** Parquet fragment count (compaction trigger input). */
+  def fileCount(db: String, table: String): Int =
+    Option(dataDir(db, table).listFiles()).getOrElse(Array.empty[File])
+      .count(_.getName.endsWith(".parquet"))
+
   /** Repair an interrupted [[migrate]]: if `data` is missing, promote
     * whichever of `data_migrating`/`data_old` exists; stale leftovers
     * are deleted. Called from schema() lazily via table open is overkill

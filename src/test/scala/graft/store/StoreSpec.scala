@@ -156,6 +156,26 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.read(spark, "d", "m1").count() == 1)
   }
 
+  test("compact: many small batch files rewrite into few range-clustered files") {
+    val base = tmpDir()
+    val cat = new TableCatalog(base)
+    val ingest = new IngestService(spark, cat)
+    (1 to 6).foreach { b =>
+      ingest.ingestLines("d", "frag",
+        (1 to 50).map(i => s"""{"v": ${b * 1000 + i}, "__row_id": ${b * 1000 + i}}"""))
+    }
+    assert(cat.fileCount("d", "frag") >= 6)
+    val before = cat.read(spark, "d", "frag").orderBy("__row_id")
+      .collect().map(_.getLong(0)).toSeq
+    val (nb, na) = cat.compact(spark, "d", "frag")
+    assert(nb >= 6 && na == 1) // 6 tiny batches fit one target file
+    val after = cat.read(spark, "d", "frag").orderBy("__row_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after == before) // same rows, same order
+    // idempotent: nothing left to do
+    assert(cat.compact(spark, "d", "frag") == (1, 1))
+  }
+
   test("metastore: destinations, keys and shares persist across reopen") {
     val base = tmpDir()
     val m1 = new MetaStore(base, reservedIds = Set(1L))

@@ -616,6 +616,30 @@ object Queries {
           .orderBy("event_type"),
       None)),
 
+    // PIVOT (DuckDB dialect exposes it; Spark's relational pivot lowers
+    // to a single two-phase aggregate — one shuffle, no per-column scan).
+    // Fixed pivot-value list keeps the output schema static; counts are
+    // null-coalesced to match SQL's FILTER-count zeros.
+    "q58_pivot" -> ((
+      (s: SparkSession, d: String) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = t(s, d, "events")
+          .withColumn("bucket", (col("user_id") % 10).cast("long"))
+          .groupBy(col("bucket"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        types.foldLeft(p) { (df, ty) =>
+          df.withColumn(ty, coalesce(col(s"`$ty`"), lit(0L)).cast("long"))
+        }.orderBy("bucket")
+      },
+      Some("""SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+             |  count(*) FILTER (WHERE event_type = 'click') AS click,
+             |  count(*) FILTER (WHERE event_type = 'error') AS error,
+             |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |  count(*) FILTER (WHERE event_type = 'view') AS view
+             |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin))),
+
     // As-of join (DuckDB `ASOF JOIN` dialect row of §2B): each click gets
     // the most recent error of the same user at or before it. Spark plan
     // is union + ordered window (operators.AsofJoin) — ONE key shuffle,

@@ -80,6 +80,10 @@ final class QueryExecutor(spark: SparkSession, catalog: TableCatalog) {
   private def validate(parsed: LogicalPlan, tables: Set[String]): Unit = {
     var cteNames = Set.empty[String]
     walk(parsed) {
+      // EXPLAIN <select> is read-only and useful — validate its child
+      // query with the same rules instead of rejecting the command shell
+      case e: org.apache.spark.sql.execution.command.ExplainCommand =>
+        validate(e.logicalPlan, tables)
       case c: Command =>
         throw new QueryRejectedException(
           s"only SELECT queries are supported on the query endpoint (got ${c.nodeName})")

@@ -75,10 +75,19 @@ final class IngestService(spark: SparkSession, catalog: TableCatalog,
     Json.write(node)
   }
 
+  /** Largest batch the DRIVER-side path will materialize. Spool files cap
+    * at ~2 MB (SpoolConfig), so this only trips on foreign bulk files —
+    * which must go through the distributed path (spark.read.json over the
+    * file + catalog.append) instead of driver-side line inference. */
+  val MaxDriverBatchBytes: Long = 256L * 1024 * 1024
+
   /** Worker half for one closed spool file; deletes it on success
     * (at-least-once like the reference: failure leaves the file for
     * retry, workers.go:44-52). */
   def ingestFile(db: String, table: String, file: File): Long = {
+    require(file.length() <= MaxDriverBatchBytes,
+      s"batch file ${file.getName} is ${file.length()} bytes; driver-side inference is " +
+        s"capped at $MaxDriverBatchBytes — bulk-load via spark.read.json + catalog.append")
     val lines = Using.resource(scala.io.Source.fromFile(file, "UTF-8")) { src =>
       src.getLines().toVector
     }

@@ -116,6 +116,10 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // CTE names are allowed; SELECT still works end-to-end
     val cte = q("with c as (select 1 as one) select one from c")
     assert(cte.statusCode() == 200 && cte.body() == """[{"one":1}]""")
+    // EXPLAIN of a valid SELECT is allowed (read-only), but its child
+    // query is held to the same rules
+    assert(q("explain select count(*) from events").statusCode() == 200)
+    assert(q("explain select * from parquet.`/etc`").statusCode() == 400)
   }
 
   test("tables + columns introspection (A14)") {

@@ -176,6 +176,29 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.compact(spark, "d", "frag") == (1, 1))
   }
 
+  test("spool striped locking: concurrent writers to many tables lose no rows") {
+    val base = tmpDir()
+    val closedRows = new java.util.concurrent.atomic.AtomicLong
+    val spool = new Spool(base, SpoolConfig(maxRows = 50, maxAgeSeconds = 3600),
+      f => closedRows.addAndGet(Files.readAllLines(f.toPath).size().toLong))
+    val nThreads = 8; val perThread = 500
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val futures = (0 until nThreads).map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = (0 until perThread).foreach { i =>
+          // threads collide on shared tables AND write private ones
+          spool.writeData("1", s"t${i % 3}", s"""{"t":$t,"i":$i}""")
+          spool.writeData("2", s"own$t", s"""{"i":$i}""")
+        }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    spool.flush()
+    spool.shutdown()
+    assert(closedRows.get() == nThreads.toLong * perThread * 2)
+  }
+
   test("metastore: destinations, keys and shares persist across reopen") {
     val base = tmpDir()
     val m1 = new MetaStore(base, reservedIds = Set(1L))

@@ -181,6 +181,16 @@ object ExtQueries {
           .orderBy("id_a", "id_b"),
       None)),
 
+    // Winnowing fingerprint overlap: copied-passage detection (rolling
+    // k-gram hashes + window minima; Schleimer et al. 2003). Selection is
+    // engine-defined (which window minima survive) -> rows-only check;
+    // the winnowing guarantee itself is pinned in OperatorsSpec.
+    "q59_winnow_overlap" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.winnowOverlapPairs(docs(s, d), "doc_id", "text")
+          .orderBy("id_a", "id_b"),
+      None)),
+
     // Exact n-gram Jaccard pairs via inverted-index blocking. The oracle
     // recomputes jaccard over distinct 3-token shingle STRINGS with a
     // plain O(n^2) pair scan — equal to the hash-based Spark result

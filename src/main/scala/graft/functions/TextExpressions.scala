@@ -348,6 +348,79 @@ object LangId {
   }
 }
 
+/** Winnowing fingerprints (STRING -> ARRAY<LONG>): FNV-1a over each
+  * k-character gram of the normalized text (lowercase, whitespace
+  * collapsed to single spaces), then the MINIMUM hash of every sliding
+  * window of `window` grams — keeping each selected position once
+  * (rightmost-minimum rule). This is the standard local document
+  * fingerprinting scheme (Schleimer/Wilkerson/Aiken, "Winnowing: Local
+  * Algorithms for Document Fingerprinting", SIGMOD 2003): any shared
+  * substring of length >= window + k - 1 between two documents
+  * guarantees a shared fingerprint, so overlap detection needs only a
+  * fingerprint-equality join — same scale shape as the shingle index.
+  * Fewer than k chars -> one hash of the whole normalized text. */
+case class Winnow(child: Expression, k: Int, window: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 2 && window >= 1, "need k >= 2 and window >= 1")
+  override def prettyName: String = "winnow"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def nullSafeEval(v: Any): Any =
+    Winnow.compute(v.asInstanceOf[UTF8String], k, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Winnow.compute($c, $k, $window)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Winnow {
+  def compute(text: UTF8String, k: Int, window: Int): ArrayData = {
+    // normalize: lowercase, runs of whitespace -> single space, trimmed
+    val s = {
+      val raw = text.trim().toLowerCase().toString
+      val sb = new java.lang.StringBuilder(raw.length)
+      var i = 0; var ws = false
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (Character.isWhitespace(c)) ws = true
+        else { if (ws && sb.length > 0) sb.append(' '); ws = false; sb.append(c) }
+        i += 1
+      }
+      sb.toString
+    }
+    if (s.length < k)
+      return new GenericArrayData(Array(Fingerprint64.hash(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    val n = s.length - k + 1
+    val grams = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) { h ^= (s.charAt(i + j) & 0xFF).toLong; h *= 0x100000001b3L; j += 1 }
+      grams(i) = h
+      i += 1
+    }
+    if (n <= window) {
+      var min = grams(0); i = 1
+      while (i < n) { if (grams(i) <= min) min = grams(i); i += 1 }
+      return new GenericArrayData(Array(min))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n / window + 2)
+    var lastPos = -1
+    i = 0
+    while (i <= n - window) {
+      // rightmost minimum of grams[i, i+window)
+      var minPos = i; var j = i + 1
+      while (j < i + window) { if (grams(j) <= grams(minPos)) minPos = j; j += 1 }
+      if (minPos != lastPos) { out += grams(minPos); lastPos = minPos }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.Bridge.{column => C, expression => E}
   def fingerprint64(c: Column): Column = C(Fingerprint64(E(c)))
@@ -356,4 +429,5 @@ object TextFunctions {
   def shingle_hashes(c: Column, width: Int): Column = C(ShingleHashes(E(c), width))
   def token_hashes(c: Column): Column = C(TokenHashes(E(c)))
   def lang_id(c: Column): Column = C(LangId(E(c)))
+  def winnow(c: Column, k: Int, window: Int): Column = C(Winnow(E(c), k, window))
 }

@@ -53,7 +53,7 @@ object Dedup {
     * (a block of B rows emits B(B-1)/2 pairs — capped, never the
     * corpus-quadratic blowup of an uncapped self-join). */
   private def blockPairs(df: DataFrame, idCol: String, keyCols: Seq[String],
-                         cap: Int): DataFrame = {
+                         cap: Int, dedup: Boolean = true): DataFrame = {
     val grouped = df.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")).between(2, cap))
@@ -63,9 +63,9 @@ object Dedup {
     val pairs = flatten(transform(ids, (a, i) =>
       transform(slice(ids, i + lit(2), size(ids)),
         b => struct(a.as("id_a"), b.as("id_b")))))
-    grouped.select(explode(pairs).as("p"))
+    val exploded = grouped.select(explode(pairs).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
+    if (dedup) exploded.distinct() else exploded
   }
 
   /** MinHash LSH candidate pairs: signature of `numHashes`, cut into
@@ -140,6 +140,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Winnowing-overlap pairs: docs sharing >= `minShared` winnowing
+    * fingerprints (rolling-hash k-grams, window minima — see
+    * functions.Winnow). By the winnowing guarantee, any pair sharing a
+    * run of `window + k - 1` characters shares a fingerprint, so this
+    * finds COPIED PASSAGES (plagiarism/boilerplate-grade overlap), which
+    * token-set methods like Jaccard dilute away on long documents.
+    * Same skew-capped block shape as the other near-dup ops. */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 24, window: Int = 12, minShared: Int = 3,
+                         maxDf: Int = 1000): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.winnow(col(textCol), k, window)).as("fps"))
+    val inv = fps.select(col("id"), explode(col("fps")).as("fp"))
+    // keep per-fingerprint multiplicity: the count below IS the overlap
+    blockPairs(inv, "id", Seq("fp"), maxDf, dedup = false)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs that share at

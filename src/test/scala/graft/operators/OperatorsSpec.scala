@@ -127,6 +127,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(few.take(2) == Seq(0L, 1L)) // planted near-dup found in the probed cells
   }
 
+  test("winnowing: shared long passage guarantees shared fingerprints; disjoint texts pair with nothing") {
+    val passage = "the quick brown fox jumps over the lazy dog while the band plays on"
+    val df = docs(
+      1L -> s"intro text alpha beta. $passage and then some trailing words",
+      2L -> s"completely different opening here. $passage closing remarks differ",
+      3L -> "no shared passage at all: spark catalyst tungsten codegen shuffle partitions")
+    val pairs = Dedup.winnowOverlapPairs(df, "doc_id", "text", k = 8, window = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // guarantee: >= window+k-1 shared chars -> shared fps
+    // identical docs share (essentially) all fingerprints
+    val same = docs(1L -> passage, 2L -> passage)
+    val p2 = Dedup.winnowOverlapPairs(same, "doc_id", "text", k = 8, window = 4, minShared = 2)
+      .collect()
+    assert(p2.length == 1 && p2.head.getLong(2) >= 2)
+  }
+
   test("saltedJoin equals the plain join on a hot-key dataset (inner + left)") {
     import spark.implicits._
     // 90% of left rows share one hot key

@@ -640,6 +640,29 @@ object Queries {
              |  count(*) FILTER (WHERE event_type = 'view') AS view
              |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin))),
 
+    // UNPIVOT (melt): wide per-region aggregates back to (key, col, val)
+    // rows — Spark's relational Unpivot (Expand, no shuffle beyond the
+    // feeding aggregate); oracle via DuckDB UNPIVOT.
+    "q60_unpivot" -> ((
+      (s: SparkSession, d: String) => {
+        val wide = t(s, d, "nation").groupBy(col("n_regionkey").cast("long").as("region"))
+          .agg(count(lit(1)).cast("long").as("n_nations"),
+               min(col("n_nationkey")).cast("long").as("min_key"),
+               max(col("n_nationkey")).cast("long").as("max_key"))
+        wide.unpivot(Array(col("region")),
+            Array(col("n_nations"), col("min_key"), col("max_key")),
+            "measure", "value")
+          .orderBy("region", "measure")
+      },
+      Some("""SELECT region, measure, value FROM (
+             |  SELECT CAST(n_regionkey AS BIGINT) AS region,
+             |         CAST(count(*) AS BIGINT) AS n_nations,
+             |         CAST(min(n_nationkey) AS BIGINT) AS min_key,
+             |         CAST(max(n_nationkey) AS BIGINT) AS max_key
+             |  FROM nation GROUP BY region) w
+             |UNPIVOT (value FOR measure IN (n_nations, min_key, max_key))
+             |ORDER BY region, measure""".stripMargin))),
+
     // As-of join (DuckDB `ASOF JOIN` dialect row of §2B): each click gets
     // the most recent error of the same user at or before it. Spark plan
     // is union + ordered window (operators.AsofJoin) — ONE key shuffle,

@@ -95,12 +95,19 @@ final class Uploader(store: BlobStore, process: (String, String, File) => Unit) 
   private def processKey(key: String): Unit = {
     key.split("/", 3) match {
       case Array(db, table, name) =>
-        val tmp = Files.createTempFile("graft-ingest", ".ndjson").toFile
+        // keep the ORIGINAL spool filename: it is the ingest idempotency
+        // key (TableCatalog batch directory), so a retry of the same
+        // blob overwrites its batch instead of duplicating rows
+        val tmpDir = Files.createTempDirectory("graft-ingest")
+        val tmp = new File(tmpDir.toFile, name)
         try {
           store.fetch(key, tmp)
           process(db, table, tmp)
           store.delete(key)
-        } finally Files.deleteIfExists(tmp.toPath)
+        } finally {
+          Files.deleteIfExists(tmp.toPath)
+          Files.deleteIfExists(tmpDir)
+        }
       case _ => // not an ingest key; ignore
     }
   }

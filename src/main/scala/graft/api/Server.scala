@@ -140,7 +140,8 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
 
   private def apiRoute(ex: HttpExchange, p: Map[String, String], who: Principal,
                        rest: List[String]): Unit = {
-    ex.setAttribute("graft.route", "/api/" + rest.mkString("/"))
+    // bounded default label: unknown paths must not mint new metric series
+    ex.setAttribute("graft.route", "/api/<other>")
     val db = who.db
     (ex.getRequestMethod, rest) match {
       case ("POST", List("data", "insert", table)) =>

@@ -42,7 +42,9 @@ object Main {
     val meta = new MetaStore(dataDir, reservedIds = Set(1L))
     val ingest = new IngestService(spark, catalog)
     val blobs = new LocalBlobStore(s"$dataDir/blobs")
-    val uploader = new Uploader(blobs, (db, table, f) => ingest.ingestFile(db, table, f))
+    val ingestWorkers = sys.env.getOrElse("GRAFT_INGEST_WORKERS", "2").toInt
+    val uploader = new Uploader(blobs, (db, table, f) => ingest.ingestFile(db, table, f),
+      workers = ingestWorkers)
 
     // finish any half-done schema migration before serving reads
     meta.listDestinations.map(_.id.toString).foreach { db =>

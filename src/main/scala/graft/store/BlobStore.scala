@@ -69,16 +69,38 @@ final class LocalBlobStore(rootDir: String) extends BlobStore {
   * A failed `process` leaves the blob in place; [[retryPending]] rescans
   * and re-processes everything still there (startup recovery + periodic
   * retry), which is what makes ingest at-least-once like the reference's
-  * persistent queue (workers.go:34-52). */
-final class Uploader(store: BlobStore, process: (String, String, File) => Unit) {
+  * persistent queue (workers.go:34-52).
+  *
+  * With `workers > 0`, `accept` only uploads (a fast atomic move) and
+  * hands processing to a bounded pool — the spool's rotate ticker is
+  * never blocked behind a Spark batch job, and `workers` batches ingest
+  * concurrently (the reference's worker pool, workers.go:138-165). An
+  * in-flight key set prevents the sweep and the accept path from
+  * double-processing one blob concurrently (batch-dir overwrite makes a
+  * replay SAFE, but two simultaneous writers of one dir are not). */
+final class Uploader(store: BlobStore, process: (String, String, File) => Unit,
+                     workers: Int = 0) {
+
+  private val inFlight = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val pool: Option[java.util.concurrent.ExecutorService] =
+    if (workers > 0) Some(java.util.concurrent.Executors.newFixedThreadPool(workers, r => {
+      val t = new Thread(r, "graft-ingest-worker"); t.setDaemon(true); t
+    })) else None
 
   def keyOf(db: String, table: String, name: String) = s"$db/$table/$name"
 
-  /** Spool `onClosed` hook: upload then try to ingest immediately. */
+  /** Spool `onClosed` hook: upload, then ingest (async when pooled). */
   def accept(db: String, table: String, closedFile: File): Unit = {
     val key = keyOf(db, table, closedFile.getName)
     store.put(key, closedFile)
-    processKey(key)
+    pool match {
+      case Some(p) => p.submit(new Runnable {
+        def run(): Unit =
+          try processKey(key)
+          catch { case e: Exception => System.err.println(s"[ingest] $key: ${e.getMessage}") }
+      })
+      case None => processKey(key)
+    }
   }
 
   /** Re-process every pending blob (crash recovery / failed-batch retry).
@@ -86,29 +108,36 @@ final class Uploader(store: BlobStore, process: (String, String, File) => Unit) 
   def retryPending(): Int = {
     var ok = 0
     store.list("").foreach { key =>
-      try { processKey(key); ok += 1 }
+      try { if (processKey(key)) ok += 1 }
       catch { case e: Exception => System.err.println(s"[ingest-retry] $key: ${e.getMessage}") }
     }
     ok
   }
 
-  private def processKey(key: String): Unit = {
+  def shutdown(): Unit = pool.foreach(_.shutdown())
+
+  /** Returns false when the key was skipped (already being processed). */
+  private def processKey(key: String): Boolean = {
     key.split("/", 3) match {
       case Array(db, table, name) =>
-        // keep the ORIGINAL spool filename: it is the ingest idempotency
-        // key (TableCatalog batch directory), so a retry of the same
-        // blob overwrites its batch instead of duplicating rows
-        val tmpDir = Files.createTempDirectory("graft-ingest")
-        val tmp = new File(tmpDir.toFile, name)
+        if (!inFlight.add(key)) return false
         try {
-          store.fetch(key, tmp)
-          process(db, table, tmp)
-          store.delete(key)
-        } finally {
-          Files.deleteIfExists(tmp.toPath)
-          Files.deleteIfExists(tmpDir)
-        }
-      case _ => // not an ingest key; ignore
+          // keep the ORIGINAL spool filename: it is the ingest
+          // idempotency key (TableCatalog batch directory), so a retry
+          // of the same blob overwrites its batch, not duplicates it
+          val tmpDir = Files.createTempDirectory("graft-ingest")
+          val tmp = new File(tmpDir.toFile, name)
+          try {
+            store.fetch(key, tmp)
+            process(db, table, tmp)
+            store.delete(key)
+            true
+          } finally {
+            Files.deleteIfExists(tmp.toPath)
+            Files.deleteIfExists(tmpDir)
+          }
+        } finally inFlight.remove(key)
+      case _ => false // not an ingest key; ignore
     }
   }
 }

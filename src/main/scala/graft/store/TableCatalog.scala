@@ -240,11 +240,20 @@ final class TableCatalog(rootDir: String) {
   }
 
   /** Register every table of the tenant as a temp view on the session —
-    * the resolve step before spark.sql serves a tenant query. */
-  def registerViews(spark: SparkSession, db: String): Unit =
-    listTables(db).foreach { t =>
+    * the resolve step before spark.sql serves a tenant query. Temp views
+    * for tables that no longer exist (dropTable) are removed, so a
+    * dropped table cannot be queried through a stale view. */
+  def registerViews(spark: SparkSession, db: String): Unit = {
+    val current = listTables(db)
+    val keep = current.map(_.toLowerCase).toSet
+    import scala.jdk.CollectionConverters._
+    spark.catalog.listTables().collectAsList().asScala
+      .filter(t => t.isTemporary && !keep.contains(t.name.toLowerCase))
+      .foreach(t => spark.catalog.dropTempView(t.name))
+    current.foreach { t =>
       read(spark, db, t).createOrReplaceTempView(t)
     }
+  }
 
   private def deleteRecursive(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._

@@ -224,6 +224,23 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(closedRows.get() == nThreads.toLong * perThread * 2)
   }
 
+  test("dropped table is not queryable through a stale temp view") {
+    val base = tmpDir()
+    val cat = new TableCatalog(base)
+    val ingest = new IngestService(spark, cat)
+    val exec = new graft.engine.QueryExecutor(spark, cat)
+    ingest.ingestLines("9", "keepme", Seq("{\"a\": 1, \"__row_id\": 1}"))
+    ingest.ingestLines("9", "dropme", Seq("{\"b\": 2, \"__row_id\": 2}"))
+    assert(exec.execute("9", "select count(*) as n from dropme").collect().head.getLong(0) == 1)
+    cat.dropTable("9", "dropme")
+    val ex = intercept[graft.engine.QueryRejectedException] {
+      exec.execute("9", "select * from dropme")
+    }
+    assert(ex.getMessage.contains("unknown table"))
+    // the surviving table still resolves
+    assert(exec.execute("9", "select count(*) as n from keepme").collect().head.getLong(0) == 1)
+  }
+
   test("metastore: destinations, keys and shares persist across reopen") {
     val base = tmpDir()
     val m1 = new MetaStore(base, reservedIds = Set(1L))

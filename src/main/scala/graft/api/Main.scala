@@ -47,7 +47,8 @@ object Main {
       workers = ingestWorkers)
 
     // finish any half-done schema migration before serving reads
-    meta.listDestinations.map(_.id.toString).foreach { db =>
+    // (static tenant "1" plus every dynamically created destination)
+    ("1" +: meta.listDestinations.map(_.id.toString)).distinct.foreach { db =>
       catalog.listTables(db).foreach(t => catalog.recoverMigration(db, t))
     }
 

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.store.TableCatalog
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface of the engine.
@@ -74,4 +74,37 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col(keyCol), col("n_events"))
+
+  /** Streaming FIRST-OCCURRENCE dedup with custom state
+    * (`mapGroupsWithState`): the first row of each key passes, later
+    * occurrences are dropped — exact dedup applied AT INGEST, before
+    * duplicates ever hit storage (the streaming sibling of Dedup.exact).
+    *
+    * State per key is one boolean; with `stateTtl` set it carries a
+    * processing-time timeout, bounding state to (distinct keys within
+    * TTL) — the knob a 100 TB/day stream needs: an unbounded seen-set
+    * fits nowhere, a TTL'd one matches the horizon within which
+    * duplicates occur (retries, re-crawls). Emits `(key, payload)` for
+    * passed rows. */
+  def firstOccurrenceDedup(rows: Dataset[(String, String)],
+                           stateTtl: Option[String] = None): Dataset[(String, String)] = {
+    import rows.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[Boolean, (String, String)](timeoutConf) {
+        (key: String, it: Iterator[(String, String)], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); (key, null) }
+          else if (state.exists) { it.size; (key, null) } // drain; duplicates dropped
+          else {
+            state.update(true)
+            stateTtl.foreach(state.setTimeoutDuration)
+            val first = it.next()
+            it.size // drain remaining duplicates in this batch
+            first
+          }
+      }
+      .filter(_._2 != null)
+  }
 }

@@ -67,6 +67,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(("b", 1L, 5.0)))
   }
 
+  test("firstOccurrenceDedup: custom mapGroupsWithState drops repeat keys across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val out = StreamingIngest.firstOccurrenceDedup(mem.toDS())
+    val q = out.writeStream.outputMode("update").format("memory").queryName("fo").start()
+    mem.addData(("k1", "first"), ("k1", "dupe-same-batch"), ("k2", "second"))
+    q.processAllAvailable()
+    mem.addData(("k1", "dupe-later-batch"), ("k3", "third"))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from fo").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(rows == Set(("k1", "first"), ("k2", "second"), ("k3", "third")))
+  }
+
   test("sessionCounts: gap sessions merge nearby events per key") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -116,6 +116,28 @@ object SimilaritySearch {
     bucket
   }
 
+  /** Materialize the corpus PARTITIONED BY LSH bucket: one directory per
+    * bucket value. ANN probes over this layout become partition-pruned
+    * scans — the scan reads (nProbes / 2^nPlanes) of the corpus from
+    * DISK, not just post-filter in memory, which is the difference that
+    * matters at 100 TB. One-time cost, amortized over every query. */
+  def writeBucketed(corpus: DataFrame, vecCol: String, path: String,
+                    nPlanes: Int = 12, seed: Long = 42L): Unit =
+    withBucket(corpus, vecCol, nPlanes, seed)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** ANN top-k over a [[writeBucketed]] layout: the bucket predicate is a
+    * PARTITION filter (directory pruning before any file is opened). */
+  def annTopKBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String, vecCol: String, query: Array[Float], k: Int,
+                      nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+    val planes = makePlanes(nPlanes, query.length, seed)
+    val qBucket = bucketOf(query, planes, nPlanes)
+    val probes = qBucket +: (0 until nPlanes).map(b => qBucket ^ (1 << b))
+    val corpus = spark.read.parquet(path).filter(col("bucket").isin(probes: _*))
+    bruteForceTopK(corpus, idCol, vecCol, query, k)
+  }
+
   // ------------------------------------------------------------- IVF tier
 
   /** IVF-flat centroids: a deterministic corpus sample (hash-ordered, so

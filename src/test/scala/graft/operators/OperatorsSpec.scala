@@ -106,6 +106,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("A", 99L, 9L, 12.0), ("B", 3L, -1L, -1.0), ("C", 9L, -1L, -1.0)))
   }
 
+  test("bucketed ANN layout: probe filter becomes a partition filter and finds the planted neighbor") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def vec() = Array.fill(16)(rnd.nextFloat() * 2 - 1).toSeq
+    val base = vec()
+    val corpus = ((0L, base) +: (1L, base.map(_ + 0.005f)) +:
+      (2L to 80L).map(i => i -> vec())).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-bucketed").toString + "/corpus"
+    SimilaritySearch.writeBucketed(corpus, "embedding", path, nPlanes = 6)
+    val query = base.map(_.toFloat).toArray
+    val top = SimilaritySearch.annTopKBucketed(spark, path, "vec_id", "embedding",
+      query, k = 2, nPlanes = 6)
+    // partition pruning is visible in the physical plan
+    val plan = top.queryExecution.executedPlan.treeString
+    assert(plan.contains("PartitionFilters: [bucket"), plan.take(800))
+    val ids = top.collect().map(_.getLong(0)).toSeq
+    assert(ids.take(2) == Seq(0L, 1L))
+  }
+
   test("ivfTopK with nProbe = nCells equals brute force exactly; fewer probes still find the planted neighbor") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -174,6 +174,17 @@ object ExtQueries {
           .agg(count(lit(1)).as("n_kept")),
       None)),
 
+    // Near-dup cluster assignment: MinHash candidates -> connected
+    // components (min-label propagation); output is the cluster-size
+    // histogram. Sketch-dependent -> rows-only.
+    "q61_neardup_clusters" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.nearDupClusters(docs(s, d), "doc_id", "text", threshold = 0.5)
+          .groupBy("cluster").agg(count(lit(1)).as("size"))
+          .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("size"),
+      None)),
+
     // SimHash near-dup pairs (hamming <= 3 over 64-bit sketches).
     "q48_simhash_pairs" -> ((
       (s: SparkSession, d: String) =>

@@ -123,6 +123,59 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over a candidate-pair graph (`id_a < id_b`):
+    * every document gets its component's MINIMUM id as `cluster`. This is
+    * the cluster-assignment step transitive near-dup chains need (A~B,
+    * B~C: all three must share one representative even though A and C
+    * never pair directly).
+    *
+    * Algorithm: minimum-label propagation — each iteration joins labels
+    * across edges and keeps the smaller of (own label, best neighbor
+    * label); iterations needed = graph diameter in hops, and near-dup
+    * graphs are shallow (dup clusters are cliques or short chains), so
+    * convergence is typically 2-3 rounds. The driver loop only reads ONE
+    * aggregate per round (changed-count) — the data never leaves
+    * executors. Each round persists its labels and unpersists the prior. */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val best = edges.join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nl"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("best"))
+      val next = labels.join(best, Seq("id"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("best"), col("cluster"))).as("cluster"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup cluster assignment: MinHash candidates above `threshold`
+    * -> connected components. Returns (id, cluster) for every document
+    * (singletons are their own cluster). */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
+                      maxBucketSize: Int = 500): DataFrame = {
+    val pairs = minHashCandidates(df, idCol, textCol, numHashes, bands,
+        maxBucketSize = maxBucketSize)
+      .filter(col("est_jaccard") >= threshold)
+    val comp = connectedComponents(pairs)
+    df.select(col(idCol).as("id")).join(comp, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     * Blocking is pigeonhole-exact: the 64-bit simhash is cut into
     * (maxHamming+1) bands — any pair within distance k must agree on at

@@ -146,6 +146,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(few.take(2) == Seq(0L, 1L)) // planted near-dup found in the probed cells
   }
 
+  test("connectedComponents: transitive chains collapse to the minimum id") {
+    import spark.implicits._
+    // two chains and one isolated pair: 1-2-3-4 (chain), 10-11, 20-21-22 (triangle)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
+  }
+
+  test("nearDupClusters: near-identical docs share a cluster, distinct docs are singletons") {
+    val base = "the quick brown fox jumps over the lazy dog again and again every single day"
+    val df = docs(
+      1L -> base, 2L -> (base + " tonight"), 3L -> base,
+      4L -> "completely unrelated content about catalyst optimizer rules and physical plans")
+    val clusters = Dedup.nearDupClusters(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(4L) == 4L)
+  }
+
   test("exact dedup (min_by aggregate) keeps exactly the lowest-tiebreak row per key") {
     import spark.implicits._
     val df = Seq(

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -148,11 +147,13 @@ object Dedup {
     while (!converged && iter < maxIterations) {
       val best = edges.join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nl"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("best"))
-      val next = labels.join(best, Seq("id"), "left")
-        .select(col("id"), least(col("cluster"), coalesce(col("best"), col("cluster"))).as("cluster"))
+      // one join serves both the convergence check and the next labels
+      val joined = labels.join(best, Seq("id"), "left")
+        .select(col("id"), col("cluster"),
+          coalesce(col("best"), col("cluster")).as("nb"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
+      val changed = joined.filter(col("nb") < col("cluster")).count()
+      val next = joined.select(col("id"), least(col("cluster"), col("nb")).as("cluster"))
       labels.unpersist()
       labels = next
       converged = changed == 0

@@ -176,6 +176,25 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.compact(spark, "d", "frag") == (1, 1))
   }
 
+  test("ingestLines runs exactly one Spark job: the batch is parsed once (no recount)") {
+    val base = tmpDir()
+    val cat = new TableCatalog(base)
+    val ingest = new IngestService(spark, cat)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = ingest.ingestLines("j", "once",
+        (1 to 100).map(i => s"""{"v": $i, "__row_id": $i}"""))
+      Thread.sleep(500) // let listener-bus events drain
+      assert(n == 100)
+      assert(jobs.get() == 1, s"expected 1 job (the parquet write), saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("ingest retry is idempotent: re-processing the same batch file does not duplicate rows") {
     val base = tmpDir()
     val cat = new TableCatalog(s"$base/tables")

@@ -70,6 +70,24 @@ object ExtQueries {
              |      FROM documents) t
              |GROUP BY lang ORDER BY lang""".stripMargin))),
 
+    // BPE-ish subword counting (words + punctuation marks as separate
+    // tokens — the regex approximation of a subword tokenizer's budget).
+    "q62_subword_count" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d)
+          .withColumn("n_subwords", TextAnalysis.subwordCount(col("text")))
+          .groupBy(col("lang"))
+          .agg(sum(col("n_subwords")).cast("long").as("total_subwords"),
+               max(col("n_subwords")).as("max_subwords"))
+          .orderBy("lang"),
+      Some("""SELECT lang,
+             |  CAST(sum(n) AS BIGINT) AS total_subwords, max(n) AS max_subwords
+             |FROM (SELECT lang,
+             |  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS BIGINT)
+             |  + CAST(len(list_filter(regexp_split_to_array(text, '[a-zA-Z0-9\s]+'), x -> len(x) > 0)) AS BIGINT) AS n
+             |  FROM documents) t
+             |GROUP BY lang ORDER BY lang""".stripMargin))),
+
     // Quality scoring: cheap corpus filters (length / punctuation /
     // digit ratios), exact-SQL-checkable.
     "q43_quality_score" -> ((

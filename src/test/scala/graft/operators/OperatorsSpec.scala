@@ -83,6 +83,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("asof join matches a naive reference on random data (300 rows, duplicate times, sparse keys)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val leftRows = (1 to 150).map(i => (s"k${rnd.nextInt(12)}", rnd.nextInt(40).toLong, i.toLong))
+    val rightRows = (1 to 150).map(i => (s"k${rnd.nextInt(15)}", rnd.nextInt(40).toLong, i * 100L))
+    val left = leftRows.toDF("k", "t", "lid")
+    val right = rightRows.toDF("k", "t", "payload")
+    val got = graft.operators.AsofJoin.asof(left, right, Seq("k"), "t", "t", prefix = "r_")
+      .select("k", "t", "lid", "r_payload")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // naive reference: max right time <= left time; among equal times the
+    // greatest payload (the operator's documented deterministic tie rule)
+    val expected = leftRows.map { case (k, t, lid) =>
+      val candidates = rightRows.filter(r => r._1 == k && r._2 <= t)
+      val best =
+        if (candidates.isEmpty) -1L
+        else { val mt = candidates.map(_._2).max; candidates.filter(_._2 == mt).map(_._3).max }
+      (k, t, lid, best)
+    }.toSet
+    assert(got == expected)
+  }
+
   test("asof join: latest right row at-or-before left time, per key; left join semantics") {
     import spark.implicits._
     val quotes = Seq( // key, time, px

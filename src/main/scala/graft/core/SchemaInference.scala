@@ -46,10 +46,11 @@ object SchemaInference {
     else if (counts.getOrElse("bool", 0) > 0) JBool
     else JString // null-only
 
-  /** Full-scan type inference over NDJSON lines. Invalid lines are skipped
-    * (gjson.Parse tolerates garbage; we drop it). Key order of first
-    * appearance is preserved. */
-  def inferTypes(lines: Iterator[String]): mutable.LinkedHashMap[String, String] = {
+  /** Per-key type counts over NDJSON lines — the mergeable intermediate
+    * (partial inference of one partition in the distributed path).
+    * Invalid lines are skipped (gjson.Parse tolerates garbage; we drop
+    * it). Key order of first appearance is preserved. */
+  def inferCounts(lines: Iterator[String]): mutable.LinkedHashMap[String, mutable.Map[String, Int]] = {
     val counts = mutable.LinkedHashMap.empty[String, mutable.Map[String, Int]]
     lines.foreach { line =>
       Json.parse(line).filter(_.isObject).foreach { node =>
@@ -59,8 +60,23 @@ object SchemaInference {
         }
       }
     }
-    counts.map { case (k, c) => k -> resolve(c) }
+    counts
   }
+
+  /** Merge partial counts (left partition order wins for key order). */
+  def mergeCounts(a: mutable.LinkedHashMap[String, mutable.Map[String, Int]],
+                  b: collection.Map[String, collection.Map[String, Int]])
+      : mutable.LinkedHashMap[String, mutable.Map[String, Int]] = {
+    b.foreach { case (k, c) =>
+      val tgt = a.getOrElseUpdate(k, mutable.Map.empty[String, Int].withDefaultValue(0))
+      c.foreach { case (t, n) => tgt(t) += n }
+    }
+    a
+  }
+
+  /** Full-scan type inference over NDJSON lines. */
+  def inferTypes(lines: Iterator[String]): mutable.LinkedHashMap[String, String] =
+    inferCounts(lines).map { case (k, c) => k -> resolve(c) }
 
   /** JSON type -> Spark storage type (SURVEY §1.2 physical mapping). */
   def toSpark(jsonType: String): DataType = jsonType match {

@@ -99,6 +99,31 @@ final class IngestService(spark: SparkSession, catalog: TableCatalog,
     n
   }
 
+  /** Distributed bulk load: the scale path the 256MB driver guard points
+    * at. Inference runs as per-partition partial type counts merged in
+    * partition order (identical precedence and first-appearance column
+    * order to the line path — the driver never materializes the data),
+    * then one distributed JSON parse feeds the aligned append. The
+    * file/directory name is the idempotency key, so a retried bulk load
+    * overwrites its batch. Two passes over the data total (inference is
+    * full-scan by reference semantics), both distributed. */
+  def ingestBulkFile(db: String, table: String, path: String): Unit = {
+    val text = spark.read.textFile(path)
+    val partials = text.rdd
+      .mapPartitionsWithIndex { (i, it) => Iterator.single(i -> SchemaInference.inferCounts(it)) }
+      .collect().sortBy(_._1).map(_._2)
+    require(partials.nonEmpty, s"bulk load: no data at $path")
+    val counts = partials.reduceLeft((a, b) => SchemaInference.mergeCounts(a, b))
+    val types = counts.map { case (k, c) => k -> SchemaInference.resolve(c) }
+    val batchSchema = SchemaInference.toStruct(types)
+    val merged = catalog.evolve(spark, db, table, batchSchema)
+    val readSchema = org.apache.spark.sql.types.StructType(
+      batchSchema.fields.map(f => f.copy(dataType = merged(f.name).dataType)))
+    val df = spark.read.schema(readSchema).json(path)
+    val batchId = "bulk-" + new File(path).getName
+    catalog.append(spark, db, table, df, Some(batchId))
+  }
+
   /** Infer (full-scan, reference precedence) -> evolve catalog schema ->
     * read with the batch schema -> aligned append. */
   def ingestLines(db: String, table: String, lines: Seq[String],

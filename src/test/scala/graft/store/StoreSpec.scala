@@ -176,6 +176,29 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.compact(spark, "d", "frag") == (1, 1))
   }
 
+  test("bulk load: distributed inference matches line-path precedence; idempotent on retry") {
+    val base = tmpDir()
+    val cat = new TableCatalog(s"$base/tables")
+    val ingest = new IngestService(spark, cat)
+    // multi-file "bulk" directory: int in one file widens to float via the
+    // other; a string appearance wins over everything (types.go precedence)
+    val bulk = new File(base, "bulkload"); bulk.mkdirs()
+    Files.writeString(new File(bulk, "part-0.ndjson").toPath,
+      "{\"v\": 1, \"s\": 5, \"__row_id\": 1}\n{\"v\": 2, \"s\": 6, \"__row_id\": 2}\n")
+    Files.writeString(new File(bulk, "part-1.ndjson").toPath,
+      "{\"v\": 2.5, \"s\": \"seven\", \"__row_id\": 3}\n")
+    ingest.ingestBulkFile("b", "big", bulk.getAbsolutePath)
+    assert(cat.listColumns("b", "big").toMap ==
+      Map("__row_id" -> "BIGINT", "v" -> "DOUBLE", "s" -> "STRING"))
+    assert(cat.read(spark, "b", "big").count() == 3)
+    // retry (same path) overwrites its batch, no duplication
+    ingest.ingestBulkFile("b", "big", bulk.getAbsolutePath)
+    assert(cat.read(spark, "b", "big").count() == 3)
+    val vs = cat.read(spark, "b", "big").orderBy("__row_id")
+      .select("v").collect().map(_.getDouble(0)).toSeq
+    assert(vs == Seq(1.0, 2.0, 2.5))
+  }
+
   test("ingestLines runs exactly one Spark job: the batch is parsed once (no recount)") {
     val base = tmpDir()
     val cat = new TableCatalog(base)

@@ -110,6 +110,23 @@ object ExtQueries {
              |    / length(text) AS vowel_ratio
              |FROM documents ORDER BY doc_id""".stripMargin))),
 
+    // C4-style line cleaning: the corpus has no newlines, so lines are
+    // synthesized by breaking on " the " — then lines with < 8 words are
+    // dropped and the survivors re-joined. String-only output -> exact
+    // hash compare, no float risk.
+    "q63_clean_lines" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d).select(col("doc_id"),
+          TextAnalysis.cleanLines(
+            regexp_replace(col("text"), " the ", "\n"), minLineWords = 8).as("cleaned"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  array_to_string(
+             |    list_filter(string_split(replace(text, ' the ', chr(10)), chr(10)),
+             |      l -> len(list_filter(string_split_regex(trim(l), '\s+'), t -> len(t) > 0)) >= 8),
+             |    chr(10)) AS cleaned
+             |FROM documents ORDER BY doc_id""".stripMargin))),
+
     // Language-ID heuristic vs the labeled lang column (accuracy table).
     // Oracle re-implements the stopword-argmax + CJK-ratio heuristic in
     // SQL (ties -> first language in code order, zero hits -> unknown).

@@ -63,6 +63,17 @@ object TextAnalysis {
     * filters exponentially per row. */
   def langId(text: Column): Column = TextFunctions.lang_id(text)
 
+  /** C4-style line-level cleaning: keep only lines with at least
+    * `minLineWords` whitespace tokens (drops nav/boilerplate stubs,
+    * button labels, bare headers — the highest-yield web-corpus filter),
+    * re-joined with newlines. Pure built-ins -> whole-stage codegen'd
+    * map, exactly SQL-mirrorable. */
+  def cleanLines(text: Column, minLineWords: Int = 4): Column =
+    array_join(
+      filter(split(text, "\n"),
+        l => size(filter(split(trim(l), "\\s+"), t => length(t) > 0)) >= minLineWords),
+      "\n")
+
   /** 64-bit content fingerprint (FNV-1a over normalized text). */
   def fingerprint(text: Column): Column =
     TextFunctions.fingerprint64(regexp_replace(lower(trim(text)), "\\s+", " "))

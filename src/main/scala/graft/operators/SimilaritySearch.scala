@@ -42,6 +42,17 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Plane count sized to the corpus: buckets shrink until the expected
+    * probed-candidate pool is ~8k vectors (probing 1+p buckets of
+    * n/2^p). Too many planes on a small corpus scatters everything into
+    * empty buckets (recall collapse); too few on a big one stops
+    * pruning. Clamped to [1, 24]. */
+  def autoPlanes(corpusSize: Long, k: Int): Int = {
+    val target = math.max(8.0 * k, 1.0)
+    val p = math.floor(math.log(corpusSize.toDouble / target) / math.log(2.0)).toInt
+    math.min(24, math.max(1, p))
+  }
+
   /** Annotate a corpus with its LSH bucket (do this once, persist it). */
   def withBucket(corpus: DataFrame, vecCol: String, nPlanes: Int = 12,
                  seed: Long = 42L): DataFrame = {
@@ -50,30 +61,36 @@ object SimilaritySearch {
   }
 
   /** ANN top-k: scan only the query's bucket and its 1-bit-flip
-    * neighbors (multi-probe), then exact cosine within the probed set. */
+    * neighbors (multi-probe), then exact cosine within the probed set.
+    * `nPlanes = 0` (default) sizes the plane count from the corpus
+    * ([[autoPlanes]]) — a tiny corpus degrades gracefully toward exact
+    * scan instead of scattering into thousands of empty buckets. */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              query: Array[Float], k: Int, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
-    val planes = makePlanes(nPlanes, query.length, seed)
-    val qBucket = bucketOf(query, planes, nPlanes)
-    val probes = qBucket +: (0 until nPlanes).map(b => qBucket ^ (1 << b))
+              query: Array[Float], k: Int, nPlanes: Int = 0, seed: Long = 42L): DataFrame = {
+    val p = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count(), k)
+    val planes = makePlanes(p, query.length, seed)
+    val qBucket = bucketOf(query, planes, p)
+    val probes = qBucket +: (0 until p).map(b => qBucket ^ (1 << b))
     val bucketed = corpus.withColumn("bucket",
-      lsh_bucket(col(vecCol), planes, nPlanes))
+      lsh_bucket(col(vecCol), planes, p))
     bruteForceTopK(bucketed.filter(col("bucket").isin(probes: _*)), idCol, vecCol, query, k)
   }
 
   /** k-NN join: top-k corpus neighbors for EVERY query row. Bucket-equi
     * join + per-query window rank — the scalable shape (bucket join
-    * instead of cross join). Exact variant (crossJoin) for validation. */
+    * instead of cross join). Exact variant (crossJoin) for validation.
+    * `nPlanes = 0` auto-sizes like [[annTopK]]. */
   def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, exact: Boolean = false, nPlanes: Int = 8): DataFrame = {
+              k: Int, exact: Boolean = false, nPlanes: Int = 0): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
     val paired =
       if (exact) q.crossJoin(c)
       else {
-        val planes = makePlanes(nPlanes, dimOf(corpus, vecCol), 42L)
-        q.withColumn("bucket", lsh_bucket(col("query_vec"), planes, nPlanes))
-          .join(c.withColumn("bucket", lsh_bucket(col("neighbor_vec"), planes, nPlanes)), "bucket")
+        val p = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count(), k)
+        val planes = makePlanes(p, dimOf(corpus, vecCol), 42L)
+        q.withColumn("bucket", lsh_bucket(col("query_vec"), planes, p))
+          .join(c.withColumn("bucket", lsh_bucket(col("neighbor_vec"), planes, p)), "bucket")
           .drop("bucket")
       }
     val scored = paired

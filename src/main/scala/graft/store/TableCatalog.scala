@@ -33,6 +33,25 @@ final class TableCatalog(rootDir: String) {
   private val schemas = TrieMap.empty[(String, String), StructType]
   private val versions = TrieMap.empty[String, Long]
 
+  /** Per-table append/rewrite exclusion. Appends hold the READ side while
+    * their parquet write commits; [[migrate]] (the only operation that
+    * swaps the whole data/ directory out from under writers) holds the
+    * WRITE side. [[compact]] deliberately does NOT block appends during
+    * its rewrite: it rewrites only the exact file snapshot it listed and
+    * deletes exactly those files, so a batch that lands mid-compaction is
+    * untouched (see compact). */
+  private val tableLocks = TrieMap.empty[(String, String), java.util.concurrent.locks.ReentrantReadWriteLock]
+  private def lockFor(db: String, table: String) =
+    tableLocks.getOrElseUpdate((db, table), new java.util.concurrent.locks.ReentrantReadWriteLock())
+  private def withAppendLock[T](db: String, table: String)(body: => T): T = {
+    val l = lockFor(db, table).readLock(); l.lock()
+    try body finally l.unlock()
+  }
+  private def withRewriteLock[T](db: String, table: String)(body: => T): T = {
+    val l = lockFor(db, table).writeLock(); l.lock()
+    try body finally l.unlock()
+  }
+
   /** Monotonic per-db counter, bumped whenever the db's visible state
     * changes (schema evolve, append, drop). Lets QueryExecutor cache
     * registered views and re-register only when something changed. */
@@ -91,12 +110,22 @@ final class TableCatalog(rootDir: String) {
       merged
     }
 
-  /** All parquet fragments, including per-batch subdirectories. */
+  /** All COMMITTED parquet fragments, including per-batch subdirectories.
+    * Files under hidden path segments (`_temporary` staging of an
+    * in-flight append, `.`-prefixed) are excluded, same as Spark's own
+    * scan listing — compaction must never snapshot an uncommitted file. */
   private def parquetFiles(db: String, table: String): Seq[File] = {
     val d = dataDir(db, table)
     if (!d.exists()) return Seq.empty
     import scala.jdk.CollectionConverters._
     Files.walk(d.toPath).iterator().asScala
+      .filter { p =>
+        val rel = d.toPath.relativize(p)
+        !(0 until rel.getNameCount).exists { i =>
+          val s = rel.getName(i).toString
+          s.startsWith("_") || s.startsWith(".")
+        }
+      }
       .map(_.toFile).filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
   }
 
@@ -108,50 +137,81 @@ final class TableCatalog(rootDir: String) {
     * (never "schema promises data that is gone"); [[recoverMigration]]
     * finishes or rolls back on next open. */
   private def migrate(spark: SparkSession, db: String, table: String,
-                      oldSchema: StructType, newSchema: StructType): Unit = {
-    val dir = dataDir(db, table)
-    val tmp = new File(tableDir(db, table), "data_migrating")
-    val old = new File(tableDir(db, table), "data_old")
-    if (tmp.exists()) deleteRecursive(tmp.toPath)
-    val df = spark.read.schema(oldSchema).option("recursiveFileLookup", "true")
-      .parquet(dir.getAbsolutePath)
-    align(df, newSchema).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    Files.move(dir.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursive(old.toPath)
-  }
+                      oldSchema: StructType, newSchema: StructType): Unit =
+    withRewriteLock(db, table) {
+      val dir = dataDir(db, table)
+      val tmp = new File(tableDir(db, table), "data_migrating")
+      val old = new File(tableDir(db, table), "data_old")
+      if (tmp.exists()) deleteRecursive(tmp.toPath)
+      val df = spark.read.schema(oldSchema).option("recursiveFileLookup", "true")
+        .parquet(dir.getAbsolutePath)
+      align(df, newSchema).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      Files.move(dir.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursive(old.toPath)
+    }
 
   /** Compact a table's parquet fragments: every ingest batch appends one
     * small file (spool rotation is ~2 MB), so a hot table accumulates
     * thousands of fragments — the classic small-file problem that kills
     * scan throughput (per-file open cost, tiny row groups, no effective
-    * min/max pruning). Rewrites the data dir into
-    * ceil(bytes/targetFileBytes) files RANGE-partitioned by `__row_id`
-    * (global time-clustering: each output file owns a row-id range, so
-    * min/max pruning works across files, not just within them), swapped
-    * in with the same crash-safe aside/promote/delete as [[migrate]].
-    * Returns (filesBefore, filesAfter). */
+    * min/max pruning). Rewrites into ceil(bytes/targetFileBytes) files
+    * RANGE-partitioned by `__row_id` (global time-clustering: each output
+    * file owns a row-id range, so min/max pruning works across files, not
+    * just within them). Returns (filesBefore, filesAfter).
+    *
+    * Concurrency contract (Main's sweeper auto-compacts exactly the
+    * tables that are actively ingesting): compaction rewrites ONLY the
+    * file snapshot it listed and then deletes exactly those files — it
+    * never moves the whole data/ directory, so a batch appended mid-
+    * compaction is never swept away and appends are not blocked during
+    * the (long) rewrite. Crash-safety: the compacted output lands in
+    * data/ via one atomic directory move carrying a `_manifest` of the
+    * input files; a crash before the move leaves the old files intact
+    * (tmp is garbage-collected), a crash after it leaves duplicates that
+    * [[recoverMigration]] finishes deleting from the manifest. */
   def compact(spark: SparkSession, db: String, table: String,
               targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = synchronized {
     val st = schema(db, table).getOrElse(
       throw new IllegalArgumentException(s"no such table: $db.$table"))
     val dir = dataDir(db, table)
-    val files = parquetFiles(db, table)
+    val files = parquetFiles(db, table) // exact input snapshot
     if (files.length <= 1) return (files.length, files.length)
     val bytes = files.map(_.length()).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.schema(st).option("recursiveFileLookup", "true")
-      .parquet(dir.getAbsolutePath)
-    val tmp = new File(tableDir(db, table), "data_migrating")
-    val old = new File(tableDir(db, table), "data_old")
+    val df = spark.read.schema(st).parquet(files.map(_.getAbsolutePath): _*)
+    val tmp = new File(tableDir(db, table), "compact_tmp")
     if (tmp.exists()) deleteRecursive(tmp.toPath)
     df.repartitionByRange(nOut, col(RowId)).sortWithinPartitions(RowId)
       .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    Files.move(dir.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursive(old.toPath)
+    val manifest = files.map(f => dir.toPath.relativize(f.toPath).toString)
+    Files.writeString(new File(tmp, "_manifest").toPath, manifest.mkString("\n"))
+    val out = new File(dir, s"batch-compact-${System.nanoTime()}")
+    withRewriteLock(db, table) {
+      Files.move(tmp.toPath, out.toPath, StandardCopyOption.ATOMIC_MOVE)
+      applyCompactManifest(dir, out)
+    }
     bump(db)
     (files.length, parquetFiles(db, table).length)
+  }
+
+  /** Delete the input files recorded in `out/_manifest` (those the
+    * compacted output replaces), then the manifest itself; empty batch
+    * dirs left behind are removed. Idempotent — safe to re-run after a
+    * crash mid-delete. */
+  private def applyCompactManifest(dataDir: File, out: File): Unit = {
+    val mf = new File(out, "_manifest")
+    if (!mf.exists()) return
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(mf.toPath).asScala.filter(_.nonEmpty).foreach { rel =>
+      Files.deleteIfExists(dataDir.toPath.resolve(rel))
+    }
+    // sweep now-empty batch directories (but never the compact output)
+    Option(dataDir.listFiles()).getOrElse(Array.empty[File])
+      .filter(d => d.isDirectory && d != out)
+      .filter(d => Option(d.listFiles()).forall(_.forall(f => f.getName.startsWith("_") || f.getName.startsWith("."))))
+      .foreach(d => deleteRecursive(d.toPath))
+    Files.delete(mf.toPath)
   }
 
   /** Parquet fragment count (compaction trigger input). */
@@ -171,6 +231,13 @@ final class TableCatalog(rootDir: String) {
       Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
     if (tmp.exists()) deleteRecursive(tmp.toPath)
     if (old.exists()) deleteRecursive(old.toPath)
+    // interrupted compact: uncommitted output is garbage (inputs intact);
+    // a committed output with a surviving _manifest finishes its deletes
+    val ctmp = new File(tableDir(db, table), "compact_tmp")
+    if (ctmp.exists()) deleteRecursive(ctmp.toPath)
+    Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .filter(d => d.isDirectory && new File(d, "_manifest").exists())
+      .foreach(d => applyCompactManifest(dir, d))
   }
 
   /** Name-based column alignment with NULL fill — DuckDB `INSERT ... BY
@@ -200,13 +267,15 @@ final class TableCatalog(rootDir: String) {
       evolve(spark, db, table, df.schema)
     }
     val aligned = align(df, st).sortWithinPartitions(RowId)
-    batchId match {
-      case Some(id) =>
-        val safe = id.map(c => if (c.isLetterOrDigit || c == '_' || c == '-' || c == '.') c else '_')
-        val dir = new File(dataDir(db, table), s"batch-$safe")
-        aligned.write.mode("overwrite").parquet(dir.getAbsolutePath)
-      case None =>
-        aligned.write.mode("append").parquet(dataDir(db, table).getAbsolutePath)
+    withAppendLock(db, table) {
+      batchId match {
+        case Some(id) =>
+          val safe = id.map(c => if (c.isLetterOrDigit || c == '_' || c == '-' || c == '.') c else '_')
+          val dir = new File(dataDir(db, table), s"batch-$safe")
+          aligned.write.mode("overwrite").parquet(dir.getAbsolutePath)
+        case None =>
+          aligned.write.mode("append").parquet(dataDir(db, table).getAbsolutePath)
+      }
     }
     bump(db)
   }

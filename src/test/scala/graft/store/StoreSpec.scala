@@ -243,6 +243,68 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.read(spark, "1", "idem").count() == 3)
   }
 
+  test("compact racing concurrent appends loses no rows (sweeper-vs-ingest)") {
+    val base = tmpDir()
+    val cat = new TableCatalog(base)
+    val ingest = new IngestService(spark, cat)
+    // establish schema so appends and compact agree on it
+    ingest.ingestLines("r", "hot", Seq("""{"v": 0, "__row_id": 0}"""))
+    val nAppenders = 4; val perThread = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nAppenders + 1)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val appenders = (0 until nAppenders).map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = (0 until perThread).foreach { i =>
+          val id = t * 1000 + i + 1
+          // unique batch ids mirror the spool path (one dir per batch)
+          ingest.ingestLines("r", "hot", Seq(s"""{"v": $id, "__row_id": $id}"""),
+            batchId = Some(s"race-$id"))
+        }
+      })
+    }
+    // the sweeper: compact continuously while appends are in flight
+    val compacter = pool.submit(new Runnable {
+      def run(): Unit = while (!stop.get()) {
+        if (cat.fileCount("r", "hot") > 2) { cat.compact(spark, "r", "hot"); compactions.incrementAndGet() }
+        else Thread.sleep(10)
+      }
+    })
+    appenders.foreach(_.get())
+    stop.set(true); compacter.get(); pool.shutdown()
+    assert(compactions.get() > 0, "test never exercised a concurrent compaction")
+    val ids = cat.read(spark, "r", "hot").collect().map(_.getAs[Long]("__row_id")).toSet
+    assert(ids.size == nAppenders * perThread + 1,
+      s"lost ${nAppenders * perThread + 1 - ids.size} rows across ${compactions.get()} compactions")
+  }
+
+  test("interrupted compact recovers: committed manifest finishes, uncommitted tmp is dropped") {
+    val base = tmpDir()
+    val cat = new TableCatalog(base)
+    val ingest = new IngestService(spark, cat)
+    (1 to 3).foreach(i => ingest.ingestLines("r", "c1", Seq(s"""{"v": $i, "__row_id": $i}""")))
+    cat.compact(spark, "r", "c1")
+    assert(cat.read(spark, "r", "c1").count() == 3)
+    // simulate a crash AFTER the compacted dir moved in but BEFORE the
+    // old fragments were deleted: re-create a duplicate fragment and a
+    // manifest pointing at it
+    val tdir = new File(new File(base, "r"), "c1")
+    val data = new File(tdir, "data")
+    val outDir = data.listFiles().filter(_.getName.startsWith("batch-compact-")).head
+    val dupe = new File(data, "stale-fragment.parquet")
+    val anyParquet = outDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.copy(anyParquet.toPath, dupe.toPath)
+    Files.writeString(new File(outDir, "_manifest").toPath, "stale-fragment.parquet")
+    assert(cat.read(spark, "r", "c1").count() == 6) // duplicates visible pre-recovery
+    // and an uncommitted tmp from another crashed compact
+    val ctmp = new File(tdir, "compact_tmp"); ctmp.mkdirs()
+    Files.writeString(new File(ctmp, "junk").toPath, "x")
+    cat.recoverMigration("r", "c1")
+    assert(!ctmp.exists())
+    assert(!dupe.exists())
+    assert(cat.read(spark, "r", "c1").count() == 3)
+  }
+
   test("spool striped locking: concurrent writers to many tables lose no rows") {
     val base = tmpDir()
     val closedRows = new java.util.concurrent.atomic.AtomicLong

@@ -337,13 +337,36 @@ object ExtQueries {
              |  FROM pairs) t
              |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))),
 
-    // Embedding-cosine near-duplicate pairs.
+    // Embedding-cosine near-duplicate pairs (banded LSH blocking, capped
+    // blocks, ids-only shuffle). Candidate set is sketch-defined ->
+    // rows-only; the exact twin below is the hash-checked oracle.
     "q53_embedding_dupes" -> ((
       (s: SparkSession, d: String) =>
         SimilaritySearch.embeddingDupPairs(embs(s, d), "vec_id", "embedding",
           threshold = 0.9)
           .agg(count(lit(1)).as("n_pairs")),
       None)),
+
+    // Exact embedding near-dup pairs (cross join + threshold — the
+    // validation twin of q53's bucketed path), hash-checked against a
+    // DuckDB cross join with identical double accumulation.
+    "q64_embedding_dupes_exact" -> ((
+      (s: SparkSession, d: String) =>
+        SimilaritySearch.embeddingDupPairs(embs(s, d), "vec_id", "embedding",
+          threshold = 0.9, exact = true)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH pairs AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+             |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
+             |    list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             |    list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+             |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+             |)
+             |SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS cosine
+             |FROM pairs
+             |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin))),
 
     // Multimodal pipeline: binary assets -> decode/featurize (stubbed
     // codec, real plan) -> per-kind stats.

@@ -59,8 +59,8 @@ object Dedup {
     * (groupBy block key), block membership lists bounded by `cap`
     * (a block of B rows emits B(B-1)/2 pairs — capped, never the
     * corpus-quadratic blowup of an uncapped self-join). */
-  private def blockPairs(df: DataFrame, idCol: String, keyCols: Seq[String],
-                         cap: Int, dedup: Boolean = true): DataFrame = {
+  private[operators] def blockPairs(df: DataFrame, idCol: String, keyCols: Seq[String],
+                                    cap: Int, dedup: Boolean = true): DataFrame = {
     val grouped = df.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")).between(2, cap))

@@ -24,12 +24,37 @@ import org.apache.spark.sql.functions._
   * of silently bucketing to null / returning empty joins.
   */
 object SimilaritySearch {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import scala.collection.concurrent.TrieMap
 
-  /** Embedding dim of the first non-empty vector (one LocalLimit job). */
+  // Per-corpus metadata caches, keyed by the canonicalized analyzed plan
+  // (structural equality — the same table/filter combination hits the
+  // same entry). A resident server answering many ANN queries over one
+  // corpus pays the row-count scan and the dim probe ONCE, not per query
+  // — at 100 TB a count per lookup is a full metadata pass per lookup.
+  private val countCache = TrieMap.empty[LogicalPlan, Long]
+  private val dimCache = TrieMap.empty[(LogicalPlan, String), Int]
+  private def planKey(df: DataFrame): LogicalPlan = df.queryExecution.analyzed.canonicalized
+  private def capCache[K, V](m: TrieMap[K, V]): Unit = if (m.size > 512) m.clear()
+
+  /** Corpus row count for auto-sizing: catalog/plan statistics when the
+    * optimizer knows them, else one count job cached per corpus plan.
+    * Callers that know the size pass it explicitly and never get here. */
+  def corpusRowCount(corpus: DataFrame): Long =
+    corpus.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong).getOrElse {
+      capCache(countCache)
+      countCache.getOrElseUpdate(planKey(corpus), corpus.count())
+    }
+
+  /** Embedding dim of the first non-empty vector (one LocalLimit job,
+    * cached per corpus plan). */
   def dimOf(df: DataFrame, vecCol: String): Int = {
-    val head = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0).head(1)
-    require(head.nonEmpty, s"cannot derive embedding dim: no non-empty vectors in $vecCol")
-    head.head.getInt(0)
+    capCache(dimCache)
+    dimCache.getOrElseUpdate((planKey(df), vecCol), {
+      val head = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0).head(1)
+      require(head.nonEmpty, s"cannot derive embedding dim: no non-empty vectors in $vecCol")
+      head.head.getInt(0)
+    })
   }
 
   /** Exact top-k by cosine similarity against one query vector. */
@@ -64,10 +89,14 @@ object SimilaritySearch {
     * neighbors (multi-probe), then exact cosine within the probed set.
     * `nPlanes = 0` (default) sizes the plane count from the corpus
     * ([[autoPlanes]]) — a tiny corpus degrades gracefully toward exact
-    * scan instead of scattering into thousands of empty buckets. */
+    * scan instead of scattering into thousands of empty buckets. Pass
+    * `corpusSize` when you know it (or fix `nPlanes`) to avoid even the
+    * one cached sizing count. */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              query: Array[Float], k: Int, nPlanes: Int = 0, seed: Long = 42L): DataFrame = {
-    val p = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count(), k)
+              query: Array[Float], k: Int, nPlanes: Int = 0, seed: Long = 42L,
+              corpusSize: Long = -1L): DataFrame = {
+    val p = if (nPlanes > 0) nPlanes
+            else autoPlanes(if (corpusSize >= 0) corpusSize else corpusRowCount(corpus), k)
     val planes = makePlanes(p, query.length, seed)
     val qBucket = bucketOf(query, planes, p)
     val probes = qBucket +: (0 until p).map(b => qBucket ^ (1 << b))
@@ -76,22 +105,44 @@ object SimilaritySearch {
     bruteForceTopK(bucketed.filter(col("bucket").isin(probes: _*)), idCol, vecCol, query, k)
   }
 
-  /** k-NN join: top-k corpus neighbors for EVERY query row. Bucket-equi
-    * join + per-query window rank — the scalable shape (bucket join
-    * instead of cross join). Exact variant (crossJoin) for validation.
-    * `nPlanes = 0` auto-sizes like [[annTopK]]. */
+  /** k-NN join: top-k corpus neighbors for EVERY query row. Exact
+    * variant (crossJoin) for validation; the approximate path is the
+    * scalable shape:
+    *  - MULTI-PROBE: each query probes its own LSH bucket plus every
+    *    1-bit-flip neighbor (like [[annTopK]]), so true neighbors just
+    *    across one hyperplane stay reachable;
+    *  - SKEW CAP: corpus buckets holding more than `maxBucketSize`
+    *    vectors are dropped (clustered/zero vectors would otherwise make
+    *    the bucket join quadratic — the boilerplate guard, same trade as
+    *    Dedup's block caps);
+    *  - IDS-ONLY shuffle: the probe join carries (id, bucket) pairs
+    *    only; both vector columns are re-joined once for scoring.
+    * `nPlanes = 0` auto-sizes like [[annTopK]]; pass `corpusSize` to
+    * skip the cached sizing count. */
   def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, exact: Boolean = false, nPlanes: Int = 0): DataFrame = {
+              k: Int, exact: Boolean = false, nPlanes: Int = 0,
+              corpusSize: Long = -1L, maxBucketSize: Int = 10000): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
     val paired =
       if (exact) q.crossJoin(c)
       else {
-        val p = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count(), k)
+        val p = if (nPlanes > 0) nPlanes
+                else autoPlanes(if (corpusSize >= 0) corpusSize else corpusRowCount(corpus), k)
         val planes = makePlanes(p, dimOf(corpus, vecCol), 42L)
-        q.withColumn("bucket", lsh_bucket(col("query_vec"), planes, p))
-          .join(c.withColumn("bucket", lsh_bucket(col("neighbor_vec"), planes, p)), "bucket")
-          .drop("bucket")
+        val cb = c.select(col("neighbor_id"),
+          lsh_bucket(col("neighbor_vec"), planes, p).as("bucket"))
+        // hot-bucket guard: the size table is at most 2^p rows (tiny)
+        val okBuckets = cb.groupBy("bucket").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize).select("bucket")
+        val probes = q.select(col("query_id"),
+            lsh_bucket(col("query_vec"), planes, p).as("bucket"))
+          .select(col("query_id"), explode(array(
+            col("bucket") +: (0 until p).map(b => col("bucket").bitwiseXOR(lit(1 << b))): _*)).as("bucket"))
+        val candidates = probes
+          .join(cb.join(okBuckets, "bucket"), "bucket")
+          .select("query_id", "neighbor_id").distinct()
+        candidates.join(q, "query_id").join(c, "neighbor_id")
       }
     val scored = paired
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -103,21 +154,49 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Embedding near-duplicate pairs: bucket join + cosine >= threshold.
-    * (Embedding-cosine near-dup detection for dedup pipelines.) */
+  /** Embedding near-duplicate pairs: cosine >= threshold over LSH-banded
+    * candidate blocks (embedding-cosine near-dup detection for dedup
+    * pipelines).
+    *
+    * Blocking is pigeonhole-banded like [[Dedup.simHashPairs]]: the
+    * nPlanes-bit hyperplane bucket is cut into `nBands` bands and rows
+    * pair within any shared (band, bits) block — a pair whose buckets
+    * differ in fewer than `nBands` bits is guaranteed blocked together
+    * (strictly better recall than whole-bucket equality). Pairing runs
+    * through [[Dedup.blockPairs]]: capped at `maxBucketSize` per block
+    * (a clustered corpus — thousands of near-identical vectors — stays
+    * bounded instead of going quadratic) and ids-only through the
+    * shuffle; vectors are re-joined once for scoring.
+    *
+    * `exact = true` is the validation twin (cross join + threshold, no
+    * blocking, no caps) — the oracle the approximate path's candidate
+    * logic is checked against. */
   def embeddingDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.95, nPlanes: Int = 10): DataFrame = {
-    val planes = makePlanes(nPlanes, dimOf(corpus, vecCol), 42L)
-    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", lsh_bucket(col("vec"), planes, nPlanes))
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    l.join(r, "bucket")
-      .filter(col("id_a") < col("id_b"))
+                        threshold: Double = 0.95, nPlanes: Int = 10,
+                        nBands: Int = 2, maxBucketSize: Int = 500,
+                        exact: Boolean = false): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    val paired =
+      if (exact) a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      else {
+        require(nPlanes % nBands == 0, "nBands must divide nPlanes")
+        val width = nPlanes / nBands
+        val mask = (1 << width) - 1
+        val planes = makePlanes(nPlanes, dimOf(corpus, vecCol), 42L)
+        val banded = v
+          .select(col("id"), lsh_bucket(col("vec"), planes, nPlanes).as("bucket"))
+          .select(col("id"), posexplode(expr(
+            s"transform(sequence(0, ${nBands - 1}), b -> shiftright(bucket, b * $width) & $mask)"))
+            .as(Seq("band", "bits")))
+        Dedup.blockPairs(banded, "id", Seq("band", "bits"), maxBucketSize)
+          .join(a, "id_a").join(b, "id_b")
+      }
+    paired
       .withColumn("cosine", cosine_sim(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-      .distinct()
   }
 
   /** Driver-side bucket of one vector (same planes as the expression). */

@@ -258,6 +258,78 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       canon(left.join(right, Seq("k"), "left")))
   }
 
+  test("embeddingDupPairs: clustered corpus stays bounded; approx candidates validate against the exact twin") {
+    import spark.implicits._
+    val base = Array.fill(16)(0.3f)
+    // 300 near-identical vectors: every band block is hot. With cap=50
+    // the blocks are dropped instead of going quadratic (44,850 pairs).
+    val hot = (0L until 300L).map(i => i -> base.map(v => v + (i % 7) * 1e-4f).toSeq)
+      .toDF("vec_id", "embedding")
+    assert(SimilaritySearch.embeddingDupPairs(hot, "vec_id", "embedding",
+      threshold = 0.9, maxBucketSize = 50).count() == 0)
+    // mixed corpus with the cap above the cluster size: the approximate
+    // path emits a SUBSET of the exact twin and finds the whole planted
+    // cluster
+    val rnd = new scala.util.Random(31)
+    val vecs = ((0L to 5L).map(i => i -> base.map(v => v + i * 1e-4f).toSeq) ++
+      (6L to 40L).map(i => i -> Array.fill(16)(rnd.nextFloat() * 2 - 1).toSeq))
+      .toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = pairSet(SimilaritySearch.embeddingDupPairs(vecs, "vec_id", "embedding", threshold = 0.95))
+    val exact = pairSet(SimilaritySearch.embeddingDupPairs(vecs, "vec_id", "embedding", threshold = 0.95, exact = true))
+    assert(approx.subsetOf(exact), s"approx invented pairs: ${approx.diff(exact)}")
+    val planted = (for (a <- 0L to 5L; b <- (a + 1) to 5L) yield (a, b)).toSet
+    assert(planted.subsetOf(approx), s"missed planted pairs: ${planted.diff(approx)}")
+  }
+
+  test("knnJoin approx: multi-probe recall vs exact; hot corpus buckets are capped") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 200L).map(i => i -> Array.fill(16)(rnd.nextFloat() * 2 - 1).toSeq)
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+    def nnSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = nnSet(SimilaritySearch.knnJoin(queries, corpus, "vec_id", "embedding", k = 3, exact = true))
+    val approx = nnSet(SimilaritySearch.knnJoin(queries, corpus, "vec_id", "embedding", k = 3))
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"multi-probe recall vs exact was $recall")
+    // 300 identical vectors land in one bucket; cap=50 drops it and the
+    // join completes with zero candidates instead of 300^2 pairs
+    val hot = (0L until 300L).map(i => i -> Seq.fill(16)(0.3f)).toDF("vec_id", "embedding")
+    val hotQ = hot.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    assert(SimilaritySearch.knnJoin(hotQ, hot, "vec_id", "embedding", k = 3,
+      maxBucketSize = 50).count() == 0)
+    assert(SimilaritySearch.knnJoin(hotQ, hot, "vec_id", "embedding", k = 3).count() == 15)
+  }
+
+  test("ANN auto-sizing runs no per-query corpus scan once stats are cached") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val path = java.nio.file.Files.createTempDirectory("graft-annstats").toString + "/corpus"
+    (0L until 200L).map(i => i -> Array.fill(16)(rnd.nextFloat() * 2 - 1).toSeq)
+      .toDF("vec_id", "embedding").write.parquet(path)
+    val c = spark.read.parquet(path)
+    val query = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    def countJobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(500) } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    // first auto-sized call pays the one sizing count (cached after)
+    SimilaritySearch.annTopK(c, "vec_id", "embedding", query, k = 5).collect()
+    val cached = countJobs(SimilaritySearch.annTopK(c, "vec_id", "embedding", query, k = 5).collect())
+    val explicit = countJobs(SimilaritySearch.annTopK(c, "vec_id", "embedding", query, k = 5,
+      nPlanes = SimilaritySearch.autoPlanes(200, 5), corpusSize = 200).collect())
+    assert(cached == explicit, s"auto-sized query ran $cached jobs vs $explicit fully-specified")
+  }
+
   test("lsh_bucket throws on mixed-dim corpus instead of silently returning empty") {
     import spark.implicits._
     val df = Seq((0L, Seq.fill(32)(0.5f)), (1L, Seq.fill(16)(0.5f))).toDF("vec_id", "embedding")

@@ -43,6 +43,12 @@ final class TableCatalog(rootDir: String) {
   private val tableLocks = TrieMap.empty[(String, String), java.util.concurrent.locks.ReentrantReadWriteLock]
   private def lockFor(db: String, table: String) =
     tableLocks.getOrElseUpdate((db, table), new java.util.concurrent.locks.ReentrantReadWriteLock())
+  /** One compaction at a time per table (two overlapping snapshots would
+    * both rewrite the same rows); independent of the append locks, so a
+    * compacting table keeps ingesting. */
+  private val compactLocks = TrieMap.empty[(String, String), java.util.concurrent.locks.ReentrantLock]
+  private def compactLockFor(db: String, table: String) =
+    compactLocks.getOrElseUpdate((db, table), new java.util.concurrent.locks.ReentrantLock())
   private def withAppendLock[T](db: String, table: String)(body: => T): T = {
     val l = lockFor(db, table).readLock(); l.lock()
     try body finally l.unlock()
@@ -96,9 +102,12 @@ final class TableCatalog(rootDir: String) {
   /** ALTER-equivalent: union-merge the incoming batch schema into the
     * table schema (additive + widening). Returns the merged schema.
     * If an EXISTING column widened (long->double etc.) the stored parquet
-    * is migrated (read-cast-rewrite) — rare by construction. */
+    * is migrated (read-cast-rewrite) — rare by construction. Serialized
+    * PER TABLE (not on the catalog monitor): a long widening migrate of
+    * one table never blocks another table's ingest. */
+  private val evolveLocks = TrieMap.empty[(String, String), Object]
   def evolve(spark: SparkSession, db: String, table: String, incoming: StructType): StructType =
-    synchronized {
+    evolveLocks.getOrElseUpdate((db, table), new Object).synchronized {
       createEmptyTable(db, table)
       val current = schema(db, table).get
       val merged = SchemaMerge.merge(current, incoming)
@@ -165,45 +174,95 @@ final class TableCatalog(rootDir: String) {
     * file snapshot it listed and then deletes exactly those files — it
     * never moves the whole data/ directory, so a batch appended mid-
     * compaction is never swept away and appends are not blocked during
-    * the (long) rewrite. Crash-safety: the compacted output lands in
-    * data/ via one atomic directory move carrying a `_manifest` of the
-    * input files; a crash before the move leaves the old files intact
-    * (tmp is garbage-collected), a crash after it leaves duplicates that
+    * the (long) rewrite. The rewrite runs with NO catalog lock held —
+    * only a per-table compact mutex (one compaction per table) — so
+    * evolve/append on every table proceed concurrently; the catalog-wide
+    * monitor is reserved for schema coordination. At commit (the short
+    * per-table write-lock window) the snapshot is REVALIDATED: if any
+    * input file vanished mid-rewrite (a widening migrate rewrote the
+    * table, or a batch-dir re-ingest replaced its files), committing
+    * would lose or duplicate those rows, so the compaction aborts and
+    * discards its output — the next sweep retries against fresh state.
+    * Crash-safety: the compacted output lands in data/ via one atomic
+    * directory move carrying a `_manifest` of the input files; a crash
+    * before the move leaves the old files intact (tmp is garbage-
+    * collected), a crash after it leaves duplicates that
     * [[recoverMigration]] finishes deleting from the manifest. */
   def compact(spark: SparkSession, db: String, table: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = synchronized {
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val st = schema(db, table).getOrElse(
       throw new IllegalArgumentException(s"no such table: $db.$table"))
-    val dir = dataDir(db, table)
-    val files = parquetFiles(db, table) // exact input snapshot
-    if (files.length <= 1) return (files.length, files.length)
-    val bytes = files.map(_.length()).sum
-    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.schema(st).parquet(files.map(_.getAbsolutePath): _*)
-    val tmp = new File(tableDir(db, table), "compact_tmp")
-    if (tmp.exists()) deleteRecursive(tmp.toPath)
-    df.repartitionByRange(nOut, col(RowId)).sortWithinPartitions(RowId)
-      .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    val manifest = files.map(f => dir.toPath.relativize(f.toPath).toString)
-    Files.writeString(new File(tmp, "_manifest").toPath, manifest.mkString("\n"))
-    val out = new File(dir, s"batch-compact-${System.nanoTime()}")
-    withRewriteLock(db, table) {
-      Files.move(tmp.toPath, out.toPath, StandardCopyOption.ATOMIC_MOVE)
-      applyCompactManifest(dir, out)
+    val cl = compactLockFor(db, table); cl.lock()
+    try {
+      val dir = dataDir(db, table)
+      val files = parquetFiles(db, table) // exact input snapshot
+      if (files.length <= 1) return (files.length, files.length)
+      val bytes = files.map(_.length()).sum
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val df = spark.read.schema(st).parquet(files.map(_.getAbsolutePath): _*)
+      val tmp = new File(tableDir(db, table), "compact_tmp")
+      if (tmp.exists()) deleteRecursive(tmp.toPath)
+      df.repartitionByRange(nOut, col(RowId)).sortWithinPartitions(RowId)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val manifest = files.map(f => dir.toPath.relativize(f.toPath).toString)
+      Files.writeString(new File(tmp, "_manifest").toPath, manifest.mkString("\n"))
+      compactTestHook()
+      val out = new File(dir, s"batch-compact-${System.nanoTime()}")
+      val committed = withRewriteLock(db, table) {
+        if (dir.exists() && files.forall(_.exists())) {
+          Files.move(tmp.toPath, out.toPath, StandardCopyOption.ATOMIC_MOVE)
+          applyCompactManifest(db, table, dir, out)
+          true
+        } else false
+      }
+      if (!committed) { deleteRecursive(tmp.toPath); return (files.length, files.length) }
+      bump(db)
+      (files.length, parquetFiles(db, table).length)
+    } finally cl.unlock()
+  }
+
+  /** Batch directories whose rows were folded into a compacted output.
+    * A blob redelivered AFTER its batch was compacted (at-least-once
+    * retry with a long gap) must NOT re-create the batch dir — the rows
+    * already live in the compacted file, so the overwrite-idempotency
+    * trick would become permanent duplication. Names are persisted one
+    * per line in `<table>/_compacted_batches`, written BEFORE the input
+    * files are deleted (idempotent: a crash-replay re-appends, deduped
+    * on load), and consulted by [[append]] under the same read lock the
+    * write itself takes. One short line per compacted ingest batch. */
+  private val tombstones = TrieMap.empty[(String, String), java.util.Set[String]]
+  private def tombstoneFile(db: String, table: String) =
+    new File(tableDir(db, table), "_compacted_batches")
+  private def tombstoneSet(db: String, table: String): java.util.Set[String] =
+    tombstones.getOrElseUpdate((db, table), {
+      val s = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val f = tombstoneFile(db, table)
+      if (f.exists()) Files.readAllLines(f.toPath).forEach(l => if (l.nonEmpty) s.add(l))
+      s
+    })
+  private def addTombstones(db: String, table: String, dirs: Seq[String]): Unit = {
+    val s = tombstoneSet(db, table)
+    val fresh = dirs.distinct.filterNot(s.contains)
+    if (fresh.nonEmpty) {
+      Files.writeString(tombstoneFile(db, table).toPath, fresh.mkString("", "\n", "\n"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      fresh.foreach(s.add)
     }
-    bump(db)
-    (files.length, parquetFiles(db, table).length)
   }
 
   /** Delete the input files recorded in `out/_manifest` (those the
     * compacted output replaces), then the manifest itself; empty batch
     * dirs left behind are removed. Idempotent — safe to re-run after a
     * crash mid-delete. */
-  private def applyCompactManifest(dataDir: File, out: File): Unit = {
+  private def applyCompactManifest(db: String, table: String, dataDir: File, out: File): Unit = {
     val mf = new File(out, "_manifest")
     if (!mf.exists()) return
     import scala.jdk.CollectionConverters._
-    Files.readAllLines(mf.toPath).asScala.filter(_.nonEmpty).foreach { rel =>
+    val rels = Files.readAllLines(mf.toPath).asScala.filter(_.nonEmpty).toSeq
+    // tombstone folded ingest-batch dirs BEFORE their files disappear
+    addTombstones(db, table, rels.map(_.takeWhile(_ != '/'))
+      .filter(d => d.startsWith("batch-") && !d.startsWith("batch-compact-")))
+    rels.foreach { rel =>
       Files.deleteIfExists(dataDir.toPath.resolve(rel))
     }
     // sweep now-empty batch directories (but never the compact output)
@@ -216,6 +275,10 @@ final class TableCatalog(rootDir: String) {
 
   /** Parquet fragment count (compaction trigger input). */
   def fileCount(db: String, table: String): Int = parquetFiles(db, table).length
+
+  /** Test seam: runs between a compaction's rewrite and its commit, so a
+    * spec can interleave a racing append/migrate deterministically. */
+  private[store] var compactTestHook: () => Unit = () => ()
 
   /** Repair an interrupted [[migrate]]: if `data` is missing, promote
     * whichever of `data_migrating`/`data_old` exists; stale leftovers
@@ -237,7 +300,7 @@ final class TableCatalog(rootDir: String) {
     if (ctmp.exists()) deleteRecursive(ctmp.toPath)
     Option(dir.listFiles()).getOrElse(Array.empty[File])
       .filter(d => d.isDirectory && new File(d, "_manifest").exists())
-      .foreach(d => applyCompactManifest(dir, d))
+      .foreach(d => applyCompactManifest(db, table, dir, d))
   }
 
   /** Name-based column alignment with NULL fill — DuckDB `INSERT ... BY
@@ -271,8 +334,12 @@ final class TableCatalog(rootDir: String) {
       batchId match {
         case Some(id) =>
           val safe = id.map(c => if (c.isLetterOrDigit || c == '_' || c == '-' || c == '.') c else '_')
-          val dir = new File(dataDir(db, table), s"batch-$safe")
-          aligned.write.mode("overwrite").parquet(dir.getAbsolutePath)
+          // a tombstoned batch was folded into a compacted file — this is
+          // a redelivery; re-creating the dir would duplicate its rows
+          if (!tombstoneSet(db, table).contains(s"batch-$safe")) {
+            val dir = new File(dataDir(db, table), s"batch-$safe")
+            aligned.write.mode("overwrite").parquet(dir.getAbsolutePath)
+          }
         case None =>
           aligned.write.mode("append").parquet(dataDir(db, table).getAbsolutePath)
       }

@@ -305,6 +305,54 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.read(spark, "r", "c1").count() == 3)
   }
 
+  test("compact aborts commit when a snapshotted batch is rewritten mid-rewrite (no dup, no loss)") {
+    val base = tmpDir()
+    val cat = new TableCatalog(base)
+    val ingest = new IngestService(spark, cat)
+    ingest.ingestLines("r", "abt", Seq("""{"v": 1, "__row_id": 1}"""), batchId = Some("b1"))
+    ingest.ingestLines("r", "abt", Seq("""{"v": 2, "__row_id": 2}"""), batchId = Some("b2"))
+    val filesBefore = cat.fileCount("r", "abt")
+    // at-least-once redelivery of b1 lands BETWEEN the rewrite and the
+    // commit: its overwrite replaces the snapshotted files, so the
+    // commit must abort (else b1's rows double or vanish)
+    cat.compactTestHook = () => {
+      ingest.ingestLines("r", "abt", Seq("""{"v": 1, "__row_id": 1}"""), batchId = Some("b1"))
+      cat.compactTestHook = () => ()
+    }
+    val (nb, na) = cat.compact(spark, "r", "abt")
+    assert(nb == na, "an aborted compact must report no file-count change")
+    val ids = cat.read(spark, "r", "abt").collect().map(_.getAs[Long]("__row_id")).toSeq.sorted
+    assert(ids == Seq(1L, 2L), s"rows corrupted by aborted compact: $ids")
+    assert(cat.fileCount("r", "abt") == filesBefore)
+    // with no race, the retry commits normally
+    assert(cat.compact(spark, "r", "abt")._2 == 1)
+    assert(cat.read(spark, "r", "abt").count() == 2)
+  }
+
+  test("batch redelivered after compaction folded it in is dropped (tombstone, survives reopen)") {
+    val base = tmpDir()
+    val cat = new TableCatalog(base)
+    val ingest = new IngestService(spark, cat)
+    def batchFile(): File = {
+      val f = new File(base, "7311209555001.ndjson")
+      Files.writeString(f.toPath, "{\"a\": 1, \"__row_id\": 1}\n{\"a\": 2, \"__row_id\": 2}\n")
+      f
+    }
+    ingest.ingestFile("1", "tomb", batchFile())
+    ingest.ingestLines("1", "tomb", Seq("""{"a": 3, "__row_id": 3}"""), batchId = Some("other"))
+    cat.compact(spark, "1", "tomb")
+    assert(cat.read(spark, "1", "tomb").count() == 3)
+    // the blob survived a crash-before-delete; a sweeper replays it long
+    // after compaction already folded the batch into the compacted file
+    ingest.ingestFile("1", "tomb", batchFile())
+    assert(cat.read(spark, "1", "tomb").count() == 3, "redelivered compacted batch duplicated rows")
+    // tombstones persist: a fresh catalog instance (restart) still drops it
+    val cat2 = new TableCatalog(base)
+    val ingest2 = new IngestService(spark, cat2)
+    ingest2.ingestFile("1", "tomb", batchFile())
+    assert(cat2.read(spark, "1", "tomb").count() == 3)
+  }
+
   test("spool striped locking: concurrent writers to many tables lose no rows") {
     val base = tmpDir()
     val closedRows = new java.util.concurrent.atomic.AtomicLong

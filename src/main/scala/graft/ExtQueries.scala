@@ -349,11 +349,15 @@ object ExtQueries {
 
     // Exact embedding near-dup pairs (cross join + threshold — the
     // validation twin of q53's bucketed path), hash-checked against a
-    // DuckDB cross join with identical double accumulation.
+    // DuckDB cross join with identical double accumulation. Threshold
+    // 0.44 (not q53's 0.9): the synthetic embeddings are near-orthogonal
+    // random vectors (max pairwise cosine ~0.51), so 0.9 returns zero
+    // rows and the hash check would be vacuous — 0.44 yields 10 pairs at
+    // sf0.001 / 22 at sf0.01, making the cosine math actually checked.
     "q64_embedding_dupes_exact" -> ((
       (s: SparkSession, d: String) =>
         SimilaritySearch.embeddingDupPairs(embs(s, d), "vec_id", "embedding",
-          threshold = 0.9, exact = true)
+          threshold = 0.44, exact = true)
           .orderBy("id_a", "id_b"),
       Some("""WITH pairs AS (
              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -365,7 +369,7 @@ object ExtQueries {
              |)
              |SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS cosine
              |FROM pairs
-             |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.9
+             |WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.44
              |ORDER BY id_a, id_b""".stripMargin))),
 
     // Multimodal pipeline: binary assets -> decode/featurize (stubbed

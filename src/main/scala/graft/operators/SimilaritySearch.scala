@@ -25,37 +25,46 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-  import scala.collection.concurrent.TrieMap
 
-  // Per-corpus metadata caches, keyed by the canonicalized analyzed plan
-  // (structural equality — the same table/filter combination hits the
-  // same entry). A resident server answering many ANN queries over one
-  // corpus pays the row-count scan and the dim probe ONCE, not per query
-  // — at 100 TB a count per lookup is a full metadata pass per lookup.
-  private val countCache = TrieMap.empty[LogicalPlan, Long]
-  private val dimCache = TrieMap.empty[(LogicalPlan, String), Int]
+  // Per-corpus metadata caches, keyed by (canonicalized analyzed plan,
+  // data epoch). Plan canonicalization gives structural equality — the
+  // same table/filter combination hits the same entry — and the epoch
+  // (graft.core.DataEpoch, bumped by every catalog append/evolve/drop)
+  // invalidates entries when the data underneath a re-read path
+  // changes, since Spark's file-relation equality is by root path only.
+  // LRU-bounded (access-order LinkedHashMap): stale-epoch entries age
+  // out instead of a clear-all wipe, and retained LogicalPlans can't
+  // pin unbounded file-index metadata. A resident server answering many
+  // ANN queries over one corpus pays the row-count scan and the dim
+  // probe ONCE per epoch, not per query — at 100 TB a count per lookup
+  // is a full metadata pass per lookup.
+  private def lruCache[K, V](cap: Int): java.util.Map[K, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[K, V](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean = size() > cap
+      })
+  private val countCache = lruCache[(LogicalPlan, Long), Long](256)
+  private val dimCache = lruCache[(LogicalPlan, Long, String), Int](256)
   private def planKey(df: DataFrame): LogicalPlan = df.queryExecution.analyzed.canonicalized
-  private def capCache[K, V](m: TrieMap[K, V]): Unit = if (m.size > 512) m.clear()
 
   /** Corpus row count for auto-sizing: catalog/plan statistics when the
-    * optimizer knows them, else one count job cached per corpus plan.
-    * Callers that know the size pass it explicitly and never get here. */
+    * optimizer knows them, else one count job cached per (corpus plan,
+    * data epoch). Callers that know the size pass it explicitly and
+    * never get here. */
   def corpusRowCount(corpus: DataFrame): Long =
     corpus.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong).getOrElse {
-      capCache(countCache)
-      countCache.getOrElseUpdate(planKey(corpus), corpus.count())
+      countCache.computeIfAbsent((planKey(corpus), graft.core.DataEpoch.current),
+        _ => corpus.count())
     }
 
   /** Embedding dim of the first non-empty vector (one LocalLimit job,
-    * cached per corpus plan). */
-  def dimOf(df: DataFrame, vecCol: String): Int = {
-    capCache(dimCache)
-    dimCache.getOrElseUpdate((planKey(df), vecCol), {
+    * cached per (corpus plan, data epoch)). */
+  def dimOf(df: DataFrame, vecCol: String): Int =
+    dimCache.computeIfAbsent((planKey(df), graft.core.DataEpoch.current, vecCol), { _ =>
       val head = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0).head(1)
       require(head.nonEmpty, s"cannot derive embedding dim: no non-empty vectors in $vecCol")
       head.head.getInt(0)
     })
-  }
 
   /** Exact top-k by cosine similarity against one query vector. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,

@@ -62,8 +62,10 @@ final class TableCatalog(rootDir: String) {
     * changes (schema evolve, append, drop). Lets QueryExecutor cache
     * registered views and re-register only when something changed. */
   def version(db: String): Long = versions.getOrElse(db, 0L)
-  private def bump(db: String): Unit =
+  private def bump(db: String): Unit = {
     versions.updateWith(db) { v => Some(v.getOrElse(0L) + 1) }
+    graft.core.DataEpoch.bump() // invalidate derived-metadata caches
+  }
 
   val RowId = "__row_id"
   private def tableDir(db: String, table: String) = new File(new File(rootDir, db), table)
@@ -348,12 +350,20 @@ final class TableCatalog(rootDir: String) {
   }
 
   /** Read a table as a DataFrame with the pinned schema (missing columns
-    * in older parquet files are NULL-filled by the explicit schema). */
+    * in older parquet files are NULL-filled by the explicit schema).
+    * `ignoreMissingFiles`: a query planned just before a compact commit
+    * may list fragments the commit then deletes mid-execution. Skipping
+    * them trades a hard FileNotFound failure for a bounded-staleness
+    * read (that one in-flight query misses the swapped fragments' rows;
+    * the next read lists the compacted file and sees everything) — the
+    * same read-uncommitted-snapshot semantics the append path already
+    * has, and the standard Spark setting for compacting layouts. */
   def read(spark: SparkSession, db: String, table: String): DataFrame = {
     val st = schema(db, table).getOrElse(
       throw new IllegalArgumentException(s"no such table: $db.$table"))
     if (hasData(db, table))
       spark.read.schema(st).option("recursiveFileLookup", "true")
+        .option("ignoreMissingFiles", "true")
         .parquet(dataDir(db, table).getAbsolutePath)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
   }

@@ -330,6 +330,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cached == explicit, s"auto-sized query ran $cached jobs vs $explicit fully-specified")
   }
 
+  test("corpusRowCount cache invalidates on a data-epoch bump (appends re-count, not stale)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val path = java.nio.file.Files.createTempDirectory("graft-annepoch").toString + "/corpus"
+    def write(n: Int): Unit = (0 until n).map(i => i.toLong -> Seq.fill(8)(rnd.nextFloat()))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(path)
+    write(100)
+    assert(SimilaritySearch.corpusRowCount(spark.read.parquet(path)) == 100L)
+    write(50) // catalog append would bump the epoch; simulate the bump
+    graft.core.DataEpoch.bump()
+    assert(SimilaritySearch.corpusRowCount(spark.read.parquet(path)) == 150L,
+      "stale cached count survived an epoch bump")
+  }
+
   test("lsh_bucket throws on mixed-dim corpus instead of silently returning empty") {
     import spark.implicits._
     val df = Seq((0L, Seq.fill(32)(0.5f)), (1L, Seq.fill(16)(0.5f))).toDF("vec_id", "embedding")

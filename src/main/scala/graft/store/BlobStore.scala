@@ -64,6 +64,82 @@ final class LocalBlobStore(rootDir: String) extends BlobStore {
   override def delete(key: String): Unit = Files.deleteIfExists(resolve(key))
 }
 
+/** Hadoop-FileSystem-backed blob store — the multi-node impl of the
+  * seam, covering every scheme the cluster's Hadoop config resolves:
+  * `s3a://bucket/prefix` (the reference's S3 backend,
+  * /root/reference/pkg/storage/blobstore/s3/s3.go:28-60 Upload/
+  * Download/Delete), `gs://`, `hdfs://`, or `file:///` for tests.
+  * Credentials/endpoint ride the Hadoop Configuration (`fs.s3a.*`),
+  * exactly where a Spark cluster already carries them — the engine
+  * passes `spark.sparkContext.hadoopConfiguration` and inherits the
+  * cluster's auth. Objects appear only on completed upload (S3 PUT is
+  * atomic per object; the local scheme is for tests), matching
+  * [[LocalBlobStore]]'s write-fully-then-appear contract. */
+final class HadoopBlobStore(baseUri: String,
+                            conf: org.apache.hadoop.conf.Configuration =
+                              new org.apache.hadoop.conf.Configuration()) extends BlobStore {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+  private val base = new HPath(baseUri)
+  private val fs: FileSystem = base.getFileSystem(conf)
+  private val basePathStr = {
+    val q = fs.makeQualified(base).toString
+    if (q.endsWith("/")) q else q + "/"
+  }
+
+  private def resolve(key: String): HPath = {
+    require(!key.split("/").contains("..") && !key.startsWith("/"),
+      s"blob key escapes the store root: $key")
+    new HPath(base, key)
+  }
+
+  override def put(key: String, src: File): Unit =
+    // delSrc = true: consumes the local spool file on success (trait
+    // contract); overwrite = true: a retried upload replaces the object
+    fs.copyFromLocalFile(true, true, new HPath(src.getAbsolutePath), resolve(key))
+
+  override def fetch(key: String, dest: File): Unit = {
+    Files.createDirectories(dest.toPath.getParent)
+    // useRawLocalFileSystem: no .crc droppings next to the temp file
+    fs.copyToLocalFile(false, resolve(key), new HPath(dest.getAbsolutePath), true)
+  }
+
+  override def list(prefix: String): Seq[String] = {
+    if (!fs.exists(base)) return Seq.empty
+    val it = fs.listFiles(base, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val key = it.next().getPath.toString.stripPrefix(basePathStr)
+      if (key.startsWith(prefix)) out += key
+    }
+    out.result().sorted
+  }
+
+  override def delete(key: String): Unit = fs.delete(resolve(key), false)
+}
+
+/** Config-keyed constructor, the reference's `NewBlobStore` switch
+  * (/root/reference/pkg/storage/blobstore/blobstore.go:16-25: "memory" |
+  * "s3" on conf.Settings). Settings names follow the reference's
+  * mapstructure keys (s3.go:17-22). */
+object BlobStore {
+  def forConfig(storeType: String, settings: Map[String, String],
+                hadoopConf: org.apache.hadoop.conf.Configuration =
+                  new org.apache.hadoop.conf.Configuration()): BlobStore =
+    storeType match {
+      case "local" => new LocalBlobStore(settings("root"))
+      case "s3" =>
+        settings.get("access_key_id").foreach(hadoopConf.set("fs.s3a.access.key", _))
+        settings.get("secret_access_key").foreach(hadoopConf.set("fs.s3a.secret.key", _))
+        settings.get("endpoint").foreach(hadoopConf.set("fs.s3a.endpoint", _))
+        settings.get("region").foreach(hadoopConf.set("fs.s3a.endpoint.region", _))
+        val prefix = settings.getOrElse("prefix", "")
+        new HadoopBlobStore(s"s3a://${settings("bucket")}/$prefix", hadoopConf)
+      case "hadoop" => // any FileSystem URI the cluster resolves (gs://, hdfs://, file://)
+        new HadoopBlobStore(settings("uri"), hadoopConf)
+      case other => throw new IllegalArgumentException(s"unknown blob store type: $other")
+    }
+}
+
 /** Bridges spool rotation to durable storage and ingestion: closed spool
   * file -> blob store (`db/table/name`) -> `process` -> delete blob.
   * A failed `process` leaves the blob in place; [[retryPending]] rescans

@@ -128,6 +128,28 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.read(spark, "9", "blobbed").count() == 2)
   }
 
+  test("hadoop blob store (file:// scheme): ingest seam works through the FileSystem API") {
+    val base = tmpDir()
+    val cat = new TableCatalog(s"$base/tables")
+    val ingest = new IngestService(spark, cat)
+    val store = BlobStore.forConfig("hadoop", Map("uri" -> s"file://$base/blobs"))
+    val uploader = new Uploader(store, (db, table, f) => ingest.ingestFile(db, table, f))
+    val spoolFile = new File(base, "7311209127400.ndjson")
+    Files.writeString(spoolFile.toPath, "{\"a\": 1, \"__row_id\": 1}\n{\"a\": 2, \"__row_id\": 2}\n")
+    uploader.accept("8", "hblob", spoolFile)
+    assert(!spoolFile.exists(), "put must consume the local spool file")
+    assert(store.list("").isEmpty, "processed blob must be deleted")
+    assert(cat.read(spark, "8", "hblob").count() == 2)
+    // pending blobs are listed and retried like the local impl
+    val f2 = new File(base, "7311209127401.ndjson")
+    Files.writeString(f2.toPath, "{\"a\": 3, \"__row_id\": 3}\n")
+    store.put("8/hblob/7311209127401.ndjson", f2)
+    assert(store.list("8/hblob/") == Seq("8/hblob/7311209127401.ndjson"))
+    assert(uploader.retryPending() == 1)
+    assert(cat.read(spark, "8", "hblob").count() == 3)
+    intercept[IllegalArgumentException] { store.put("../escape", spoolFile) }
+  }
+
   test("spool orphan recovery: open files of a dead process are closed out") {
     val base = tmpDir()
     var handed = Vector.empty[String]

@@ -150,14 +150,22 @@ object BlobStore {
   * With `workers > 0`, `accept` only uploads (a fast atomic move) and
   * hands processing to a bounded pool — the spool's rotate ticker is
   * never blocked behind a Spark batch job, and `workers` batches ingest
-  * concurrently (the reference's worker pool, workers.go:138-165). An
-  * in-flight key set prevents the sweep and the accept path from
-  * double-processing one blob concurrently (batch-dir overwrite makes a
-  * replay SAFE, but two simultaneous writers of one dir are not). */
+  * concurrently (the reference's worker pool, workers.go:138-165).
+  *
+  * `claims` guards each blob with an exclusive claim before processing
+  * (reference queue claim model, gorm/queue.go:29-63): the default
+  * [[LocalClaimQueue]] stops the sweep and the accept path of ONE
+  * process from double-processing a blob (batch-dir overwrite makes a
+  * replay SAFE, but two simultaneous writers of one dir are not); a
+  * shared [[FileLeaseQueue]] extends the same guarantee across
+  * PROCESSES, so two engine nodes over one blob store split the ingest
+  * load, each batch processed once (dead claimants' leases expire and
+  * their batches are re-claimed — at-least-once, idempotent
+  * downstream). */
 final class Uploader(store: BlobStore, process: (String, String, File) => Unit,
-                     workers: Int = 0) {
+                     workers: Int = 0, claims: ClaimQueue = new LocalClaimQueue) {
 
-  private val inFlight = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val owner = java.util.UUID.randomUUID().toString
   private val pool: Option[java.util.concurrent.ExecutorService] =
     if (workers > 0) Some(java.util.concurrent.Executors.newFixedThreadPool(workers, r => {
       val t = new Thread(r, "graft-ingest-worker"); t.setDaemon(true); t
@@ -192,11 +200,12 @@ final class Uploader(store: BlobStore, process: (String, String, File) => Unit,
 
   def shutdown(): Unit = pool.foreach(_.shutdown())
 
-  /** Returns false when the key was skipped (already being processed). */
+  /** Returns false when the key was skipped (claimed by another worker,
+    * or already gone). */
   private def processKey(key: String): Boolean = {
     key.split("/", 3) match {
       case Array(db, table, name) =>
-        if (!inFlight.add(key)) return false
+        if (!claims.tryClaim(key, owner)) return false
         try {
           // keep the ORIGINAL spool filename: it is the ingest
           // idempotency key (TableCatalog batch directory), so a retry
@@ -208,11 +217,16 @@ final class Uploader(store: BlobStore, process: (String, String, File) => Unit,
             process(db, table, tmp)
             store.delete(key)
             true
+          } catch {
+            // claimed after the blob was already ingested+deleted by a
+            // racing worker's sweep — done, not an error
+            case _: java.io.FileNotFoundException => false
+            case _: java.nio.file.NoSuchFileException => false
           } finally {
             Files.deleteIfExists(tmp.toPath)
             Files.deleteIfExists(tmpDir)
           }
-        } finally inFlight.remove(key)
+        } finally claims.release(key)
       case _ => false // not an ingest key; ignore
     }
   }

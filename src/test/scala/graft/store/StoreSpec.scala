@@ -150,6 +150,61 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { store.put("../escape", spoolFile) }
   }
 
+  test("two uploaders over one blob store split ingest: every batch processed exactly once") {
+    val base = tmpDir()
+    val cat = new TableCatalog(s"$base/tables")
+    val ingest = new IngestService(spark, cat)
+    val store = new LocalBlobStore(s"$base/blobs")
+    val processed = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+    // each uploader gets its OWN FileLeaseQueue instance over the shared
+    // dir — two processes coordinating through the filesystem only
+    def mkUploader() = new Uploader(store, (db, t, f) => {
+      processed.computeIfAbsent(f.getName, _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+      ingest.ingestFile(db, t, f)
+    }, claims = new FileLeaseQueue(s"$base/claims"))
+    val nBatches = 12
+    (1 to nBatches).foreach { i =>
+      val f = new File(base, s"731120950$i.ndjson")
+      Files.writeString(f.toPath, s"""{"v": $i, "__row_id": $i}""" + "\n")
+      store.put(s"5/two/${f.getName}", f)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val f1 = pool.submit(new java.util.concurrent.Callable[Int] { def call(): Int = mkUploader().retryPending() })
+    val f2 = pool.submit(new java.util.concurrent.Callable[Int] { def call(): Int = mkUploader().retryPending() })
+    val (n1, n2) = (f1.get(), f2.get()); pool.shutdown()
+    assert(n1 + n2 == nBatches, s"split was $n1 + $n2, expected $nBatches total")
+    import scala.jdk.CollectionConverters._
+    val counts = processed.values().asScala.map(_.get())
+    assert(counts.forall(_ == 1), s"some batch processed more than once: $counts")
+    assert(store.list("").isEmpty)
+    assert(cat.read(spark, "5", "two").count() == nBatches)
+  }
+
+  test("file lease queue: live leases exclusive; expired leases stolen by exactly one of N workers") {
+    val dir = tmpDir()
+    val q = new FileLeaseQueue(dir, leaseTtlMillis = 1000000)
+    assert(q.tryClaim("k", "a"))
+    assert(!q.tryClaim("k", "b"), "live lease must not be re-claimable")
+    q.release("k")
+    assert(q.tryClaim("k", "b"), "released lease must be claimable")
+    // the lease now ages past a short TTL: N stealers race, one wins
+    Thread.sleep(150)
+    val stealers = (1 to 8).map(i => new FileLeaseQueue(dir, leaseTtlMillis = 50))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val wins = stealers.zipWithIndex.map { case (sq, i) =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = sq.tryClaim("k", s"w$i")
+      })
+    }.count(_.get())
+    pool.shutdown()
+    assert(wins == 1, s"$wins stealers claimed one expired lease")
+    // renew keeps a slow-but-alive worker's lease
+    val holder = new FileLeaseQueue(dir, leaseTtlMillis = 300)
+    holder.release("k"); assert(holder.tryClaim("k", "slow"))
+    Thread.sleep(200); holder.renew("k"); Thread.sleep(200)
+    assert(!holder.tryClaim("k", "thief"), "renewed lease was stolen")
+  }
+
   test("spool orphan recovery: open files of a dead process are closed out") {
     val base = tmpDir()
     var handed = Vector.empty[String]

@@ -89,7 +89,13 @@ final class HadoopBlobStore(baseUri: String,
   private def resolve(key: String): HPath = {
     require(!key.split("/").contains("..") && !key.startsWith("/"),
       s"blob key escapes the store root: $key")
-    new HPath(base, key)
+    val p = new HPath(base, key)
+    // a scheme/authority-qualified key ("s3a://other-bucket/x") resolves
+    // OUTSIDE base via new Path(base, key) — qualify and contain, the
+    // same normalize-then-startsWith check LocalBlobStore does
+    require(fs.makeQualified(p).toString.startsWith(basePathStr),
+      s"blob key escapes the store root: $key")
+    p
   }
 
   override def put(key: String, src: File): Unit =
@@ -171,6 +177,22 @@ final class Uploader(store: BlobStore, process: (String, String, File) => Unit,
       val t = new Thread(r, "graft-ingest-worker"); t.setDaemon(true); t
     })) else None
 
+  // one shared daemon thread heartbeats every in-flight lease at the
+  // queue's renewal interval (TTL/3), so a batch slower than the lease
+  // TTL — a fat Spark append, a GC pause — is never stolen from a
+  // live worker and processed concurrently by the thief
+  private lazy val renewer = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+    val t = new Thread(r, "graft-lease-renewer"); t.setDaemon(true); t
+  })
+
+  private def startHeartbeat(key: String): Option[java.util.concurrent.ScheduledFuture[_]] =
+    claims.renewIntervalMillis.map { period =>
+      renewer.scheduleAtFixedRate(
+        () => try claims.renew(key, owner)
+              catch { case e: Exception => System.err.println(s"[lease-renew] $key: ${e.getMessage}") },
+        period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
+
   def keyOf(db: String, table: String, name: String) = s"$db/$table/$name"
 
   /** Spool `onClosed` hook: upload, then ingest (async when pooled). */
@@ -206,6 +228,7 @@ final class Uploader(store: BlobStore, process: (String, String, File) => Unit,
     key.split("/", 3) match {
       case Array(db, table, name) =>
         if (!claims.tryClaim(key, owner)) return false
+        val heartbeat = startHeartbeat(key)
         try {
           // keep the ORIGINAL spool filename: it is the ingest
           // idempotency key (TableCatalog batch directory), so a retry
@@ -213,20 +236,31 @@ final class Uploader(store: BlobStore, process: (String, String, File) => Unit,
           val tmpDir = Files.createTempDirectory("graft-ingest")
           val tmp = new File(tmpDir.toFile, name)
           try {
-            store.fetch(key, tmp)
-            process(db, table, tmp)
-            store.delete(key)
-            true
-          } catch {
-            // claimed after the blob was already ingested+deleted by a
-            // racing worker's sweep — done, not an error
-            case _: java.io.FileNotFoundException => false
-            case _: java.nio.file.NoSuchFileException => false
+            val fetched =
+              try { store.fetch(key, tmp); true }
+              catch {
+                // ONLY the fetch gets this treatment: claimed after the
+                // blob was already ingested+deleted by a racing worker's
+                // sweep — done, not an error. A missing file INSIDE
+                // process() is a real failure and must propagate to the
+                // error-logging callers, not be silently swallowed.
+                case _: java.io.FileNotFoundException => false
+                case _: java.nio.file.NoSuchFileException => false
+              }
+            if (!fetched) false
+            else {
+              process(db, table, tmp)
+              store.delete(key)
+              true
+            }
           } finally {
             Files.deleteIfExists(tmp.toPath)
             Files.deleteIfExists(tmpDir)
           }
-        } finally claims.release(key)
+        } finally {
+          heartbeat.foreach(_.cancel(false))
+          claims.release(key, owner)
+        }
       case _ => false // not an ingest key; ignore
     }
   }

@@ -13,6 +13,12 @@ import java.nio.file.{FileAlreadyExistsException, Files, NoSuchFileException, Pa
   * at-least-once: a claimant that dies mid-batch releases nothing, its
   * lease expires, and another worker re-claims — the batch-dir
   * overwrite idempotency downstream turns that into effectively-once.
+  *
+  * All three methods take the `owner` id so expiring implementations
+  * can FENCE: renew/release only act when the claim is still held by
+  * that owner — a worker whose lease was stolen and re-claimed by a
+  * peer can neither resurrect the lease nor delete the new holder's
+  * claim.
   */
 trait ClaimQueue {
   /** Exclusively claim `key`; false if another live worker holds it. */
@@ -20,16 +26,27 @@ trait ClaimQueue {
 
   /** Release a claim (after success OR failure — failure releases so
     * the retry sweep can re-claim immediately instead of waiting out
-    * the lease). */
-  def release(key: String): Unit
+    * the lease). No-op if `owner` no longer holds the claim. */
+  def release(key: String, owner: String): Unit
+
+  /** Extend a held lease mid-batch so a slow (but alive) worker isn't
+    * stolen from. No-op where claims don't expire, and no-op if
+    * `owner` no longer holds the claim. */
+  def renew(key: String, owner: String): Unit = ()
+
+  /** How often a long-running holder should call [[renew]];
+    * None = claims never expire, no heartbeat needed. */
+  def renewIntervalMillis: Option[Long] = None
 }
 
 /** In-process claims only — the single-node default, equivalent to the
-  * Uploader's original in-flight key set. */
+  * Uploader's original in-flight key set. Claims never expire (the
+  * holder is a thread in this process; if the process dies the claims
+  * die with it), so renew is the trait's no-op. */
 final class LocalClaimQueue extends ClaimQueue {
   private val held = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   override def tryClaim(key: String, owner: String): Boolean = held.add(key)
-  override def release(key: String): Unit = held.remove(key)
+  override def release(key: String, owner: String): Unit = held.remove(key)
 }
 
 /** File-lease claims over a SHARED directory (NFS, or the same local
@@ -43,11 +60,14 @@ final class LocalClaimQueue extends ClaimQueue {
   *    renamed to a unique name first, so of N stealers exactly one
   *    rename succeeds and only that worker proceeds to re-claim — two
   *    workers can never both reclaim one expired lease;
-  *  - [[renew]] lets a long-running batch bump its marker's mtime.
+  *  - [[renew]] bumps the marker's mtime, but ONLY if the marker still
+  *    carries this owner's id — a holder whose lease was stolen and
+  *    re-claimed cannot extend the new holder's lease, and [[release]]
+  *    checks the same so it cannot delete the new holder's marker.
   *
-  * An object-store deployment swaps this for an SQS-style impl of the
-  * same two-method trait (S3 lacks atomic create-if-absent); the
-  * Uploader doesn't care. */
+  * An object-store deployment swaps this for [[CasClaimQueue]] over a
+  * conditional-PUT store (S3 lacks atomic create-if-absent on the
+  * filesystem API); the Uploader doesn't care. */
 final class FileLeaseQueue(dir: String, leaseTtlMillis: Long = 5 * 60 * 1000) extends ClaimQueue {
   private val root: Path = new File(dir).toPath
 
@@ -55,6 +75,10 @@ final class FileLeaseQueue(dir: String, leaseTtlMillis: Long = 5 * 60 * 1000) ex
     val safe = key.map(c => if (c.isLetterOrDigit || c == '_' || c == '-' || c == '.') c else '~')
     root.resolve(s"$safe.claim")
   }
+
+  private def heldBy(f: Path, owner: String): Boolean =
+    try new String(Files.readAllBytes(f), "UTF-8") == owner
+    catch { case _: java.io.IOException => false }
 
   override def tryClaim(key: String, owner: String): Boolean = {
     val f = marker(key)
@@ -81,12 +105,97 @@ final class FileLeaseQueue(dir: String, leaseTtlMillis: Long = 5 * 60 * 1000) ex
     }
   }
 
-  /** Bump the lease mtime mid-batch so a slow (but alive) ingest isn't
-    * stolen from. */
-  def renew(key: String): Unit =
-    try Files.setLastModifiedTime(marker(key),
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-    catch { case _: NoSuchFileException => }
+  override def renew(key: String, owner: String): Unit = {
+    val f = marker(key)
+    if (heldBy(f, owner)) // fencing: never extend a lease we no longer hold
+      try Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: NoSuchFileException => }
+  }
 
-  override def release(key: String): Unit = Files.deleteIfExists(marker(key))
+  /** Renew at TTL/3: two missed beats of slack before expiry. */
+  override def renewIntervalMillis: Option[Long] = Some(math.max(1L, leaseTtlMillis / 3))
+
+  override def release(key: String, owner: String): Unit = {
+    val f = marker(key)
+    if (heldBy(f, owner)) Files.deleteIfExists(f)
+  }
+}
+
+/** The minimal conditional-write KV surface an object store or KV
+  * database provides, and all [[CasClaimQueue]] needs:
+  *
+  *  - S3: `PUT If-None-Match: *` (create-if-absent) and
+  *    `If-Match: <etag>` on PUT/DELETE give exactly these three
+  *    primitives (conditional writes are standard S3 API);
+  *  - DynamoDB: `attribute_not_exists` / equality condition
+  *    expressions;
+  *  - any CP store (etcd, ZooKeeper) trivially.
+  *
+  * Every mutation is atomic w.r.t. the expected current value, which
+  * is what makes N racing workers resolve to exactly one winner. */
+trait CasStore {
+  /** Create `key`=`value` iff absent. False if the key exists. */
+  def putIfAbsent(key: String, value: String): Boolean
+  /** Current value, if the key exists. */
+  def get(key: String): Option[String]
+  /** Replace the value iff the current value == `expect` (CAS). */
+  def replaceIf(key: String, expect: String, value: String): Boolean
+  /** Delete iff the current value == `expect`. */
+  def deleteIf(key: String, expect: String): Boolean
+}
+
+/** In-memory [[CasStore]] — the test double, and the single-process
+  * reference semantics the remote impls must match. */
+final class InMemoryCasStore extends CasStore {
+  private val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  override def putIfAbsent(key: String, value: String): Boolean = m.putIfAbsent(key, value) == null
+  override def get(key: String): Option[String] = Option(m.get(key))
+  override def replaceIf(key: String, expect: String, value: String): Boolean = m.replace(key, expect, value)
+  override def deleteIf(key: String, expect: String): Boolean = m.remove(key, expect)
+}
+
+/** Claim queue over a [[CasStore]] — the blob-store-only deployment's
+  * coordination, needing NO shared POSIX directory (vs
+  * [[FileLeaseQueue]]'s NFS requirement). Semantics mirror the
+  * reference's SQS backend (/root/reference/pkg/storage/queue/sqs/):
+  * a claim is visible to exactly one worker, and the lease TTL plays
+  * the visibility timeout — an expired claim re-enters circulation.
+  *
+  * Unlike the file impl there is no mtime: the claim VALUE carries
+  * `owner` + absolute expiry, and every transition (steal, renew,
+  * release) is a compare-and-swap against the exact value last read,
+  * so of N racing stealers exactly one CAS succeeds; a holder whose
+  * lease was stolen fails its own renew/release CAS and cannot touch
+  * the new holder's claim — fencing for free. */
+final class CasClaimQueue(store: CasStore, leaseTtlMillis: Long = 5 * 60 * 1000,
+                          clock: () => Long = System.currentTimeMillis) extends ClaimQueue {
+
+  private def value(owner: String): String = s"$owner ${clock() + leaseTtlMillis}"
+  private def ownerOf(v: String): String = v.substring(0, v.lastIndexOf(' '))
+  private def expiryOf(v: String): Long = v.substring(v.lastIndexOf(' ') + 1).toLong
+
+  override def tryClaim(key: String, owner: String): Boolean =
+    if (store.putIfAbsent(key, value(owner))) true
+    else store.get(key) match {
+      case Some(cur) if expiryOf(cur) < clock() =>
+        // expired: CAS-steal against the exact stale value — one winner
+        store.replaceIf(key, cur, value(owner))
+      case Some(_) => false // live lease
+      case None    => false // released just now; next sweep gets it
+    }
+
+  override def renew(key: String, owner: String): Unit =
+    store.get(key) match {
+      case Some(cur) if ownerOf(cur) == owner => store.replaceIf(key, cur, value(owner))
+      case _ => () // stolen or released: never extend a lease we lost
+    }
+
+  override def renewIntervalMillis: Option[Long] = Some(math.max(1L, leaseTtlMillis / 3))
+
+  override def release(key: String, owner: String): Unit =
+    store.get(key) match {
+      case Some(cur) if ownerOf(cur) == owner => store.deleteIf(key, cur)
+      case _ => () // stolen or already gone: not ours to delete
+    }
 }

@@ -185,7 +185,7 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = new FileLeaseQueue(dir, leaseTtlMillis = 1000000)
     assert(q.tryClaim("k", "a"))
     assert(!q.tryClaim("k", "b"), "live lease must not be re-claimable")
-    q.release("k")
+    q.release("k", "a")
     assert(q.tryClaim("k", "b"), "released lease must be claimable")
     // the lease now ages past a short TTL: N stealers race, one wins
     Thread.sleep(150)
@@ -200,9 +200,83 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wins == 1, s"$wins stealers claimed one expired lease")
     // renew keeps a slow-but-alive worker's lease
     val holder = new FileLeaseQueue(dir, leaseTtlMillis = 300)
-    holder.release("k"); assert(holder.tryClaim("k", "slow"))
-    Thread.sleep(200); holder.renew("k"); Thread.sleep(200)
+    // the current marker belongs to whichever stealer won; age it past
+    // holder's own 300ms TTL so holder can steal it in turn
+    Thread.sleep(350)
+    assert(holder.tryClaim("k", "slow"), "expired stealer lease should be re-claimable")
+    Thread.sleep(200); holder.renew("k", "slow"); Thread.sleep(200)
     assert(!holder.tryClaim("k", "thief"), "renewed lease was stolen")
+    // fencing: renew/release under the WRONG owner must not touch the lease
+    holder.renew("k", "imposter")
+    holder.release("k", "imposter")
+    assert(!new FileLeaseQueue(dir, leaseTtlMillis = 300).tryClaim("k", "thief2"),
+      "imposter release deleted a live holder's marker")
+    holder.release("k", "slow")
+    assert(holder.tryClaim("k", "next"), "owner release must free the lease")
+  }
+
+  test("cas claim queue: live exclusive, one-of-N steal, fenced renew/release (no shared dir)") {
+    val kv = new InMemoryCasStore
+    @volatile var now = 1000000L
+    def mkQ() = new CasClaimQueue(kv, leaseTtlMillis = 1000, clock = () => now)
+    val q = mkQ()
+    assert(q.tryClaim("k", "a"))
+    assert(!q.tryClaim("k", "b"), "live lease must not be re-claimable")
+    q.release("k", "a")
+    assert(q.tryClaim("k", "b"), "released lease must be claimable")
+    // expire b's lease by advancing the clock: 8 stealers race, one CAS wins
+    now += 1500
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val wins = (1 to 8).map { i =>
+      val sq = mkQ()
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = sq.tryClaim("k", s"w$i")
+      })
+    }.count(_.get())
+    pool.shutdown()
+    assert(wins == 1, s"$wins stealers claimed one expired lease")
+    // renew pushes expiry forward so a thief can't steal a live worker's lease
+    now += 1500 // would expire the winner...
+    val winner = kv.get("k").get.split(" ").head
+    mkQ().renew("k", winner) // ...but the winner heartbeats first
+    assert(!mkQ().tryClaim("k", "thief"), "renewed lease was stolen")
+    // fencing: wrong-owner renew/release are no-ops
+    mkQ().renew("k", "imposter")
+    mkQ().release("k", "imposter")
+    assert(kv.get("k").exists(_.startsWith(winner)), "imposter touched a live holder's claim")
+    mkQ().release("k", winner)
+    assert(kv.get("k").isEmpty, "owner release must delete the claim")
+    assert(mkQ().tryClaim("k", "next"))
+  }
+
+  test("uploader heartbeats its lease: a batch slower than the TTL is never stolen mid-ingest") {
+    val base = tmpDir()
+    val store = new LocalBlobStore(s"$base/blobs")
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val processedTimes = new java.util.concurrent.atomic.AtomicInteger(0)
+    // process takes 4x the lease TTL — without the TTL/3 heartbeat the
+    // second uploader steals the lease and both write concurrently
+    def slowProcess(db: String, t: String, f: File): Unit = {
+      val n = inFlight.incrementAndGet()
+      maxInFlight.updateAndGet(m => math.max(m, n))
+      try { Thread.sleep(1200); processedTimes.incrementAndGet() }
+      finally inFlight.decrementAndGet()
+    }
+    def mkUploader() = new Uploader(store, slowProcess,
+      claims = new FileLeaseQueue(s"$base/claims", leaseTtlMillis = 300))
+    val f = new File(base, "7311209990.ndjson")
+    Files.writeString(f.toPath, "{\"v\": 1, \"__row_id\": 1}\n")
+    store.put("5/slow/7311209990.ndjson", f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val a = pool.submit(new java.util.concurrent.Callable[Int] { def call(): Int = mkUploader().retryPending() })
+    Thread.sleep(500) // a is mid-process, its original lease would have expired
+    val b = pool.submit(new java.util.concurrent.Callable[Int] { def call(): Int = mkUploader().retryPending() })
+    val (na, nb) = (a.get(), b.get()); pool.shutdown()
+    assert(processedTimes.get() == 1, s"batch processed ${processedTimes.get()} times, want exactly 1")
+    assert(maxInFlight.get() == 1, "two workers processed one batch CONCURRENTLY (lease stolen mid-ingest)")
+    assert(na + nb == 1, s"split was $na + $nb")
+    assert(store.list("").isEmpty, "blob must be deleted after the single successful process")
   }
 
   test("spool orphan recovery: open files of a dead process are closed out") {

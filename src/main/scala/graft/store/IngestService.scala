@@ -108,20 +108,38 @@ final class IngestService(spark: SparkSession, catalog: TableCatalog,
     * overwrites its batch. Two passes over the data total (inference is
     * full-scan by reference semantics), both distributed. */
   def ingestBulkFile(db: String, table: String, path: String): Unit = {
-    val text = spark.read.textFile(path)
-    val partials = text.rdd
+    val ok = ingestTextBatch(db, table, spark.read.textFile(path),
+      batchId = Some("bulk-" + new File(path).getName))
+    require(ok, s"bulk load: no data at $path")
+  }
+
+  /** Distributed infer -> evolve -> aligned append over a Dataset of raw
+    * NDJSON lines — the shared engine behind [[ingestBulkFile]] and the
+    * streaming ingest's per-micro-batch schema evolution
+    * (graft.streaming.StreamingIngest). Inference runs as per-partition
+    * partial type counts merged in partition order (same precedence and
+    * first-appearance column order as the driver line path); the driver
+    * never materializes rows. Returns false for an empty batch (nothing
+    * appended). Uses the DATASET's session, not the service's — inside
+    * `foreachBatch` the micro-batch runs on a cloned session. */
+  def ingestTextBatch(db: String, table: String,
+                      lines: org.apache.spark.sql.Dataset[String],
+                      batchId: Option[String] = None): Boolean = {
+    val sess = lines.sparkSession
+    val partials = lines.rdd
       .mapPartitionsWithIndex { (i, it) => Iterator.single(i -> SchemaInference.inferCounts(it)) }
       .collect().sortBy(_._1).map(_._2)
-    require(partials.nonEmpty, s"bulk load: no data at $path")
+    if (partials.isEmpty) return false
     val counts = partials.reduceLeft((a, b) => SchemaInference.mergeCounts(a, b))
+    if (counts.isEmpty) return false
     val types = counts.map { case (k, c) => k -> SchemaInference.resolve(c) }
     val batchSchema = SchemaInference.toStruct(types)
-    val merged = catalog.evolve(spark, db, table, batchSchema)
+    val merged = catalog.evolve(sess, db, table, batchSchema)
     val readSchema = org.apache.spark.sql.types.StructType(
       batchSchema.fields.map(f => f.copy(dataType = merged(f.name).dataType)))
-    val df = spark.read.schema(readSchema).json(path)
-    val batchId = "bulk-" + new File(path).getName
-    catalog.append(spark, db, table, df, Some(batchId))
+    val df = sess.read.schema(readSchema).json(lines)
+    catalog.append(sess, db, table, df, batchId)
+    true
   }
 
   /** Infer (full-scan, reference precedence) -> evolve catalog schema ->

@@ -4,7 +4,6 @@ import graft.store.TableCatalog
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface of the engine.
   *
@@ -33,22 +32,40 @@ import org.apache.spark.sql.types.StructType
 object StreamingIngest {
 
   /** Stream closed NDJSON spool files (`<spoolRoot>/closed/<db>/<table>`)
-    * into the catalog table. `schema` is pinned up front (file streams
-    * cannot infer per-batch; evolution happens on the batch path). */
+    * into the catalog table, with FULL schema evolution mid-stream.
+    *
+    * The stream reads raw TEXT lines (no schema pinned at start) and
+    * each micro-batch runs the exact batch-ingest dataflow —
+    * distributed inference, additive/widening catalog evolution,
+    * aligned append ([[graft.store.IngestService.ingestTextBatch]]).
+    * A new JSON key appearing in a later file is therefore INGESTED,
+    * not silently dropped, which a schema pinned at `readStream` time
+    * cannot do (Spark file streams never re-infer).
+    *
+    * Exactly-once: the file source tracks processed files in the
+    * checkpoint, and the epoch id (stable across a replay of a failed
+    * micro-batch) keys the batch directory, so a replayed epoch
+    * OVERWRITES its own output instead of duplicating it. */
   def ingestStream(spark: SparkSession, catalog: TableCatalog, db: String, table: String,
-                   closedDir: String, schema: StructType, checkpointDir: String,
+                   closedDir: String, checkpointDir: String,
                    maxFilesPerTrigger: Int = 100,
                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val in = spark.readStream
-      .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(closedDir)
+      .text(closedDir)
+    // stable per-stream prefix so two streams feeding one table can't
+    // collide on an epoch number
+    val streamTag = f"${math.abs(checkpointDir.hashCode)}%08x"
     in.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        catalog.evolve(batch.sparkSession, db, table, batch.schema)
-        catalog.append(batch.sparkSession, db, table, batch)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val sess = batch.sparkSession
+        import sess.implicits._
+        new graft.store.IngestService(sess, catalog)
+          .ingestTextBatch(db, table, batch.select("value").as[String],
+            batchId = Some(s"stream-$streamTag-$epochId"))
+        ()
       }
       .start()
   }

@@ -26,23 +26,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Files.writeString(java.nio.file.Path.of(closed, "a.ndjson"),
       "{\"u\": \"alice\", \"__row_id\": 1}\n{\"u\": \"bob\", \"__row_id\": 2}\n")
     val catalog = new TableCatalog(s"$base/tables")
-    val schema = StructType(Seq(
-      StructField("u", StringType), StructField("__row_id", LongType)))
 
-    val q1 = StreamingIngest.ingestStream(spark, catalog, "1", "ev", closed, schema,
-      s"$base/ckpt")
+    val q1 = StreamingIngest.ingestStream(spark, catalog, "1", "ev", closed, s"$base/ckpt")
     q1.awaitTermination()
     assert(catalog.read(spark, "1", "ev").count() == 2)
 
-    // second file arrives; the checkpoint means the first is not re-read
+    // second file arrives WITH A NEW COLUMN; the checkpoint means the
+    // first file is not re-read, and the new key is ingested via the
+    // evolve path rather than silently dropped
     Files.writeString(java.nio.file.Path.of(closed, "b.ndjson"),
-      "{\"u\": \"carol\", \"__row_id\": 3}\n")
-    val q2 = StreamingIngest.ingestStream(spark, catalog, "1", "ev", closed, schema,
-      s"$base/ckpt")
+      "{\"u\": \"carol\", \"lang\": \"en\", \"__row_id\": 3}\n")
+    val q2 = StreamingIngest.ingestStream(spark, catalog, "1", "ev", closed, s"$base/ckpt")
     q2.awaitTermination()
     val rows = catalog.read(spark, "1", "ev").orderBy("__row_id")
-      .select("u").collect().map(_.getString(0)).toSeq
-    assert(rows == Seq("alice", "bob", "carol"))
+      .select("u", "lang").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("alice", null), ("bob", null), ("carol", "en")))
+  }
+
+  test("ingestStream: schema evolves MID-STREAM — new and widened columns never dropped") {
+    val base = Files.createTempDirectory("graft-stream-evo").toString
+    val closed = s"$base/closed/1/evo"
+    new java.io.File(closed).mkdirs()
+    val catalog = new TableCatalog(s"$base/tables")
+    // long-running stream (processing-time trigger), files appear over time
+    val q = StreamingIngest.ingestStream(spark, catalog, "1", "evo", closed,
+      s"$base/ckpt", trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      Files.writeString(java.nio.file.Path.of(closed, "a.ndjson"),
+        "{\"v\": 1, \"__row_id\": 1}\n")
+      q.processAllAvailable()
+      assert(catalog.schema("1", "evo").get("v").dataType == LongType)
+      // mid-stream: a NEW column appears and v WIDENS long -> double
+      Files.writeString(java.nio.file.Path.of(closed, "b.ndjson"),
+        "{\"v\": 2.5, \"lang\": \"fr\", \"__row_id\": 2}\n")
+      q.processAllAvailable()
+    } finally q.stop()
+    val sch = catalog.schema("1", "evo").get
+    assert(sch("v").dataType == DoubleType, "v must widen long -> double mid-stream")
+    assert(sch.fieldNames.contains("lang"), "new mid-stream column must be ingested")
+    val rows = catalog.read(spark, "1", "evo").orderBy("__row_id")
+      .select("v", "lang").collect()
+      .map(r => (r.getDouble(0), r.getString(1))).toSeq
+    assert(rows == Seq((1.0, null), (2.5, "fr")))
   }
 
   test("windowedCounts: tumbling windows with watermark over a memory stream") {

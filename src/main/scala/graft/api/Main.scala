@@ -20,6 +20,48 @@ import java.util.concurrent.{Executors, TimeUnit}
   *   sbt "runMain graft.api.Main"   # PORT, GRAFT_DATA, GRAFT_API_KEY env
   */
 object Main {
+
+  /** Env-selected blob store + claim queue — the reference's config-keyed
+    * `NewBlobStore` switch (/root/reference/pkg/storage/blobstore/
+    * blobstore.go:16-25) surfaced as environment variables, so a
+    * two-node deployment is a config change, not a Scala edit:
+    *
+    *   GRAFT_BLOB_TYPE    local (default) | s3 | hadoop
+    *   GRAFT_BLOB_ROOT               local: store root (default <data>/blobs)
+    *   GRAFT_BLOB_URI                hadoop: any FileSystem URI (gs://, hdfs://, file://)
+    *   GRAFT_BLOB_BUCKET/PREFIX/ACCESS_KEY_ID/SECRET_ACCESS_KEY/
+    *   GRAFT_BLOB_ENDPOINT/REGION    s3: reference's mapstructure keys (s3.go:17-22)
+    *   GRAFT_CLAIM_QUEUE  local (default) | file-lease:<shared-dir>
+    *   GRAFT_LEASE_TTL_MS lease TTL for file-lease claims (default 5 min)
+    *
+    * `hadoopConf` is by-name: the local/local path never touches it, so
+    * tests and single-node boots need no Hadoop configuration at all. */
+  def storesFromEnv(env: Map[String, String], dataDir: String,
+                    hadoopConf: => org.apache.hadoop.conf.Configuration): (BlobStore, ClaimQueue) = {
+    val settingKeys = Seq(
+      "root" -> "GRAFT_BLOB_ROOT", "uri" -> "GRAFT_BLOB_URI",
+      "bucket" -> "GRAFT_BLOB_BUCKET", "prefix" -> "GRAFT_BLOB_PREFIX",
+      "access_key_id" -> "GRAFT_BLOB_ACCESS_KEY_ID",
+      "secret_access_key" -> "GRAFT_BLOB_SECRET_ACCESS_KEY",
+      "endpoint" -> "GRAFT_BLOB_ENDPOINT", "region" -> "GRAFT_BLOB_REGION")
+    val settings0 = settingKeys.flatMap { case (k, e) => env.get(e).map(k -> _) }.toMap
+    val blobType = env.getOrElse("GRAFT_BLOB_TYPE", "local")
+    val store = blobType match {
+      case "local" =>
+        new LocalBlobStore(settings0.getOrElse("root", s"$dataDir/blobs"))
+      case t => BlobStore.forConfig(t, settings0, hadoopConf)
+    }
+    val ttl = env.getOrElse("GRAFT_LEASE_TTL_MS", (5 * 60 * 1000).toString).toLong
+    val claims = env.getOrElse("GRAFT_CLAIM_QUEUE", "local") match {
+      case "local" => new LocalClaimQueue
+      case s if s.startsWith("file-lease:") =>
+        new FileLeaseQueue(s.stripPrefix("file-lease:"), ttl)
+      case other => throw new IllegalArgumentException(
+        s"unknown claim queue: $other (want local | file-lease:<dir>)")
+    }
+    (store, claims)
+  }
+
   def main(args: Array[String]): Unit = {
     val port = sys.env.getOrElse("PORT", "8080").toInt
     val dataDir = sys.env.getOrElse("GRAFT_DATA", "/tmp/graft-data")
@@ -41,10 +83,12 @@ object Main {
     // created destinations never alias it
     val meta = new MetaStore(dataDir, reservedIds = Set(1L))
     val ingest = new IngestService(spark, catalog)
-    val blobs = new LocalBlobStore(s"$dataDir/blobs")
+    // blob store + claim queue from env: local single-node by default, a
+    // shared object store + cross-process leases when configured
+    val (blobs, claims) = storesFromEnv(sys.env, dataDir, spark.sparkContext.hadoopConfiguration)
     val ingestWorkers = sys.env.getOrElse("GRAFT_INGEST_WORKERS", "2").toInt
     val uploader = new Uploader(blobs, (db, table, f) => ingest.ingestFile(db, table, f),
-      workers = ingestWorkers)
+      workers = ingestWorkers, claims = claims)
 
     // finish any half-done schema migration before serving reads
     // (static tenant "1" plus every dynamically created destination)

@@ -279,6 +279,36 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.list("").isEmpty, "blob must be deleted after the single successful process")
   }
 
+  test("multi-node boot from env only: hadoop blob store + file-lease claims, end-to-end") {
+    val base = tmpDir()
+    val env = Map(
+      "GRAFT_BLOB_TYPE" -> "hadoop",
+      "GRAFT_BLOB_URI" -> s"file://$base/blobs",
+      "GRAFT_CLAIM_QUEUE" -> s"file-lease:$base/claims",
+      "GRAFT_LEASE_TTL_MS" -> "60000")
+    val (store, claims) = graft.api.Main.storesFromEnv(env, base,
+      new org.apache.hadoop.conf.Configuration())
+    assert(store.isInstanceOf[HadoopBlobStore])
+    assert(claims.isInstanceOf[FileLeaseQueue])
+    val cat = new TableCatalog(s"$base/tables")
+    val ingest = new IngestService(spark, cat)
+    val up = new Uploader(store, (db, t, f) => ingest.ingestFile(db, t, f), claims = claims)
+    val f = new File(base, "7311209995.ndjson")
+    Files.writeString(f.toPath, "{\"a\": 7, \"__row_id\": 1}\n")
+    up.accept("6", "boot", f)
+    assert(cat.read(spark, "6", "boot").count() == 1)
+    assert(store.list("").isEmpty)
+    // defaults: local store under <data>/blobs + local claims
+    val (dstore, dclaims) = graft.api.Main.storesFromEnv(Map.empty, base,
+      sys.error("default local path must not touch hadoop conf"))
+    assert(dstore.isInstanceOf[LocalBlobStore])
+    assert(dclaims.isInstanceOf[LocalClaimQueue])
+    intercept[IllegalArgumentException] {
+      graft.api.Main.storesFromEnv(Map("GRAFT_CLAIM_QUEUE" -> "sqs"), base,
+        new org.apache.hadoop.conf.Configuration())
+    }
+  }
+
   test("spool orphan recovery: open files of a dead process are closed out") {
     val base = tmpDir()
     var handed = Vector.empty[String]

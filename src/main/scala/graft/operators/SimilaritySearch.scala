@@ -38,11 +38,21 @@ object SimilaritySearch {
   // ANN queries over one corpus pays the row-count scan and the dim
   // probe ONCE per epoch, not per query — at 100 TB a count per lookup
   // is a full metadata pass per lookup.
-  private def lruCache[K, V](cap: Int): java.util.Map[K, V] =
+  // Values are memoized LAZY cells: the LRU map's lock is held only for
+  // the (cheap) cell insertion, never for the Spark job inside — two
+  // callers of the SAME key share one compute (the cell's lazy val
+  // blocks the second until the first finishes, which is the dedup we
+  // want), while DIFFERENT keys — other corpora, other epochs — never
+  // block each other or cache hits. A failed compute propagates and is
+  // retried on next access (lazy init failure leaves the cell blank).
+  private[graft] final class Memo[V](thunk: () => V) { lazy val value: V = thunk() }
+  private[graft] def lruCache[K, V](cap: Int): java.util.Map[K, Memo[V]] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[K, V](64, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean = size() > cap
+      new java.util.LinkedHashMap[K, Memo[V]](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, Memo[V]]): Boolean = size() > cap
       })
+  private[graft] def memoize[K, V](cache: java.util.Map[K, Memo[V]], key: K)(compute: => V): V =
+    cache.computeIfAbsent(key, _ => new Memo(() => compute)).value
   private val countCache = lruCache[(LogicalPlan, Long), Long](256)
   private val dimCache = lruCache[(LogicalPlan, Long, String), Int](256)
   private def planKey(df: DataFrame): LogicalPlan = df.queryExecution.analyzed.canonicalized
@@ -53,18 +63,17 @@ object SimilaritySearch {
     * never get here. */
   def corpusRowCount(corpus: DataFrame): Long =
     corpus.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong).getOrElse {
-      countCache.computeIfAbsent((planKey(corpus), graft.core.DataEpoch.current),
-        _ => corpus.count())
+      memoize(countCache, (planKey(corpus), graft.core.DataEpoch.current))(corpus.count())
     }
 
   /** Embedding dim of the first non-empty vector (one LocalLimit job,
     * cached per (corpus plan, data epoch)). */
   def dimOf(df: DataFrame, vecCol: String): Int =
-    dimCache.computeIfAbsent((planKey(df), graft.core.DataEpoch.current, vecCol), { _ =>
+    memoize(dimCache, (planKey(df), graft.core.DataEpoch.current, vecCol)) {
       val head = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0).head(1)
       require(head.nonEmpty, s"cannot derive embedding dim: no non-empty vectors in $vecCol")
       head.head.getInt(0)
-    })
+    }
 
   /** Exact top-k by cosine similarity against one query vector. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,

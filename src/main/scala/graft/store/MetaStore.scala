@@ -32,9 +32,14 @@ final case class Share(uuid: String, db: String, query: String, expiresAtMillis:
   */
 final class MetaStore(rootDir: String, reservedIds: Set[Long] = Set.empty) {
   private val file = new File(rootDir, "metadata.json")
-  private var destinations = Vector.empty[Destination]
-  private var keys = Map.empty[String, String] // sha256(key) -> db id
-  private var shares = Map.empty[String, Share]
+  // @volatile immutable snapshots: READS (every authenticated request
+  // resolves a key; shares are read on every replay) take no lock at
+  // all — they see the latest published snapshot. WRITERS serialize on
+  // the monitor, mutate, and publish by reassigning the field; the
+  // save() full-file rewrite therefore never blocks an auth read.
+  @volatile private var destinations = Vector.empty[Destination]
+  @volatile private var keys = Map.empty[String, String] // sha256(key) -> db id
+  @volatile private var shares = Map.empty[String, Share]
   load()
 
   def sha256(s: String): String = MetaStore.sha256(s)
@@ -52,10 +57,10 @@ final class MetaStore(rootDir: String, reservedIds: Set[Long] = Set.empty) {
     d
   }
 
-  def listDestinations: Seq[Destination] = synchronized(destinations)
+  def listDestinations: Seq[Destination] = destinations // volatile snapshot, no lock
 
   def destinationExists(id: String): Boolean =
-    synchronized(destinations.exists(_.id.toString == id))
+    destinations.exists(_.id.toString == id)
 
   /** Mint a new API key for a destination; returns the plaintext key,
     * which is shown once and stored only as a SHA-256 hash
@@ -67,7 +72,10 @@ final class MetaStore(rootDir: String, reservedIds: Set[Long] = Set.empty) {
     key
   }
 
-  def resolveKey(hashedKey: String): Option[String] = synchronized(keys.get(hashedKey))
+  /** Hot path (every authenticated request): a lock-free snapshot read,
+    * deliberately NOT on the monitor that save()'s full JSON rewrite
+    * holds. */
+  def resolveKey(hashedKey: String): Option[String] = keys.get(hashedKey)
 
   // -- shares ---------------------------------------------------------
 
@@ -78,14 +86,17 @@ final class MetaStore(rootDir: String, reservedIds: Set[Long] = Set.empty) {
     uuid
   }
 
-  /** Live share or None; expired entries are evicted on access. */
-  def getShare(uuid: String): Option[Share] = synchronized {
+  /** Live share or None; expired entries are evicted on access. The
+    * live/missing cases are lock-free snapshot reads; only an eviction
+    * takes the writer monitor (re-checking under it). */
+  def getShare(uuid: String): Option[Share] =
     shares.get(uuid) match {
       case Some(s) if s.expiresAtMillis > System.currentTimeMillis() => Some(s)
-      case Some(_) => shares -= uuid; save(); None
+      case Some(_) =>
+        synchronized { if (shares.contains(uuid)) { shares -= uuid; save() } }
+        None
       case None => None
     }
-  }
 
   /** Drop all expired share links (the reference deletes them on a
     * sweep); returns how many were evicted. */

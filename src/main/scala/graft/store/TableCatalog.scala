@@ -128,16 +128,23 @@ final class TableCatalog(rootDir: String) {
   private def parquetFiles(db: String, table: String): Seq[File] = {
     val d = dataDir(db, table)
     if (!d.exists()) return Seq.empty
-    import scala.jdk.CollectionConverters._
-    Files.walk(d.toPath).iterator().asScala
-      .filter { p =>
-        val rel = d.toPath.relativize(p)
-        !(0 until rel.getNameCount).exists { i =>
-          val s = rel.getName(i).toString
-          s.startsWith("_") || s.startsWith(".")
+    // manual walk, NOT Files.walk: hidden dirs are pruned BEFORE descent
+    // (Files.walk traverses into `_temporary` even when the filter drops
+    // its entries, and throws NoSuchFileException when the in-flight
+    // append commits and the staging dir vanishes mid-walk), and a
+    // directory vanishing between list and descend reads as empty — the
+    // compactor racing live appends must never crash on staging churn.
+    val out = Seq.newBuilder[File]
+    def walk(dir: File): Unit =
+      Option(dir.listFiles()).getOrElse(Array.empty[File]).foreach { f =>
+        val n = f.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (f.isDirectory) walk(f)
+          else if (n.endsWith(".parquet")) out += f
         }
       }
-      .map(_.toFile).filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+    walk(d)
+    out.result()
   }
 
   private def hasData(db: String, table: String): Boolean = parquetFiles(db, table).nonEmpty

@@ -344,6 +344,39 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "stale cached count survived an epoch bump")
   }
 
+  test("metadata cache: a slow compute on one key never blocks other keys; same key shares one compute") {
+    val cache = SimilaritySearch.lruCache[String, Int](16)
+    val aStarted = new java.util.concurrent.CountDownLatch(1)
+    val aRelease = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // key "a": compute blocks until released (a long corpus.count stand-in)
+    val fa = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = SimilaritySearch.memoize(cache, "a") {
+        aStarted.countDown(); aRelease.await(); 1
+      }
+    })
+    assert(aStarted.await(5, java.util.concurrent.TimeUnit.SECONDS))
+    // while "a" is mid-compute, "b" must compute and return immediately —
+    // the old synchronizedMap.computeIfAbsent held the cache mutex for
+    // the whole compute and would deadlock-wait here
+    val fb = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = SimilaritySearch.memoize(cache, "b")(2)
+    })
+    assert(fb.get(5, java.util.concurrent.TimeUnit.SECONDS) == 2,
+      "an unrelated key was blocked behind another key's compute")
+    assert(!fa.isDone, "slow compute should still be running")
+    aRelease.countDown()
+    assert(fa.get(5, java.util.concurrent.TimeUnit.SECONDS) == 1)
+    // same-key concurrency: N callers, exactly one compute
+    val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val results = (1 to 4).map(_ => pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = SimilaritySearch.memoize(cache, "c") { runs.incrementAndGet(); 3 }
+    })).map(_.get(5, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(results.forall(_ == 3) && runs.get() == 1,
+      s"same-key compute ran ${runs.get()} times, want exactly 1")
+  }
+
   test("lsh_bucket throws on mixed-dim corpus instead of silently returning empty") {
     import spark.implicits._
     val df = Seq((0L, Seq.fill(32)(0.5f)), (1L, Seq.fill(16)(0.5f))).toDF("vec_id", "embedding")

@@ -574,6 +574,23 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exec.execute("9", "select count(*) as n from keepme").collect().head.getLong(0) == 1)
   }
 
+  test("metastore: auth reads are lock-free — resolveKey answers while a writer holds the monitor") {
+    val m = new MetaStore(tmpDir())
+    val key = m.addKey("9")
+    val ex = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try m.synchronized { // a writer mid-save() holds exactly this monitor
+      val f = ex.submit(new java.util.concurrent.Callable[Option[String]] {
+        def call(): Option[String] = m.resolveKey(MetaStore.sha256(key))
+      })
+      assert(f.get(2, java.util.concurrent.TimeUnit.SECONDS).contains("9"),
+        "resolveKey blocked behind the writer monitor")
+      val g = ex.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = m.listDestinations.isEmpty && !m.destinationExists("1")
+      })
+      assert(g.get(2, java.util.concurrent.TimeUnit.SECONDS))
+    } finally ex.shutdown()
+  }
+
   test("metastore: destinations, keys and shares persist across reopen") {
     val base = tmpDir()
     val m1 = new MetaStore(base, reservedIds = Set(1L))

@@ -53,23 +53,63 @@ object Multimodal {
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = true)))
 
   /** Decode + feature-extract, batched per partition (mapInPandas
-    * analogue). A real implementation replaces `decodeStub` only. */
+    * analogue). IMAGES decode for real (pure-JVM ImageIO: PNG/JPEG/GIF/
+    * BMP); bytes that aren't a decodable image — and all audio/video,
+    * which have no pure-JVM codec in this container — fall through to
+    * the deterministic stub with the same signature, so the plan shape
+    * is identical either way. */
   def decodeAndFeaturize(assets: DataFrame, featureDim: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
     assets.select("asset_id", "kind", "bytes").mapPartitions { it =>
       it.map { row =>
         val id = row.getLong(0); val kind = row.getString(1)
         val bytes = if (row.isNullAt(2)) Array.empty[Byte] else row.getAs[Array[Byte]](2)
-        val (w, h, frames, feats) = decodeStub(kind, bytes, featureDim)
+        val (w, h, frames, feats) =
+          (if (kind == "image") decodeImage(bytes, featureDim) else None)
+            .getOrElse(decodeStub(kind, bytes, featureDim))
         Row(id, kind, w, h, frames, feats)
       }
     }(enc)
   }
 
+  /** REAL image decode: `javax.imageio.ImageIO` (in every JVM — no
+    * native deps) reads PNG/JPEG/GIF/BMP payloads; width/height are the
+    * actual pixel dimensions and the feature vector is a normalized
+    * `dim`-bucket luminance histogram sampled on a <=64x64 grid — a
+    * deterministic, content-derived embedding (near-dup image pairs land
+    * near each other in cosine space). Returns None when the bytes
+    * aren't a decodable image, letting the caller fall back to the
+    * stub. */
+  private[multimodal] def decodeImage(bytes: Array[Byte], dim: Int): Option[(Int, Int, Int, Seq[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val stepX = math.max(1, w / 64); val stepY = math.max(1, h / 64)
+        val hist = new Array[Float](dim)
+        var total = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+            hist(math.min(dim - 1, lum * dim / 256)) += 1f
+            total += 1
+            x += stepX
+          }
+          y += stepY
+        }
+        Some((w, h, 1, hist.map(_ / math.max(1, total)).toSeq))
+      }
+    } catch { case _: Exception => None }
+
   /** ======== STUB ========
     * Deterministic fake "decode": dimensions and features derived from
-    * the payload hash. Replace with a real codec (JNI/ffmpeg/ImageIO)
-    * keeping the same signature. */
+    * the payload hash. Audio/video stay here until a real codec
+    * (JNI/ffmpeg) is available; images only reach this when the bytes
+    * aren't decodable. */
   private def decodeStub(kind: String, bytes: Array[Byte], dim: Int): (Int, Int, Int, Seq[Float]) = {
     val h = Fingerprint64.hash(bytes)
     val width = 64 + math.floorMod(h, 512).toInt

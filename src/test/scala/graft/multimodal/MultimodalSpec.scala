@@ -37,6 +37,33 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decodeAndFeaturize: REAL PNG bytes decode to true dimensions + luminance features") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (10L, "image", png(120, 80, 0xFFFFFF)), // white
+      (11L, "image", png(33, 47, 0x000000)),  // black
+      (12L, "image", "not an image".getBytes("UTF-8"))) // undecodable -> stub
+      .toDF("asset_id", "kind", "bytes")
+    val out = Multimodal.decodeAndFeaturize(df, featureDim = 8).orderBy("asset_id").collect()
+    // true pixel dimensions, not hash-derived fakes
+    assert(out(0).getInt(2) == 120 && out(0).getInt(3) == 80)
+    assert(out(1).getInt(2) == 33 && out(1).getInt(3) == 47)
+    // luminance histogram: all-white mass in the top bucket, all-black in
+    // the bottom; normalized to 1
+    val wf = out(0).getSeq[Float](5); val bf = out(1).getSeq[Float](5)
+    assert(math.abs(wf.sum - 1.0) < 1e-3 && wf(7) > 0.99f, s"white hist: $wf")
+    assert(math.abs(bf.sum - 1.0) < 1e-3 && bf(0) > 0.99f, s"black hist: $bf")
+    // undecodable bytes keep the stub's deterministic contract
+    assert(out(2).getInt(2) >= 64 && out(2).getSeq[Float](5).length == 8)
+  }
+
   test("sampleFrames: every-nth chunk explode with correct counts and sizes") {
     val assets = Multimodal.assetsFromDocuments(docs())
     val frames = Multimodal.sampleFrames(assets, chunkBytes = 64, everyNth = 4)

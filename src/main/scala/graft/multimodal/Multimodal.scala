@@ -80,8 +80,20 @@ object Multimodal {
     * near each other in cosine space). Returns None when the bytes
     * aren't a decodable image, letting the caller fall back to the
     * stub. */
+  /** Magic-byte sniff (PNG/JPEG/GIF/BMP) so non-image payloads skip the
+    * ImageIO reader search entirely — at corpus scale the undecodable
+    * fallback must cost a few byte compares, not a codec probe per
+    * row. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
   private[multimodal] def decodeImage(bytes: Array[Byte], dim: Int): Option[(Int, Int, Int, Seq[Float])] =
-    try {
+    if (!looksLikeImage(bytes)) None
+    else try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) None
       else {

@@ -86,10 +86,22 @@ object SimilaritySearch {
   }
 
   /** Plane count sized to the corpus: buckets shrink until the expected
-    * probed-candidate pool is ~8k vectors (probing 1+p buckets of
-    * n/2^p). Too many planes on a small corpus scatters everything into
-    * empty buckets (recall collapse); too few on a big one stops
-    * pruning. Clamped to [1, 24]. */
+    * HOME bucket holds ~8k vectors, so one table's probed pool (1+p
+    * buckets) is ~8k(1+p) and the default 4-table union is ~4x that.
+    * Too many planes on a small corpus scatters everything into empty
+    * buckets (recall collapse); too few on a big one stops pruning.
+    * Clamped to [1, 24].
+    *
+    * Sizing rationale (seeded sweeps, see OperatorsSpec recall tests):
+    * per-table Hamming<=1 probing loses recall once a plane count's
+    * per-bit flip probability x p exceeds ~1, so recall is bought with
+    * TABLES, not wider probing — at the q51/q52 test shapes (200-500
+    * row corpora, 16-64 dims, auto p in [2,3]) one table measures
+    * r ~= 0.68-0.90 and the 4-table union >= 0.9; the same union holds
+    * >= 0.9 on a clustered corpus at auto settings. At 100 TB the knobs
+    * separate cleanly: nPlanes tracks corpus growth (log2(n/8k)),
+    * nTables stays the recall dial (4 default; raise for tighter
+    * floors, drop to 1-2 for cheap coarse retrieval). */
   def autoPlanes(corpusSize: Long, k: Int): Int = {
     val target = math.max(8.0 * k, 1.0)
     val p = math.floor(math.log(corpusSize.toDouble / target) / math.log(2.0)).toInt
@@ -104,30 +116,42 @@ object SimilaritySearch {
   }
 
   /** ANN top-k: scan only the query's bucket and its 1-bit-flip
-    * neighbors (multi-probe), then exact cosine within the probed set.
-    * `nPlanes = 0` (default) sizes the plane count from the corpus
-    * ([[autoPlanes]]) — a tiny corpus degrades gracefully toward exact
-    * scan instead of scattering into thousands of empty buckets. Pass
-    * `corpusSize` when you know it (or fix `nPlanes`) to avoid even the
-    * one cached sizing count. */
+    * neighbors (multi-probe) in each of `nTables` independent hash
+    * tables, then exact cosine within the probed union.
+    *
+    * `nTables` is the RECALL knob (classic LSH: a neighbor missed by
+    * one table's buckets is caught by another's — recall compounds as
+    * 1-(1-r)^L while probed volume grows only linearly in L), measured
+    * against the per-table pruning that `nPlanes` controls. All tables
+    * are evaluated in ONE scan (the filter is an OR of per-table
+    * bucket predicates), so extra tables cost dot products, not extra
+    * passes. `nPlanes = 0` (default) sizes the plane count from the
+    * corpus ([[autoPlanes]]) — a tiny corpus degrades gracefully toward
+    * exact scan instead of scattering into thousands of empty buckets.
+    * Pass `corpusSize` when you know it (or fix `nPlanes`) to avoid
+    * even the one cached sizing count. */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
               query: Array[Float], k: Int, nPlanes: Int = 0, seed: Long = 42L,
-              corpusSize: Long = -1L): DataFrame = {
+              corpusSize: Long = -1L, nTables: Int = 4): DataFrame = {
     val p = if (nPlanes > 0) nPlanes
             else autoPlanes(if (corpusSize >= 0) corpusSize else corpusRowCount(corpus), k)
-    val planes = makePlanes(p, query.length, seed)
-    val qBucket = bucketOf(query, planes, p)
-    val probes = qBucket +: (0 until p).map(b => qBucket ^ (1 << b))
-    val bucketed = corpus.withColumn("bucket",
-      lsh_bucket(col(vecCol), planes, p))
-    bruteForceTopK(bucketed.filter(col("bucket").isin(probes: _*)), idCol, vecCol, query, k)
+    val inProbedBuckets = (0 until math.max(1, nTables)).map { t =>
+      val planes = makePlanes(p, query.length, seed + 7919L * t)
+      val qBucket = bucketOf(query, planes, p)
+      val probes = qBucket +: (0 until p).map(b => qBucket ^ (1 << b))
+      lsh_bucket(col(vecCol), planes, p).isin(probes: _*)
+    }.reduce(_ || _)
+    bruteForceTopK(corpus.filter(inProbedBuckets), idCol, vecCol, query, k)
   }
 
   /** k-NN join: top-k corpus neighbors for EVERY query row. Exact
     * variant (crossJoin) for validation; the approximate path is the
     * scalable shape:
+    *  - `nTables` INDEPENDENT HASH TABLES: the recall knob (see
+    *    [[annTopK]]) — candidate volume grows linearly in L, recall
+    *    loss decays geometrically;
     *  - MULTI-PROBE: each query probes its own LSH bucket plus every
-    *    1-bit-flip neighbor (like [[annTopK]]), so true neighbors just
+    *    1-bit-flip neighbor per table, so true neighbors just
     *    across one hyperplane stay reachable;
     *  - SKEW CAP: corpus buckets holding more than `maxBucketSize`
     *    vectors are dropped (clustered/zero vectors would otherwise make
@@ -139,7 +163,8 @@ object SimilaritySearch {
     * skip the cached sizing count. */
   def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, exact: Boolean = false, nPlanes: Int = 0,
-              corpusSize: Long = -1L, maxBucketSize: Int = 10000): DataFrame = {
+              corpusSize: Long = -1L, maxBucketSize: Int = 10000,
+              nTables: Int = 4, seed: Long = 42L): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
     val paired =
@@ -147,18 +172,25 @@ object SimilaritySearch {
       else {
         val p = if (nPlanes > 0) nPlanes
                 else autoPlanes(if (corpusSize >= 0) corpusSize else corpusRowCount(corpus), k)
-        val planes = makePlanes(p, dimOf(corpus, vecCol), 42L)
-        val cb = c.select(col("neighbor_id"),
-          lsh_bucket(col("neighbor_vec"), planes, p).as("bucket"))
-        // hot-bucket guard: the size table is at most 2^p rows (tiny)
-        val okBuckets = cb.groupBy("bucket").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= maxBucketSize).select("bucket")
-        val probes = q.select(col("query_id"),
-            lsh_bucket(col("query_vec"), planes, p).as("bucket"))
-          .select(col("query_id"), explode(array(
+        val nt = math.max(1, nTables)
+        val dim = dimOf(corpus, vecCol)
+        // `nTables` independent hash tables: a neighbor missed by one
+        // table's probes is caught by another's (recall 1-(1-r)^L for
+        // linear candidate cost — the standard LSH recall knob). Both
+        // sides bucket once per table via ONE posexplode (no extra
+        // scans); candidates join on (table, bucket).
+        val tablePlanes = (0 until nt).map(t => makePlanes(p, dim, seed + 7919L * t))
+        def buckets(vec: org.apache.spark.sql.Column) =
+          posexplode(array(tablePlanes.map(pl => lsh_bucket(vec, pl, p)): _*))
+        val cb = c.select(col("neighbor_id"), buckets(col("neighbor_vec")).as(Seq("tbl", "bucket")))
+        // hot-bucket guard: the size table is at most nTables * 2^p rows
+        val okBuckets = cb.groupBy("tbl", "bucket").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize).select("tbl", "bucket")
+        val probes = q.select(col("query_id"), buckets(col("query_vec")).as(Seq("tbl", "bucket")))
+          .select(col("query_id"), col("tbl"), explode(array(
             col("bucket") +: (0 until p).map(b => col("bucket").bitwiseXOR(lit(1 << b))): _*)).as("bucket"))
         val candidates = probes
-          .join(cb.join(okBuckets, "bucket"), "bucket")
+          .join(cb.join(okBuckets, Seq("tbl", "bucket")), Seq("tbl", "bucket"))
           .select("query_id", "neighbor_id").distinct()
         candidates.join(q, "query_id").join(c, "neighbor_id")
       }

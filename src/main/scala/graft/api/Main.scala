@@ -128,6 +128,10 @@ object Main {
               val (before, after) = catalog.compact(spark, db, t)
               println(s"[compact] $db.$t: $before -> $after files")
             }
+            // surface permanent fragment loss that the read path's
+            // ignoreMissingFiles would otherwise mask as quiet row loss
+            catalog.missingFragments(db, t).foreach(f =>
+              System.err.println(s"[integrity] $db.$t: fragment VANISHED outside any catalog operation: $f"))
           }
         }
       } catch { case e: Exception => System.err.println(s"[sweep] ${e.getMessage}") }

@@ -167,6 +167,7 @@ final class TableCatalog(rootDir: String) {
       Files.move(dir.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE)
       Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
       deleteRecursive(old.toPath)
+      refreshFragmentBaseline(db, table) // the migrate rewrote every fragment
     }
 
   /** Compact a table's parquet fragments: every ingest batch appends one
@@ -225,6 +226,7 @@ final class TableCatalog(rootDir: String) {
         } else false
       }
       if (!committed) { deleteRecursive(tmp.toPath); return (files.length, files.length) }
+      refreshFragmentBaseline(db, table) // the rewrite legitimately removed inputs
       bump(db)
       (files.length, parquetFiles(db, table).length)
     } finally cl.unlock()
@@ -353,7 +355,32 @@ final class TableCatalog(rootDir: String) {
           aligned.write.mode("append").parquet(dataDir(db, table).getAbsolutePath)
       }
     }
+    refreshFragmentBaseline(db, table) // overwrite legitimately replaces files
     bump(db)
+  }
+
+  // --- missing-fragment surfacing ------------------------------------
+  // read()'s ignoreMissingFiles keeps a query alive across a compact
+  // commit, but the same option would mask PERMANENT loss (disk
+  // corruption, accidental rm) as silent row loss on every read. The
+  // catalog therefore remembers the fragment listing it last saw per
+  // table; fragments that vanish WITHOUT a catalog mutation (mutations
+  // refresh the baseline) are returned by [[missingFragments]], which
+  // the server's sweeper logs loudly.
+  private val lastSeenFragments =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Set[String]]()
+
+  private def refreshFragmentBaseline(db: String, table: String): Unit =
+    lastSeenFragments.put((db, table), parquetFiles(db, table).map(_.getAbsolutePath).toSet)
+
+  /** Fragments present at the previous call that have since vanished
+    * without a legitimate catalog mutation — the quiet-row-loss case
+    * ignoreMissingFiles would otherwise hide forever. The baseline
+    * advances to the current listing on every call. */
+  def missingFragments(db: String, table: String): Seq[String] = {
+    val now = parquetFiles(db, table).map(_.getAbsolutePath).toSet
+    val prev = Option(lastSeenFragments.put((db, table), now)).getOrElse(now)
+    (prev -- now).toSeq.sorted
   }
 
   /** Read a table as a DataFrame with the pinned schema (missing columns
@@ -364,7 +391,8 @@ final class TableCatalog(rootDir: String) {
     * read (that one in-flight query misses the swapped fragments' rows;
     * the next read lists the compacted file and sees everything) — the
     * same read-uncommitted-snapshot semantics the append path already
-    * has, and the standard Spark setting for compacting layouts. */
+    * has, and the standard Spark setting for compacting layouts.
+    * Permanent loss is surfaced by [[missingFragments]], not here. */
   def read(spark: SparkSession, db: String, table: String): DataFrame = {
     val st = schema(db, table).getOrElse(
       throw new IllegalArgumentException(s"no such table: $db.$table"))
@@ -387,6 +415,7 @@ final class TableCatalog(rootDir: String) {
 
   def dropTable(db: String, table: String): Boolean = {
     schemas.remove((db, table))
+    lastSeenFragments.remove((db, table))
     bump(db)
     val dir = tableDir(db, table)
     if (dir.exists()) { deleteRecursive(dir.toPath); true } else false

@@ -574,6 +574,29 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exec.execute("9", "select count(*) as n from keepme").collect().head.getLong(0) == 1)
   }
 
+  test("missingFragments surfaces externally-deleted files; catalog mutations never false-positive") {
+    val cat = new TableCatalog(tmpDir())
+    val ingest = new IngestService(spark, cat)
+    (1 to 3).foreach(i => ingest.ingestLines("m", "frag", Seq(s"""{"v": $i, "__row_id": $i}"""),
+      batchId = Some(s"b$i")))
+    assert(cat.missingFragments("m", "frag").isEmpty) // baseline
+    // compact removes inputs LEGITIMATELY: no false positive
+    cat.compact(spark, "m", "frag")
+    assert(cat.missingFragments("m", "frag").isEmpty,
+      "compact-removed fragments must not be reported as lost")
+    // widening migrate rewrites everything: also clean
+    ingest.ingestLines("m", "frag", Seq("""{"v": 4.5, "__row_id": 4}"""), batchId = Some("b4"))
+    assert(cat.missingFragments("m", "frag").isEmpty)
+    // ...but a fragment deleted OUTSIDE the catalog is surfaced
+    val files = cat.read(spark, "m", "frag").inputFiles
+    val path = new java.net.URI(files.head).getPath
+    Files.delete(java.nio.file.Path.of(path))
+    val missing = cat.missingFragments("m", "frag")
+    assert(missing == Seq(path), s"expected $path reported, got $missing")
+    // and only once: the baseline advanced
+    assert(cat.missingFragments("m", "frag").isEmpty)
+  }
+
   test("metastore: auth reads are lock-free — resolveKey answers while a writer holds the monitor") {
     val m = new MetaStore(tmpDir())
     val key = m.addKey("9")

@@ -127,6 +127,32 @@ object ExtQueries {
              |    chr(10)) AS cleaned
              |FROM documents ORDER BY doc_id""".stripMargin))),
 
+    // Gopher-style repetition metrics: duplicate-word and duplicate-
+    // bigram fractions per doc (the standard machine-text/boilerplate
+    // filters). Integer-count ratios -> bit-exact DuckDB oracle.
+    "q65_repetition" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d).select(
+          (col("doc_id") +: TextAnalysis.repetitionColumns(col("text"))
+            .map { case (n, c) => c.as(n) }): _*)
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(ws) AS BIGINT) AS n_words,
+             |  CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
+             |    / greatest(len(ws), 1) AS dup_word_frac,
+             |  CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+             |    / greatest(len(bg), 1) AS dup_bigram_frac
+             |FROM (
+             |  SELECT doc_id, ws,
+             |    CASE WHEN len(ws) >= 2
+             |      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+             |      ELSE CAST([] AS VARCHAR[]) END AS bg
+             |  FROM (SELECT doc_id,
+             |          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |                      x -> len(x) > 0) AS ws
+             |        FROM documents))
+             |ORDER BY doc_id""".stripMargin))),
+
     // Language-ID heuristic vs the labeled lang column (accuracy table).
     // Oracle re-implements the stopword-argmax + CJK-ratio heuristic in
     // SQL (ties -> first language in code order, zero hits -> unknown).

@@ -45,6 +45,29 @@ object TextAnalysis {
         greatest(size(toks), lit(1)).cast("double")))
   }
 
+  /** Repetition signals (the Gopher/MassiveText-style quality filters
+    * for machine-generated or boilerplate text): fraction of repeated
+    * words and repeated word-bigrams per document. Ratios of exact
+    * integer counts, so an SQL oracle reproduces them bit-for-bit.
+    * Composes entirely from codegen'd collection builtins — a pure map
+    * stage like the rest of this module. */
+  def repetitionColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nW = size(toks)
+    val nDW = size(array_distinct(toks))
+    // sequence() flips direction when start > stop, so guard nW < 2
+    val bigrams = when(nW >= 2,
+      transform(sequence(lit(0), nW - 2),
+        i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val nB = size(bigrams)
+    val nDB = size(array_distinct(bigrams))
+    Seq(
+      "n_words" -> nW.cast("long"),
+      "dup_word_frac" -> ((nW - nDW).cast("double") / greatest(nW, lit(1)).cast("double")),
+      "dup_bigram_frac" -> ((nB - nDB).cast("double") / greatest(nB, lit(1)).cast("double")))
+  }
+
   val EnStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "for", "on", "with", "as", "this", "was", "are", "be", "at", "by")

@@ -309,6 +309,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SimilaritySearch.knnJoin(hotQ, hot, "vec_id", "embedding", k = 3).count() == 15)
   }
 
+  test("repetitionColumns: duplicate word/bigram fractions with edge cases") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"),          // 5 words {a,b}: dupW=3/5; bigrams: ab,ba,ab,ba -> dup=2/4
+      (2L, "x y z"),              // all distinct: 0, 0
+      (3L, "w w w w"),            // dupW=3/4; bigrams all "w w": dup=2/3
+      (4L, "solo"),               // single word: no bigrams, frac 0 (guarded)
+      (5L, "  "))                 // whitespace only: 0 words
+      .toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.col
+    val out = df.select((col("doc_id") +: TextAnalysis.repetitionColumns(col("text"))
+      .map { case (n, c) => c.as(n) }): _*).orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getLong(1), out(i).getDouble(2), out(i).getDouble(3))
+    assert(row(0) == ((5L, 0.6, 0.5)))
+    assert(row(1) == ((3L, 0.0, 0.0)))
+    assert(row(2) == ((4L, 0.75, 2.0 / 3.0)))
+    assert(row(3) == ((1L, 0.0, 0.0)))
+    assert(row(4) == ((0L, 0.0, 0.0)))
+  }
+
   test("knnJoin recall >= 0.9 at auto settings on a clustered corpus (the production shape)") {
     import spark.implicits._
     // 20 cluster centers + per-point noise in 32 dims: the shape real

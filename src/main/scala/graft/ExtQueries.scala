@@ -120,11 +120,14 @@ object ExtQueries {
           TextAnalysis.cleanLines(
             regexp_replace(col("text"), " the ", "\n"), minLineWords = 8).as("cleaned"))
           .orderBy("doc_id"),
+      // coalesce: DuckDB's array_to_string yields NULL on an empty list
+      // where Spark's array_join yields '' — a fully-filtered doc (first
+      // appears at sf0.1) must compare equal as the empty string
       Some("""SELECT doc_id,
-             |  array_to_string(
+             |  coalesce(array_to_string(
              |    list_filter(string_split(replace(text, ' the ', chr(10)), chr(10)),
              |      l -> len(list_filter(string_split_regex(trim(l), '\s+'), t -> len(t) > 0)) >= 8),
-             |    chr(10)) AS cleaned
+             |    chr(10)), '') AS cleaned
              |FROM documents ORDER BY doc_id""".stripMargin))),
 
     // Gopher-style repetition metrics: duplicate-word and duplicate-

@@ -346,6 +346,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val approx = nnSet(SimilaritySearch.knnJoin(queries, corpus, "vec_id", "embedding", k = 5))
     val recall = approx.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"auto-settings recall on clustered corpus was $recall")
+    // single-query tier: same floor at auto settings
+    val qv = corpus.filter(org.apache.spark.sql.functions.col("vec_id") === 3L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val rest = corpus.filter(org.apache.spark.sql.functions.col("vec_id") =!= 3L)
+    val exT = SimilaritySearch.bruteForceTopK(rest, "vec_id", "embedding", qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    val apT = SimilaritySearch.annTopK(rest, "vec_id", "embedding", qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(apT.intersect(exT).size >= 9, s"annTopK recall ${apT.intersect(exT).size}/10")
   }
 
   test("ANN auto-sizing runs no per-query corpus scan once stats are cached") {

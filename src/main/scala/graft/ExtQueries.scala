@@ -156,6 +156,42 @@ object ExtQueries {
              |        FROM documents))
              |ORDER BY doc_id""".stripMargin))),
 
+    // Deterministic stratified sampling: per-language keep-fractions via
+    // FNV-1a bucket of the doc id — same rows selected on any cluster /
+    // partitioning (df.sample can't promise that). Oracle replays the
+    // fingerprint in SQL (q45's HUGEINT machinery) over the id string.
+    "q66_hash_sample" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d).filter(TextAnalysis.stratifiedSampleCond(col("doc_id"), col("lang"),
+            Map("en" -> 0.1, "de" -> 0.5, "fr" -> 1.0)))
+          .select("doc_id", "lang").orderBy("doc_id"),
+      Some("""WITH hx AS (
+             |  SELECT doc_id, lang, hex(encode(CAST(doc_id AS VARCHAR))) AS hx FROM documents
+             |), fp AS (
+             |  SELECT doc_id, lang, list_reduce(
+             |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |      list_transform(range(1, len(hx) // 2 + 1), i ->
+             |        CAST((strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+             |           + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1) AS HUGEINT))),
+             |    (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT) * 1099511628211)
+             |              % CAST('18446744073709551616' AS HUGEINT)
+             |  ) AS f
+             |  FROM hx
+             |), signed AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN f >= CAST('9223372036854775808' AS HUGEINT)
+             |         THEN CAST(f - CAST('18446744073709551616' AS HUGEINT) AS BIGINT)
+             |         ELSE CAST(f AS BIGINT) END AS fp
+             |  FROM fp
+             |), b AS (
+             |  SELECT doc_id, lang, ((fp % 10000) + 10000) % 10000 AS bucket FROM signed
+             |)
+             |SELECT doc_id, lang FROM b
+             |WHERE (lang = 'en' AND bucket < 1000)
+             |   OR (lang = 'de' AND bucket < 5000)
+             |   OR (lang = 'fr' AND bucket < 10000)
+             |ORDER BY doc_id""".stripMargin))),
+
     // Language-ID heuristic vs the labeled lang column (accuracy table).
     // Oracle re-implements the stopword-argmax + CJK-ratio heuristic in
     // SQL (ties -> first language in code order, zero hits -> unknown).

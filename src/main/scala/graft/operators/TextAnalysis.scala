@@ -101,6 +101,30 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     TextFunctions.fingerprint64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** DETERMINISTIC hash sampling — the reproducible shard/sample
+    * primitive a training-data pipeline needs where `df.sample`'s
+    * partition-dependent RNG won't do: membership depends only on
+    * (salt, id), so the same rows are selected on any cluster, any
+    * partitioning, any day — and two samples with different salts are
+    * independent. Keeps rows whose FNV-1a bucket (0-9999) of the id
+    * falls below fraction*10000; `fingerprint64` is codegen'd, so this
+    * is a pushed filter on a map stage, no shuffle. */
+  def hashSampleCond(idCol: Column, fraction: Double, salt: String = ""): Column =
+    pmod(TextFunctions.fingerprint64(concat(lit(salt), idCol.cast("string"))), lit(10000L)) <
+      lit(math.round(fraction * 10000).toLong)
+
+  /** Stratified deterministic sample: per-stratum fractions (e.g.
+    * per-language sampling rates for corpus rebalancing); strata absent
+    * from the map are dropped. Same hash-membership contract as
+    * [[hashSampleCond]]. */
+  def stratifiedSampleCond(idCol: Column, stratumCol: Column,
+                           fractions: Map[String, Double], salt: String = ""): Column = {
+    val bucket = pmod(TextFunctions.fingerprint64(concat(lit(salt), idCol.cast("string"))), lit(10000L))
+    fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
+      acc || (stratumCol === stratum && bucket < lit(math.round(f * 10000).toLong))
+    }
+  }
+
   /** Convenience: annotate a corpus with all text-analysis columns. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val base = qualityColumns(col(textCol)).foldLeft(df) { case (d, (name, c)) =>

@@ -329,6 +329,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row(4) == ((0L, 0.0, 0.0)))
   }
 
+  test("hash sampling: partition-independent membership, salt independence, fraction accuracy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (0L until 2000L).map(i => i -> s"g${i % 3}").toDF("id", "grp")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.filter(TextAnalysis.hashSampleCond(col("id"), 0.2)).select("id")
+        .collect().map(_.getLong(0)).toSet
+    val a = ids(df)
+    // membership must not depend on partitioning — df.sample's does
+    assert(ids(df.repartition(13)) == a, "sample changed under repartitioning")
+    assert(ids(df.orderBy(col("id").desc)) == a, "sample changed under reordering")
+    // fraction lands near 20% (hash-uniformity, fixed fingerprint)
+    assert(math.abs(a.size / 2000.0 - 0.2) < 0.03, s"fraction was ${a.size / 2000.0}")
+    // a different salt draws an independent sample
+    val b = df.filter(TextAnalysis.hashSampleCond(col("id"), 0.2, salt = "other"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(b != a && math.abs(a.intersect(b).size / 2000.0 - 0.04) < 0.04,
+      s"salted samples should be roughly independent (|A∩B| = ${a.intersect(b).size / 2000.0}, ideal 0.04)")
+    // stratified: per-group fractions honored, absent strata dropped
+    val strat = df.filter(TextAnalysis.stratifiedSampleCond(col("id"), col("grp"),
+        Map("g0" -> 1.0, "g1" -> 0.5))).groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(strat("g0") == 667 && !strat.contains("g2"))
+    assert(math.abs(strat("g1") / 667.0 - 0.5) < 0.06, s"g1 kept ${strat("g1")}")
+  }
+
   test("knnJoin recall >= 0.9 at auto settings on a clustered corpus (the production shape)") {
     import spark.implicits._
     // 20 cluster centers + per-point noise in 32 dims: the shape real

@@ -192,6 +192,30 @@ object ExtQueries {
              |   OR (lang = 'fr' AND bucket < 10000)
              |ORDER BY doc_id""".stripMargin))),
 
+    // PII scrub: emails / IPv4 / long digit runs -> typed placeholders.
+    // The corpus has no natural PII, so the query INJECTS deterministic
+    // synthetic PII from doc_id first — the oracle replays injection and
+    // scrub, so a scrubber that missed anything would hash-mismatch
+    // (non-vacuous by construction).
+    "q67_pii_scrub" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d).select(col("doc_id"),
+          TextAnalysis.scrubPii(concat(
+            substring(col("text"), 1, 40),
+            lit(" contact user"), col("doc_id"), lit("@mail.example.com from 10.0."),
+            pmod(col("doc_id"), lit(256)), lit(".77 acct 9"), col("doc_id") * 100000000L))
+            .as("scrubbed"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(
+             |    substr(text, 1, 40) || ' contact user' || doc_id ||
+             |      '@mail.example.com from 10.0.' || (((doc_id % 256) + 256) % 256) ||
+             |      '.77 acct 9' || (doc_id * 100000000),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\d{9,}', '<NUM>', 'g') AS scrubbed
+             |FROM documents ORDER BY doc_id""".stripMargin))),
+
     // Language-ID heuristic vs the labeled lang column (accuracy table).
     // Oracle re-implements the stopword-argmax + CJK-ratio heuristic in
     // SQL (ties -> first language in code order, zero hits -> unknown).

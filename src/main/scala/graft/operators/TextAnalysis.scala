@@ -101,6 +101,20 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     TextFunctions.fingerprint64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** PII scrubbing for training corpora: emails, IPv4 addresses and
+    * long digit runs (account/phone numbers) replaced with typed
+    * placeholder tokens — the standard pre-training redaction pass.
+    * Patterns stay in the common Java-regex/RE2 subset (no lookaround)
+    * so an SQL oracle replays them exactly; three chained
+    * `regexp_replace` calls, codegen'd, map-stage only. */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val noIp = regexp_replace(noEmail,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(noIp, "\\d{9,}", "<NUM>")
+  }
+
   /** DETERMINISTIC hash sampling — the reproducible shard/sample
     * primitive a training-data pipeline needs where `df.sample`'s
     * partition-dependent RNG won't do: membership depends only on

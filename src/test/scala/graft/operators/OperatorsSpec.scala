@@ -329,6 +329,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row(4) == ((0L, 0.0, 0.0)))
   }
 
+  test("scrubPii: emails, IPv4s and long digit runs redacted; clean text untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "mail alice.smith+spam@sub.example.co.uk and bob@x.io thanks"),
+      (2L, "server at 192.168.001.254 and 8.8.8.8 responded"),
+      (3L, "card 4111111111111111 ref 123456789 short 12345678"),
+      (4L, "perfectly clean text stays exactly as written"))
+      .toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.scrubPii(col("t")).as("s"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out(0) == "mail <EMAIL> and <EMAIL> thanks")
+    assert(out(1) == "server at <IP> and <IP> responded")
+    assert(out(2) == "card <NUM> ref <NUM> short 12345678") // 8 digits: below threshold
+    assert(out(3) == "perfectly clean text stays exactly as written")
+  }
+
   test("hash sampling: partition-independent membership, salt independence, fraction accuracy") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -135,9 +135,8 @@ object ExtQueries {
     // filters). Integer-count ratios -> bit-exact DuckDB oracle.
     "q65_repetition" -> ((
       (s: SparkSession, d: String) =>
-        docs(s, d).select(
-          (col("doc_id") +: TextAnalysis.repetitionColumns(col("text"))
-            .map { case (n, c) => c.as(n) }): _*)
+        TextAnalysis.repetitionMetrics(docs(s, d), "text")
+          .select("doc_id", "n_words", "dup_word_frac", "dup_bigram_frac")
           .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  CAST(len(ws) AS BIGINT) AS n_words,

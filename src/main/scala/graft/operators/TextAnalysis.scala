@@ -49,23 +49,32 @@ object TextAnalysis {
     * for machine-generated or boilerplate text): fraction of repeated
     * words and repeated word-bigrams per document. Ratios of exact
     * integer counts, so an SQL oracle reproduces them bit-for-bit.
-    * Composes entirely from codegen'd collection builtins — a pure map
-    * stage like the rest of this module. */
-  def repetitionColumns(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
-    val nW = size(toks)
-    val nDW = size(array_distinct(toks))
-    // sequence() flips direction when start > stop, so guard nW < 2
-    val bigrams = when(nW >= 2,
-      transform(sequence(lit(0), nW - 2),
-        i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    val nB = size(bigrams)
-    val nDB = size(array_distinct(bigrams))
-    Seq(
-      "n_words" -> nW.cast("long"),
-      "dup_word_frac" -> ((nW - nDW).cast("double") / greatest(nW, lit(1)).cast("double")),
-      "dup_bigram_frac" -> ((nB - nDB).cast("double") / greatest(nB, lit(1)).cast("double")))
+    *
+    * Shaped as a DataFrame transform, not free-standing Columns, so the
+    * token array is MATERIALIZED once per row (CollapseProject keeps a
+    * non-cheap alias referenced more than once in its own Project) and
+    * bigrams come from one `zip_with` over two slices — O(words) work.
+    * The first cut inlined `element_at(tokens(text), i)` inside a
+    * `transform` lambda, re-splitting the document per bigram index:
+    * O(words^2) per doc, 26 s for q65 at sf0.1 vs ~0.5 s for this
+    * shape. Still a pure codegen'd map stage, no shuffle. */
+  def repetitionMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val toks = col("__toks"); val bg = col("__bigrams")
+    val nW = size(toks); val nB = size(bg)
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__bigrams",
+        when(size(col("__toks")) >= 2,
+          zip_with(
+            slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+            slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("n_words", nW.cast("long"))
+      .withColumn("dup_word_frac",
+        (nW - size(array_distinct(toks))).cast("double") / greatest(nW, lit(1)).cast("double"))
+      .withColumn("dup_bigram_frac",
+        (nB - size(array_distinct(bg))).cast("double") / greatest(nB, lit(1)).cast("double"))
+      .drop("__toks", "__bigrams")
   }
 
   val EnStopwords: Seq[String] = Seq(

@@ -318,9 +318,9 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, "solo"),               // single word: no bigrams, frac 0 (guarded)
       (5L, "  "))                 // whitespace only: 0 words
       .toDF("doc_id", "text")
-    import org.apache.spark.sql.functions.col
-    val out = df.select((col("doc_id") +: TextAnalysis.repetitionColumns(col("text"))
-      .map { case (n, c) => c.as(n) }): _*).orderBy("doc_id").collect()
+    val out = TextAnalysis.repetitionMetrics(df, "text")
+      .select("doc_id", "n_words", "dup_word_frac", "dup_bigram_frac")
+      .orderBy("doc_id").collect()
     def row(i: Int) = (out(i).getLong(1), out(i).getDouble(2), out(i).getDouble(3))
     assert(row(0) == ((5L, 0.6, 0.5)))
     assert(row(1) == ((3L, 0.0, 0.0)))

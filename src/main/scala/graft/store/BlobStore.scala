@@ -181,9 +181,13 @@ final class Uploader(store: BlobStore, process: (String, String, File) => Unit,
   // queue's renewal interval (TTL/3), so a batch slower than the lease
   // TTL — a fat Spark append, a GC pause — is never stolen from a
   // live worker and processed concurrently by the thief
-  private lazy val renewer = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
-    val t = new Thread(r, "graft-lease-renewer"); t.setDaemon(true); t
-  })
+  @volatile private var renewerStarted = false
+  private lazy val renewer = {
+    renewerStarted = true
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-lease-renewer"); t.setDaemon(true); t
+    })
+  }
 
   private def startHeartbeat(key: String): Option[java.util.concurrent.ScheduledFuture[_]] =
     claims.renewIntervalMillis.map { period =>
@@ -220,7 +224,10 @@ final class Uploader(store: BlobStore, process: (String, String, File) => Unit,
     ok
   }
 
-  def shutdown(): Unit = pool.foreach(_.shutdown())
+  def shutdown(): Unit = {
+    pool.foreach(_.shutdown())
+    if (renewerStarted) renewer.shutdownNow()
+  }
 
   /** Returns false when the key was skipped (claimed by another worker,
     * or already gone). */

@@ -81,6 +81,35 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("window_start"), col(keyCol), col("n"), col("total"))
 
+  /** Streaming MATERIALIZED VIEW: continuously maintain a catalog table
+    * of finalized event-time windows. The watermarked aggregate runs in
+    * `append` output mode, so a window's row is emitted exactly once —
+    * when the watermark passes its end and its state is released — and
+    * appended to the (queryable, compactable) catalog table like any
+    * ingest batch. Epoch-keyed batch dirs make a replayed micro-batch
+    * overwrite its own output: the view never double-counts a window.
+    * This is the streaming half of a lambda-free pipeline: the same
+    * table serves SQL while the stream keeps appending closed windows. */
+  def materializeWindowedCounts(catalog: TableCatalog, db: String, table: String,
+                                events: DataFrame, timeCol: String, keyCol: String,
+                                windowLength: String, watermark: String,
+                                checkpointDir: String,
+                                trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+    val streamTag = f"${math.abs(checkpointDir.hashCode)}%08x"
+    windowedCounts(events, timeCol, keyCol, windowLength, watermark)
+      .writeStream
+      .outputMode("append") // only watermark-finalized windows are emitted
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          catalog.evolve(batch.sparkSession, db, table, batch.schema)
+          catalog.append(batch.sparkSession, db, table, batch, Some(s"mv-$streamTag-$epochId"))
+        }
+      }
+      .start()
+  }
+
   /** Gap-based sessions (`session_window`): consecutive events of one key
     * within `gap` merge into one session — streaming q32. */
   def sessionCounts(events: DataFrame, timeCol: String, keyCol: String,

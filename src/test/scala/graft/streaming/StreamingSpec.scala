@@ -92,6 +92,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(("b", 1L, 5.0)))
   }
 
+  test("materializeWindowedCounts: finalized windows land in a queryable catalog table, once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("graft-mv").toString
+    val catalog = new TableCatalog(s"$base/tables")
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "k", "value")
+    val q = StreamingIngest.materializeWindowedCounts(catalog, "1", "mv", events,
+      "ts", "k", "10 minutes", "5 minutes", s"$base/ckpt")
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:01:00"), "a", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:04:00"), "a", 2.0),
+        (Timestamp.valueOf("2024-01-01 00:11:00"), "b", 5.0))
+      q.processAllAvailable()
+      // nothing finalized yet: watermark hasn't passed the first window,
+      // so not even the table exists
+      assert(!catalog.listTables("1").contains("mv"))
+      // advance the watermark far enough to close both windows
+      mem.addData((Timestamp.valueOf("2024-01-01 01:00:00"), "c", 0.0))
+      q.processAllAvailable()
+      // a late event beyond the watermark must NOT reopen a closed window
+      mem.addData((Timestamp.valueOf("2024-01-01 00:02:00"), "a", 99.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = catalog.read(spark, "1", "mv")
+      .select("k", "n", "total").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("a", 2L, 3.0), ("b", 1L, 5.0)),
+      s"materialized view rows were $rows")
+    // the table is a plain catalog table: SQL-queryable, compactable
+    assert(catalog.listTables("1").contains("mv"))
+  }
+
   test("firstOccurrenceDedup: custom mapGroupsWithState drops repeat keys across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -134,33 +134,56 @@ object Dedup {
     * graphs are shallow (dup clusters are cliques or short chains), so
     * convergence is typically 2-3 rounds. The driver loop only reads ONE
     * aggregate per round (changed-count) — the data never leaves
-    * executors. Each round persists its labels and unpersists the prior. */
+    * executors.
+    *
+    * Cache lifecycle (the 100 TB resource contract): exactly ONE
+    * label-table cache is live at any time. Each round persists one
+    * frame carrying both the old and the stepped label (serving the
+    * changed-count AND the next round's input from a single cache),
+    * materializes it via the count, then unpersists the previous
+    * round's cache. Every 5th round the frame is `localCheckpoint`ed
+    * instead, cutting the otherwise-unbounded join-lineage chain. The
+    * returned labels are checkpointed too, so the final round's cache
+    * can be dropped before returning — callers get a materialized,
+    * lineage-free result and `getPersistentRDDs` goes back to where it
+    * started. */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
+    // `cached` tracks the exact persisted Dataset so unpersist is never a
+    // no-op on a derived projection (the round-5 leak: unpersisting an
+    // unpersisted projection left every round's join cached).
+    var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
-      val best = edges.join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nl"), "dst")
+      val best = edges.join(labels.select(col("id").as("dst"), col("cluster").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("best"))
-      // one join serves both the convergence check and the next labels
-      val joined = labels.join(best, Seq("id"), "left")
-        .select(col("id"), col("cluster"),
-          coalesce(col("best"), col("cluster")).as("nb"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = joined.filter(col("nb") < col("cluster")).count()
-      val next = joined.select(col("id"), least(col("cluster"), col("nb")).as("cluster"))
-      labels.unpersist()
-      labels = next
+      val stepped0 = labels.join(best, Seq("id"), "left")
+        .select(col("id"), col("cluster").as("__old"),
+          least(col("cluster"), coalesce(col("best"), col("cluster"))).as("cluster"))
+      // localCheckpoint (eager) every 5th round: materializes AND truncates
+      // lineage, so round N's plan never replays rounds 1..N-1's joins
+      val stepped =
+        if ((iter + 1) % 5 == 0) stepped0.localCheckpoint()
+        else stepped0.persist(StorageLevel.MEMORY_AND_DISK)
+      // the count materializes `stepped`; only now is the prior cache dead
+      val changed = stepped.filter(col("cluster") < col("__old")).count()
+      cached.unpersist()
+      cached = stepped
+      labels = stepped.select("id", "cluster") // reads through stepped's cache
       converged = changed == 0
       iter += 1
     }
+    // hand back materialized, lineage-free labels; drop every loop cache
+    val result = labels.localCheckpoint()
+    cached.unpersist()
     edges.unpersist()
-    labels
+    result
   }
 
   /** Near-dup cluster assignment: MinHash candidates above `threshold`

@@ -182,6 +182,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
   }
 
+  test("connectedComponents: cache footprint stays bounded across many propagation rounds") {
+    import spark.implicits._
+    // a 12-node chain: min label spreads one hop per round, forcing ~11
+    // iterations — the shape that leaked one cached DataFrame per round
+    // (round-5 verdict). Bound = a few lingering localCheckpoint RDDs
+    // (released by the ContextCleaner on GC), never O(iterations) caches.
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val comp = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 12L).forall(comp(_) == 1L)) // correctness unchanged
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 4,
+      s"connectedComponents leaked caches: $before -> $after persistent RDDs")
+  }
+
   test("nearDupClusters: near-identical docs share a cluster, distinct docs are singletons") {
     val base = "the quick brown fox jumps over the lazy dog again and again every single day"
     val df = docs(

@@ -215,6 +215,76 @@ object ExtQueries {
              |    '\d{9,}', '<NUM>', 'g') AS scrubbed
              |FROM documents ORDER BY doc_id""".stripMargin))),
 
+    // The registered SQL function surface (GraftFunctions) exercised
+    // end-to-end as raw SQL — the tenant endpoint's view of the engine.
+    // fingerprint64 + scrub_pii + hash_sample compose in one statement;
+    // the oracle replays FNV-1a (q45/q66 HUGEINT machinery) for both the
+    // sampling membership (over the id string) and the text fingerprint,
+    // plus the 3-regex scrub — any drift between the SQL registration
+    // and the Scala expressions hash-mismatches here.
+    "q68_sql_functions" -> ((
+      (s: SparkSession, d: String) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        docs(s, d).createOrReplaceTempView("documents_q68")
+        s.sql("""SELECT doc_id,
+                |       fingerprint64(text) AS fp,
+                |       scrub_pii(concat('reach user', CAST(doc_id AS STRING),
+                |         '@mail.example.com via 10.1.', CAST(pmod(doc_id, 256) AS STRING),
+                |         '.9 ref 9', CAST(doc_id * 100000000 AS STRING))) AS scrubbed
+                |FROM documents_q68
+                |WHERE hash_sample(doc_id, 0.5)
+                |ORDER BY doc_id""".stripMargin)
+      },
+      Some("""WITH keyhex AS (
+             |  SELECT doc_id, text, hex(encode(CAST(doc_id AS VARCHAR))) AS hx FROM documents
+             |), keyfp AS (
+             |  SELECT doc_id, text, list_reduce(
+             |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |      list_transform(range(1, len(hx) // 2 + 1), i ->
+             |        CAST((strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+             |           + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1) AS HUGEINT))),
+             |    (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT) * 1099511628211)
+             |              % CAST('18446744073709551616' AS HUGEINT)
+             |  ) AS f
+             |  FROM keyhex
+             |), keysigned AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN f >= CAST('9223372036854775808' AS HUGEINT)
+             |         THEN CAST(f - CAST('18446744073709551616' AS HUGEINT) AS BIGINT)
+             |         ELSE CAST(f AS BIGINT) END AS fpi
+             |  FROM keyfp
+             |), kept AS (
+             |  SELECT doc_id, text FROM keysigned
+             |  WHERE ((fpi % 10000) + 10000) % 10000 < 5000
+             |), txthex AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx FROM kept
+             |), txtfp AS (
+             |  SELECT doc_id, list_reduce(
+             |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |      list_transform(range(1, len(hx) // 2 + 1), i ->
+             |        CAST((strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+             |           + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1) AS HUGEINT))),
+             |    (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT) * 1099511628211)
+             |              % CAST('18446744073709551616' AS HUGEINT)
+             |  ) AS f
+             |  FROM txthex
+             |), txtsigned AS (
+             |  SELECT doc_id,
+             |    CASE WHEN f >= CAST('9223372036854775808' AS HUGEINT)
+             |         THEN CAST(f - CAST('18446744073709551616' AS HUGEINT) AS BIGINT)
+             |         ELSE CAST(f AS BIGINT) END AS fp
+             |  FROM txtfp
+             |)
+             |SELECT k.doc_id, t.fp,
+             |  regexp_replace(regexp_replace(regexp_replace(
+             |    'reach user' || k.doc_id || '@mail.example.com via 10.1.' ||
+             |      (((k.doc_id % 256) + 256) % 256) || '.9 ref 9' || (k.doc_id * 100000000),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\d{9,}', '<NUM>', 'g') AS scrubbed
+             |FROM kept k JOIN txtsigned t USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))),
+
     // Language-ID heuristic vs the labeled lang column (accuracy table).
     // Oracle re-implements the stopword-argmax + CJK-ratio heuristic in
     // SQL (ties -> first language in code order, zero hits -> unknown).

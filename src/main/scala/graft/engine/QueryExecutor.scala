@@ -40,8 +40,18 @@ final class QueryExecutor(spark: SparkSession, catalog: TableCatalog) {
   // db -> (catalog version the views were registered at, table names)
   private val registered = TrieMap.empty[String, (Long, Set[String])]
 
+  /** Tenant child session: isolated temp views + its own
+    * FunctionRegistry carrying the engine's extension functions
+    * (fingerprint64, cosine_sim, minhash/simhash, scrub_pii, …) — the
+    * reference's tenants get the destination's full function library
+    * through the SQL endpoint (data.go:29-56 -> DuckDB), so ours do
+    * too. */
   def sessionFor(db: String): SparkSession =
-    sessions.getOrElseUpdate(db, spark.newSession())
+    sessions.getOrElseUpdate(db, {
+      val s = spark.newSession()
+      graft.functions.GraftFunctions.registerAll(s)
+      s
+    })
 
   def execute(db: String, sql: String): DataFrame = {
     val s = sessionFor(db)

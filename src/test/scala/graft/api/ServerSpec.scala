@@ -210,6 +210,39 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/healthcheck").statusCode() == 200)
   }
 
+  test("extension functions are served through the tenant SQL endpoint") {
+    def enc(q: String) = java.net.URLEncoder.encode(q, "UTF-8")
+    // fingerprint64 over ingested tenant data == the engine's own hash
+    post("/api/data/insert/fdocs?api_key=key1", """{"label": "greeting", "body": "hello graft world"}""")
+    val expectedFp = graft.functions.Fingerprint64.hash("hello graft world".getBytes("UTF-8"))
+    eventually {
+      val q = get("/api/data/query?api_key=key1&query=" +
+        enc("SELECT fingerprint64(body) AS fp FROM fdocs"))
+      assert(q.statusCode() == 200)
+      assert(q.body() == s"""[{"fp":$expectedFp}]""")
+    }
+    // cosine_sim top-k over tenant rows (vectors assembled in SQL; the
+    // registered builder casts array<double> -> array<float>)
+    for ((id, x, y) <- Seq((1, 3.0, 4.0), (2, 1.0, 0.0), (3, -3.0, -4.0)))
+      post("/api/data/insert/fvecs?api_key=key1", s"""{"id": $id, "x": $x, "y": $y}""")
+    eventually {
+      val q = get("/api/data/query?api_key=key1&query=" + enc(
+        "SELECT id, cosine_sim(array(x, y), array(3.0, 4.0)) AS cos FROM fvecs ORDER BY cos DESC, id LIMIT 2"))
+      assert(q.statusCode() == 200)
+      assert(q.body() == """[{"id":1,"cos":1.0},{"id":2,"cos":0.6}]""")
+    }
+    // scrub_pii + hash_sample compose in one tenant query
+    eventually {
+      val q = get("/api/data/query?api_key=key1&query=" + enc(
+        "SELECT scrub_pii(concat(label, ' x@y.io 1.2.3.4')) AS s FROM fdocs WHERE hash_sample(label, 1.0)"))
+      assert(q.statusCode() == 200)
+      assert(q.body() == """[{"s":"greeting <EMAIL> <IP>"}]""")
+    }
+    // the SELECT-only gate still holds with functions registered
+    val bad = get("/api/data/query?api_key=key1&query=" + enc("DROP TABLE fdocs"))
+    assert(bad.statusCode() == 400)
+  }
+
   test("metrics endpoint exposes request counters and latency histogram") {
     get("/healthcheck")
     val m = get("/metrics").body()

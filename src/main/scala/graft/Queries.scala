@@ -716,7 +716,7 @@ object Queries {
       },
       Some("""SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
              |       CAST(sum(event_id) AS BIGINT) AS id_sum
-             |FROM read_json('/tmp/graft_external_sf0.01/events_json/part-*.json',
+             |FROM read_json('/tmp/graft_external_{SFNAME}/events_json/part-*.json',
              |               format='newline_delimited',
              |               columns={event_id:'BIGINT', user_id:'BIGINT',
              |                        event_type:'VARCHAR', value:'DOUBLE'})
@@ -765,7 +765,7 @@ object Queries {
       },
       Some("""SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
              |       CAST(sum(event_id) AS BIGINT) AS id_sum
-             |FROM read_csv('/tmp/graft_external_sf0.01/events_csv/part-*.csv', header=true,
+             |FROM read_csv('/tmp/graft_external_{SFNAME}/events_csv/part-*.csv', header=true,
              |              columns={event_id:'BIGINT', event_type:'VARCHAR', value:'DOUBLE'})
              |GROUP BY event_type ORDER BY event_type""".stripMargin)))
   )

@@ -35,8 +35,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Oracle SQL is SF-keyed at dump time: external-scan oracles read
+    // the same /tmp export the query side wrote for THIS sf dir (the
+    // {SFNAME} placeholder), so the 10x differential re-run compares
+    // sf0.1 exports against sf0.1 oracles instead of skipping q37/q38.
+    val sfName = new java.io.File(sfDir).getName
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SFNAME}", sfName))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

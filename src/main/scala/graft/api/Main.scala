@@ -31,8 +31,8 @@ object Main {
     *   GRAFT_BLOB_URI                hadoop: any FileSystem URI (gs://, hdfs://, file://)
     *   GRAFT_BLOB_BUCKET/PREFIX/ACCESS_KEY_ID/SECRET_ACCESS_KEY/
     *   GRAFT_BLOB_ENDPOINT/REGION    s3: reference's mapstructure keys (s3.go:17-22)
-    *   GRAFT_CLAIM_QUEUE  local (default) | file-lease:<shared-dir>
-    *   GRAFT_LEASE_TTL_MS lease TTL for file-lease claims (default 5 min)
+    *   GRAFT_CLAIM_QUEUE  local (default) | file-lease:<shared-dir> | cas:<shared-dir>
+    *   GRAFT_LEASE_TTL_MS lease TTL for file-lease / cas claims (default 5 min)
     *
     * `hadoopConf` is by-name: the local/local path never touches it, so
     * tests and single-node boots need no Hadoop configuration at all. */
@@ -56,8 +56,12 @@ object Main {
       case "local" => new LocalClaimQueue
       case s if s.startsWith("file-lease:") =>
         new FileLeaseQueue(s.stripPrefix("file-lease:"), ttl)
+      // conditional-write claims over a FileCasStore directory — the
+      // same CasClaimQueue an object-store CasStore impl would drive
+      case s if s.startsWith("cas:") =>
+        new CasClaimQueue(new FileCasStore(s.stripPrefix("cas:")), ttl)
       case other => throw new IllegalArgumentException(
-        s"unknown claim queue: $other (want local | file-lease:<dir>)")
+        s"unknown claim queue: $other (want local | file-lease:<dir> | cas:<dir>)")
     }
     (store, claims)
   }

@@ -145,6 +145,83 @@ trait CasStore {
   def deleteIf(key: String, expect: String): Boolean
 }
 
+/** File-backed [[CasStore]] over a shared directory — the production
+  * local/NFS backend for [[CasClaimQueue]] (the object-store deployments
+  * swap in a conditional-PUT impl behind the same 4 methods).
+  *
+  * Atomicity:
+  *  - `putIfAbsent` is lock-free: the value is written to a unique temp
+  *    file and hard-LINKED to the key path — `link(2)` fails atomically
+  *    if the target exists, giving create-if-absent WITH full content
+  *    (a plain CREATE_NEW write could expose a torn half-write to
+  *    readers; ATOMIC_MOVE can't be used because rename(2) silently
+  *    replaces an existing target).
+  *  - `replaceIf` / `deleteIf` serialize through a short-lived lock
+  *    file (atomic CREATE_NEW; stale locks of crashed processes are
+  *    stolen via the same one-winner rename dance as FileLeaseQueue),
+  *    then read-compare-swap; the swap is temp + ATOMIC_MOVE so `get`
+  *    never sees a torn value.
+  *  - `get` is lock-free: every visible key file is a complete value.
+  */
+final class FileCasStore(dir: String, lockTtlMillis: Long = 10000) extends CasStore {
+  private val root: Path = new File(dir).toPath
+
+  private def safe(key: String): String =
+    key.map(c => if (c.isLetterOrDigit || c == '_' || c == '-' || c == '.') c else '~')
+  private def keyFile(key: String): Path = root.resolve(s"${safe(key)}.kv")
+  private def lockFile(key: String): Path = root.resolve(s"${safe(key)}.kvlock")
+
+  private def withLock[A](key: String)(f: => A): A = {
+    val lock = lockFile(key)
+    Files.createDirectories(root)
+    var acquired = false
+    while (!acquired) {
+      try { Files.write(lock, Array.emptyByteArray, StandardOpenOption.CREATE_NEW); acquired = true }
+      catch {
+        case _: FileAlreadyExistsException =>
+          // mutations are milliseconds; an old lock is a crashed process
+          val expired =
+            try System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis > lockTtlMillis
+            catch { case _: NoSuchFileException => false }
+          if (expired) {
+            val steal = root.resolve(lock.getFileName.toString + ".stale-" + java.util.UUID.randomUUID())
+            try { Files.move(lock, steal, StandardCopyOption.ATOMIC_MOVE); Files.deleteIfExists(steal) }
+            catch { case _: NoSuchFileException => () } // another stealer/holder got there first
+          } else Thread.sleep(2)
+      }
+    }
+    try f finally Files.deleteIfExists(lock)
+  }
+
+  override def putIfAbsent(key: String, value: String): Boolean = {
+    Files.createDirectories(root)
+    val tmp = root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, value.getBytes("UTF-8"))
+    try { Files.createLink(keyFile(key), tmp); true }
+    catch { case _: FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  override def get(key: String): Option[String] =
+    try Some(new String(Files.readAllBytes(keyFile(key)), "UTF-8"))
+    catch { case _: java.io.IOException => None }
+
+  override def replaceIf(key: String, expect: String, value: String): Boolean = withLock(key) {
+    if (!get(key).contains(expect)) false
+    else {
+      val tmp = root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, value.getBytes("UTF-8"))
+      Files.move(tmp, keyFile(key), StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      true
+    }
+  }
+
+  override def deleteIf(key: String, expect: String): Boolean = withLock(key) {
+    if (!get(key).contains(expect)) false
+    else { Files.deleteIfExists(keyFile(key)); true }
+  }
+}
+
 /** In-memory [[CasStore]] — the test double, and the single-process
   * reference semantics the remote impls must match. */
 final class InMemoryCasStore extends CasStore {

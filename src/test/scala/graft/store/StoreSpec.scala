@@ -216,7 +216,40 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("cas claim queue: live exclusive, one-of-N steal, fenced renew/release (no shared dir)") {
-    val kv = new InMemoryCasStore
+    casQueueSuite(new InMemoryCasStore)
+  }
+
+  test("cas claim queue over the file-backed CasStore: same steal/fence/renew contract") {
+    casQueueSuite(new FileCasStore(s"${tmpDir()}/caskv"))
+  }
+
+  test("file cas store: conditional primitives are atomic under racing writers") {
+    val kv = new FileCasStore(s"${tmpDir()}/caskv")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    // exactly one of 8 racing creators wins
+    val created = (1 to 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = kv.putIfAbsent("k", s"v$i")
+      })
+    }.count(_.get())
+    assert(created == 1, s"$created racing putIfAbsent calls succeeded")
+    val v0 = kv.get("k").get
+    // exactly one of 8 racing CAS replacers (all expecting v0) wins
+    val replaced = (1 to 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = kv.replaceIf("k", v0, s"r$i")
+      })
+    }.count(_.get())
+    pool.shutdown()
+    assert(replaced == 1, s"$replaced racing replaceIf calls succeeded")
+    assert(kv.get("k").exists(_.startsWith("r")))
+    // deleteIf fences on the exact value
+    assert(!kv.deleteIf("k", v0))
+    assert(kv.deleteIf("k", kv.get("k").get))
+    assert(kv.get("k").isEmpty)
+  }
+
+  private def casQueueSuite(kv: CasStore): Unit = {
     @volatile var now = 1000000L
     def mkQ() = new CasClaimQueue(kv, leaseTtlMillis = 1000, clock = () => now)
     val q = mkQ()
@@ -307,6 +340,17 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.api.Main.storesFromEnv(Map("GRAFT_CLAIM_QUEUE" -> "sqs"), base,
         new org.apache.hadoop.conf.Configuration())
     }
+    // README deviation #5's cas:<dir> boots a CasClaimQueue over the
+    // file-backed CasStore and carries ingest end-to-end
+    val (cstore, cclaims) = graft.api.Main.storesFromEnv(
+      Map("GRAFT_CLAIM_QUEUE" -> s"cas:$base/casclaims"), base,
+      sys.error("cas queue must not touch hadoop conf"))
+    assert(cclaims.isInstanceOf[CasClaimQueue])
+    val cup = new Uploader(cstore, (db, t, f) => ingest.ingestFile(db, t, f), claims = cclaims)
+    val f2 = new File(base, "7311209996.ndjson")
+    Files.writeString(f2.toPath, "{\"a\": 8, \"__row_id\": 1}\n")
+    cup.accept("6", "boot", f2)
+    assert(cat.read(spark, "6", "boot").count() == 2)
   }
 
   test("spool orphan recovery: open files of a dead process are closed out") {

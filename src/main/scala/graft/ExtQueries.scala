@@ -550,7 +550,73 @@ object ExtQueries {
           .agg(count(lit(1)).as("n_frames"),
                sum(length(col("frame_bytes"))).cast("long").as("bytes_sampled"))
           .orderBy("asset_id"),
-      None))
+      None)),
+
+    // Streaming materialized view, end-to-end through the REAL streaming
+    // machinery: the events table is staged as a file-source stream (two
+    // files, maxFilesPerTrigger=1, so the run crosses a micro-batch
+    // boundary), `materializeWindowedCounts` maintains a catalog table of
+    // watermark-finalized 1-day windows under Trigger.AvailableNow, and
+    // the query returns that table. A far-future sentinel event in the
+    // second file pushes the final watermark past every real window, so
+    // the MV deterministically contains exactly the full windowed
+    // aggregate — which a plain batch GROUP BY replays in DuckDB
+    // (value is 2-decimal, so DECIMAL(18,2) sums are order-independent
+    // and exact on both engines; the sentinel's own window can never
+    // finalize and is filtered by key as well).
+    "q69_streaming_mv" -> ((
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types.{DecimalType, LongType}
+        val sfName = new java.io.File(d).getName
+        val base = new java.io.File(s"/tmp/graft_mv_export_$sfName")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        rm(base)
+        val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val ev = (if (raw.schema("ts").dataType == LongType)
+            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          else raw)
+          .select(col("ts"), col("event_type"),
+            col("value").cast(DecimalType(18, 2)).as("value"))
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = new java.io.File(base, s"stage_$name")
+          df.coalesce(1).write.parquet(tmp.toString)
+          val part = tmp.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+          val dest = new java.io.File(inDir, name)
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(mtime); ()
+        }
+        val now = System.currentTimeMillis()
+        stage(ev, "000_events.parquet", now - 120000)
+        val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 40L * 24 * 3600 * 1000)
+        stage(ev.sparkSession.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row(sentinelTs, "zz_sentinel",
+              new java.math.BigDecimal("0.00"))), ev.schema),
+          "001_sentinel.parquet", now - 60000)
+        val catalog = new graft.store.TableCatalog(new java.io.File(base, "tables").toString)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        val q = graft.streaming.StreamingIngest.materializeWindowedCounts(
+          catalog, "mv", "daily", stream, "ts", "event_type", "1 day", "1 minute",
+          new java.io.File(base, "ckpt").toString,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        catalog.read(s, "mv", "daily")
+          .filter(col("event_type") =!= "zz_sentinel")
+          .select(col("window_start"), col("event_type"), col("n"),
+            col("total").cast("double").as("total"))
+          .orderBy("window_start", "event_type")
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM events
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -14,10 +14,12 @@ import org.apache.spark.sql.types._
   * analogue of Python's mapInPandas — so a real decoder drops in without
   * changing the plan shape.
   *
-  * The DECODERS ARE STUBS: this container has no image/audio libraries,
-  * so decode/resize/feature-extract produce deterministic fakes derived
-  * from the bytes (clearly marked below). The Spark-side contract —
-  * schemas, batching, partitioning, explode shape — is real and tested.
+  * Codecs: IMAGE (ImageIO) and AUDIO (javax.sound.sampled) decode for
+  * real — both are pure-JVM, no native deps. VIDEO remains a STUB
+  * (deterministic fake derived from the bytes, clearly marked below)
+  * because no pure-JVM video codec exists in this container. The
+  * Spark-side contract — schemas, batching, partitioning, explode
+  * shape — is identical across real and stubbed kinds, and tested.
   */
 object Multimodal {
 
@@ -54,10 +56,14 @@ object Multimodal {
 
   /** Decode + feature-extract, batched per partition (mapInPandas
     * analogue). IMAGES decode for real (pure-JVM ImageIO: PNG/JPEG/GIF/
-    * BMP); bytes that aren't a decodable image — and all audio/video,
-    * which have no pure-JVM codec in this container — fall through to
-    * the deterministic stub with the same signature, so the plan shape
-    * is identical either way. */
+    * BMP) and so does AUDIO (pure-JVM javax.sound.sampled: WAV/AIFF/AU);
+    * bytes that aren't decodable — and all video, which has no pure-JVM
+    * codec in this container — fall through to the deterministic stub
+    * with the same signature, so the plan shape is identical either way.
+    *
+    * Column mapping for audio rows (the decoded schema is fixed across
+    * kinds): `width` = sample rate in Hz, `height` = channel count,
+    * `n_frames` = PCM frame count (frames / rate = duration). */
   def decodeAndFeaturize(assets: DataFrame, featureDim: Int = 16): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
     assets.select("asset_id", "kind", "bytes").mapPartitions { it =>
@@ -65,8 +71,11 @@ object Multimodal {
         val id = row.getLong(0); val kind = row.getString(1)
         val bytes = if (row.isNullAt(2)) Array.empty[Byte] else row.getAs[Array[Byte]](2)
         val (w, h, frames, feats) =
-          (if (kind == "image") decodeImage(bytes, featureDim) else None)
-            .getOrElse(decodeStub(kind, bytes, featureDim))
+          (kind match {
+            case "image" => decodeImage(bytes, featureDim)
+            case "audio" => decodeAudio(bytes, featureDim)
+            case _       => None
+          }).getOrElse(decodeStub(kind, bytes, featureDim))
         Row(id, kind, w, h, frames, feats)
       }
     }(enc)
@@ -117,10 +126,72 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Magic-byte sniff for the containers `javax.sound.sampled` reads
+    * out of the box: RIFF/WAVE, FORM/AIFF-AIFC, and `.snd` (AU). Same
+    * rationale as [[looksLikeImage]]: non-audio payloads must cost a few
+    * byte compares, not a codec probe per row. */
+  private def looksLikeAudio(b: Array[Byte]): Boolean =
+    (b.length >= 12 && (
+      (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
+      (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+       b(8) == 'A' && b(9) == 'I' && b(10) == 'F'))) ||
+    (b.length >= 4 && b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')
+
+  /** REAL audio decode: `javax.sound.sampled` (in every JVM — no native
+    * deps) reads WAV/AIFF/AU payloads. Output maps onto the fixed
+    * decoded schema as (sample rate Hz, channel count, PCM frame count)
+    * and the feature vector is a normalized `dim`-bucket amplitude
+    * histogram of the first channel after converting to signed 16-bit
+    * PCM — deterministic and content-derived, like the image luminance
+    * histogram. The histogram reads at most 2^20 frames (~24 s at
+    * 44.1 kHz): the metadata is exact for any length while the feature
+    * pass stays O(bounded) per row at corpus scale. Returns None when
+    * the bytes aren't decodable audio, letting the caller fall back to
+    * the stub. */
+  private[multimodal] def decodeAudio(bytes: Array[Byte], dim: Int): Option[(Int, Int, Int, Seq[Float])] =
+    if (!looksLikeAudio(bytes)) None
+    else try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val src = raw.getFormat
+        val nFrames = math.min(raw.getFrameLength, Int.MaxValue.toLong).toInt
+        val pcmFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+          src.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, raw)
+        val frameSize = pcmFmt.getFrameSize
+        val maxFrames = 1 << 20
+        val hist = new Array[Float](dim)
+        val buf = new Array[Byte](frameSize * 1024)
+        var total = 0
+        var eof = false
+        while (!eof && total < maxFrames) {
+          val n = pcm.read(buf)
+          if (n <= 0) eof = true
+          else {
+            var off = 0
+            while (off + frameSize <= n && total < maxFrames) {
+              // first channel, little-endian signed 16-bit
+              val s = (buf(off + 1) << 8) | (buf(off) & 0xFF)
+              hist(math.min(dim - 1, (s + 32768) * dim / 65536)) += 1f
+              total += 1
+              off += frameSize
+            }
+          }
+        }
+        pcm.close()
+        Some((src.getSampleRate.toInt, src.getChannels, nFrames,
+          hist.map(_ / math.max(1, total)).toSeq))
+      } finally raw.close()
+    } catch { case _: Exception => None }
+
   /** ======== STUB ========
     * Deterministic fake "decode": dimensions and features derived from
-    * the payload hash. Audio/video stay here until a real codec
-    * (JNI/ffmpeg) is available; images only reach this when the bytes
+    * the payload hash. VIDEO stays here until a real codec (JNI/ffmpeg)
+    * is available; images and audio only reach this when the bytes
     * aren't decodable. */
   private def decodeStub(kind: String, bytes: Array[Byte], dim: Int): (Int, Int, Int, Seq[Float]) = {
     val h = Fingerprint64.hash(bytes)

@@ -64,6 +64,44 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2).getInt(2) >= 64 && out(2).getSeq[Float](5).length == 8)
   }
 
+  test("decodeAndFeaturize: REAL WAV bytes decode to true rate/channels/frames + amplitude features") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    // synthesize PCM signed 16-bit little-endian WAVs in-memory
+    def wav(rate: Float, channels: Int, frames: Int)(sample: Int => Short): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, channels,
+        channels * 2, rate, false)
+      val pcm = new Array[Byte](frames * channels * 2)
+      for (i <- 0 until frames; c <- 0 until channels) {
+        val s = sample(i)
+        val off = (i * channels + c) * 2
+        pcm(off) = (s & 0xFF).toByte; pcm(off + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val silent = wav(8000f, 1, 4000)(_ => 0.toShort)                  // mid-bucket mass
+    val loudSquare = wav(44100f, 2, 1000)(i => if (i % 2 == 0) 30000 else -30000) // extreme buckets
+    val df = Seq(
+      (20L, "audio", silent),
+      (21L, "audio", loudSquare),
+      (22L, "audio", "RIFF not really a wave file".getBytes("UTF-8"))) // undecodable -> stub
+      .toDF("asset_id", "kind", "bytes")
+    val out = Multimodal.decodeAndFeaturize(df, featureDim = 8).orderBy("asset_id").collect()
+    // true sample rate / channels / frame count, not hash-derived fakes
+    assert(out(0).getInt(2) == 8000 && out(0).getInt(3) == 1 && out(0).getInt(4) == 4000)
+    assert(out(1).getInt(2) == 44100 && out(1).getInt(3) == 2 && out(1).getInt(4) == 1000)
+    // amplitude histograms: silence in the middle bucket, the square wave
+    // splits between the outer buckets; both normalized to 1
+    val sf = out(0).getSeq[Float](5); val qf = out(1).getSeq[Float](5)
+    assert(math.abs(sf.sum - 1.0) < 1e-3 && sf(4) > 0.99f, s"silent hist: $sf")
+    assert(math.abs(qf.sum - 1.0) < 1e-3 && qf(0) + qf(7) > 0.99f, s"square hist: $qf")
+    // undecodable bytes keep the stub's deterministic contract
+    assert(out(2).getInt(2) >= 64 && out(2).getSeq[Float](5).length == 8)
+  }
+
   test("sampleFrames: every-nth chunk explode with correct counts and sizes") {
     val assets = Multimodal.assetsFromDocuments(docs())
     val frames = Multimodal.sampleFrames(assets, chunkBytes = 64, everyNth = 4)

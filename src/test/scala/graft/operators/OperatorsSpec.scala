@@ -310,6 +310,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exact = nnSet(SimilaritySearch.knnJoin(queries, corpus, "vec_id", "embedding", k = 3, exact = true))
     val approx = nnSet(SimilaritySearch.knnJoin(queries, corpus, "vec_id", "embedding", k = 3))
     val recall = approx.intersect(exact).size.toDouble / exact.size
+    RecallReceipts.record("knnJoin multi-probe vs exact, random corpus (q52 shape)", recall)
     // floor pinned by the seeded sweep next to autoPlanes: default
     // 4-table union measures 1.0 here, >= 0.9 guaranteed
     assert(recall >= 0.9, s"multi-probe recall vs exact was $recall")
@@ -404,6 +405,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exact = nnSet(SimilaritySearch.knnJoin(queries, corpus, "vec_id", "embedding", k = 5, exact = true))
     val approx = nnSet(SimilaritySearch.knnJoin(queries, corpus, "vec_id", "embedding", k = 5))
     val recall = approx.intersect(exact).size.toDouble / exact.size
+    RecallReceipts.record("knnJoin auto settings, clustered corpus (production shape)", recall)
     assert(recall >= 0.9, s"auto-settings recall on clustered corpus was $recall")
     // single-query tier: same floor at auto settings
     val qv = corpus.filter(org.apache.spark.sql.functions.col("vec_id") === 3L)
@@ -413,6 +415,8 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     val apT = SimilaritySearch.annTopK(rest, "vec_id", "embedding", qv, 10)
       .collect().map(_.getLong(0)).toSet
+    RecallReceipts.record("annTopK single query, clustered corpus (q51 shape)",
+      apT.intersect(exT).size / 10.0)
     assert(apT.intersect(exT).size >= 9, s"annTopK recall ${apT.intersect(exT).size}/10")
   }
 

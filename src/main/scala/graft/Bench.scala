@@ -18,7 +18,14 @@ object Bench {
     // throughput, which is what a resident server delivers
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q49_...,q26_... runs a subset, first-in-process —
+    // the isolation harness for drift investigations (PLANS.md receipts)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() materializes EVERY output column of every result
       // row (a plain df.count() would let Spark prune the projection)

@@ -616,7 +616,49 @@ object ExtQueries {
              |       count(*) AS n,
              |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM events
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    // Connected components hash-checked end-to-end: q61's clustering is
+    // rows-only because its MinHash candidate set is sketch-defined, but
+    // over the EXACT n-gram-Jaccard pair set (q49's oracle machinery) the
+    // component assignment is fully deterministic — the DuckDB oracle
+    // recomputes the pairs and closes them transitively with a recursive
+    // CTE (min reachable id per node == min-label propagation fixpoint).
+    // Any drift in the iterative propagation (a dropped edge, a stale
+    // label, an early convergence) hash-mismatches here.
+    "q70_cc_exact" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.connectedComponents(
+            Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+              shingleWidth = 3, threshold = 0.3))
+          .select(col("id").as("doc_id"), col("cluster"))
+          .orderBy("doc_id"),
+      Some("""WITH RECURSIVE tk AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(t) >= 3
+             |      THEN list_distinct(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))
+             |      ELSE [array_to_string(t, ' ')] END AS s
+             |  FROM tk
+             |), cand AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         len(list_intersect(a.s, b.s)) AS shared, len(a.s) AS na, len(b.s) AS nb
+             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+             |), pairs AS (
+             |  SELECT id_a, id_b FROM cand
+             |  WHERE shared >= 2 AND CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.3
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs
+             |), reach AS (
+             |  SELECT src AS id, src AS lbl FROM edges
+             |  UNION
+             |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+             |)
+             |SELECT id AS doc_id, min(lbl) AS cluster
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

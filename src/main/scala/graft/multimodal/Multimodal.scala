@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
   * changing the plan shape.
   *
   * Codecs: IMAGE (ImageIO) and AUDIO (javax.sound.sampled) decode for
-  * real — both are pure-JVM, no native deps. VIDEO remains a STUB
-  * (deterministic fake derived from the bytes, clearly marked below)
-  * because no pure-JVM video codec exists in this container. The
-  * Spark-side contract — schemas, batching, partitioning, explode
-  * shape — is identical across real and stubbed kinds, and tested.
+  * real — both are pure-JVM, no native deps. VIDEO container metadata
+  * (MP4/ISO-BMFF and RIFF AVI: pixel dimensions + frame count) parses
+  * for real via a byte-level box walk; pixel/frame DECODE remains a
+  * STUB (deterministic fake, clearly marked below) because no pure-JVM
+  * video codec exists in this container. The Spark-side contract —
+  * schemas, batching, partitioning, explode shape — is identical
+  * across real and stubbed kinds, and tested.
   */
 object Multimodal {
 
@@ -56,10 +58,11 @@ object Multimodal {
 
   /** Decode + feature-extract, batched per partition (mapInPandas
     * analogue). IMAGES decode for real (pure-JVM ImageIO: PNG/JPEG/GIF/
-    * BMP) and so does AUDIO (pure-JVM javax.sound.sampled: WAV/AIFF/AU);
-    * bytes that aren't decodable — and all video, which has no pure-JVM
-    * codec in this container — fall through to the deterministic stub
-    * with the same signature, so the plan shape is identical either way.
+    * BMP), so does AUDIO (pure-JVM javax.sound.sampled: WAV/AIFF/AU),
+    * and VIDEO container metadata parses for real (MP4/AVI box walk —
+    * true dimensions + frame count, no codec needed); bytes that aren't
+    * parseable fall through to the deterministic stub with the same
+    * signature, so the plan shape is identical either way.
     *
     * Column mapping for audio rows (the decoded schema is fixed across
     * kinds): `width` = sample rate in Hz, `height` = channel count,
@@ -74,6 +77,7 @@ object Multimodal {
           (kind match {
             case "image" => decodeImage(bytes, featureDim)
             case "audio" => decodeAudio(bytes, featureDim)
+            case "video" => decodeVideo(bytes, featureDim)
             case _       => None
           }).getOrElse(decodeStub(kind, bytes, featureDim))
         Row(id, kind, w, h, frames, feats)
@@ -188,11 +192,139 @@ object Multimodal {
       } finally raw.close()
     } catch { case _: Exception => None }
 
+  /** Magic-byte sniff for the two video containers the metadata parser
+    * reads: ISO-BMFF (`ftyp` at offset 4 — MP4/MOV/M4V) and RIFF `AVI `.
+    * Same rationale as [[looksLikeImage]]. */
+  private def looksLikeVideo(b: Array[Byte]): Boolean =
+    b.length >= 12 && (
+      (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') ||
+      (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+       b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '))
+
+  /** REAL video container metadata: a pure-JVM byte-level parse of the
+    * two mainstream containers — ISO-BMFF (MP4/MOV: box walk
+    * `moov/trak/tkhd` for pixel dimensions, `stbl/stsz` of the `vide`
+    * track for the frame count) and RIFF AVI (`hdrl/avih` main header:
+    * dwWidth/dwHeight/dwTotalFrames). No codec is involved, so this is
+    * exact for any payload the container describes — what remains
+    * stubbed is pixel/frame DECODE, which needs a real codec (see
+    * README deviation #4). The feature vector is a normalized byte-value
+    * histogram over the first 1 MiB of payload — deterministic and
+    * content-derived like the image/audio histograms (identical payloads
+    * land identically; near-identical payloads land near each other).
+    * Returns None when the bytes aren't a parseable container, letting
+    * the caller fall back to the stub. */
+  private[multimodal] def decodeVideo(bytes: Array[Byte], dim: Int): Option[(Int, Int, Int, Seq[Float])] =
+    if (!looksLikeVideo(bytes)) None
+    else try {
+      val parsed =
+        if (bytes(0) == 'R') parseAvi(bytes)
+        else new Mp4Walk(bytes).parse()
+      parsed.map { case (w, h, frames) => (w, h, frames, byteHistogram(bytes, dim)) }
+    } catch { case _: Exception => None }
+
+  private def byteHistogram(b: Array[Byte], dim: Int): Seq[Float] = {
+    val n = math.min(b.length, 1 << 20)
+    val hist = new Array[Float](dim)
+    var i = 0
+    while (i < n) { hist((b(i) & 0xFF) * dim / 256) += 1f; i += 1 }
+    hist.map(_ / math.max(1, n)).toSeq
+  }
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    ((b(off + 3) & 0xFFL) << 24) | ((b(off + 2) & 0xFFL) << 16) |
+      ((b(off + 1) & 0xFFL) << 8) | (b(off) & 0xFFL)
+
+  /** ISO-BMFF box walker. Boxes are [size:4][type:4][payload]; size==1
+    * means a 64-bit size follows, size==0 means to-end-of-enclosing.
+    * Descends only into the container boxes on the moov->stbl spine.
+    * Per `trak`, records tkhd pixel dims (16.16 fixed point, last 8
+    * payload bytes), whether hdlr says `vide`, and the stsz
+    * sample_count; the video track (or the first with dims) wins. */
+  private final class Mp4Walk(b: Array[Byte]) {
+    private var w = 0; private var h = 0; private var frames = 0; private var seenMoov = false
+    private var tW = 0; private var tH = 0; private var tFrames = 0; private var tVideo = false
+
+    def parse(): Option[(Int, Int, Int)] = {
+      walk(0L, b.length.toLong)
+      if (seenMoov) Some((w, h, frames)) else None
+    }
+
+    private def walk(start: Long, end: Long): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        var size = be32(b, off.toInt)
+        var hdr = 8L
+        if (size == 1 && off + 16 <= end) { size = be64(b, off.toInt + 8); hdr = 16 }
+        else if (size == 0) size = end - off
+        if (size < hdr || off + size > end) return
+        val boxEnd = off + size
+        val p = (off + hdr).toInt // payload start
+        typeOf(off.toInt) match {
+          case "moov" => seenMoov = true; walk(off + hdr, boxEnd)
+          case "mdia" | "minf" | "stbl" => walk(off + hdr, boxEnd)
+          case "trak" =>
+            tW = 0; tH = 0; tFrames = 0; tVideo = false
+            walk(off + hdr, boxEnd)
+            if (tVideo || (w == 0 && tW > 0)) { w = tW; h = tH; frames = tFrames }
+          case "tkhd" if boxEnd - p >= 8 =>
+            tW = (be32(b, boxEnd.toInt - 8) >> 16).toInt
+            tH = (be32(b, boxEnd.toInt - 4) >> 16).toInt
+          case "hdlr" if boxEnd - p >= 12 =>
+            if (typeOf(p + 8 - 4) == "vide") tVideo = true // handler_type at payload+8
+          case "stsz" if boxEnd - p >= 12 =>
+            tFrames = be32(b, p + 8).toInt // after version/flags + sample_size
+          case _ => // leaf we don't need
+        }
+        off = boxEnd
+      }
+    }
+
+    /** 4CC at `off+4` (box type) — also reused for hdlr handler_type. */
+    private def typeOf(off: Int): String =
+      new String(b, off + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** RIFF AVI main header: top-level chunks are [fourcc:4][size:4 LE]
+    * [payload]; a LIST chunk nests [listType:4][children]. The `hdrl`
+    * LIST's first child is `avih` with dwTotalFrames at payload+16 and
+    * dwWidth/dwHeight at +32/+36 (all little-endian). */
+  private def parseAvi(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    var off = 12L // past RIFF size 'AVI '
+    while (off + 8 <= b.length) {
+      val cc = new String(b, off.toInt, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val size = le32(b, off.toInt + 4)
+      if (cc == "LIST" && off + 12 <= b.length &&
+          new String(b, off.toInt + 8, 4, java.nio.charset.StandardCharsets.ISO_8859_1) == "hdrl") {
+        var in = off + 12
+        val listEnd = math.min(b.length.toLong, off + 8 + size)
+        while (in + 8 <= listEnd) {
+          val icc = new String(b, in.toInt, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+          val isz = le32(b, in.toInt + 4)
+          if (icc == "avih" && in + 8 + 40 <= listEnd)
+            return Some((le32(b, in.toInt + 8 + 32).toInt, le32(b, in.toInt + 8 + 36).toInt,
+              le32(b, in.toInt + 8 + 16).toInt))
+          in += 8 + isz + (isz & 1) // chunks are word-aligned
+        }
+        return None
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
+  }
+
   /** ======== STUB ========
     * Deterministic fake "decode": dimensions and features derived from
-    * the payload hash. VIDEO stays here until a real codec (JNI/ffmpeg)
-    * is available; images and audio only reach this when the bytes
-    * aren't decodable. */
+    * the payload hash. Only pixel/frame decode lands here now — video
+    * CONTAINER metadata parses for real above; images and audio only
+    * reach this when the bytes aren't decodable. */
   private def decodeStub(kind: String, bytes: Array[Byte], dim: Int): (Int, Int, Int, Seq[Float]) = {
     val h = Fingerprint64.hash(bytes)
     val width = 64 + math.floorMod(h, 512).toInt

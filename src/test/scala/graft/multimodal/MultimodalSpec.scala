@@ -102,6 +102,56 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2).getInt(2) >= 64 && out(2).getSeq[Float](5).length == 8)
   }
 
+  test("decodeAndFeaturize: REAL MP4/AVI containers parse to true dimensions + frame counts") {
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    // ISO-BMFF: boxes are [size:4 BE][fourcc:4][payload]
+    def box(cc: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(cc.getBytes("ISO-8859-1")).put(payload)
+      bb.array()
+    }
+    def mp4(w: Int, h: Int, frames: Int): Array[Byte] = {
+      val tkhd = ByteBuffer.allocate(84) // v0: ver/flags,ctime,mtime,id,res,dur,res8,layer2,alt2,vol2,res2,matrix36,w,h
+      tkhd.position(76); tkhd.putInt(w << 16).putInt(h << 16)
+      val hdlr = ByteBuffer.allocate(25)
+      hdlr.position(8); hdlr.put("vide".getBytes("ISO-8859-1"))
+      val stsz = ByteBuffer.allocate(12)
+      stsz.position(8); stsz.putInt(frames) // ver/flags, sample_size=0, sample_count
+      val mvhd = new Array[Byte](100)       // v0 payload, contents unused by the parser
+      val stbl = box("stbl", box("stsz", stsz.array()))
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", box("hdlr", hdlr.array()) ++ minf)
+      val trak = box("trak", box("tkhd", tkhd.array()) ++ mdia)
+      box("ftyp", "isomiso2".getBytes("ISO-8859-1")) ++ box("moov", box("mvhd", mvhd) ++ trak)
+    }
+    // RIFF AVI: chunks are [fourcc:4][size:4 LE][payload]
+    def avi(w: Int, h: Int, frames: Int): Array[Byte] = {
+      val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      avih.position(16); avih.putInt(frames)
+      avih.position(32); avih.putInt(w).putInt(h)
+      val bb = ByteBuffer.allocate(12 + 12 + 8 + 56).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("ISO-8859-1")).putInt(4 + 12 + 8 + 56).put("AVI ".getBytes("ISO-8859-1"))
+      bb.put("LIST".getBytes("ISO-8859-1")).putInt(4 + 8 + 56).put("hdrl".getBytes("ISO-8859-1"))
+      bb.put("avih".getBytes("ISO-8859-1")).putInt(56).put(avih.array())
+      bb.array()
+    }
+    val df = Seq(
+      (30L, "video", mp4(640, 360, 240)),
+      (31L, "video", avi(320, 240, 120)),
+      (32L, "video", "not a video container at all, long enough".getBytes("UTF-8"))) // -> stub
+      .toDF("asset_id", "kind", "bytes")
+    val out = Multimodal.decodeAndFeaturize(df, featureDim = 8).orderBy("asset_id").collect()
+    // true container metadata, not hash-derived fakes
+    assert(out(0).getInt(2) == 640 && out(0).getInt(3) == 360 && out(0).getInt(4) == 240)
+    assert(out(1).getInt(2) == 320 && out(1).getInt(3) == 240 && out(1).getInt(4) == 120)
+    // byte-histogram features: normalized, deterministic
+    val f0 = out(0).getSeq[Float](5)
+    assert(f0.length == 8 && math.abs(f0.sum - 1.0) < 1e-3, s"mp4 hist: $f0")
+    // unparseable bytes keep the stub's deterministic contract
+    assert(out(2).getInt(2) >= 64 && out(2).getSeq[Float](5).length == 8)
+  }
+
   test("sampleFrames: every-nth chunk explode with correct counts and sizes") {
     val assets = Multimodal.assetsFromDocuments(docs())
     val frames = Multimodal.sampleFrames(assets, chunkBytes = 64, everyNth = 4)

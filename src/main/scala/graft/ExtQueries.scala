@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.TextFunctions
 import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -658,7 +659,32 @@ object ExtQueries {
              |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
              |)
              |SELECT id AS doc_id, min(lbl) AS cluster
-             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)))
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))),
+
+    // SimHash hash-checked bit-for-bit: q48's pairing is rows-only
+    // because the pair set is sketch-defined, but the sketch VALUE is
+    // deterministic — the oracle replays xxhash64(seed 42) per token in
+    // HUGEINT mod-2^64 SQL (OracleSql.xxhChain) and re-runs the bit
+    // voting. Any drift in tokenize/hash/vote hash-mismatches here.
+    "q71_simhash_exact" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d)
+          .select(col("doc_id"),
+            TextFunctions.simhash64(TextFunctions.token_hashes(col("text"))).as("simhash"))
+          .orderBy("doc_id"),
+      Some(OracleSql.simhashSql))),
+
+    // MinHash signatures hash-checked bit-for-bit: the machinery behind
+    // q46/q47/q61's candidates (shingle -> xxhash64 -> SplitMix64
+    // permutations -> per-permutation min), replayed exactly in SQL.
+    "q72_minhash_sig_exact" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d)
+          .select(col("doc_id"),
+            TextFunctions.minhash_signature(
+              TextFunctions.shingle_hashes(col("text"), 3), 16).as("sig"))
+          .orderBy("doc_id"),
+      Some(OracleSql.minhashSigSql(k = 16, w = 3))))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -1,0 +1,201 @@
+package graft
+
+/** Generators for the DuckDB-side oracle SQL that replays the engine's
+  * xxhash64-based sketch functions bit-for-bit.
+  *
+  * The engine's text sketches (token_hashes / shingle_hashes ->
+  * simhash64 / minhash_signature, TextExpressions.scala) all bottom out
+  * in xxhash64 with seed 42 — Spark's own hash (catalyst XXH64). DuckDB
+  * has no xxhash64, so the oracle replays the full algorithm (public
+  * xxHash spec: 32-byte stripe accumulators, 8/4/1-byte tails,
+  * avalanche) in SQL: all arithmetic is HUGEINT with explicit mod-2^64,
+  * and 64x64-bit multiplies are split at 32 bits so intermediates stay
+  * under 2^97 (HUGEINT caps at 2^127-1). The generated chain is big
+  * (~25 KB of SQL) but mechanical — built here from the same small
+  * combinators a reader can check against the spec, exactly like the
+  * FNV-1a replay in q45's oracle, and validated against Spark's
+  * `xxhash64` output over empty/ascii/unicode/1..100-byte strings
+  * including the >=32-byte stripe path.
+  *
+  * This turns the sketch operators — previously `no_oracle` by design —
+  * into hash-checked battery entries (q71/q72): any drift in
+  * tokenization, hashing, bit-voting, or permutation-mixing
+  * hash-mismatches against DuckDB.
+  */
+object OracleSql {
+  private val M  = "18446744073709551616" // 2^64
+  private val P1 = "11400714785074694791"
+  private val P2 = "14029467366897019727"
+  private val P3 = "1609587929392839161"
+  private val P4 = "9650029242287828579"
+  private val P5 = "2870177450012600261"
+  private val H  = "4294967296"           // 2^32
+
+  /** (a*b) mod 2^64 via 32-bit split of a: a_lo*b + ((a_hi*b_lo) mod
+    * 2^32)<<32, every intermediate < 2^97. */
+  private def mul(a: String, b: String): String =
+    s"(((($a) % $H) * ($b) + (((($a) // $H) * (($b) % $H)) % $H) * $H) % $M)"
+
+  private def rotl(x: String, r: Int): String =
+    s"((($x) * ${1L << r} + ($x) // ${BigInt(1) << (64 - r)}) % $M)"
+
+  private def xorm(a: String, b: String): String =
+    s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
+
+  /** xxh64 round: rotl(acc + lane*P2, 31) * P1. */
+  private def rnd(acc: String, lane: String): String =
+    mul(rotl(s"((($acc) + ${mul(lane, P2)}) % $M)", 31), P1)
+
+  /** Little-endian 8-byte load from the 1-based HUGEINT byte list `b`
+    * at 0-based offset expression `off`. */
+  private def le8(off: String): String =
+    (0 until 8).map(j => s"b[($off) + ${j + 1}] * ${1L << (8 * j)}").mkString("(", " + ", ")")
+
+  private def le4(off: String): String =
+    (0 until 4).map(j => s"b[($off) + ${j + 1}] * ${1L << (8 * j)}").mkString("(", " + ", ")")
+
+  private def merge(h: String, v: String): String =
+    s"((${mul(xorm(h, rnd("0", v)), P1)} + $P4) % $M)"
+
+  private def vinit(i: Int): String = {
+    val m = BigInt(1) << 64
+    val v = i match {
+      case 1 => (BigInt(42) + BigInt(P1) + BigInt(P2)) mod m
+      case 2 => BigInt(42) + BigInt(P2)
+      case 3 => BigInt(42)
+      case 4 => (BigInt(42) - BigInt(P1)) mod m
+    }
+    s"CAST('$v' AS HUGEINT)"
+  }
+
+  /** Stripe accumulator v_i folded over the 32-byte blocks. */
+  private def vreduce(i: Int): String = {
+    val lane = le8(s"s * 32 + ${8 * (i - 1)}")
+    s"CASE WHEN ns > 0 THEN list_reduce(list_prepend(${vinit(i)}, " +
+      s"list_transform(range(0, ns), s -> $lane)), (acc, lane) -> ${rnd("acc", "lane")}) " +
+      "ELSE CAST(0 AS HUGEINT) END"
+  }
+
+  /** CTE chain from relation `src(idCols..., strCol)` to
+    * `hashed(idCols..., hfin)` where hfin = unsigned xxhash64(seed 42)
+    * of strCol's UTF-8 bytes, as HUGEINT in [0, 2^64). Merge rounds are
+    * one CTE column each — nesting them textually explodes 2^4x. */
+  private def xxhChain(src: String, idCols: Seq[String], strCol: String): String = {
+    val ids = idCols.mkString(", ")
+    val hsum = s"((${rotl("v1", 1)} + ${rotl("v2", 7)} + ${rotl("v3", 12)} + ${rotl("v4", 18)}) % $M)"
+    val tail8Body = s"((${mul(rotl(xorm("acc", rnd("0", "lane")), 27), P1)} + $P4) % $M)"
+    val tail4 =
+      s"CASE WHEN n - off4 >= 4 THEN ((${mul(rotl(xorm("h2", mul(le4("off4"), P1)), 23), P2)} + $P3) % $M) ELSE h2 END"
+    val tail1Body = mul(rotl(xorm("acc", s"(lane * $P5) % $M"), 11), P1)
+    val seedP5 = (BigInt(42) + BigInt(P5)) mod (BigInt(1) << 64)
+    s"""xb AS (
+       |  SELECT $ids, octet_length(encode($strCol)) AS n, octet_length(encode($strCol)) // 32 AS ns,
+       |    list_transform(range(1, octet_length(encode($strCol)) + 1), i ->
+       |      CAST((strpos('0123456789ABCDEF', substr(hex(encode($strCol)), 2 * i - 1, 1)) - 1) * 16
+       |         + (strpos('0123456789ABCDEF', substr(hex(encode($strCol)), 2 * i, 1)) - 1) AS HUGEINT)) AS b
+       |  FROM $src
+       |), xv AS (
+       |  SELECT *, ${vreduce(1)} AS v1, ${vreduce(2)} AS v2, ${vreduce(3)} AS v3, ${vreduce(4)} AS v4 FROM xb
+       |), xh AS (
+       |  SELECT *, $hsum AS hs FROM xv
+       |), xm1 AS (SELECT *, ${merge("hs", "v1")} AS m1 FROM xh
+       |), xm2 AS (SELECT *, ${merge("m1", "v2")} AS m2 FROM xm1
+       |), xm3 AS (SELECT *, ${merge("m2", "v3")} AS m3 FROM xm2
+       |), xm4 AS (
+       |  SELECT *, (CASE WHEN n >= 32 THEN ${merge("m3", "v4")}
+       |                  ELSE CAST('$seedP5' AS HUGEINT) END + n) % $M AS h1
+       |  FROM xm3
+       |), x8 AS (
+       |  SELECT *, list_reduce(list_prepend(h1,
+       |      list_transform(range(ns * 32, ns * 32 + ((n - ns * 32) // 8) * 8, 8), o -> ${le8("o")})),
+       |      (acc, lane) -> $tail8Body) AS h2,
+       |    ns * 32 + ((n - ns * 32) // 8) * 8 AS off4
+       |  FROM xm4
+       |), x4 AS (
+       |  SELECT *, $tail4 AS h3, off4 + CASE WHEN n - off4 >= 4 THEN 4 ELSE 0 END AS off1
+       |  FROM x8
+       |), x1 AS (
+       |  SELECT *, list_reduce(list_prepend(h3,
+       |      list_transform(range(off1, n), o -> b[o + 1])),
+       |      (acc, lane) -> $tail1Body) AS h4
+       |  FROM x4
+       |), xa1 AS (SELECT *, ${mul(xorm("h4", s"h4 // ${1L << 33}"), P2)} AS a1 FROM x1
+       |), xa2 AS (SELECT *, ${mul(xorm("a1", s"a1 // ${1L << 29}"), P3)} AS a2 FROM xa1
+       |), hashed AS (
+       |  SELECT $ids, ${xorm("a2", s"a2 // ${1L << 32}")} AS hfin FROM xa2
+       |)""".stripMargin
+  }
+
+  /** Unsigned HUGEINT in [0, 2^64) -> two's-complement BIGINT. */
+  private def signed(u: String): String =
+    s"CASE WHEN $u >= CAST('9223372036854775808' AS HUGEINT) " +
+      s"THEN CAST($u - CAST('$M' AS HUGEINT) AS BIGINT) ELSE CAST($u AS BIGINT) END"
+
+  /** q71 oracle: simhash64(token_hashes(text)) per document — tokenize,
+    * xxhash64 each token, +-1 vote per bit, sign -> bit; NULL for
+    * token-less docs (TokenHashes yields an empty array, SimHash64 maps
+    * it to NULL). */
+  def simhashSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(toks) AS t FROM tk
+       |), ${xxhChain("tok", Seq("doc_id", "t"), "t")},
+       |bits AS (
+       |  SELECT doc_id, bit,
+       |         sum(CASE WHEN (CAST(hfin AS UBIGINT) >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+       |  FROM hashed CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) bb
+       |  GROUP BY doc_id, bit
+       |), sim AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN tally > 0 THEN
+       |               CASE WHEN bit = 63 THEN CAST('-9223372036854775808' AS BIGINT)
+       |                    ELSE CAST(1 AS BIGINT) << bit END
+       |             ELSE 0 END) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, CAST(s.simhash AS BIGINT) AS simhash
+       |FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  private val Gold = "11400714819323198485" // 0x9E3779B97F4A7C15
+  private val Mx1  = "13787848793156543929" // 0xBF58476D1CE4E5B9 (SplitMix64)
+  private val Mx2  = "10723151780598845931" // 0x94D049BB133111EB
+
+  /** q72 oracle: minhash_signature(shingle_hashes(text, w), k) — w-token
+    * shingles (whole text if < w tokens), xxhash64 each, then per
+    * permutation j the min of SplitMix64(h + (j+1)*golden). Duplicate
+    * shingles don't affect a min, so the engine's first-occurrence dedup
+    * needs no replay. */
+  def minhashSigSql(k: Int, w: Int): String = {
+    val z0 = s"((hfin + (j + 1) * $Gold) % $M)"
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), shl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= $w
+       |      THEN list_transform(range(1, len(toks) - $w + 2), i -> array_to_string(toks[i:i+${w - 1}], ' '))
+       |      ELSE [array_to_string(toks, ' ')] END AS shingles
+       |  FROM tk
+       |), tok AS (
+       |  SELECT doc_id, unnest(shingles) AS t FROM shl
+       |), ${xxhChain("tok", Seq("doc_id", "t"), "t")},
+       |perm AS (
+       |  SELECT doc_id, j, $z0 AS z0
+       |  FROM hashed CROSS JOIN (SELECT unnest(range(0, $k)) AS j) jj
+       |), mx1 AS (SELECT doc_id, j, ${mul(xorm("z0", s"z0 // ${1L << 30}"), Mx1)} AS z1 FROM perm
+       |), mx2 AS (SELECT doc_id, j, ${mul(xorm("z1", s"z1 // ${1L << 27}"), Mx2)} AS z2 FROM mx1
+       |), mx3 AS (
+       |  -- two's-complement BEFORE the min: the engine compares permuted
+       |  -- hashes as signed longs (Long ordering), not unsigned
+       |  SELECT doc_id, j, ${signed(xorm("z2", s"z2 // ${1L << 31}"))} AS z3 FROM mx2
+       |), mn AS (
+       |  SELECT doc_id, j, min(z3) AS mh FROM mx3 GROUP BY doc_id, j
+       |), sg AS (
+       |  SELECT doc_id, list(mh ORDER BY j) AS sig FROM mn GROUP BY doc_id
+       |)
+       |SELECT doc_id, sig FROM sg ORDER BY doc_id""".stripMargin
+  }
+}

@@ -684,7 +684,20 @@ object ExtQueries {
             TextFunctions.minhash_signature(
               TextFunctions.shingle_hashes(col("text"), 3), 16).as("sig"))
           .orderBy("doc_id"),
-      Some(OracleSql.minhashSigSql(k = 16, w = 3))))
+      Some(OracleSql.minhashSigSql(k = 16, w = 3)))),
+
+    // The FULL MinHash LSH candidate pipeline hash-checked: same call as
+    // q46 (32 hashes, 8 bands, bucket cap 500, est >= 0.5), against an
+    // oracle that replays signatures, band-string xxhash64 buckets,
+    // capped pair blocking, and signature-agreement scoring. q46's
+    // "sketch-defined" pair set is in fact deterministic — this pins it.
+    "q74_minhash_candidates_exact" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.minHashCandidates(docs(s, d), "doc_id", "text")
+          .filter(col("est_jaccard") >= 0.5)
+          .orderBy("id_a", "id_b"),
+      Some(OracleSql.minhashCandidatesSql(
+        numHashes = 32, bands = 8, w = 3, maxBucketSize = 500, threshold = 0.5))))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

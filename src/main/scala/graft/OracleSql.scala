@@ -77,10 +77,12 @@ object OracleSql {
   }
 
   /** CTE chain from relation `src(idCols..., strCol)` to
-    * `hashed(idCols..., hfin)` where hfin = unsigned xxhash64(seed 42)
-    * of strCol's UTF-8 bytes, as HUGEINT in [0, 2^64). Merge rounds are
-    * one CTE column each — nesting them textually explodes 2^4x. */
-  private def xxhChain(src: String, idCols: Seq[String], strCol: String): String = {
+    * `<p>hashed(idCols..., hfin)` where hfin = unsigned xxhash64(seed
+    * 42) of strCol's UTF-8 bytes, as HUGEINT in [0, 2^64). Merge rounds
+    * are one CTE column each — nesting them textually explodes 2^4x.
+    * `p` prefixes every CTE name so one query can hash two different
+    * relations (e.g. shingles, then band strings). */
+  private def xxhChain(src: String, idCols: Seq[String], strCol: String, p: String = "x"): String = {
     val ids = idCols.mkString(", ")
     val hsum = s"((${rotl("v1", 1)} + ${rotl("v2", 7)} + ${rotl("v3", 12)} + ${rotl("v4", 18)}) % $M)"
     val tail8Body = s"((${mul(rotl(xorm("acc", rnd("0", "lane")), 27), P1)} + $P4) % $M)"
@@ -88,41 +90,41 @@ object OracleSql {
       s"CASE WHEN n - off4 >= 4 THEN ((${mul(rotl(xorm("h2", mul(le4("off4"), P1)), 23), P2)} + $P3) % $M) ELSE h2 END"
     val tail1Body = mul(rotl(xorm("acc", s"(lane * $P5) % $M"), 11), P1)
     val seedP5 = (BigInt(42) + BigInt(P5)) mod (BigInt(1) << 64)
-    s"""xb AS (
+    s"""${p}b AS (
        |  SELECT $ids, octet_length(encode($strCol)) AS n, octet_length(encode($strCol)) // 32 AS ns,
        |    list_transform(range(1, octet_length(encode($strCol)) + 1), i ->
        |      CAST((strpos('0123456789ABCDEF', substr(hex(encode($strCol)), 2 * i - 1, 1)) - 1) * 16
        |         + (strpos('0123456789ABCDEF', substr(hex(encode($strCol)), 2 * i, 1)) - 1) AS HUGEINT)) AS b
        |  FROM $src
-       |), xv AS (
-       |  SELECT *, ${vreduce(1)} AS v1, ${vreduce(2)} AS v2, ${vreduce(3)} AS v3, ${vreduce(4)} AS v4 FROM xb
-       |), xh AS (
-       |  SELECT *, $hsum AS hs FROM xv
-       |), xm1 AS (SELECT *, ${merge("hs", "v1")} AS m1 FROM xh
-       |), xm2 AS (SELECT *, ${merge("m1", "v2")} AS m2 FROM xm1
-       |), xm3 AS (SELECT *, ${merge("m2", "v3")} AS m3 FROM xm2
-       |), xm4 AS (
+       |), ${p}v AS (
+       |  SELECT *, ${vreduce(1)} AS v1, ${vreduce(2)} AS v2, ${vreduce(3)} AS v3, ${vreduce(4)} AS v4 FROM ${p}b
+       |), ${p}h AS (
+       |  SELECT *, $hsum AS hs FROM ${p}v
+       |), ${p}m1 AS (SELECT *, ${merge("hs", "v1")} AS m1 FROM ${p}h
+       |), ${p}m2 AS (SELECT *, ${merge("m1", "v2")} AS m2 FROM ${p}m1
+       |), ${p}m3 AS (SELECT *, ${merge("m2", "v3")} AS m3 FROM ${p}m2
+       |), ${p}m4 AS (
        |  SELECT *, (CASE WHEN n >= 32 THEN ${merge("m3", "v4")}
        |                  ELSE CAST('$seedP5' AS HUGEINT) END + n) % $M AS h1
-       |  FROM xm3
-       |), x8 AS (
+       |  FROM ${p}m3
+       |), ${p}8 AS (
        |  SELECT *, list_reduce(list_prepend(h1,
        |      list_transform(range(ns * 32, ns * 32 + ((n - ns * 32) // 8) * 8, 8), o -> ${le8("o")})),
        |      (acc, lane) -> $tail8Body) AS h2,
        |    ns * 32 + ((n - ns * 32) // 8) * 8 AS off4
-       |  FROM xm4
-       |), x4 AS (
+       |  FROM ${p}m4
+       |), ${p}4 AS (
        |  SELECT *, $tail4 AS h3, off4 + CASE WHEN n - off4 >= 4 THEN 4 ELSE 0 END AS off1
-       |  FROM x8
-       |), x1 AS (
+       |  FROM ${p}8
+       |), ${p}1 AS (
        |  SELECT *, list_reduce(list_prepend(h3,
        |      list_transform(range(off1, n), o -> b[o + 1])),
        |      (acc, lane) -> $tail1Body) AS h4
-       |  FROM x4
-       |), xa1 AS (SELECT *, ${mul(xorm("h4", s"h4 // ${1L << 33}"), P2)} AS a1 FROM x1
-       |), xa2 AS (SELECT *, ${mul(xorm("a1", s"a1 // ${1L << 29}"), P3)} AS a2 FROM xa1
-       |), hashed AS (
-       |  SELECT $ids, ${xorm("a2", s"a2 // ${1L << 32}")} AS hfin FROM xa2
+       |  FROM ${p}4
+       |), ${p}a1 AS (SELECT *, ${mul(xorm("h4", s"h4 // ${1L << 33}"), P2)} AS a1 FROM ${p}1
+       |), ${p}a2 AS (SELECT *, ${mul(xorm("a1", s"a1 // ${1L << 29}"), P3)} AS a2 FROM ${p}a1
+       |), ${p}hashed AS (
+       |  SELECT $ids, ${xorm("a2", s"a2 // ${1L << 32}")} AS hfin FROM ${p}a2
        |)""".stripMargin
   }
 
@@ -145,7 +147,7 @@ object OracleSql {
        |bits AS (
        |  SELECT doc_id, bit,
        |         sum(CASE WHEN (CAST(hfin AS UBIGINT) >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS tally
-       |  FROM hashed CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) bb
+       |  FROM xhashed CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) bb
        |  GROUP BY doc_id, bit
        |), sim AS (
        |  SELECT doc_id,
@@ -163,14 +165,16 @@ object OracleSql {
   private val Mx1  = "13787848793156543929" // 0xBF58476D1CE4E5B9 (SplitMix64)
   private val Mx2  = "10723151780598845931" // 0x94D049BB133111EB
 
-  /** q72 oracle: minhash_signature(shingle_hashes(text, w), k) — w-token
-    * shingles (whole text if < w tokens), xxhash64 each, then per
-    * permutation j the min of SplitMix64(h + (j+1)*golden). Duplicate
-    * shingles don't affect a min, so the engine's first-occurrence dedup
-    * needs no replay. */
-  def minhashSigSql(k: Int, w: Int): String = {
+  /** The shared MinHash signature CTEs: documents -> `sg(doc_id, sig)`
+    * where sig is the k-element signed signature list (w-token shingles,
+    * whole text if < w tokens; xxhash64 each; per permutation j the min
+    * of SplitMix64(h + (j+1)*golden) under SIGNED Long ordering — the
+    * engine compares permuted hashes as signed longs. Duplicate shingles
+    * don't affect a min, so the engine's first-occurrence dedup needs no
+    * replay). */
+  private def sigCtes(k: Int, w: Int): String = {
     val z0 = s"((hfin + (j + 1) * $Gold) % $M)"
-    s"""WITH tk AS (
+    s"""tk AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks
        |  FROM documents
        |), shl AS (
@@ -184,18 +188,58 @@ object OracleSql {
        |), ${xxhChain("tok", Seq("doc_id", "t"), "t")},
        |perm AS (
        |  SELECT doc_id, j, $z0 AS z0
-       |  FROM hashed CROSS JOIN (SELECT unnest(range(0, $k)) AS j) jj
+       |  FROM xhashed CROSS JOIN (SELECT unnest(range(0, $k)) AS j) jj
        |), mx1 AS (SELECT doc_id, j, ${mul(xorm("z0", s"z0 // ${1L << 30}"), Mx1)} AS z1 FROM perm
        |), mx2 AS (SELECT doc_id, j, ${mul(xorm("z1", s"z1 // ${1L << 27}"), Mx2)} AS z2 FROM mx1
        |), mx3 AS (
-       |  -- two's-complement BEFORE the min: the engine compares permuted
-       |  -- hashes as signed longs (Long ordering), not unsigned
        |  SELECT doc_id, j, ${signed(xorm("z2", s"z2 // ${1L << 31}"))} AS z3 FROM mx2
        |), mn AS (
        |  SELECT doc_id, j, min(z3) AS mh FROM mx3 GROUP BY doc_id, j
        |), sg AS (
        |  SELECT doc_id, list(mh ORDER BY j) AS sig FROM mn GROUP BY doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  /** q72 oracle: minhash_signature(shingle_hashes(text, w), k) per doc. */
+  def minhashSigSql(k: Int, w: Int): String =
+    s"""WITH ${sigCtes(k, w)}
        |SELECT doc_id, sig FROM sg ORDER BY doc_id""".stripMargin
+
+  /** q74 oracle: the FULL MinHash LSH candidate pipeline
+    * (Dedup.minHashCandidates) replayed exactly — signatures, band
+    * strings (comma-joined signature slice + band index, exactly
+    * Spark's `concat_ws`), xxhash64 band buckets, bucket-cap pair
+    * blocking, signature-agreement scoring, threshold. */
+  def minhashCandidatesSql(numHashes: Int, bands: Int, w: Int,
+                           maxBucketSize: Int, threshold: Double): String = {
+    val rpb = numHashes / bands
+    s"""WITH ${sigCtes(numHashes, w)},
+       |bnd AS (
+       |  -- bi, not b: the hash chain's byte-list column is named b
+       |  SELECT doc_id, bi,
+       |         array_to_string(sig[bi * $rpb + 1 : bi * $rpb + $rpb], ',') || ',' || CAST(bi AS VARCHAR) AS t
+       |  FROM sg CROSS JOIN (SELECT unnest(range(0, $bands)) AS bi) bb
+       |), ${xxhChain("bnd", Seq("doc_id", "bi"), "t", "bx")},
+       |bkt AS (
+       |  SELECT doc_id, bi AS band, hfin AS bucket FROM bxhashed
+       |), ok AS (
+       |  SELECT band, bucket FROM bkt GROUP BY band, bucket
+       |  HAVING count(*) BETWEEN 2 AND $maxBucketSize
+       |), pairs AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM bkt l
+       |  JOIN bkt r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |  JOIN ok o ON o.band = l.band AND o.bucket = l.bucket
+       |), scored AS (
+       |  SELECT p.id_a, p.id_b,
+       |         CAST(len(list_filter(range(1, $numHashes + 1), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+       |           / $numHashes AS est_jaccard
+       |  FROM pairs p
+       |  JOIN sg sa ON sa.doc_id = p.id_a
+       |  JOIN sg sb ON sb.doc_id = p.id_b
+       |)
+       |SELECT id_a, id_b, est_jaccard FROM scored
+       |WHERE est_jaccard >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
   }
 }

@@ -691,6 +691,18 @@ object ExtQueries {
     // oracle that replays signatures, band-string xxhash64 buckets,
     // capped pair blocking, and signature-agreement scoring. q46's
     // "sketch-defined" pair set is in fact deterministic — this pins it.
+    // Winnowing fingerprints hash-checked bit-for-bit (q59's machinery):
+    // FNV-1a k-char grams + rightmost-min-per-window selection, replayed
+    // exactly in SQL. Corpus is all-ASCII, so the engine's char&0xFF
+    // hashing equals the oracle's UTF-8 bytes.
+    "q73_winnow_exact" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d)
+          .select(col("doc_id"),
+            TextFunctions.winnow(col("text"), 24, 12).as("fps"))
+          .orderBy("doc_id"),
+      Some(OracleSql.winnowSql(k = 24, window = 12)))),
+
     "q74_minhash_candidates_exact" -> ((
       (s: SparkSession, d: String) =>
         Dedup.minHashCandidates(docs(s, d), "doc_id", "text")

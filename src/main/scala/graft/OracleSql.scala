@@ -205,6 +205,54 @@ object OracleSql {
     s"""WITH ${sigCtes(k, w)}
        |SELECT doc_id, sig FROM sg ORDER BY doc_id""".stripMargin
 
+  private val FnvBasis = "CAST('14695981039346656037' AS HUGEINT)" // 0xcbf29ce484222325
+  private val FnvPrime = "1099511628211"                           // 0x100000001b3
+
+  /** q73 oracle: winnow(text, k, window) — Schleimer et al. robust
+    * winnowing, replayed exactly. Normalization (lower, whitespace runs
+    * -> single space, trimmed), FNV-1a over each k-CHAR gram (the engine
+    * hashes `char & 0xFF`, which equals UTF-8 bytes on this all-ASCII
+    * corpus — asserted in the battery's data), then per window the
+    * RIGHTMOST minimum gram position under signed-Long order. The
+    * engine's emit-on-position-change scan equals "distinct selected
+    * positions, ascending" because the rightmost-min position sequence
+    * is non-decreasing (a later equal value always wins the tie, so a
+    * position right of the current min can only take over, never a
+    * position left of it). Texts shorter than k fingerprint as one
+    * whole-text FNV hash. */
+  def winnowSql(k: Int, window: Int): String = {
+    val fnvFold = s"(${mul(xorm("h", "y"), FnvPrime)})"
+    val gram = signed(s"list_reduce(list_prepend($FnvBasis, b[i + 1 : i + $k]), (h, y) -> $fnvFold)")
+    val whole = signed(s"list_reduce(list_prepend($FnvBasis, b), (h, y) -> $fnvFold)")
+    s"""WITH nrm AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS s
+       |  FROM documents
+       |), byt AS (
+       |  SELECT doc_id, octet_length(encode(s)) AS nb,
+       |    list_transform(range(1, octet_length(encode(s)) + 1), i ->
+       |      CAST((strpos('0123456789ABCDEF', substr(hex(encode(s)), 2 * i - 1, 1)) - 1) * 16
+       |         + (strpos('0123456789ABCDEF', substr(hex(encode(s)), 2 * i, 1)) - 1) AS HUGEINT)) AS b
+       |  FROM nrm
+       |), grm AS (
+       |  SELECT doc_id, nb, nb - $k + 1 AS ng,
+       |    CASE WHEN nb >= $k
+       |      THEN list_transform(range(0, nb - $k + 1), i -> $gram)
+       |      ELSE [$whole] END AS grams
+       |  FROM byt
+       |), win AS (
+       |  SELECT doc_id, grams,
+       |    CASE WHEN nb < $k THEN [CAST(0 AS BIGINT)]
+       |      ELSE list_transform(range(0, greatest(ng - $window + 1, 1)), i ->
+       |        list_reduce(list_prepend(i, range(i + 1, least(i + $window, ng))),
+       |          (p, q) -> CASE WHEN grams[q + 1] <= grams[p + 1] THEN q ELSE p END))
+       |      END AS wins
+       |  FROM grm
+       |)
+       |SELECT doc_id,
+       |       list_transform(list_sort(list_distinct(wins)), p -> grams[p + 1]) AS fps
+       |FROM win ORDER BY doc_id""".stripMargin
+  }
+
   /** q74 oracle: the FULL MinHash LSH candidate pipeline
     * (Dedup.minHashCandidates) replayed exactly — signatures, band
     * strings (comma-joined signature slice + band index, exactly

@@ -444,12 +444,16 @@ object ExtQueries {
              |SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cosine
              |FROM sims ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin))),
 
-    // LSH ANN (hyperplane buckets, multi-probe).
+    // LSH ANN (hyperplane buckets, multi-probe) — oracle-checked as of
+    // round 6: every stage is deterministic (SplitMix64 planes, strict
+    // sign-bit buckets, 1-bit-flip probes, exact cosine over the probed
+    // union), so the oracle replays the whole query (OracleSql.annLshSql)
+    // instead of settling for rows-only.
     "q51_ann_lsh" -> ((
       (s: SparkSession, d: String) =>
         SimilaritySearch.annTopK(embs(s, d), "vec_id", "embedding",
           queryVec(s, d), k = 10),
-      None)),
+      Some(OracleSql.annLshSql(k = 10)))),
 
     // k-NN join (bucketed): 3 neighbors for each of the first 20 vectors.
     "q52_knn_join" -> ((

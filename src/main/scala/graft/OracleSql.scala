@@ -205,6 +205,69 @@ object OracleSql {
     s"""WITH ${sigCtes(k, w)}
        |SELECT doc_id, sig FROM sg ORDER BY doc_id""".stripMargin
 
+  /** Packed hyperplane bucket of `vec` against the row-major plane list
+    * `pl` (columns `p` = plane count and `dim` in scope): bit j set iff
+    * the j-th dot product is strictly positive — HyperplaneBucket's
+    * semantics, same sequential float->double accumulation order. */
+  private def bucketExpr(vec: String, pl: String): String =
+    s"""list_sum(list_transform(range(0, p), j ->
+       |      CASE WHEN list_sum(list_transform(range(1, dim + 1), ii ->
+       |                   CAST($vec[ii] AS DOUBLE) * $pl[j * dim + ii])) > 0
+       |           THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END))""".stripMargin
+
+  /** q51 oracle: the FULL multi-table multi-probe LSH ANN query
+    * (SimilaritySearch.annTopK) replayed exactly. Everything is
+    * deterministic: hyperplanes come from a SplitMix64 stream
+    * (makePlanes: value i of table t = mix(42 + 7919t + i*golden),
+    * signed, /Long.MaxValue), buckets are strict-positive dot-product
+    * sign bits, probes are the query bucket plus its 1-bit flips per
+    * table, and the final top-k is the exact-cosine scan over the
+    * probed union (q50's machinery). Plane count replays autoPlanes:
+    * floor(ln(n/8k)/ln 2) clamped to [1,24] — bit-identical here
+    * because n/target sits nowhere near a power-of-2 boundary at the
+    * test scales. */
+  def annLshSql(k: Int, nTables: Int = 4, seedBase: Long = 42L): String = {
+    val target = 8.0 * k
+    s"""WITH q AS (
+       |  SELECT embedding AS qe, len(embedding) AS dim FROM embeddings WHERE vec_id = 0
+       |), np AS (
+       |  SELECT greatest(1, least(24, CAST(floor(ln(count(*) / $target) / ln(2)) AS INTEGER))) AS p
+       |  FROM embeddings
+       |), pli AS (
+       |  SELECT t, unnest(range(1, p * dim + 1)) AS i, p, dim
+       |  FROM (SELECT unnest(range(0, $nTables)) AS t) tt, np, q
+       |), pl0 AS (
+       |  SELECT t, i, (($seedBase + 7919 * t + i * $Gold) % $M) AS z0 FROM pli
+       |), pl1 AS (SELECT t, i, ${mul(xorm("z0", s"z0 // ${1L << 30}"), Mx1)} AS z1 FROM pl0
+       |), pl2 AS (SELECT t, i, ${mul(xorm("z1", s"z1 // ${1L << 27}"), Mx2)} AS z2 FROM pl1
+       |), pl3 AS (
+       |  SELECT t, i,
+       |    CAST(${signed(xorm("z2", s"z2 // ${1L << 31}"))} AS DOUBLE) / 9223372036854775807.0 AS plane
+       |  FROM pl2
+       |), pls AS (
+       |  SELECT t, list(plane ORDER BY i) AS pl FROM pl3 GROUP BY t
+       |), qb AS (
+       |  SELECT t, pl, ${bucketExpr("qe", "pl")} AS qbucket FROM pls, q, np
+       |), pr AS (
+       |  SELECT t, pl,
+       |    list_prepend(qbucket, list_transform(range(0, p), b2 -> xor(qbucket, CAST(1 AS BIGINT) << b2))) AS probes
+       |  FROM qb, np
+       |), cand AS (
+       |  SELECT DISTINCT e.vec_id
+       |  FROM embeddings e, pr, np, q
+       |  WHERE list_contains(pr.probes, ${bucketExpr("e.embedding", "pr.pl")})
+       |), sims AS (
+       |  SELECT e.vec_id,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS dot,
+       |    list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+       |    list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+       |  FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, q
+       |)
+       |SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cosine
+       |FROM sims ORDER BY cosine DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   private val FnvBasis = "CAST('14695981039346656037' AS HUGEINT)" // 0xcbf29ce484222325
   private val FnvPrime = "1099511628211"                           // 0x100000001b3
 

@@ -456,13 +456,16 @@ object ExtQueries {
       Some(OracleSql.annLshSql(k = 10)))),
 
     // k-NN join (bucketed): 3 neighbors for each of the first 20 vectors.
+    // Oracle-checked as of round 6 (same reasoning as q51): planes,
+    // buckets, probes, hot-bucket drop, cosine, and rank tie-break are
+    // all deterministic, so the whole join replays in SQL.
     "q52_knn_join" -> ((
       (s: SparkSession, d: String) =>
         SimilaritySearch.knnJoin(
           embs(s, d).filter(col("vec_id") < 20), embs(s, d),
           "vec_id", "embedding", k = 3)
           .orderBy("query_id", "rank"),
-      None)),
+      Some(OracleSql.knnJoinSql(k = 3, maxQueryId = 20)))),
 
     // IVF ANN (sampled-centroid inverted file, multi-cell probe): the
     // second approximate tier next to hyperplane LSH (q51). Engine-
@@ -548,6 +551,9 @@ object ExtQueries {
       None)),
 
     // Multimodal frame sampling: plan-side binary chunk explode.
+    // Oracle-checked as of round 6: the sampled-frame shape is pure
+    // arithmetic over byte lengths (every-4th 64-byte chunk of video
+    // assets), replayed in SQL.
     "q55_multimodal_frames" -> ((
       (s: SparkSession, d: String) =>
         Multimodal.sampleFrames(Multimodal.assetsFromDocuments(docs(s, d)))
@@ -555,7 +561,7 @@ object ExtQueries {
           .agg(count(lit(1)).as("n_frames"),
                sum(length(col("frame_bytes"))).cast("long").as("bytes_sampled"))
           .orderBy("asset_id"),
-      None)),
+      Some(OracleSql.sampleFramesSql()))),
 
     // Streaming materialized view, end-to-end through the REAL streaming
     // machinery: the events table is staged as a file-source stream (two

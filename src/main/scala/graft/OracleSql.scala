@@ -226,16 +226,13 @@ object OracleSql {
     * floor(ln(n/8k)/ln 2) clamped to [1,24] — bit-identical here
     * because n/target sits nowhere near a power-of-2 boundary at the
     * test scales. */
-  def annLshSql(k: Int, nTables: Int = 4, seedBase: Long = 42L): String = {
-    val target = 8.0 * k
-    s"""WITH q AS (
-       |  SELECT embedding AS qe, len(embedding) AS dim FROM embeddings WHERE vec_id = 0
-       |), np AS (
-       |  SELECT greatest(1, least(24, CAST(floor(ln(count(*) / $target) / ln(2)) AS INTEGER))) AS p
-       |  FROM embeddings
-       |), pli AS (
+  /** Shared plane-generation CTEs: given `np(p)` and `dm(dim)` CTEs,
+    * emits `pls(t, pl)` — the row-major hyperplane list per hash table,
+    * replaying makePlanes' SplitMix64 stream exactly. */
+  private def planeCtes(nTables: Int, seedBase: Long): String =
+    s"""pli AS (
        |  SELECT t, unnest(range(1, p * dim + 1)) AS i, p, dim
-       |  FROM (SELECT unnest(range(0, $nTables)) AS t) tt, np, q
+       |  FROM (SELECT unnest(range(0, $nTables)) AS t) tt, np, dm
        |), pl0 AS (
        |  SELECT t, i, (($seedBase + 7919 * t + i * $Gold) % $M) AS z0 FROM pli
        |), pl1 AS (SELECT t, i, ${mul(xorm("z0", s"z0 // ${1L << 30}"), Mx1)} AS z1 FROM pl0
@@ -246,7 +243,21 @@ object OracleSql {
        |  FROM pl2
        |), pls AS (
        |  SELECT t, list(plane ORDER BY i) AS pl FROM pl3 GROUP BY t
-       |), qb AS (
+       |)""".stripMargin
+
+  /** autoPlanes replay: floor(ln(n/8k)/ln 2) clamped to [1,24]. */
+  private def autoPlanesCte(k: Int): String =
+    s"""np AS (
+       |  SELECT greatest(1, least(24, CAST(floor(ln(count(*) / ${8.0 * k}) / ln(2)) AS INTEGER))) AS p
+       |  FROM embeddings
+       |)""".stripMargin
+
+  def annLshSql(k: Int, nTables: Int = 4, seedBase: Long = 42L): String = {
+    s"""WITH q AS (
+       |  SELECT embedding AS qe, len(embedding) AS dim FROM embeddings WHERE vec_id = 0
+       |), dm AS (
+       |  SELECT dim FROM q
+       |), ${autoPlanesCte(k)}, ${planeCtes(nTables, seedBase)}, qb AS (
        |  SELECT t, pl, ${bucketExpr("qe", "pl")} AS qbucket FROM pls, q, np
        |), pr AS (
        |  SELECT t, pl,
@@ -267,6 +278,76 @@ object OracleSql {
        |SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cosine
        |FROM sims ORDER BY cosine DESC, vec_id LIMIT $k""".stripMargin
   }
+
+  /** q52 oracle: the multi-table multi-probe k-NN JOIN
+    * (SimilaritySearch.knnJoin) replayed exactly — same plane streams
+    * and bucket bits as [[annLshSql]], per-query 1-bit-flip probes, the
+    * maxBucketSize hot-bucket drop, exact interleaved-accumulator
+    * cosine (per-accumulator order is sequential either way), and
+    * row_number ranking tie-broken by neighbor_id. */
+  def knnJoinSql(k: Int, maxQueryId: Long, nTables: Int = 4, seedBase: Long = 42L,
+                 maxBucketSize: Int = 10000): String = {
+    s"""WITH dm AS (
+       |  SELECT len(embedding) AS dim FROM embeddings WHERE len(embedding) > 0 LIMIT 1
+       |), ${autoPlanesCte(k)}, ${planeCtes(nTables, seedBase)},
+       |cb AS (
+       |  SELECT e.vec_id AS neighbor_id, pls.t, ${bucketExpr("e.embedding", "pls.pl")} AS bucket
+       |  FROM embeddings e, pls, np, dm
+       |), ok AS (
+       |  SELECT t, bucket FROM cb GROUP BY t, bucket HAVING count(*) <= $maxBucketSize
+       |), qbk AS (
+       |  SELECT e.vec_id AS query_id, pls.t, ${bucketExpr("e.embedding", "pls.pl")} AS bucket
+       |  FROM embeddings e, pls, np, dm WHERE e.vec_id < $maxQueryId
+       |), probes AS (
+       |  SELECT query_id, t,
+       |    unnest(list_prepend(bucket, list_transform(range(0, p), b2 -> xor(bucket, CAST(1 AS BIGINT) << b2)))) AS bucket
+       |  FROM qbk, np
+       |), cand AS (
+       |  SELECT DISTINCT pr.query_id, cb.neighbor_id
+       |  FROM probes pr
+       |  JOIN cb ON cb.t = pr.t AND cb.bucket = pr.bucket
+       |  JOIN ok ON ok.t = cb.t AND ok.bucket = cb.bucket
+       |), sc AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_sum(list_transform(range(1, len(nv.embedding) + 1),
+       |      i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(nv.embedding[i] AS DOUBLE))) AS dot,
+       |    list_sum(list_transform(qv.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+       |    list_sum(list_transform(nv.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+       |  FROM cand c
+       |  JOIN embeddings qv ON qv.vec_id = c.query_id
+       |  JOIN embeddings nv ON nv.vec_id = c.neighbor_id
+       |  WHERE c.query_id != c.neighbor_id
+       |), cs AS (
+       |  SELECT query_id, neighbor_id,
+       |         CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot / (sqrt(na) * sqrt(nb)) END AS cosine
+       |  FROM sc
+       |), rk AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+       |  FROM cs WHERE cosine IS NOT NULL
+       |)
+       |SELECT query_id, neighbor_id, cosine, "rank" FROM rk
+       |WHERE "rank" <= $k ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  /** q55 oracle: Multimodal frame sampling replayed — video assets are
+    * doc_id % 3 == 2 (assetsFromDocuments' kind cycle), frames are
+    * every-4th 64-byte chunk, and the checked aggregate is per-asset
+    * frame count + sampled-byte total. */
+  def sampleFramesSql(chunkBytes: Int = 64, everyNth: Int = 4): String =
+    s"""WITH assets AS (
+       |  SELECT doc_id AS asset_id, encode(text) AS bytes
+       |  FROM documents WHERE doc_id % 3 = 2
+       |), fr AS (
+       |  SELECT asset_id, bytes,
+       |    unnest(range(0, greatest(CAST(ceil(octet_length(bytes) / ${chunkBytes}.0) AS BIGINT) - 1, 0) + 1, $everyNth)) AS idx
+       |  FROM assets
+       |)
+       |SELECT asset_id, count(*) AS n_frames,
+       |       -- frame length arithmetically: min(chunk, remaining); the
+       |       -- empty-payload single frame contributes 0
+       |       CAST(sum(greatest(least($chunkBytes, octet_length(bytes) - idx * $chunkBytes), 0)) AS BIGINT) AS bytes_sampled
+       |FROM fr GROUP BY asset_id ORDER BY asset_id""".stripMargin
 
   private val FnvBasis = "CAST('14695981039346656037' AS HUGEINT)" // 0xcbf29ce484222325
   private val FnvPrime = "1099511628211"                           // 0x100000001b3

@@ -471,11 +471,14 @@ object ExtQueries {
     // second approximate tier next to hyperplane LSH (q51). Engine-
     // defined cell layout -> rows-only check; the exactness property
     // (nProbe = nCells == brute force) is pinned in OperatorsSpec.
+    // Oracle-checked as of round 6: centroids are a deterministic
+    // hash-ordered sample, cell ranking/assignment are pure double
+    // arithmetic, so the whole IVF query replays in SQL.
     "q57_ann_ivf" -> ((
       (s: SparkSession, d: String) =>
         SimilaritySearch.ivfTopK(embs(s, d), "vec_id", "embedding",
           queryVec(s, d), k = 10, nCells = 16, nProbe = 4),
-      None)),
+      Some(OracleSql.ivfTopKSql(k = 10, nCells = 16, nProbe = 4)))),
 
     // Exact k-NN join (crossJoin validation path of knnJoin): top-3
     // cosine neighbors for each of the first 20 vectors, hash-checked
@@ -540,6 +543,9 @@ object ExtQueries {
 
     // Multimodal pipeline: binary assets -> decode/featurize (stubbed
     // codec, real plan) -> per-kind stats.
+    // Oracle-checked as of round 6: text payloads never parse as real
+    // media, so every asset takes the deterministic FNV-derived stub —
+    // replaying it pins the mapPartitions plumbing and stub contract.
     "q54_multimodal_decode" -> ((
       (s: SparkSession, d: String) =>
         Multimodal.decodeAndFeaturize(Multimodal.assetsFromDocuments(docs(s, d)))
@@ -548,7 +554,7 @@ object ExtQueries {
                max(col("width")).cast("long").as("max_w"),
                max(col("n_frames")).cast("long").as("max_frames"))
           .orderBy("kind"),
-      None)),
+      Some(OracleSql.stubDecodeSql))),
 
     // Multimodal frame sampling: plan-side binary chunk explode.
     // Oracle-checked as of round 6: the sampled-frame shape is pure

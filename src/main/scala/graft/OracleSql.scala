@@ -330,6 +330,102 @@ object OracleSql {
        |WHERE "rank" <= $k ORDER BY query_id, "rank"""".stripMargin
   }
 
+  /** q54 oracle: the multimodal decode aggregate replayed. The corpus
+    * payloads are document text — none parse as image/audio/video — so
+    * every asset takes the DETERMINISTIC STUB path, whose metadata is
+    * FNV-1a-derived from the raw payload bytes (width = 64 + h mod 512,
+    * height = 64 + (h >>> 16) mod 512, frames = 1 + (h >>> 32) mod 120
+    * for video). Replaying it pins the whole mapPartitions plumbing
+    * (kind cycle, schema, stub contract) through the correctness gate. */
+  def stubDecodeSql: String = {
+    val fnvFold = s"(${mul(xorm("h", "y"), FnvPrime)})"
+    s"""WITH fp AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    list_reduce(list_prepend($FnvBasis,
+       |      list_transform(range(1, octet_length(encode(text)) + 1), i ->
+       |        CAST((strpos('0123456789ABCDEF', substr(hex(encode(text)), 2 * i - 1, 1)) - 1) * 16
+       |           + (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2 * i, 1)) - 1) AS HUGEINT))),
+       |      (h, y) -> $fnvFold) AS u
+       |  FROM documents
+       |), meta AS (
+       |  SELECT kind,
+       |    64 + CAST(u % 512 AS BIGINT) AS width,
+       |    CASE WHEN kind = 'video' THEN 1 + CAST((u // ${1L << 32}) % 120 AS BIGINT) ELSE 1 END AS n_frames
+       |  FROM fp
+       |)
+       |SELECT kind, count(*) AS n, max(width) AS max_w, max(n_frames) AS max_frames
+       |FROM meta GROUP BY kind ORDER BY kind""".stripMargin
+  }
+
+  /** q57 oracle: IVF ANN top-k replayed exactly. Centroids are the
+    * deterministic hash-ordered corpus sample (xxhash64 of vec_id — the
+    * 8-byte closed form, signed ascending — limit nCells), L2-normalized
+    * in sequential order; the query ranks cells by centroid dot
+    * (DESC, j) and probes the best nProbe; vectors assign to the
+    * first-max-wins argmax cell; exact cosine top-k over the probed
+    * union. */
+  def ivfTopKSql(k: Int, nCells: Int, nProbe: Int): String = {
+    // xxhash64(long, seed 42) closed form: h0 = seed + P5 + 8, one
+    // 8-byte tail round, avalanche
+    val h0 = (BigInt(42) + BigInt(P5) + 8) mod (BigInt(1) << 64)
+    s"""WITH q AS (
+       |  SELECT embedding AS qe, len(embedding) AS dim FROM embeddings WHERE vec_id = 0
+       |), hu AS (
+       |  SELECT embedding,
+       |    CASE WHEN vec_id < 0 THEN CAST(vec_id AS HUGEINT) + CAST('$M' AS HUGEINT)
+       |         ELSE CAST(vec_id AS HUGEINT) END AS u
+       |  FROM embeddings WHERE len(embedding) > 0
+       |), hx AS (
+       |  SELECT embedding, ((${mul(rotl(xorm(s"CAST('$h0' AS HUGEINT)", rnd("0", "u")), 27), P1)} + $P4) % $M) AS h2 FROM hu
+       |), ha1 AS (SELECT embedding, ${mul(xorm("h2", s"h2 // ${1L << 33}"), P2)} AS a1 FROM hx
+       |), ha2 AS (SELECT embedding, ${mul(xorm("a1", s"a1 // ${1L << 29}"), P3)} AS a2 FROM ha1
+       |), hf AS (
+       |  SELECT embedding, ${signed(xorm("a2", s"a2 // ${1L << 32}"))} AS hsig FROM ha2
+       |), cent AS (
+       |  SELECT row_number() OVER (ORDER BY hsig) - 1 AS j, embedding
+       |  FROM hf ORDER BY hsig LIMIT $nCells
+       |), cn AS (
+       |  SELECT j, list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm, embedding
+       |  FROM cent
+       |), cnorm AS (
+       |  SELECT j, list_transform(embedding, x ->
+       |    CAST(x AS DOUBLE) * CASE WHEN nrm = 0 THEN 0 ELSE 1 / sqrt(nrm) END) AS c
+       |  FROM cn
+       |), cl AS (
+       |  SELECT list(c ORDER BY j) AS cl, count(*) AS kc FROM cnorm
+       |), qd AS (
+       |  SELECT j, list_sum(list_transform(range(1, dim + 1), i -> CAST(qe[i] AS DOUBLE) * c[i])) AS dot
+       |  FROM cnorm, q
+       |), probes AS (
+       |  SELECT j FROM qd ORDER BY dot DESC, j LIMIT $nProbe
+       |), dl AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    list_transform(range(0, CAST(kc AS INTEGER)), j2 ->
+       |      list_sum(list_transform(range(1, dim + 1), ii -> CAST(e.embedding[ii] AS DOUBLE) * cl[j2 + 1][ii]))) AS dl,
+       |    kc
+       |  FROM embeddings e, cl, q
+       |), cells AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, kc)),
+       |      (pp, qq) -> CASE WHEN dl[qq + 1] > dl[pp + 1] THEN qq ELSE pp END) AS cell
+       |  FROM dl
+       |), sims AS (
+       |  SELECT e.vec_id,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS dot,
+       |    list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+       |    list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+       |  FROM cells e, q
+       |  WHERE e.cell IN (SELECT j FROM probes)
+       |), nn AS (
+       |  SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot / (sqrt(na) * sqrt(nb)) END AS cosine
+       |  FROM sims
+       |)
+       |SELECT vec_id, cosine FROM nn WHERE cosine IS NOT NULL
+       |ORDER BY cosine DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   /** q55 oracle: Multimodal frame sampling replayed — video assets are
     * doc_id % 3 == 2 (assetsFromDocuments' kind cycle), frames are
     * every-4th 64-byte chunk, and the checked aggregate is per-asset

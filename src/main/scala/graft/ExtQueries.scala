@@ -725,7 +725,74 @@ object ExtQueries {
           .filter(col("est_jaccard") >= 0.5)
           .orderBy("id_a", "id_b"),
       Some(OracleSql.minhashCandidatesSql(
-        numHashes = 32, bands = 8, w = 3, maxBucketSize = 500, threshold = 0.5))))
+        numHashes = 32, bands = 8, w = 3, maxBucketSize = 500, threshold = 0.5)))),
+
+    // Duplicated-span fractions (Lee et al. 2021 exact-substring dedup,
+    // n-gram-count formulation): per doc, the fraction of 8-token window
+    // occurrences whose window text occurs >= 2 times corpus-wide. The
+    // oracle replays it over gram STRINGS (engine shuffles 64-bit
+    // xxhash64 gram hashes; collisions are negligible and deterministic,
+    // same argument as q49).
+    "q75_dup_spans" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.duplicatedSpans(docs(s, d), "doc_id", "text", k = 8)
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) AS gram
+             |  FROM tk
+             |), gc AS (
+             |  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2
+             |), tot AS (
+             |  SELECT gram, sum(c) AS total FROM gc GROUP BY 1
+             |), per AS (
+             |  SELECT doc_id, sum(c) AS n_grams,
+             |         sum(CASE WHEN total >= 2 THEN c ELSE 0 END) AS dup_grams
+             |  FROM gc JOIN tot USING (gram) GROUP BY 1
+             |)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+             |       CAST(coalesce(dup_grams, 0) AS BIGINT) AS dup_grams,
+             |       CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+             |            ELSE CAST(dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) END AS dup_frac
+             |FROM documents d LEFT JOIN per USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))),
+
+    // Benchmark decontamination (the GPT-3/PaLM-appendix n-gram overlap
+    // check): training docs sharing any 5-token shingle with the
+    // "benchmark" slice (doc_id % 97 = 0 — non-vacuous by construction:
+    // the corpus's exact dupes guarantee cross-doc hits). Oracle replays
+    // shingle strings incl. the whole-text fallback for docs shorter
+    // than the shingle width (ShingleHashes semantics, as in q49).
+    "q76_decontaminate" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.contaminationReport(
+            docs(s, d), docs(s, d).filter(col("doc_id") % 97 === 0),
+            "doc_id", "text", width = 5, minShared = 1)
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(t) >= 5
+             |      THEN list_distinct(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')))
+             |      ELSE [array_to_string(t, ' ')] END AS s
+             |  FROM tk
+             |), bg AS (
+             |  SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 97 = 0
+             |), tg AS (
+             |  SELECT doc_id, unnest(s) AS gram FROM sh
+             |), m AS (
+             |  SELECT tg.doc_id, count(*) AS matched FROM tg JOIN bg USING (gram) GROUP BY 1
+             |)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(m.matched, 0) AS BIGINT) AS matched,
+             |       coalesce(m.matched, 0) >= 1 AS contaminated
+             |FROM documents d LEFT JOIN m USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

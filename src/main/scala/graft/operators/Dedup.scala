@@ -247,6 +247,88 @@ object Dedup {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** Per-document duplicated-span statistics — the exact-substring-dedup
+    * metric of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better"), in its shuffle-friendly n-gram-count
+    * formulation: a k-token window occurrence is DUPLICATED when the
+    * same window text occurs >= 2 times corpus-wide (in another doc or
+    * repeated within this one). Returns one row per input doc:
+    * `n_grams` (k-token window occurrences), `dup_grams` (occurrences
+    * whose gram is duplicated), `dup_frac` (0.0 for docs shorter than
+    * k tokens). Training pipelines drop or trim docs above a
+    * `dup_frac` threshold before near-dup passes even run.
+    *
+    * Scale shape (the suffix-array original is single-machine; this is
+    * the distributed equivalent over FIXED k): grams are positional
+    * 64-bit hashes — full text never enters a shuffle. ONE scan feeds a
+    * map-side-combined per-(doc, gram) count, then per-gram corpus
+    * totals come from `sum over (partition by gram)` — a window, NOT a
+    * totals-table self-join, because the join's two sides are distinct
+    * subtrees Spark won't exchange-reuse, which re-ran the whole
+    * scan+tokenize+hash stage (verified in `.explain`: two parquet
+    * scans; the window form has one) — then a per-doc rollup. No caps
+    * needed: nothing is quadratic — a boilerplate gram shared by a
+    * million docs is one buffered (spillable) window partition, not a
+    * million^2 pair block. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8): DataFrame = {
+    // token array materialized in its own Project (same shape-lesson as
+    // repetitionMetrics: higher-order fns re-evaluate non-trivial
+    // inputs per element; an attribute reference is free)
+    val toked = df.select(col(idCol).as("id"),
+      filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("__t"))
+    val grams = toked.select(col("id"),
+      explode(when(size(col("__t")) >= k,
+        transform(sequence(lit(1), size(col("__t")) - (k - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("__t"), i, lit(k))))))
+        .otherwise(array().cast("array<bigint>"))).as("gram"))
+    val perDocGram = grams.groupBy("id", "gram").agg(count(lit(1)).as("c"))
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val per = perDocGram
+      .withColumn("total", sum(col("c")).over(byGram))
+      .groupBy("id")
+      .agg(sum(col("c")).as("n_grams"),
+           sum(when(col("total") >= 2, col("c")).otherwise(0L)).as("dup_grams"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_frac", when(col("n_grams") === 0, lit(0.0))
+        .otherwise(col("dup_grams").cast("double") / col("n_grams").cast("double")))
+  }
+
+  /** Benchmark decontamination — the n-gram overlap check every LLM
+    * training pipeline runs against held-out eval sets (the GPT-3 /
+    * PaLM appendix procedure): a training doc is CONTAMINATED when it
+    * shares >= `minShared` distinct `width`-token shingles with ANY
+    * benchmark doc. Returns one row per training doc: `matched`
+    * (distinct shingles also present in the benchmark set) and the
+    * `contaminated` verdict.
+    *
+    * Scale shape: the benchmark side collapses to DISTINCT 64-bit
+    * shingle hashes — megabytes for real eval suites even at 13-grams —
+    * and is broadcast by default (`broadcastBench`), so the 100 TB
+    * training scan never shuffles: explode shingles, hash-join against
+    * the broadcast set map-side, partial-count per doc. With
+    * `broadcastBench = false` it degrades to a shuffle join on the
+    * gram hash for pathologically large benchmark sets. */
+  def contaminationReport(train: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          width: Int = 13, minShared: Int = 1,
+                          broadcastBench: Boolean = true): DataFrame = {
+    val bg0 = bench.select(explode(shingleHashes(col(textCol), width)).as("gram")).distinct()
+    val bg = if (broadcastBench) broadcast(bg0) else bg0
+    // shingleHashes is distinct-per-doc, so the post-join count IS the
+    // distinct shared-shingle count — no second distinct needed
+    val tg = train.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), width)).as("gram"))
+    val matched = tg.join(bg, "gram").groupBy("id").agg(count(lit(1)).as("matched"))
+    train.select(col(idCol).as("id")).join(matched, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("matched"), lit(0L)).as("matched"),
+        (coalesce(col("matched"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs that share at
     * least one shingle-hash (inverted-index blocking: explode shingles,
     * group per shingle, pair within the group; |A∪B| = |A|+|B|-shared).

@@ -346,6 +346,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row(4) == ((0L, 0.0, 0.0)))
   }
 
+  test("duplicatedSpans: cross-doc and within-doc duplicated k-grams, short-doc guard") {
+    val df = docs(
+      1L -> "a b c d e",  // grams: "a b c","b c d","c d e"; "a b c" also in doc 2
+      2L -> "a b c x y",  // grams: "a b c","b c x","c x y"
+      3L -> "p q r s",    // grams: "p q r","q r s" — all unique corpus-wide
+      4L -> "m m m m",    // gram "m m m" twice WITHIN the doc -> duplicated
+      5L -> "t u")        // < k tokens: zero grams, frac 0.0
+    val out = Dedup.duplicatedSpans(df, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getLong(1), out(i).getLong(2), out(i).getDouble(3))
+    assert(row(0) == ((3L, 1L, 1.0 / 3.0)))
+    assert(row(1) == ((3L, 1L, 1.0 / 3.0)))
+    assert(row(2) == ((2L, 0L, 0.0)))
+    assert(row(3) == ((2L, 2L, 1.0)))
+    assert(row(4) == ((0L, 0L, 0.0)))
+  }
+
+  test("contaminationReport: shared shingles flag docs, short-doc fallback matches, broadcast == shuffle") {
+    val train = docs(
+      1L -> "a b c d e",  // shares shingle "a b c" with bench doc 10
+      2L -> "p q r s",    // clean
+      3L -> "x y")        // < width tokens: whole-text fallback shingle
+    val bench = docs(10L -> "z z a b c", 11L -> "x y")
+    val out = Dedup.contaminationReport(train, bench, "doc_id", "text",
+        width = 3, minShared = 1)
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getLong(0), out(i).getLong(1), out(i).getBoolean(2))
+    assert(row(0) == ((1L, 1L, true)))
+    assert(row(1) == ((2L, 0L, false)))
+    assert(row(2) == ((3L, 1L, true)))
+    val shuffled = Dedup.contaminationReport(train, bench, "doc_id", "text",
+        width = 3, minShared = 1, broadcastBench = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(shuffled == out.toSeq)
+  }
+
   test("scrubPii: emails, IPv4s and long digit runs redacted; clean text untouched") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -152,6 +152,68 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2).getInt(2) >= 64 && out(2).getSeq[Float](5).length == 8)
   }
 
+  test("MJPEG AVI: REAL frame decode (true dims + luminance features) and extractFrames returns whole JPEGs") {
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    def jpeg(w: Int, h: Int, shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (shade << 16) | (shade << 8) | shade)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // RIFF AVI with an hdrl (avih: frame count + WRONG header dims, so the
+    // test proves dims come from the DECODED frame) and a movi LIST of
+    // 00dc JPEG chunks, one interleaved inside a `rec ` sub-LIST
+    def mjpegAvi(headerW: Int, headerH: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      def chunk(cc: String, payload: Array[Byte]): Array[Byte] = {
+        val pad = payload.length & 1
+        val bb = ByteBuffer.allocate(8 + payload.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+        bb.put(cc.getBytes("ISO-8859-1")).putInt(payload.length).put(payload)
+        bb.array()
+      }
+      def list(kind: String, children: Array[Byte]): Array[Byte] =
+        chunk("LIST", kind.getBytes("ISO-8859-1") ++ children)
+      val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      avih.position(16); avih.putInt(frames.size)
+      avih.position(32); avih.putInt(headerW).putInt(headerH)
+      val moviChildren = frames.zipWithIndex.flatMap { case (f, i) =>
+        if (i == frames.size - 1) list("rec ", chunk("00dc", f)) // interleave descent path
+        else chunk("00dc", f)
+      }.toArray
+      val body = list("hdrl", chunk("avih", avih.array())) ++ list("movi", moviChildren)
+      val bb = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("ISO-8859-1")).putInt(4 + body.length).put("AVI ".getBytes("ISO-8859-1"))
+      bb.put(body)
+      bb.array()
+    }
+    val fs = Seq(jpeg(48, 32, 30), jpeg(48, 32, 120), jpeg(48, 32, 220), jpeg(48, 32, 250))
+    val avi = mjpegAvi(999, 888, fs)
+    val df = Seq((40L, "video", avi)).toDF("asset_id", "kind", "bytes")
+
+    val dec = Multimodal.decodeAndFeaturize(df, featureDim = 8).collect().head
+    // dims from the DECODED first frame, not the (deliberately wrong) header
+    assert(dec.getInt(2) == 48 && dec.getInt(3) == 32)
+    assert(dec.getInt(4) == 4) // frame count still from avih
+    // dark first frame -> luminance mass in the low buckets
+    val feats = dec.getSeq[Float](5)
+    assert(math.abs(feats.sum - 1.0) < 1e-3 && feats.head > 0.9, s"feats: $feats")
+
+    val frames = Multimodal.extractFrames(df, everyNth = 2).orderBy("frame_idx").collect()
+    assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 2L)) // every 2nd of 4
+    // each extracted frame is the exact original JPEG, decodable downstream
+    frames.zip(Seq(fs(0), fs(2))).foreach { case (r, expect) =>
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](2), expect))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      assert(img.getWidth == 48 && img.getHeight == 32)
+    }
+    // non-MJPEG video payloads keep the byte-chunk fallback shape
+    val fallback = Multimodal.extractFrames(
+      Seq((41L, "video", "not an avi but long enough to chunk twice ok".getBytes("UTF-8") ++ new Array[Byte](200)))
+        .toDF("asset_id", "kind", "bytes"), everyNth = 4, chunkBytes = 64).collect()
+    assert(fallback.nonEmpty && fallback.forall(_.getAs[Array[Byte]](2).length <= 64))
+  }
+
   test("sampleFrames: every-nth chunk explode with correct counts and sizes") {
     val assets = Multimodal.assetsFromDocuments(docs())
     val frames = Multimodal.sampleFrames(assets, chunkBytes = 64, everyNth = 4)

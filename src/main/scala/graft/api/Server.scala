@@ -182,6 +182,17 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
         }
         respond(ex, 200, cols.mkString("[", ",", "]"), "application/json")
 
+      // Extension-function introspection: which names beyond vanilla
+      // Spark SQL a tenant may call on /api/data/query (companion to
+      // the tables/columns introspection; the reference leaves function
+      // discovery to the destination's docs).
+      case ("GET", List("functions")) =>
+        ex.setAttribute("graft.route", "/api/functions")
+        val fns = graft.functions.GraftFunctions.descriptions.map { case (n, usage) =>
+          s"""{"name":"${Json.escape(n)}","usage":"${Json.escape(usage)}"}"""
+        }
+        respond(ex, 200, fns.mkString("[", ",", "]"), "application/json")
+
       case ("GET", List("destinations")) =>
         ex.setAttribute("graft.route", "/api/destinations")
         val static = config.apiKeys.values.toSeq.distinct.map(id =>

@@ -130,6 +130,16 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("functions introspection lists the extension surface with usage lines") {
+    val fns = get("/api/functions?api_key=key1").body()
+    assert(fns.contains(""""name":"fingerprint64""""))
+    assert(fns.contains(""""name":"cosine_sim""""))
+    assert(fns.contains(""""name":"hash_sample""""))
+    assert(fns.contains("usage"))
+    // unauthenticated introspection is still rejected
+    assert(get("/api/functions").statusCode() == 401)
+  }
+
   test("invalid table / destination names rejected before touching storage") {
     assert(post("/api/data/insert/a.b?api_key=key1", """{"a":1}""").statusCode() == 400)
     assert(post("/api/data/insert/a%20b?api_key=key1", """{"a":1}""").statusCode() == 400)

@@ -792,7 +792,52 @@ object ExtQueries {
              |       CAST(coalesce(m.matched, 0) AS BIGINT) AS matched,
              |       coalesce(m.matched, 0) >= 1 AS contaminated
              |FROM documents d LEFT JOIN m USING (doc_id)
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin))),
+
+    // Fixed-token training-window chunking (32-token chunks, 8-token
+    // overlap): one row per chunk, exact string output — the oracle
+    // replays starts (step 24, suffix-only chunks suppressed) and
+    // slices with DuckDB list functions. String + integer columns only,
+    // so the hash compare is bit-exact.
+    "q77_chunk_docs" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.chunkDocuments(docs(s, d), "text", "doc_id",
+            chunkSize = 32, overlap = 8)
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |                             x -> len(x) > 0) AS toks
+             |  FROM documents
+             |), s AS (
+             |  SELECT doc_id, toks, len(toks) AS n FROM t
+             |), st AS (
+             |  SELECT doc_id, toks,
+             |         unnest(list_filter(generate_series(0, greatest(n - 1, 0), 24),
+             |                            s -> s = 0 OR s < n - 8)) AS start
+             |  FROM s
+             |)
+             |SELECT doc_id,
+             |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS BIGINT) AS chunk_idx,
+             |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text,
+             |  CAST(len(toks[start + 1 : start + 32]) AS BIGINT) AS n_chunk_tokens
+             |FROM st ORDER BY doc_id, chunk_idx""".stripMargin))),
+
+    // Corpus vocabulary table: occurrences + document frequency per
+    // token, floor 5 — the word-count shape (one shuffle, map-side
+    // partials, O(vocabulary) reduce).
+    "q78_vocab_stats" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.vocabStats(docs(s, d), "text", "doc_id", minCount = 5L)
+          .orderBy(desc("n_occurrences"), col("token")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |                            x -> len(x) > 0)) AS token
+             |  FROM documents
+             |)
+             |SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+             |FROM tok GROUP BY token HAVING count(*) >= 5
+             |ORDER BY n_occurrences DESC, token""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -148,6 +148,64 @@ object TextAnalysis {
     }
   }
 
+  /** Chunk documents into fixed-size token windows with overlap — the
+    * standard pre-training step that turns variable-length documents
+    * into training sequences (context-window packing's simpler sibling).
+    * Output: one row per chunk with `chunk_idx`, the re-joined
+    * `chunk_text`, and `n_chunk_tokens`.
+    *
+    * Chunk starts step by `chunkSize - overlap`; a non-initial chunk is
+    * emitted only when it contributes at least one token beyond the
+    * overlap (`start < n - overlap`), so a doc never ends with a chunk
+    * that is a pure suffix-copy of the previous one. An empty document
+    * yields one empty chunk (kept: row-count preservation makes the op
+    * auditable — filter `n_chunk_tokens > 0` downstream if unwanted).
+    *
+    * Everything is codegen'd built-ins (`sequence`/`filter`/`posexplode`
+    * /`slice`); the only row-count change is the explode, so this is a
+    * pure map stage — no shuffle, embarrassingly parallel at 100 TB, and
+    * output rows are ~chunk-sized regardless of input document length
+    * (the explode BOUNDS downstream row width, which is the point of
+    * chunking at scale). */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap for chunkSize $chunkSize")
+    val step = chunkSize - overlap
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")))
+      .select(
+        col(idCol), col("__toks"),
+        posexplode(filter(
+          sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(step)),
+          s => (s === 0) || (s < col("__n") - lit(overlap))))
+          .as(Seq("__pos", "__start")))
+      .select(
+        col(idCol),
+        col("__pos").cast("long").as("chunk_idx"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        size(slice(col("__toks"), col("__start") + 1, lit(chunkSize)))
+          .cast("long").as("n_chunk_tokens"))
+  }
+
+  /** Corpus vocabulary statistics: per-token total occurrences and
+    * document frequency, with a minimum-count floor. The classic
+    * word-count shape: explode → one shuffle on the token key with
+    * map-side partial counts; `countDistinct(doc)` runs as Spark's
+    * two-phase partial-distinct aggregate, so the shuffle carries
+    * (token, doc) partials, never raw rows. At 100 TB the reduce side
+    * is O(vocabulary), which is what makes corpus-wide vocab tables
+    * feasible at all. */
+  def vocabStats(df: DataFrame, textCol: String, idCol: String,
+                 minCount: Long = 1L): DataFrame =
+    df.select(col(idCol).as("__doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+           countDistinct(col("__doc")).as("n_docs"))
+      .filter(col("n_occurrences") >= minCount)
+
   /** Convenience: annotate a corpus with all text-analysis columns. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val base = qualityColumns(col(textCol)).foldLeft(df) { case (d, (name, c)) =>

@@ -425,6 +425,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(strat("g1") / 667.0 - 0.5) < 0.06, s"g1 kept ${strat("g1")}")
   }
 
+  test("chunkDocuments: overlapped windows, suffix-only chunk suppressed, short/empty docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // n=10, size 4, overlap 1 -> starts 0,3,6 (9 is a pure suffix: dropped)
+      (2L, "x y"),                 // n <= chunkSize: one whole-doc chunk
+      (3L, " "))                   // empty doc: one empty chunk (row preserved)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "text", "doc_id", chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "a b c d", 4L),
+      (1L, 1L, "d e f g", 4L),
+      (1L, 2L, "g h i j", 4L),
+      (2L, 0L, "x y", 2L),
+      (3L, 0L, "", 0L)))
+    // overlap: each non-initial chunk starts with the previous chunk's last token
+    assert(out(1)._3.startsWith(out(0)._3.split(" ").last))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(df, "text", "doc_id", chunkSize = 4, overlap = 4)
+    }
+  }
+
+  test("vocabStats: occurrences + doc frequency, case-folded, minCount floor") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "b c"), (3L, "A")).toDF("doc_id", "text")
+    val all = TextAnalysis.vocabStats(df, "text", "doc_id")
+      .orderBy("token").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(all.toSeq == Seq(("a", 3L, 2L), ("b", 2L, 2L), ("c", 1L, 1L)))
+    val floored = TextAnalysis.vocabStats(df, "text", "doc_id", minCount = 2L)
+      .orderBy("token").collect().map(_.getString(0))
+    assert(floored.toSeq == Seq("a", "b"))
+  }
+
   test("knnJoin recall >= 0.9 at auto settings on a clustered corpus (the production shape)") {
     import spark.implicits._
     // 20 cluster centers + per-point noise in 32 dims: the shape real

@@ -837,7 +837,42 @@ object ExtQueries {
              |)
              |SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
              |FROM tok GROUP BY token HAVING count(*) >= 5
-             |ORDER BY n_occurrences DESC, token""".stripMargin)))
+             |ORDER BY n_occurrences DESC, token""".stripMargin))),
+
+    // Deterministic corpus shuffle: salted FNV-1a permutation emitted
+    // as (bucket, pos) — the same training order on any cluster, any
+    // partitioning; the rank window partitions by bucket, so it runs
+    // numBuckets-way parallel (never a single-partition global sort).
+    // Oracle replays the fingerprint (q45/q66 HUGEINT machinery) with
+    // the same salt, bucket mod, and bucketed rank.
+    "q79_shuffle_order" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.deterministicShuffle(docs(s, d), "doc_id", salt = "r6", numBuckets = 8)
+          .select("doc_id", "shuffle_bucket", "shuffle_pos")
+          .orderBy("shuffle_bucket", "shuffle_pos"),
+      Some("""WITH hx AS (
+             |  SELECT doc_id, hex(encode('r6' || CAST(doc_id AS VARCHAR))) AS hx FROM documents
+             |), fp AS (
+             |  SELECT doc_id, list_reduce(
+             |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |      list_transform(range(1, len(hx) // 2 + 1), i ->
+             |        CAST((strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+             |           + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1) AS HUGEINT))),
+             |    (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT) * 1099511628211)
+             |              % CAST('18446744073709551616' AS HUGEINT)
+             |  ) AS f
+             |  FROM hx
+             |), signed AS (
+             |  SELECT doc_id,
+             |    CASE WHEN f >= CAST('9223372036854775808' AS HUGEINT)
+             |         THEN CAST(f - CAST('18446744073709551616' AS HUGEINT) AS BIGINT)
+             |         ELSE CAST(f AS BIGINT) END AS fp
+             |  FROM fp
+             |)
+             |SELECT doc_id, ((fp % 8) + 8) % 8 AS shuffle_bucket,
+             |  CAST(row_number() OVER (PARTITION BY ((fp % 8) + 8) % 8
+             |                          ORDER BY fp, doc_id) - 1 AS BIGINT) AS shuffle_pos
+             |FROM signed ORDER BY shuffle_bucket, shuffle_pos""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -206,6 +206,34 @@ object TextAnalysis {
            countDistinct(col("__doc")).as("n_docs"))
       .filter(col("n_occurrences") >= minCount)
 
+  /** Deterministic corpus shuffle for reproducible training order:
+    * every row gets a `(shuffle_bucket, shuffle_pos)` pair whose
+    * lexicographic order is a salted pseudo-random permutation of the
+    * corpus — the same permutation on any cluster, any partitioning,
+    * any day (a new salt draws a fresh epoch's order). `df.orderBy
+    * (rand())` can promise none of that.
+    *
+    * Shape: sort key = FNV-1a(salt ++ id); bucket = key mod numBuckets;
+    * position = rank within the bucket. The rank window partitions by
+    * bucket, so it runs numBuckets-way parallel — never the
+    * single-partition global window that would bottleneck a 100 TB
+    * sort. Writers consume order (bucket, pos); ties broken by id so
+    * the permutation is total even under hash collisions. */
+  def deterministicShuffle(df: DataFrame, idCol: String, salt: String = "",
+                           numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.withColumn("__skey",
+      TextFunctions.fingerprint64(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("shuffle_bucket", pmod(col("__skey"), lit(numBuckets.toLong)))
+    keyed
+      .withColumn("shuffle_pos",
+        (row_number().over(
+          Window.partitionBy(col("shuffle_bucket"))
+            .orderBy(col("__skey"), col(idCol))) - 1).cast("long"))
+      .drop("__skey")
+  }
+
   /** Convenience: annotate a corpus with all text-analysis columns. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val base = qualityColumns(col(textCol)).foldLeft(df) { case (d, (name, c)) =>

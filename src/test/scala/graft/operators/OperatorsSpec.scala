@@ -461,6 +461,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(floored.toSeq == Seq("a", "b"))
   }
 
+  test("deterministicShuffle: stable permutation, partition-invariant, salts independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (0L until 500L).map(i => i -> s"doc$i").toDF("id", "payload")
+    def order(d: org.apache.spark.sql.DataFrame, salt: String) =
+      TextAnalysis.deterministicShuffle(d, "id", salt, numBuckets = 8)
+        .orderBy("shuffle_bucket", "shuffle_pos")
+        .select("id").collect().map(_.getLong(0)).toSeq
+    val a = order(df, "s1")
+    // a total permutation of the corpus, not an id-order passthrough
+    assert(a.toSet == (0L until 500L).toSet && a != (0L until 500L).toSeq)
+    // identical on a different partitioning
+    assert(order(df.repartition(17), "s1") == a, "order changed under repartitioning")
+    // a different salt draws a different permutation
+    assert(order(df, "s2") != a)
+    // positions are dense 0..n-1 within every bucket
+    val pos = TextAnalysis.deterministicShuffle(df, "id", "s1", numBuckets = 8)
+      .groupBy("shuffle_bucket")
+      .agg(org.apache.spark.sql.functions.count(col("id")).as("n"),
+           org.apache.spark.sql.functions.max(col("shuffle_pos")).as("mx"),
+           org.apache.spark.sql.functions.min(col("shuffle_pos")).as("mn"))
+      .collect()
+    assert(pos.nonEmpty && pos.forall(r => r.getLong(3) == 0L && r.getLong(2) == r.getLong(1) - 1))
+  }
+
   test("knnJoin recall >= 0.9 at auto settings on a clustered corpus (the production shape)") {
     import spark.implicits._
     // 20 cluster centers + per-point noise in 32 dims: the shape real

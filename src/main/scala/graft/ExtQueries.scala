@@ -872,7 +872,52 @@ object ExtQueries {
              |SELECT doc_id, ((fp % 8) + 8) % 8 AS shuffle_bucket,
              |  CAST(row_number() OVER (PARTITION BY ((fp % 8) + 8) % 8
              |                          ORDER BY fp, doc_id) - 1 AS BIGINT) AS shuffle_pos
-             |FROM signed ORDER BY shuffle_bucket, shuffle_pos""".stripMargin)))
+             |FROM signed ORDER BY shuffle_bucket, shuffle_pos""".stripMargin))),
+
+    // Near-dup removal end-to-end: exact n-gram-Jaccard pairs (q49's
+    // threshold machinery) -> connected components (q70's closure) ->
+    // the CLEANED CORPUS: docs with no near-dup edge plus the min-id
+    // representative of each component. The oracle replays the whole
+    // chain (q70's recursive CTE) and anti-joins the non-representative
+    // members away — the actual output corpus of dedup is what's
+    // hash-checked, not just the cluster labels.
+    "q80_neardup_removed" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.removeNearDups(docs(s, d), "doc_id",
+            Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+              shingleWidth = 3, threshold = 0.3))
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id"),
+      Some("""WITH RECURSIVE tk AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(t) >= 3
+             |      THEN list_distinct(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))
+             |      ELSE [array_to_string(t, ' ')] END AS s
+             |  FROM tk
+             |), cand AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         len(list_intersect(a.s, b.s)) AS shared, len(a.s) AS na, len(b.s) AS nb
+             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+             |), pairs AS (
+             |  SELECT id_a, id_b FROM cand
+             |  WHERE shared >= 2 AND CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.3
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs
+             |), reach AS (
+             |  SELECT src AS id, src AS lbl FROM edges
+             |  UNION
+             |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+             |), cc AS (
+             |  SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
+             |)
+             |SELECT d.doc_id, d.lang, d.n_chars
+             |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+             |WHERE cc.cluster IS NULL OR cc.cluster = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -200,6 +200,28 @@ object Dedup {
       .select(col("id").as(idCol), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
+  /** Near-duplicate REMOVAL — the cleaned corpus itself, closing the
+    * candidates → clusters → output loop: keeps every row that either
+    * has no near-dup edge or is the minimum-id member of its connected
+    * component. Generic over the pair source (`ngramJaccardPairs` for
+    * exact Jaccard, `minHashCandidates`/`simHashPairs`/
+    * `embeddingDupPairs` for sketches), so the same removal step serves
+    * every dedup family.
+    *
+    * Scale shape: components exist only for docs with at least one
+    * edge, so `clusters` is usually tiny relative to the corpus — the
+    * left join broadcasts under AQE, and the 100 TB scan never
+    * shuffles; with pathological dup rates it degrades to a shuffled
+    * equi-join on the id, still O(corpus). */
+  def removeNearDups(df: DataFrame, idCol: String, pairs: DataFrame,
+                     maxIterations: Int = 20): DataFrame = {
+    val clusters = connectedComponents(pairs, maxIterations)
+      .select(col("id").as("__cc_id"), col("cluster").as("__cc_cluster"))
+    df.join(clusters, df(idCol) === clusters("__cc_id"), "left")
+      .filter(col("__cc_cluster").isNull || col("__cc_cluster") === df(idCol))
+      .drop("__cc_id", "__cc_cluster")
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     * Blocking is pigeonhole-exact: the 64-bit simhash is cut into
     * (maxHamming+1) bands — any pair within distance k must agree on at

@@ -461,6 +461,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(floored.toSeq == Seq("a", "b"))
   }
 
+  test("removeNearDups: keeps untouched docs and component minima, generic over the pair source") {
+    import spark.implicits._
+    val corpus = (1L to 7L).map(i => i -> s"doc $i").toDF("doc_id", "text")
+    // components {1,2,3} (chained, transitive) and {5,6}; 4 and 7 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.removeNearDups(corpus, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L, 7L))
+    // empty pair set: the corpus passes through whole
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.removeNearDups(corpus, "doc_id", none).count() == 7L)
+  }
+
   test("deterministicShuffle: stable permutation, partition-invariant, salts independent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

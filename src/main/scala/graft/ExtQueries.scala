@@ -917,7 +917,48 @@ object ExtQueries {
              |SELECT d.doc_id, d.lang, d.n_chars
              |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
              |WHERE cc.cluster IS NULL OR cc.cluster = d.doc_id
-             |ORDER BY d.doc_id""".stripMargin)))
+             |ORDER BY d.doc_id""".stripMargin))),
+
+    // Deterministic token-budget sharding: shuffle-ordered docs close a
+    // shard when the running token total crosses 256 — shard_idx =
+    // exclusive-prefix-sum // budget within the shuffle bucket. Oracle
+    // replays the FNV key (q79 machinery), the bucketed order, the
+    // token count, and the window prefix sum; integer outputs only.
+    "q81_token_shards" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.shardByTokenBudget(docs(s, d), "doc_id", "text",
+            tokensPerShard = 256L, salt = "r6", numBuckets = 8)
+          .select("doc_id", "shard_bucket", "shard_idx", "n_tokens")
+          .orderBy("doc_id"),
+      Some("""WITH hx AS (
+             |  SELECT doc_id, text, hex(encode('r6' || CAST(doc_id AS VARCHAR))) AS hx FROM documents
+             |), fp AS (
+             |  SELECT doc_id, text, list_reduce(
+             |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |      list_transform(range(1, len(hx) // 2 + 1), i ->
+             |        CAST((strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+             |           + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1) AS HUGEINT))),
+             |    (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT) * 1099511628211)
+             |              % CAST('18446744073709551616' AS HUGEINT)
+             |  ) AS f
+             |  FROM hx
+             |), signed AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN f >= CAST('9223372036854775808' AS HUGEINT)
+             |         THEN CAST(f - CAST('18446744073709551616' AS HUGEINT) AS BIGINT)
+             |         ELSE CAST(f AS BIGINT) END AS fp
+             |  FROM fp
+             |), tok AS (
+             |  SELECT doc_id, fp, ((fp % 8) + 8) % 8 AS shard_bucket,
+             |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |                         x -> len(x) > 0)) AS BIGINT) AS n_tokens
+             |  FROM signed
+             |)
+             |SELECT doc_id, shard_bucket,
+             |  CAST((sum(n_tokens) OVER (PARTITION BY shard_bucket ORDER BY fp, doc_id
+             |                            ROWS UNBOUNDED PRECEDING) - n_tokens) // 256 AS BIGINT) AS shard_idx,
+             |  n_tokens
+             |FROM tok ORDER BY doc_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

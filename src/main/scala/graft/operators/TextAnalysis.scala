@@ -234,6 +234,38 @@ object TextAnalysis {
       .drop("__skey")
   }
 
+  /** Deterministic token-budget sharding: assign every document to a
+    * `(shard_bucket, shard_idx)` shard of roughly `tokensPerShard`
+    * tokens — the "write ~1B-token training shards" step. Documents
+    * take the [[deterministicShuffle]] order (salted FNV key, bucketed),
+    * and a shard closes when its running token total crosses the
+    * budget: a row belongs to shard `floor(exclusivePrefixSum /
+    * tokensPerShard)` within its bucket, so shards are contiguous
+    * spans of the shuffled order and every shard except a bucket's
+    * last holds >= the budget (the final row of a shard may overflow
+    * it — row-granular sharding, the standard approximation).
+    *
+    * Same 100 TB shape as the shuffle: the prefix-sum window partitions
+    * by bucket, numBuckets-way parallel, no global sort; membership is
+    * a pure function of (salt, corpus), so re-runs and resumed
+    * pipelines produce identical shards. */
+  def shardByTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                         tokensPerShard: Long, salt: String = "",
+                         numBuckets: Int = 1024): DataFrame = {
+    require(tokensPerShard > 0, s"tokensPerShard must be positive, got $tokensPerShard")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard_bucket")).orderBy(col("__skey"), col(idCol))
+    df.withColumn("__skey",
+        TextFunctions.fingerprint64(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("shard_bucket", pmod(col("__skey"), lit(numBuckets.toLong)))
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("shard_idx",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(tokensPerShard))
+          .cast("long"))
+      .drop("__skey")
+  }
+
   /** Convenience: annotate a corpus with all text-analysis columns. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val base = qualityColumns(col(textCol)).foldLeft(df) { case (d, (name, c)) =>

@@ -499,6 +499,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pos.nonEmpty && pos.forall(r => r.getLong(3) == 0L && r.getLong(2) == r.getLong(1) - 1))
   }
 
+  test("shardByTokenBudget: contiguous budget-bounded shards over the shuffle order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (0L until 200L).map(i => i -> ("w " * (i % 7 + 1).toInt).trim).toDF("id", "text")
+    val out = TextAnalysis.shardByTokenBudget(df, "id", "text",
+        tokensPerShard = 20L, salt = "s", numBuckets = 4)
+      .select("id", "shard_bucket", "shard_idx", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // row-granular budget bounds: a non-final shard misses the budget by
+    // less than one document (docs here are <= 7 tokens) and overflows
+    // it by less than one document
+    val byShard = out.groupBy(t => (t._2, t._3)).view.mapValues(_.map(_._4).sum).toMap
+    val lastPerBucket = out.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    byShard.foreach { case ((b, s), total) =>
+      if (s != lastPerBucket(b)) assert(total > 20L - 7L, s"shard ($b,$s) held only $total tokens")
+      assert(total < 20L + 7L, s"shard ($b,$s) overflowed to $total")
+    }
+    // shard indexes are contiguous from 0 within each bucket
+    out.groupBy(_._2).foreach { case (b, rows) =>
+      val idxs = rows.map(_._3).distinct.sorted.toSeq
+      assert(idxs == (0L until idxs.length).toSeq, s"bucket $b shard gaps: $idxs")
+    }
+    // shard assignment is partition-invariant (same permutation machinery)
+    val re = TextAnalysis.shardByTokenBudget(df.repartition(13), "id", "text",
+        tokensPerShard = 20L, salt = "s", numBuckets = 4)
+      .select("id", "shard_bucket", "shard_idx", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(re == out.toSet)
+  }
+
   test("knnJoin recall >= 0.9 at auto settings on a clustered corpus (the production shape)") {
     import spark.implicits._
     // 20 cluster centers + per-point noise in 32 dims: the shape real

@@ -415,10 +415,15 @@ object ExtQueries {
              |      THEN list_distinct(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))
              |      ELSE [array_to_string(t, ' ')] END AS s
              |  FROM tk
+             |), ex AS (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
+             |), cp AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+             |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
              |), pairs AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |         len(list_intersect(a.s, b.s)) AS shared, len(a.s) AS na, len(b.s) AS nb
-             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+             |  SELECT id_a, id_b, shared, len(sa.s) AS na, len(sb.s) AS nb
+             |  FROM cp JOIN sh sa ON cp.id_a = sa.doc_id JOIN sh sb ON cp.id_b = sb.doc_id
              |)
              |SELECT id_a, id_b, CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
              |FROM pairs
@@ -659,10 +664,15 @@ object ExtQueries {
              |      THEN list_distinct(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))
              |      ELSE [array_to_string(t, ' ')] END AS s
              |  FROM tk
+             |), ex AS (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
+             |), cp AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+             |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
              |), cand AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |         len(list_intersect(a.s, b.s)) AS shared, len(a.s) AS na, len(b.s) AS nb
-             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+             |  SELECT id_a, id_b, shared, len(sa.s) AS na, len(sb.s) AS nb
+             |  FROM cp JOIN sh sa ON cp.id_a = sa.doc_id JOIN sh sb ON cp.id_b = sb.doc_id
              |), pairs AS (
              |  SELECT id_a, id_b FROM cand
              |  WHERE shared >= 2 AND CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.3
@@ -897,10 +907,15 @@ object ExtQueries {
              |      THEN list_distinct(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))
              |      ELSE [array_to_string(t, ' ')] END AS s
              |  FROM tk
+             |), ex AS (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
+             |), cp AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+             |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
              |), cand AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |         len(list_intersect(a.s, b.s)) AS shared, len(a.s) AS na, len(b.s) AS nb
-             |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+             |  SELECT id_a, id_b, shared, len(sa.s) AS na, len(sb.s) AS nb
+             |  FROM cp JOIN sh sa ON cp.id_a = sa.doc_id JOIN sh sb ON cp.id_b = sb.doc_id
              |), pairs AS (
              |  SELECT id_a, id_b FROM cand
              |  WHERE shared >= 2 AND CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.3

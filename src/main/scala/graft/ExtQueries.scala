@@ -973,7 +973,34 @@ object ExtQueries {
              |  CAST((sum(n_tokens) OVER (PARTITION BY shard_bucket ORDER BY fp, doc_id
              |                            ROWS UNBOUNDED PRECEDING) - n_tokens) // 256 AS BIGINT) AS shard_idx,
              |  n_tokens
-             |FROM tok ORDER BY doc_id""".stripMargin)))
+             |FROM tok ORDER BY doc_id""".stripMargin))),
+
+    // Quality-percentile filter: keep the top 30% per language by a
+    // quality score (vowel ratio — the q43-proven bit-exact double),
+    // ties broken by doc_id so the kept set is deterministic. The
+    // oracle replays score, per-stratum percent_rank, and the cut.
+    "q82_quality_filter" -> ((
+      (s: SparkSession, d: String) => {
+        val base = docs(s, d).withColumn("score",
+          regexp_count(col("text"), lit("[aeiou]")).cast("double") /
+            length(col("text")).cast("double"))
+        TextAnalysis.qualityPercentileFilter(base, col("score"), col("lang"),
+            col("doc_id"), keepFraction = 0.3)
+          .select("doc_id", "lang", "score")
+          .orderBy("doc_id")
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, lang,
+             |    CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+             |      / length(text) AS score
+             |  FROM documents
+             |), ranked AS (
+             |  SELECT doc_id, lang, score,
+             |         percent_rank() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS pr
+             |  FROM scored
+             |)
+             |SELECT doc_id, lang, score FROM ranked
+             |WHERE pr <= 0.3 ORDER BY doc_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -266,6 +266,32 @@ object TextAnalysis {
       .drop("__skey")
   }
 
+  /** Quality-percentile filter: keep the best `keepFraction` of
+    * documents per stratum (e.g. per language) by a quality score —
+    * the relative-threshold quality cut used when an absolute score
+    * threshold can't be calibrated across heterogeneous strata.
+    * Rows at the same score tie-break by id so the kept set is
+    * deterministic. Returns the input rows (original columns only).
+    *
+    * Shape: one `percent_rank` window per stratum — strata-way
+    * parallel; at 100 TB the per-stratum sort is the cost (Spark sorts
+    * within partitions after a hash exchange on the stratum), which is
+    * the floor for any exact per-stratum quantile. An approximate
+    * variant would use `approx_percentile` to derive per-stratum score
+    * cutoffs and broadcast them as a plain filter — preferred when
+    * strata are few and huge; this exact form is the oracle-checkable
+    * contract. */
+  def qualityPercentileFilter(df: DataFrame, scoreCol: Column, stratumCol: Column,
+                              idCol: Column, keepFraction: Double): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1,
+      s"keepFraction must be in (0, 1], got $keepFraction")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratumCol).orderBy(scoreCol.desc, idCol)
+    df.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") <= lit(keepFraction))
+      .drop("__pr")
+  }
+
   /** Convenience: annotate a corpus with all text-analysis columns. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val base = qualityColumns(col(textCol)).foldLeft(df) { case (d, (name, c)) =>

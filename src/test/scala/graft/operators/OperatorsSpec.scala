@@ -529,6 +529,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re == out.toSet)
   }
 
+  test("qualityPercentileFilter: per-stratum cut, deterministic ties, singleton stratum kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // en: scores 10..1 over ids 1..10; de: one doc; fr: all-tied scores
+    val df = ((1L to 10L).map(i => (i, "en", 11.0 - i)) ++
+      Seq((20L, "de", 5.0)) ++ (30L to 33L).map(i => (i, "fr", 7.0))).toDF("id", "lang", "score")
+    val kept = TextAnalysis.qualityPercentileFilter(df, col("score"), col("lang"), col("id"), 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // en: percent_rank = (rank-1)/9 <= 0.3 -> ranks 1..3 -> ids 1,2,3 (highest scores)
+    // de: singleton stratum has percent_rank 0 -> kept
+    // fr: ties broken by id -> ranks by id -> (rank-1)/3 <= 0.3 -> id 30 only (1/3 > 0.3)
+    assert(kept == Set(1L, 2L, 3L, 20L, 30L))
+    // keepFraction = 1.0 keeps everything; original columns only
+    val all = TextAnalysis.qualityPercentileFilter(df, col("score"), col("lang"), col("id"), 1.0)
+    assert(all.count() == 15L && all.columns.toSeq == Seq("id", "lang", "score"))
+  }
+
   test("knnJoin recall >= 0.9 at auto settings on a clustered corpus (the production shape)") {
     import spark.implicits._
     // 20 cluster centers + per-point noise in 32 dims: the shape real

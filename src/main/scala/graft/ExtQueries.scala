@@ -1000,7 +1000,37 @@ object ExtQueries {
              |  FROM scored
              |)
              |SELECT doc_id, lang, score FROM ranked
-             |WHERE pr <= 0.3 ORDER BY doc_id""".stripMargin)))
+             |WHERE pr <= 0.3 ORDER BY doc_id""".stripMargin))),
+
+    // Mixture rebalancing plan: per-language token totals -> the
+    // downsampling rates that hit a 50/30/20 en/de/fr target mixture
+    // while the binding stratum keeps 100%; untargeted languages drop.
+    // The oracle replays totals, the binding min, and the rate formula
+    // in the same operation order (IEEE doubles match bit-for-bit).
+    "q83_mixture_plan" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.mixturePlan(docs(s, d), col("lang"), col("text"),
+            Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2))
+          .orderBy("stratum"),
+      Some("""WITH totals AS (
+             |  SELECT lang AS stratum, count(*) AS n_docs,
+             |    CAST(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |                             x -> len(x) > 0))) AS BIGINT) AS total_tokens
+             |  FROM documents GROUP BY lang
+             |), t AS (
+             |  SELECT stratum, n_docs, total_tokens,
+             |    CASE stratum WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3 WHEN 'fr' THEN 0.2
+             |                 ELSE 0.0 END AS target_frac
+             |  FROM totals
+             |), k AS (
+             |  SELECT min(CAST(total_tokens AS DOUBLE) / target_frac) AS k
+             |  FROM t WHERE target_frac > 0
+             |)
+             |SELECT stratum, n_docs, total_tokens, target_frac,
+             |  CASE WHEN target_frac > 0
+             |       THEN least(1.0, target_frac * k.k / CAST(total_tokens AS DOUBLE))
+             |       ELSE 0.0 END AS keep_rate
+             |FROM t, k ORDER BY stratum""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -292,6 +292,44 @@ object TextAnalysis {
       .drop("__pr")
   }
 
+  /** Corpus-mixture rebalancing plan: given target fractions per
+    * stratum (language / source / domain), compute the per-stratum
+    * DOWNSAMPLING rates that achieve the target mixture while keeping
+    * as much data as possible — the planning step whose output feeds
+    * [[stratifiedSampleCond]]. With token totals `T_s` and targets
+    * `f_s`, the binding stratum is the one minimizing `T_s / f_s`
+    * (it keeps 100%); every other stratum keeps `f_s * K / T_s`
+    * where `K = min_s(T_s / f_s)` is the achievable mixture-total.
+    * Strata absent from `targets` get keep_rate 0 (dropped).
+    *
+    * Output: one row per stratum present in the data —
+    * (stratum, n_docs, total_tokens, target_frac, keep_rate).
+    * Exact-arithmetic aggregation + scalar math, so an SQL oracle
+    * replays it bit-for-bit. Scale shape: one partial-aggregated
+    * shuffle to O(strata) rows; the min is over the tiny aggregate
+    * (a broadcast-sized cross join, never a corpus scan). */
+  def mixturePlan(df: DataFrame, stratumCol: Column, textCol: Column,
+                  targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty with positive fractions")
+    val totals = df.groupBy(stratumCol.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(tokenCount(textCol)).cast("long").as("total_tokens"))
+    val target = targets.foldLeft(lit(null).cast("double")) { case (acc, (s, f)) =>
+      when(col("stratum") === s, lit(f)).otherwise(acc)
+    }
+    val withTarget = totals.withColumn("target_frac", coalesce(target, lit(0.0)))
+    // K = min over targeted strata of T_s / f_s (the binding stratum)
+    val k = withTarget.filter(col("target_frac") > 0)
+      .agg(min(col("total_tokens").cast("double") / col("target_frac")).as("k"))
+    withTarget.crossJoin(broadcast(k))
+      .withColumn("keep_rate",
+        when(col("target_frac") > 0,
+          least(lit(1.0), col("target_frac") * col("k") / col("total_tokens").cast("double")))
+        .otherwise(lit(0.0)))
+      .drop("k")
+  }
+
   /** Convenience: annotate a corpus with all text-analysis columns. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val base = qualityColumns(col(textCol)).foldLeft(df) { case (d, (name, c)) =>

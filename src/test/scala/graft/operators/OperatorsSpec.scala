@@ -546,6 +546,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() == 15L && all.columns.toSeq == Seq("id", "lang", "score"))
   }
 
+  test("mixturePlan: binding stratum keeps all, others downsample to the target mixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // token totals: en 60, de 10, fr 30, es 20 (untargeted)
+    val df = (Seq.fill(6)("en") :+ "de").zipWithIndex.map { case (l, i) => (i.toLong, l, "w " * 10) }
+      .map { case (i, l, t) => (i, l, t.trim) }
+      .++(Seq((10L, "fr", ("w " * 30).trim), (11L, "es", ("w " * 20).trim)))
+      .toDF("doc_id", "lang", "text")
+    val plan = TextAnalysis.mixturePlan(df, col("lang"), col("text"),
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // T/f: en 120, de 40, fr 120 -> K = 40
+    assert(plan("de") == ((10L, 0.25, 1.0)))          // binding stratum keeps 100%
+    assert(math.abs(plan("en")._3 - 0.5 * 40 / 60) < 1e-12)
+    assert(math.abs(plan("fr")._3 - 0.25 * 40 / 30) < 1e-12)
+    assert(plan("es") == ((20L, 0.0, 0.0)))           // untargeted -> dropped
+    // resulting mixture: kept tokens proportional to targets
+    val kept = Seq("en", "de", "fr").map(l => plan(l)._1 * plan(l)._3)
+    assert(kept.map(_ / kept.sum).zip(Seq(0.5, 0.25, 0.25)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
   test("knnJoin recall >= 0.9 at auto settings on a clustered corpus (the production shape)") {
     import spark.implicits._
     // 20 cluster centers + per-point noise in 32 dims: the shape real

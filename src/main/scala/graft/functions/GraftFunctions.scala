@@ -85,6 +85,13 @@ object GraftFunctions {
         VectorFunctions.makePlanes(nPlanes, dim, seed), nPlanes)
     }, "lsh_bucket(vec, n_planes, dim[, seed]) - random-hyperplane LSH bucket")),
 
+    "chunk_text" -> (((args: Seq[Expression]) => {
+      requireArity("chunk_text", args, 3, 3)
+      ChunkText(args.head,
+        intLit("chunk_text", "chunk_size", args(1)),
+        intLit("chunk_text", "overlap", args(2)))
+    }, "chunk_text(text, chunk_size, overlap) - overlapped token-window chunks (explode for one row per chunk)")),
+
     // composed from the SAME patterns/constants as TextAnalysis.scrubPii
     // (the Column API can't be round-tripped inside a FunctionBuilder,
     // so the composition is restated in raw Catalyst expressions;

@@ -258,6 +258,51 @@ object ShingleHashes {
   }
 }
 
+/** Token-window chunks of a document (STRING -> ARRAY<STRING>): the
+  * SQL-surface form of `TextAnalysis.chunkDocuments` — chunk starts
+  * step by `chunkSize - overlap`, a non-initial chunk is emitted only
+  * when it contributes tokens beyond the overlap (never a pure
+  * suffix-copy), and an empty document yields one empty chunk. Tenants
+  * explode it: `SELECT doc_id, explode(chunk_text(text, 32, 8)) ...`.
+  * One tokenize pass per row; codegen'd like the sibling expressions
+  * (the declarative composition re-evaluates its higher-order lambdas
+  * per element). RegistrySpec pins SQL == DataFrame-operator parity. */
+case class ChunkText(child: Expression, chunkSize: Int, overlap: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(chunkSize > 0, "chunkSize must be positive")
+  require(overlap >= 0 && overlap < chunkSize, "overlap must be in [0, chunkSize)")
+  override def prettyName: String = "chunk_text"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def nullSafeEval(v: Any): Any =
+    ChunkText.compute(v.asInstanceOf[UTF8String], chunkSize, overlap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ChunkText.compute($c, $chunkSize, $overlap)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ChunkText {
+  def compute(text: UTF8String, chunkSize: Int, overlap: Int): ArrayData = {
+    val toks = NativeTokens.tokenize(text)
+    val n = toks.length
+    val step = chunkSize - overlap
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var s = 0
+    while (s == 0 || s < n - overlap) {
+      val end = math.min(s + chunkSize, n)
+      val sb = new java.lang.StringBuilder(64)
+      var i = s
+      while (i < end) { if (i > s) sb.append(' '); sb.append(toks(i)); i += 1 }
+      out += UTF8String.fromString(sb.toString)
+      s += step
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** xxhash64 of each token (STRING -> ARRAY<LONG>, empty array for blank
   * text) — the SimHash input, computed in one pass per row. */
 case class TokenHashes(child: Expression) extends UnaryExpression with ExpectsInputTypes {
@@ -430,4 +475,6 @@ object TextFunctions {
   def token_hashes(c: Column): Column = C(TokenHashes(E(c)))
   def lang_id(c: Column): Column = C(LangId(E(c)))
   def winnow(c: Column, k: Int, window: Int): Column = C(Winnow(E(c), k, window))
+  def chunk_text(c: Column, chunkSize: Int, overlap: Int): Column =
+    C(ChunkText(E(c), chunkSize, overlap))
 }

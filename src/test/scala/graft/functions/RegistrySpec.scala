@@ -63,6 +63,22 @@ class RegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
     sqlVsScala(
       "SELECT doc_id FROM rdocs WHERE hash_sample(doc_id, 0.5, 's1')",
       docs.filter(TextAnalysis.hashSampleCond(col("doc_id"), 0.5, "s1")).select("doc_id"))
+    sqlVsScala(
+      "SELECT doc_id, chunk_text(text, 4, 1) AS ch FROM rdocs",
+      docs.select(col("doc_id"), TextFunctions.chunk_text(col("text"), 4, 1).as("ch")))
+  }
+
+  test("chunk_text via SQL explode == the chunkDocuments operator") {
+    docs
+    val viaSql = spark.sql(
+      """SELECT doc_id, chunk_idx, chunk_text FROM rdocs
+        |LATERAL VIEW posexplode(chunk_text(text, 4, 1)) t AS chunk_idx, chunk_text""".stripMargin)
+    val viaOp = TextAnalysis.chunkDocuments(docs, "text", "doc_id", chunkSize = 4, overlap = 1)
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"), col("chunk_text"))
+    assert(viaSql.exceptAll(viaOp).count() == 0 && viaOp.exceptAll(viaSql).count() == 0,
+      "SQL chunk_text and the DataFrame operator disagree")
+    // suffix-only trailing chunks suppressed in both: 9-token doc, starts 0/3/6 only
+    assert(viaSql.filter(col("doc_id") === 1L).count() == 3)
   }
 
   test("scrub_pii via SQL replaces emails, IPs and long digit runs") {

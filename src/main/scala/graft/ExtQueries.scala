@@ -1030,7 +1030,28 @@ object ExtQueries {
              |  CASE WHEN target_frac > 0
              |       THEN least(1.0, target_frac * k.k / CAST(total_tokens AS DOUBLE))
              |       ELSE 0.0 END AS keep_rate
-             |FROM t, k ORDER BY stratum""".stripMargin)))
+             |FROM t, k ORDER BY stratum""".stripMargin))),
+
+    // Int8 embedding quantization: per-vector affine (min, scale,
+    // codes) — the 4x storage cut on the widest corpus column. The
+    // oracle replays min/max, the scale guard, and the per-element
+    // round in the same double-precision operation order; codes are
+    // integers, so the hash compare is exact.
+    "q84_quantize_embeddings" -> ((
+      (s: SparkSession, d: String) =>
+        graft.operators.SimilaritySearch.quantizeEmbeddings(embs(s, d), "vec_id", "embedding")
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |  CAST(list_min(embedding) AS DOUBLE) AS q_min,
+             |  CASE WHEN CAST(list_max(embedding) AS DOUBLE) > CAST(list_min(embedding) AS DOUBLE)
+             |       THEN (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0
+             |       ELSE 1.0 END AS q_scale,
+             |  list_transform(embedding, x -> CAST(
+             |    round((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) /
+             |          (CASE WHEN CAST(list_max(embedding) AS DOUBLE) > CAST(list_min(embedding) AS DOUBLE)
+             |                THEN (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0
+             |                ELSE 1.0 END)) - 128 AS TINYINT)) AS q_codes
+             |FROM embeddings ORDER BY vec_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -567,6 +567,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.map(_ / kept.sum).zip(Seq(0.5, 0.25, 0.25)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
   }
 
+  test("quantizeEmbeddings: int8 roundtrip within scale/2, constant-vector guard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 50L).map(i => i -> Seq.fill(16)(rnd.nextFloat() * 4f - 2f)) :+
+      (99L -> Seq.fill(16)(0.5f)) // constant vector
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = SimilaritySearch.quantizeEmbeddings(df, "vec_id", "embedding")
+    // codes are full int8 range users expect: min vector value -> -128, max -> 127
+    val row0 = q.filter(col("vec_id") === 0L).head()
+    val codes0 = row0.getSeq[Byte](3)
+    assert(codes0.min == -128 && codes0.max == 127)
+    // constant vector: scale 1.0, all codes -128
+    val const = q.filter(col("vec_id") === 99L).head()
+    assert(const.getDouble(2) == 1.0 && const.getSeq[Byte](3).forall(_ == -128))
+    // roundtrip error bounded by scale/2 everywhere
+    val joined = SimilaritySearch.dequantizeEmbeddings(q)
+      .join(df, "vec_id")
+      .select(col("vec_id"), col("q_scale"), col("q_restored"), col("embedding"))
+      .collect()
+    joined.foreach { r =>
+      val scale = r.getDouble(1)
+      val restored = r.getSeq[Float](2); val orig = r.getSeq[Float](3)
+      restored.zip(orig).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= scale / 2 + 1e-6, s"vec ${r.getLong(0)}: $a vs $b")
+      }
+    }
+  }
+
   test("knnJoin recall >= 0.9 at auto settings on a clustered corpus (the production shape)") {
     import spark.implicits._
     // 20 cluster centers + per-point noise in 32 dims: the shape real

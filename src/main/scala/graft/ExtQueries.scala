@@ -703,12 +703,17 @@ object ExtQueries {
     // MinHash signatures hash-checked bit-for-bit: the machinery behind
     // q46/q47/q61's candidates (shingle -> xxhash64 -> SplitMix64
     // permutations -> per-permutation min), replayed exactly in SQL.
+    // The signature array is serialized to a comma-joined string so the
+    // driver's comparator (which sorts/hashes scalar cells) can check it;
+    // signatures are always non-empty, so '' vs NULL never arises.
     "q72_minhash_sig_exact" -> ((
       (s: SparkSession, d: String) =>
         docs(s, d)
           .select(col("doc_id"),
-            TextFunctions.minhash_signature(
-              TextFunctions.shingle_hashes(col("text"), 3), 16).as("sig"))
+            concat_ws(",", transform(
+              TextFunctions.minhash_signature(
+                TextFunctions.shingle_hashes(col("text"), 3), 16),
+              x => x.cast("string"))).as("sig"))
           .orderBy("doc_id"),
       Some(OracleSql.minhashSigSql(k = 16, w = 3)))),
 
@@ -725,7 +730,9 @@ object ExtQueries {
       (s: SparkSession, d: String) =>
         docs(s, d)
           .select(col("doc_id"),
-            TextFunctions.winnow(col("text"), 24, 12).as("fps"))
+            concat_ws(",", transform(
+              TextFunctions.winnow(col("text"), 24, 12),
+              x => x.cast("string"))).as("fps"))
           .orderBy("doc_id"),
       Some(OracleSql.winnowSql(k = 24, window = 12)))),
 
@@ -1040,17 +1047,19 @@ object ExtQueries {
     "q84_quantize_embeddings" -> ((
       (s: SparkSession, d: String) =>
         graft.operators.SimilaritySearch.quantizeEmbeddings(embs(s, d), "vec_id", "embedding")
+          .select(col("vec_id"), col("q_min"), col("q_scale"),
+            concat_ws(",", transform(col("q_codes"), x => x.cast("string"))).as("q_codes"))
           .orderBy("vec_id"),
       Some("""SELECT vec_id,
              |  CAST(list_min(embedding) AS DOUBLE) AS q_min,
              |  CASE WHEN CAST(list_max(embedding) AS DOUBLE) > CAST(list_min(embedding) AS DOUBLE)
              |       THEN (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0
              |       ELSE 1.0 END AS q_scale,
-             |  list_transform(embedding, x -> CAST(
+             |  array_to_string(list_transform(embedding, x -> CAST(
              |    round((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) /
              |          (CASE WHEN CAST(list_max(embedding) AS DOUBLE) > CAST(list_min(embedding) AS DOUBLE)
              |                THEN (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0
-             |                ELSE 1.0 END)) - 128 AS TINYINT)) AS q_codes
+             |                ELSE 1.0 END)) - 128 AS TINYINT)), ',') AS q_codes
              |FROM embeddings ORDER BY vec_id""".stripMargin)))
   )
 

@@ -200,10 +200,12 @@ object OracleSql {
        |)""".stripMargin
   }
 
-  /** q72 oracle: minhash_signature(shingle_hashes(text, w), k) per doc. */
+  /** q72 oracle: minhash_signature(shingle_hashes(text, w), k) per doc.
+    * The signature list is serialized comma-joined (matching the Spark
+    * side's concat_ws) so the driver's scalar comparator can hash it. */
   def minhashSigSql(k: Int, w: Int): String =
     s"""WITH ${sigCtes(k, w)}
-       |SELECT doc_id, sig FROM sg ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, array_to_string(sig, ',') AS sig FROM sg ORDER BY doc_id""".stripMargin
 
   /** Packed hyperplane bucket of `vec` against the row-major plane list
     * `pl` (columns `p` = plane count and `dim` in scope): bit j set iff
@@ -489,7 +491,8 @@ object OracleSql {
        |  FROM grm
        |)
        |SELECT doc_id,
-       |       list_transform(list_sort(list_distinct(wins)), p -> grams[p + 1]) AS fps
+       |       array_to_string(
+       |         list_transform(list_sort(list_distinct(wins)), p -> grams[p + 1]), ',') AS fps
        |FROM win ORDER BY doc_id""".stripMargin
   }
 

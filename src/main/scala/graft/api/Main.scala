@@ -32,6 +32,9 @@ object Main {
     *   GRAFT_BLOB_BUCKET/PREFIX/ACCESS_KEY_ID/SECRET_ACCESS_KEY/
     *   GRAFT_BLOB_ENDPOINT/REGION    s3: reference's mapstructure keys (s3.go:17-22)
     *   GRAFT_CLAIM_QUEUE  local (default) | file-lease:<shared-dir> | cas:<shared-dir>
+    *                      | cas-s3:<bucket[/prefix]>  (conditional-PUT claims on S3 —
+    *                        credentials/endpoint/region from the GRAFT_BLOB_* s3 keys,
+    *                        which a blob-on-S3 deployment has set anyway)
     *   GRAFT_LEASE_TTL_MS lease TTL for file-lease / cas claims (default 5 min)
     *
     * `hadoopConf` is by-name: the local/local path never touches it, so
@@ -60,8 +63,21 @@ object Main {
       // same CasClaimQueue an object-store CasStore impl would drive
       case s if s.startsWith("cas:") =>
         new CasClaimQueue(new FileCasStore(s.stripPrefix("cas:")), ttl)
+      // pure object-store deployment: claims by S3 conditional writes,
+      // sharing the blob store's credential env keys
+      case s if s.startsWith("cas-s3:") =>
+        val (bucket, casPrefix) = s.stripPrefix("cas-s3:").split("/", 2) match {
+          case Array(b)    => (b, "claims")
+          case Array(b, p) => (b, p)
+        }
+        new CasClaimQueue(new S3CasStore(
+          settings0.getOrElse("endpoint", "https://s3.amazonaws.com"),
+          bucket, casPrefix,
+          settings0.getOrElse("region", "us-east-1"),
+          settings0.getOrElse("access_key_id", ""),
+          settings0.getOrElse("secret_access_key", "")), ttl)
       case other => throw new IllegalArgumentException(
-        s"unknown claim queue: $other (want local | file-lease:<dir> | cas:<dir>)")
+        s"unknown claim queue: $other (want local | file-lease:<dir> | cas:<dir> | cas-s3:<bucket[/prefix]>)")
     }
     (store, claims)
   }

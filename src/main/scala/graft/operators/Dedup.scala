@@ -122,66 +122,127 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
-  /** Connected components over a candidate-pair graph (`id_a < id_b`):
-    * every document gets its component's MINIMUM id as `cluster`. This is
-    * the cluster-assignment step transitive near-dup chains need (A~B,
-    * B~C: all three must share one representative even though A and C
-    * never pair directly).
+  /** Connected components over a candidate-pair graph (`id_a < id_b`,
+    * no self-loops): every document gets its component's MINIMUM id as
+    * `cluster`. This is the cluster-assignment step transitive near-dup
+    * chains need (A~B, B~C: all three must share one representative
+    * even though A and C never pair directly).
     *
-    * Algorithm: minimum-label propagation — each iteration joins labels
-    * across edges and keeps the smaller of (own label, best neighbor
-    * label); iterations needed = graph diameter in hops, and near-dup
-    * graphs are shallow (dup clusters are cliques or short chains), so
-    * convergence is typically 2-3 rounds. The driver loop only reads ONE
-    * aggregate per round (changed-count) — the data never leaves
-    * executors.
+    * Algorithm: alternating star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Each
+    * round applies large-star (every node hangs its strictly-larger
+    * neighbors off its minimum neighborhood label) then small-star
+    * (every node re-hangs its smaller neighbors, and itself, off the
+    * minimum), shrinking the edge set toward one star per component
+    * rooted at the component minimum. Rounds needed = O(log n) — a
+    * diameter-1000 path converges in ~10 rounds where plain min-label
+    * propagation (the previous implementation) needed 1000 — so
+    * `maxIterations = 20` covers any graph that fits on a cluster; if
+    * the bound is ever hit a warning is emitted and the partially
+    * contracted labels are returned (still a valid partition refinement,
+    * never a crash). The driver loop reads ONE tiny aggregate per round
+    * (edge count + xxhash64 xor, the convergence test) — edge data
+    * never leaves executors.
     *
-    * Cache lifecycle (the 100 TB resource contract): exactly ONE
-    * label-table cache is live at any time. Each round persists one
-    * frame carrying both the old and the stepped label (serving the
-    * changed-count AND the next round's input from a single cache),
-    * materializes it via the count, then unpersists the previous
-    * round's cache. Every 5th round the frame is `localCheckpoint`ed
-    * instead, cutting the otherwise-unbounded join-lineage chain. The
-    * returned labels are checkpointed too, so the final round's cache
-    * can be dropped before returning — callers get a materialized,
-    * lineage-free result and `getPersistentRDDs` goes back to where it
-    * started. */
+    * Cache lifecycle (the 100 TB resource contract): exactly ONE edge
+    * set is materialized at any time. Each round LAZILY
+    * `localCheckpoint`s the new edge set — the convergence aggregate
+    * is the action that materializes it, so the checkpoint costs no
+    * extra job — then unpersists the previous round's blocks.
+    * Checkpointing EVERY round (not every Nth) is load-bearing here,
+    * not an optimization: one star round references `edges` ~12 times
+    * (sym × ls × ssMin × the union), so an untruncated k-round lineage
+    * is a ~12^k-leaf plan tree — at k = 4 that is ~20k scan copies and
+    * the analyzer/explain OOMs before the data is even touched (found
+    * by the cache-footprint spec, which the every-5th variant of this
+    * loop failed). The returned labels are checkpointed too, so the
+    * final edge cache is dropped before returning — callers get a
+    * materialized, lineage-free result and `getPersistentRDDs` goes
+    * back to where it started. */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // canonical hi -> lo directed edges; `edges` always holds the ONE
+    // persisted frame (the round-5 leak lesson: unpersist the exact
+    // persisted Dataset, never a derived projection)
+    var edges = pairs.select(
+        greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // `cached` tracks the exact persisted Dataset so unpersist is never a
-    // no-op on a derived projection (the round-5 leak: unpersisting an
-    // unpersisted projection left every round's join cached).
-    var cached = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = cached
+    // order-free edge-set fingerprint: count + XOR of per-edge hashes
+    // (xor, not sum — ANSI mode would overflow a 64-bit sum)
+    def stats(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = stats(edges)
     var iter = 0
-    var converged = false
+    var converged = prev._1 == 0L
+    // both star steps are "per-node neighborhood min, broadcast back to
+    // the node's edges" — a WINDOW over the edge list, not a
+    // groupBy-then-self-join: the window is one exchange + sort where
+    // the join form is two exchanges, and with orderBy(v) the running
+    // min IS the partition min on every row (ascending prefix), so
+    // min and row_number share a single window pass. At this loop's
+    // scale the cost is driver stage-scheduling latency, so exchanges
+    // per round is the number that matters: 3 (two windows + the
+    // distinct) vs 5 for the join form.
+    val wUv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("v"))
+    val edgeArr = "array<struct<u:bigint,v:bigint>>"
     while (!converged && iter < maxIterations) {
-      val best = edges.join(labels.select(col("id").as("dst"), col("cluster").as("nl")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("nl")).as("best"))
-      val stepped0 = labels.join(best, Seq("id"), "left")
-        .select(col("id"), col("cluster").as("__old"),
-          least(col("cluster"), coalesce(col("best"), col("cluster"))).as("cluster"))
-      // localCheckpoint (eager) every 5th round: materializes AND truncates
-      // lineage, so round N's plan never replays rounds 1..N-1's joins
-      val stepped =
-        if ((iter + 1) % 5 == 0) stepped0.localCheckpoint()
-        else stepped0.persist(StorageLevel.MEMORY_AND_DISK)
-      // the count materializes `stepped`; only now is the prior cache dead
-      val changed = stepped.filter(col("cluster") < col("__old")).count()
-      cached.unpersist()
-      cached = stepped
-      labels = stepped.select("id", "cluster") // reads through stepped's cache
-      converged = changed == 0
+      // large-star: from each node's neighborhood (symmetrized view),
+      // connect every strictly-larger neighbor to m = min(N(u) ∪ {u});
+      // every edge survives via its smaller endpoint's group, so
+      // connectivity is preserved while long tails hop toward the min
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val ls = sym
+        .withColumn("m", least(min(col("v")).over(wUv), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u >= m: stays hi -> lo
+      // small-star: per node, re-hang all (strictly smaller) neighbors
+      // and the node itself off the minimum neighbor; the node's own
+      // (u, m) edge rides the first row of its window partition instead
+      // of a second union branch (which would re-run the window subtree)
+      val next0 = ls
+        .withColumn("m", min(col("v")).over(wUv))
+        .withColumn("rn", row_number().over(wUv))
+        .select(explode(concat(
+          when(col("v") =!= col("m"),
+            array(struct(col("v").as("u"), col("m").as("v"))))
+            .otherwise(array().cast(edgeArr)),
+          when(col("rn") === 1,
+            array(struct(col("u").as("u"), col("m").as("v"))))
+            .otherwise(array().cast(edgeArr)))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .distinct()
+      // lazy localCheckpoint: the stats aggregate below is the action
+      // that materializes it, truncating the ~12x-per-round lineage fan
+      // (see the scaladoc — every-Nth checkpointing OOMs the analyzer)
+      val next = next0.localCheckpoint(false)
+      // the aggregate materializes `next`; only now is the prior cache
+      // dead. Fixpoint (count + order-free hash sum unchanged) = the
+      // edge set is the star set rooted at component minima.
+      val cur = stats(next)
+      edges.unpersist()
+      edges = next
+      converged = cur == prev
+      prev = cur
       iter += 1
     }
-    // hand back materialized, lineage-free labels; drop every loop cache
-    val result = labels.localCheckpoint()
-    cached.unpersist()
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents: star contraction did not " +
+        s"converge in $maxIterations rounds (edges=${prev._1}); labels may be " +
+        "a partial refinement")
+    // at the fixpoint every node points directly at its component min;
+    // the groupBy/anti-join below also keep labels unique per id in the
+    // (log-n-improbable) non-converged case
+    val memb = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("cluster"))
+    val roots = edges.select(col("v").as("id")).distinct()
+      .join(memb.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("cluster", col("id"))
+    val result = memb.union(roots).localCheckpoint()
     edges.unpersist()
     result
   }
@@ -212,7 +273,11 @@ object Dedup {
     * edge, so `clusters` is usually tiny relative to the corpus — the
     * left join broadcasts under AQE, and the 100 TB scan never
     * shuffles; with pathological dup rates it degrades to a shuffled
-    * equi-join on the id, still O(corpus). */
+    * equi-join on the id, still O(corpus). Star-contraction CC
+    * converges in O(log n) rounds, so `maxIterations = 20` is not a
+    * practical diameter bound; non-convergence is loudly reported by
+    * connectedComponents rather than silently keeping extra
+    * representatives. */
   def removeNearDups(df: DataFrame, idCol: String, pairs: DataFrame,
                      maxIterations: Int = 20): DataFrame = {
     val clusters = connectedComponents(pairs, maxIterations)

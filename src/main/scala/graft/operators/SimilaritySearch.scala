@@ -249,7 +249,6 @@ object SimilaritySearch {
       .select("id_a", "id_b", "cosine")
   }
 
-  /** Driver-side bucket of one vector (same planes as the expression). */
   /** Per-vector affine int8 quantization: (q_min, q_scale, q_codes)
     * with `code = round((x - min) / scale) - 128` and `scale =
     * (max - min) / 255` — the 4× storage cut on the corpus's widest
@@ -258,15 +257,24 @@ object SimilaritySearch {
     * Dequantize: `x ≈ (code + 128) * scale + min`, max absolute error
     * scale/2. All math is double-precision built-ins in a fixed
     * operation order, so an SQL oracle replays the codes bit-for-bit;
-    * pure map stage, no shuffle. */
+    * pure map stage, no shuffle.
+    *
+    * q_min/q_scale are projected in a FIRST select and the transform
+    * lambda references the resulting attributes: higher-order functions
+    * are CodegenFallback and re-evaluate non-trivial argument
+    * expressions per element, so inlining array_min/array_max into the
+    * lambda would make the map stage O(d²) per vector at production
+    * dims. An attribute reference is free. */
   def quantizeEmbeddings(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol)
     val vmin = array_min(v).cast("double")
     val vmax = array_max(v).cast("double")
     val scale = when(vmax > vmin, (vmax - vmin) / lit(255.0)).otherwise(lit(1.0))
-    df.select(col(idCol), vmin.as("q_min"), scale.as("q_scale"),
-      transform(v, x => (round((x.cast("double") - vmin) / scale) - 128).cast("byte"))
-        .as("q_codes"))
+    df.select(col(idCol), v.as("__v"), vmin.as("q_min"), scale.as("q_scale"))
+      .select(col(idCol), col("q_min"), col("q_scale"),
+        transform(col("__v"),
+          x => (round((x.cast("double") - col("q_min")) / col("q_scale")) - 128).cast("byte"))
+          .as("q_codes"))
   }
 
   /** Inverse of [[quantizeEmbeddings]]: reconstruct approximate float
@@ -276,6 +284,7 @@ object SimilaritySearch {
       transform(col("q_codes"),
         c => ((c.cast("double") + 128) * col("q_scale") + col("q_min")).cast("float")))
 
+  /** Driver-side bucket of one vector (same planes as the expression). */
   def bucketOf(v: Array[Float], planes: Array[Double], nPlanes: Int): Int = {
     val dim = planes.length / nPlanes
     var bucket = 0; var j = 0

@@ -249,6 +249,45 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kv.get("k").isEmpty)
   }
 
+  test("cas claim queue over S3 conditional writes: same steal/fence/renew contract (SigV4-verified fake)") {
+    val fake = new FakeS3("AKTEST", "sekrit", "eu-west-1")
+    try casQueueSuite(new S3CasStore(fake.endpoint, "graft-test", "claims",
+      "eu-west-1", "AKTEST", "sekrit"))
+    finally fake.stop()
+  }
+
+  test("s3 cas store: ETag CAS makes racing conditional writes one-winner; keys land under bucket/prefix") {
+    val fake = new FakeS3("AKTEST", "sekrit", "eu-west-1")
+    try {
+      val kv = new S3CasStore(fake.endpoint, "graft-test", "claims",
+        "eu-west-1", "AKTEST", "sekrit")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val created = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = kv.putIfAbsent("db/table/batch.ndjson", s"v$i")
+        })
+      }.count(_.get())
+      assert(created == 1, s"$created racing If-None-Match:* PUTs succeeded")
+      // claim keys keep their '/'s and live under <bucket>/<prefix>/
+      assert(fake.keys == Set("/graft-test/claims/db/table/batch.ndjson"))
+      val v0 = kv.get("db/table/batch.ndjson").get
+      val replaced = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = kv.replaceIf("db/table/batch.ndjson", v0, s"r$i")
+        })
+      }.count(_.get())
+      pool.shutdown()
+      assert(replaced == 1, s"$replaced racing If-Match PUTs succeeded")
+      assert(!kv.deleteIf("db/table/batch.ndjson", v0), "stale-value delete must fail")
+      assert(kv.deleteIf("db/table/batch.ndjson", kv.get("db/table/batch.ndjson").get))
+      assert(kv.get("db/table/batch.ndjson").isEmpty)
+      // a wrong secret is rejected by the fake's signature verification
+      val badKv = new S3CasStore(fake.endpoint, "graft-test", "claims",
+        "eu-west-1", "AKTEST", "wrong-secret")
+      intercept[java.io.IOException] { badKv.get("db/table/batch.ndjson") }
+    } finally fake.stop()
+  }
+
   private def casQueueSuite(kv: CasStore): Unit = {
     @volatile var now = 1000000L
     def mkQ() = new CasClaimQueue(kv, leaseTtlMillis = 1000, clock = () => now)
@@ -351,6 +390,25 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     Files.writeString(f2.toPath, "{\"a\": 8, \"__row_id\": 1}\n")
     cup.accept("6", "boot", f2)
     assert(cat.read(spark, "6", "boot").count() == 2)
+    // cas-s3:<bucket/prefix> boots S3-conditional-write claims from the
+    // blob store's credential env keys and carries ingest end-to-end
+    val fake = new FakeS3("AKBOOT", "bootsecret", "us-west-2")
+    try {
+      val (sstore, sclaims) = graft.api.Main.storesFromEnv(Map(
+        "GRAFT_CLAIM_QUEUE" -> "cas-s3:claims-bucket/leases",
+        "GRAFT_BLOB_ENDPOINT" -> fake.endpoint,
+        "GRAFT_BLOB_REGION" -> "us-west-2",
+        "GRAFT_BLOB_ACCESS_KEY_ID" -> "AKBOOT",
+        "GRAFT_BLOB_SECRET_ACCESS_KEY" -> "bootsecret"), base,
+        sys.error("cas-s3 queue must not touch hadoop conf"))
+      assert(sclaims.isInstanceOf[CasClaimQueue])
+      val sup = new Uploader(sstore, (db, t, f) => ingest.ingestFile(db, t, f), claims = sclaims)
+      val f3 = new File(base, "7311209997.ndjson")
+      Files.writeString(f3.toPath, "{\"a\": 9, \"__row_id\": 1}\n")
+      sup.accept("6", "boot", f3)
+      assert(cat.read(spark, "6", "boot").count() == 3)
+      assert(fake.keys.isEmpty, "claim must be released after the batch lands")
+    } finally fake.stop()
   }
 
   test("spool orphan recovery: open files of a dead process are closed out") {

@@ -988,9 +988,12 @@ object ExtQueries {
     // oracle replays score, per-stratum percent_rank, and the cut.
     "q82_quality_filter" -> ((
       (s: SparkSession, d: String) => {
+        // empty/whitespace text would give 0.0/0.0 = NaN in Spark while
+        // DuckDB's zero-division and NaN rank ordering differ — pin 0.0
         val base = docs(s, d).withColumn("score",
-          regexp_count(col("text"), lit("[aeiou]")).cast("double") /
-            length(col("text")).cast("double"))
+          when(length(col("text")) > 0,
+            regexp_count(col("text"), lit("[aeiou]")).cast("double") /
+              length(col("text")).cast("double")).otherwise(lit(0.0)))
         TextAnalysis.qualityPercentileFilter(base, col("score"), col("lang"),
             col("doc_id"), keepFraction = 0.3)
           .select("doc_id", "lang", "score")
@@ -998,8 +1001,10 @@ object ExtQueries {
       },
       Some("""WITH scored AS (
              |  SELECT doc_id, lang,
-             |    CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
-             |      / length(text) AS score
+             |    CASE WHEN length(text) > 0 THEN
+             |      CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+             |        / length(text)
+             |    ELSE 0.0 END AS score
              |  FROM documents
              |), ranked AS (
              |  SELECT doc_id, lang, score,
@@ -1060,7 +1065,63 @@ object ExtQueries {
              |          (CASE WHEN CAST(list_max(embedding) AS DOUBLE) > CAST(list_min(embedding) AS DOUBLE)
              |                THEN (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0
              |                ELSE 1.0 END)) - 128 AS TINYINT)), ',') AS q_codes
-             |FROM embeddings ORDER BY vec_id""".stripMargin)))
+             |FROM embeddings ORDER BY vec_id""".stripMargin))),
+
+    // Sequence packing: documents -> fixed-token-budget training
+    // sequences, greedy next-fit-decreasing per salted bucket. The
+    // oracle replays the FNV bucket, the (n_tokens DESC, doc_id) order
+    // and the greedy walk itself as a recursive CTE — packing is
+    // sequential per bucket by construction, so the recursion IS the
+    // spec, one frontier row per bucket per step.
+    "q85_pack_sequences" -> ((
+      (s: SparkSession, d: String) => {
+        val base = docs(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        TextAnalysis.packSequences(base, "doc_id", "n_tokens",
+            tokensPerSequence = 256L, salt = "r7", numBuckets = 8)
+          .select("doc_id", "n_tokens", "pack_bucket", "seq_idx")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE hx AS (
+             |  SELECT doc_id, text, hex(encode('r7' || CAST(doc_id AS VARCHAR))) AS hx FROM documents
+             |), fp AS (
+             |  SELECT doc_id, text, list_reduce(
+             |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |      list_transform(range(1, len(hx) // 2 + 1), i ->
+             |        CAST((strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+             |           + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1) AS HUGEINT))),
+             |    (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT) * 1099511628211)
+             |              % CAST('18446744073709551616' AS HUGEINT)
+             |  ) AS f
+             |  FROM hx
+             |), signed AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN f >= CAST('9223372036854775808' AS HUGEINT)
+             |         THEN CAST(f - CAST('18446744073709551616' AS HUGEINT) AS BIGINT)
+             |         ELSE CAST(f AS BIGINT) END AS fp
+             |  FROM fp
+             |), items AS (
+             |  SELECT doc_id, ((fp % 8) + 8) % 8 AS pack_bucket,
+             |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |                         x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+             |    row_number() OVER (
+             |      PARTITION BY ((fp % 8) + 8) % 8
+             |      ORDER BY CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |                                    x -> len(x) > 0)) AS BIGINT) DESC, doc_id) AS rn
+             |  FROM signed
+             |), walk AS (
+             |  SELECT pack_bucket, rn, doc_id, n_tokens,
+             |         CAST(0 AS BIGINT) AS seq_idx, n_tokens AS fill
+             |  FROM items WHERE rn = 1
+             |  UNION ALL
+             |  SELECT i.pack_bucket, i.rn, i.doc_id, i.n_tokens,
+             |    CASE WHEN w.fill + i.n_tokens > 256 THEN w.seq_idx + 1 ELSE w.seq_idx END,
+             |    CASE WHEN w.fill + i.n_tokens > 256 THEN i.n_tokens ELSE w.fill + i.n_tokens END
+             |  FROM walk w JOIN items i
+             |    ON i.pack_bucket = w.pack_bucket AND i.rn = w.rn + 1
+             |)
+             |SELECT doc_id, n_tokens, pack_bucket, seq_idx
+             |FROM walk ORDER BY doc_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -243,7 +243,14 @@ object TextAnalysis {
     * tokensPerShard)` within its bucket, so shards are contiguous
     * spans of the shuffled order and every shard except a bucket's
     * last holds >= the budget (the final row of a shard may overflow
-    * it — row-granular sharding, the standard approximation).
+    * it — row-granular sharding, the standard approximation). A single
+    * document with `n_tokens > tokensPerShard` overflows by more than
+    * one whole budget, so the NEXT assigned `shard_idx` skips the
+    * indices its overflow covered — shard indices within a bucket are
+    * increasing but not necessarily consecutive, and the >=-budget
+    * guarantee applies to the non-empty shards. Pick `tokensPerShard`
+    * well above the corpus max document length (the production case:
+    * ~1e9 vs ~1e5) and indices are consecutive.
     *
     * Same 100 TB shape as the shuffle: the prefix-sum window partitions
     * by bucket, numBuckets-way parallel, no global sort; membership is
@@ -264,6 +271,74 @@ object TextAnalysis {
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(tokensPerShard))
           .cast("long"))
       .drop("__skey")
+  }
+
+  /** Sequence packing: assemble variable-length chunks into
+    * fixed-token-budget training sequences — the step between chunking
+    * ([[chunkDocuments]]) and shard writing ([[shardByTokenBudget]])
+    * that turns "many short pieces" into "few budget-sized sequences"
+    * so no context window trains mostly on padding. Adds
+    * `(pack_bucket, seq_idx)`: all rows sharing a pair concatenate (in
+    * deterministic order) into one training sequence.
+    *
+    * Algorithm: greedy next-fit-decreasing per bucket — items sort by
+    * token count DESC (ties by id), walk in order, close the open
+    * sequence when the next item would overflow `tokensPerSequence`.
+    * This is the streaming form of first-fit-decreasing: O(1) packer
+    * state per bucket (true FFD keeps every open bin's fill — O(bins)
+    * state that grows with bucket size, the wrong trade at 100 TB),
+    * and after the decreasing sort the tail items that NFD closes a
+    * bin over are the corpus's smallest, so fill efficiency is within
+    * a few percent of FFD on real length distributions.
+    *
+    * Invariant (spec-pinned): a sequence holding >= 2 items never
+    * exceeds the budget; an item alone longer than the budget becomes
+    * a singleton sequence (callers chunking with `chunkSize <=
+    * tokensPerSequence` never produce one).
+    *
+    * Shape: the per-bucket walk is a genuine running-sum-WITH-RESET —
+    * not expressible as a Spark window function (frames can't carry
+    * state across the reset boundary), so this is the one operator
+    * family where `mapPartitions` is the right Spark primitive:
+    * repartition on `pack_bucket` (one hash exchange),
+    * `sortWithinPartitions` (bucket, -tokens, id), then a single
+    * O(rows) pass with two longs of state, resetting at bucket
+    * changes. numBuckets-way parallel, no global sort, no driver
+    * state; determinism is total because the hash partitioner and the
+    * within-partition sort are both pure functions of the data. */
+  def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
+                    tokensPerSequence: Long, salt: String = "",
+                    numBuckets: Int = 256): DataFrame = {
+    require(tokensPerSequence > 0,
+      s"tokensPerSequence must be positive, got $tokensPerSequence")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val bucketed = df
+      .withColumn(nTokensCol, col(nTokensCol).cast("long"))
+      .withColumn("pack_bucket",
+        pmod(TextFunctions.fingerprint64(concat(lit(salt), col(idCol).cast("string"))),
+          lit(numBuckets.toLong)))
+    val bIdx = bucketed.schema.fieldIndex("pack_bucket")
+    val nIdx = bucketed.schema.fieldIndex(nTokensCol)
+    val outSchema = StructType(bucketed.schema.fields :+
+      StructField("seq_idx", LongType, nullable = false))
+    bucketed
+      .repartition(col("pack_bucket"))
+      .sortWithinPartitions(col("pack_bucket"), col(nTokensCol).desc, col(idCol))
+      .mapPartitions { rows =>
+        // several buckets share a partition; state resets on the sorted
+        // bucket boundary
+        var curBucket = 0L; var bin = 0L; var fill = 0L; var started = false
+        rows.map { r =>
+          val b = r.getLong(bIdx)
+          val n = r.getLong(nIdx)
+          if (!started || b != curBucket) { curBucket = b; bin = 0L; fill = n; started = true }
+          else if (fill + n > tokensPerSequence) { bin += 1; fill = n }
+          else fill += n
+          Row.fromSeq(r.toSeq :+ bin)
+        }
+      }(Encoders.row(outSchema))
   }
 
   /** Quality-percentile filter: keep the best `keepFraction` of
@@ -290,6 +365,37 @@ object TextAnalysis {
     df.withColumn("__pr", percent_rank().over(w))
       .filter(col("__pr") <= lit(keepFraction))
       .drop("__pr")
+  }
+
+  /** Approximate variant of [[qualityPercentileFilter]] — the
+    * few-huge-strata scale path: per-stratum score cutoffs from
+    * `approx_percentile` (Greenwald-Khanna sketch, one partial-agg
+    * shuffle to O(strata) rows), broadcast back as a PLAIN FILTER on a
+    * second corpus scan. No per-stratum sort anywhere — where the exact
+    * form pays a full hash-exchange + within-partition sort of the
+    * corpus, this pays two map passes and an O(strata) aggregate,
+    * which is the right trade when strata are few and huge (languages
+    * over 100 TB: ~100 strata of ~1 TB).
+    *
+    * `accuracy` bounds the sketch's rank error at 1/accuracy (default
+    * 1e-4: ±0.01% of each stratum's rows around the cut). Kept-set
+    * membership may differ from the exact variant only for rows within
+    * that rank band of the cutoff; the spec pins this agreement. Ties
+    * AT the cutoff score are all kept (score predicate, no id
+    * tie-break), another deliberate approximation — deterministic, but
+    * a hair more rows than `keepFraction` when the cutoff score is
+    * heavily tied. */
+  def qualityPercentileFilterApprox(df: DataFrame, scoreCol: Column, stratumCol: Column,
+                                    keepFraction: Double,
+                                    accuracy: Int = 10000): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1,
+      s"keepFraction must be in (0, 1], got $keepFraction")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    val cutoffs = df.groupBy(stratumCol.as("__stratum"))
+      .agg(approx_percentile(scoreCol, lit(1.0 - keepFraction), lit(accuracy)).as("__cut"))
+    df.join(broadcast(cutoffs), stratumCol === col("__stratum"), "inner")
+      .filter(scoreCol >= col("__cut"))
+      .drop("__stratum", "__cut")
   }
 
   /** Corpus-mixture rebalancing plan: given target fractions per

@@ -546,6 +546,100 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() == 15L && all.columns.toSeq == Seq("id", "lang", "score"))
   }
 
+  test("qualityPercentileFilterApprox agrees with the exact filter within sketch rank tolerance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // seeded corpus: two strata with distinct continuous scores (no ties),
+    // large enough that the rank band around the cutoff is a small
+    // fraction — the agreement the scaladoc promises
+    val rnd = new scala.util.Random(42)
+    val df = (1L to 2000L).map { i =>
+      (i, if (i % 2 == 0) "en" else "de", rnd.nextDouble()) }.toDF("id", "lang", "score")
+    val exact = TextAnalysis.qualityPercentileFilter(df, col("score"), col("lang"), col("id"), 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val approx = TextAnalysis.qualityPercentileFilterApprox(df, col("score"), col("lang"), 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // kept-set sizes within 1% of each stratum's rows of each other, and
+    // symmetric difference confined to the same band around the cutoff
+    assert(math.abs(approx.size - exact.size) <= 20,
+      s"approx kept ${approx.size}, exact kept ${exact.size}")
+    assert(((approx diff exact) union (exact diff approx)).size <= 40,
+      "approx/exact disagreement beyond the sketch's rank tolerance")
+    // original columns only, like the exact variant
+    assert(TextAnalysis.qualityPercentileFilterApprox(df, col("score"), col("lang"), 0.3)
+      .columns.toSeq == Seq("id", "lang", "score"))
+  }
+
+  test("packSequences: budget bound, decreasing-order packing, deterministic under repartition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // chunk-shaped items: token counts 1..16, all <= the 32-token budget
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 300L).map(i => (i, rnd.nextInt(16) + 1L)).toDF("id", "n_tokens")
+    val out = TextAnalysis.packSequences(df, "id", "n_tokens",
+        tokensPerSequence = 32L, salt = "p", numBuckets = 4)
+      .select("id", "n_tokens", "pack_bucket", "seq_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 300)
+    // hard invariant: no sequence exceeds the budget (all items fit alone)
+    val bySeq = out.groupBy(t => (t._3, t._4)).view.mapValues(_.map(_._2).sum).toMap
+    bySeq.foreach { case ((b, s), total) =>
+      assert(total <= 32L, s"sequence ($b,$s) overflowed to $total tokens") }
+    // sequences are reasonably full: next-fit-decreasing on this
+    // distribution cannot leave a non-final sequence under half-full
+    // (a closed sequence rejected an item of <= the remaining mean size)
+    val lastSeq = out.groupBy(_._3).view.mapValues(_.map(_._4).max).toMap
+    bySeq.foreach { case ((b, s), total) =>
+      if (s != lastSeq(b)) assert(total > 16L, s"non-final sequence ($b,$s) only $total full") }
+    // seq indices contiguous from 0 per bucket
+    out.groupBy(_._3).foreach { case (b, rows) =>
+      val idxs = rows.map(_._4).distinct.sorted.toSeq
+      assert(idxs == (0L until idxs.length).toSeq, s"bucket $b seq gaps: $idxs") }
+    // deterministic under input repartitioning
+    val re = TextAnalysis.packSequences(df.repartition(13), "id", "n_tokens",
+        tokensPerSequence = 32L, salt = "p", numBuckets = 4)
+      .select("id", "n_tokens", "pack_bucket", "seq_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(re == out.toSet, "packing changed under repartition")
+    // an item longer than the budget becomes a singleton sequence and
+    // never drags siblings over the budget
+    val big = Seq((1L, 10L), (2L, 50L), (3L, 12L), (4L, 11L)).toDF("id", "n_tokens")
+    val bigOut = TextAnalysis.packSequences(big, "id", "n_tokens",
+        tokensPerSequence = 32L, salt = "", numBuckets = 1)
+      .select("id", "seq_idx").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oversizedSeq = bigOut(2L)
+    assert(bigOut.count(_._2 == oversizedSeq) == 1, "oversized item must pack alone")
+  }
+
+  test("winnowing guarantee on an adversarial corpus: exactly window+k-1 shared chars force a shared fingerprint") {
+    import spark.implicits._
+    // constructed worst case: the shared run is the MINIMUM length the
+    // guarantee covers (window + k - 1 chars), embedded at different
+    // offsets in per-doc unique high-entropy filler drawn from disjoint
+    // alphabets (no accidental sharing, no natural-text regularity)
+    val k = 8; val window = 4
+    val rnd = new scala.util.Random(1234)
+    def filler(alphabet: String, n: Int): String =
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val trials = (0 until 20).flatMap { t =>
+      val core = filler("qrstuvwx", window + k - 1) // exactly the guarantee bound
+      Seq((2L * t, filler("abcdefgh", 30 + rnd.nextInt(40)) + core + filler("abcdefgh", 30)),
+          (2L * t + 1, filler("ijklmnop", 25 + rnd.nextInt(40)) + core + filler("ijklmnop", 35)))
+    }
+    val df = trials.toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(df, "doc_id", "text", k = k, window = window,
+        minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 20).foreach { t =>
+      assert(pairs.contains((2L * t, 2L * t + 1)),
+        s"trial $t: ${window + k - 1}-char shared run produced no shared fingerprint") }
+    // negative control: disjoint-alphabet docs (no shared k-gram at all)
+    // never pair, even at minShared = 1
+    val disjoint = docs(100L -> filler("abcdefgh", 80), 101L -> filler("ijklmnop", 80))
+    assert(Dedup.winnowOverlapPairs(disjoint, "doc_id", "text", k = k, window = window,
+      minShared = 1).count() == 0L)
+  }
+
   test("mixturePlan: binding stratum keeps all, others downsample to the target mixture") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

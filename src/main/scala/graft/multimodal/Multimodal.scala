@@ -368,6 +368,7 @@ object Multimodal {
   private final class Mp4Walk(b: Array[Byte]) {
     private var w = 0; private var h = 0; private var frames = 0; private var seenMoov = false
     private var tW = 0; private var tH = 0; private var tFrames = 0; private var tVideo = false
+    private var tSpsW = 0; private var tSpsH = 0
 
     def parse(): Option[(Int, Int, Int)] = {
       walk(0L, b.length.toLong)
@@ -388,9 +389,12 @@ object Multimodal {
           case "moov" => seenMoov = true; walk(off + hdr, boxEnd)
           case "mdia" | "minf" | "stbl" => walk(off + hdr, boxEnd)
           case "trak" =>
-            tW = 0; tH = 0; tFrames = 0; tVideo = false
+            tW = 0; tH = 0; tFrames = 0; tVideo = false; tSpsW = 0; tSpsH = 0
             walk(off + hdr, boxEnd)
-            if (tVideo || (w == 0 && tW > 0)) { w = tW; h = tH; frames = tFrames }
+            // SPS coded dims (from the bitstream itself) beat tkhd's
+            // presentation dims when both are present
+            val (rw, rh) = if (tSpsW > 0) (tSpsW, tSpsH) else (tW, tH)
+            if (tVideo || (w == 0 && rw > 0)) { w = rw; h = rh; frames = tFrames }
           case "tkhd" if boxEnd - p >= 8 =>
             tW = (be32(b, boxEnd.toInt - 8) >> 16).toInt
             tH = (be32(b, boxEnd.toInt - 4) >> 16).toInt
@@ -398,6 +402,7 @@ object Multimodal {
             if (typeOf(p + 8 - 4) == "vide") tVideo = true // handler_type at payload+8
           case "stsz" if boxEnd - p >= 12 =>
             tFrames = be32(b, p + 8).toInt // after version/flags + sample_size
+          case "stsd" => parseStsd(p, boxEnd)
           case _ => // leaf we don't need
         }
         off = boxEnd
@@ -407,6 +412,40 @@ object Multimodal {
     /** 4CC at `off+4` (box type) — also reused for hdlr handler_type. */
     private def typeOf(off: Int): String =
       new String(b, off + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+    /** `stsd` leaf: walk the sample entries for an AVC one (`avc1` /
+      * `avc3`), find its `avcC` child (AVCDecoderConfigurationRecord),
+      * and parse the first SPS for the CODED pixel dimensions — the
+      * true frame size straight from the bitstream, where `tkhd`
+      * carries the (possibly scaled, possibly zero) PRESENTATION size.
+      * Payload layout: version/flags(4) entry_count(4), then
+      * [size:4][format:4]-headed entries; a VisualSampleEntry's child
+      * boxes start 86 bytes into the entry (8 header + 78 fixed
+      * fields, ISO 14496-12 §12.1.3). */
+    private def parseStsd(p: Int, boxEnd: Long): Unit = {
+      if (boxEnd - p < 8) return
+      val entries = be32(b, p + 4).toInt
+      var off = p + 8L
+      var i = 0
+      while (i < entries && off + 8 <= boxEnd) {
+        val esize = be32(b, off.toInt)
+        if (esize < 8 || off + esize > boxEnd) return
+        if (typeOf(off.toInt) == "avc1" || typeOf(off.toInt) == "avc3") {
+          var child = off + 86
+          while (child + 8 <= off + esize) {
+            val csize = be32(b, child.toInt)
+            if (csize < 8 || child + csize > off + esize) return
+            if (typeOf(child.toInt) == "avcC") {
+              H264Sps.firstSpsDims(b, child.toInt + 8, (child + csize).toInt)
+                .foreach { case (sw, sh) => tSpsW = sw; tSpsH = sh }
+              return
+            }
+            child += csize
+          }
+        }
+        off += esize; i += 1
+      }
+    }
   }
 
   /** RIFF AVI main header: top-level chunks are [fourcc:4][size:4 LE]
@@ -476,5 +515,132 @@ object Multimodal {
     decoded
       .withColumn("width", (col("width") * scale).cast("int"))
       .withColumn("height", (col("height") * scale).cast("int"))
+  }
+}
+
+/** H.264 sequence-parameter-set parser — pure-JVM extraction of the
+  * CODED frame dimensions from the `avcC` box's first SPS NAL, per the
+  * published bitstream syntax (ISO/IEC 14496-10 §7.3.2.1
+  * `seq_parameter_set_data`). This closes true-dimension extraction for
+  * inter-frame codecs without a native decoder: no pixel is decoded,
+  * only the header bits every conformant stream must carry.
+  *
+  * Reference stores video as opaque blobs and never parses it
+  * (/root/reference/pkg/storage/blobstore/ — content-agnostic);
+  * dimension metadata is this rebuild's multimodal extension. */
+private[multimodal] object H264Sps {
+
+  /** MSB-first bit reader with Exp-Golomb (ue/se) decoding. */
+  private final class BitReader(b: Array[Byte]) {
+    private var pos = 0
+    def u1(): Int = {
+      val bit = (b(pos >>> 3) >> (7 - (pos & 7))) & 1
+      pos += 1; bit
+    }
+    def u(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | u1(); i += 1 }; v }
+    def ue(): Int = {
+      var zeros = 0
+      while (u1() == 0) { zeros += 1; if (zeros > 31) throw new IllegalArgumentException("bad ue(v)") }
+      ((1 << zeros) - 1) + (if (zeros > 0) u(zeros) else 0)
+    }
+    def se(): Int = { val k = ue(); if ((k & 1) == 1) (k + 1) / 2 else -(k / 2) }
+  }
+
+  /** Strip emulation-prevention bytes (00 00 03 xx -> 00 00 xx): NAL
+    * payloads escape start-code-like runs; the RBSP the syntax reads is
+    * the unescaped form. */
+  private def unescape(nal: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(nal.length)
+    var i = 0
+    while (i < nal.length) {
+      if (i + 2 < nal.length && nal(i) == 0 && nal(i + 1) == 0 && nal(i + 2) == 3) {
+        out.write(0); out.write(0); i += 3
+      } else { out.write(nal(i)); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  private def skipScalingList(r: BitReader, size: Int): Unit = {
+    var lastScale = 8; var nextScale = 8; var j = 0
+    while (j < size) {
+      if (nextScale != 0) nextScale = (lastScale + r.se() + 256) % 256
+      if (nextScale != 0) lastScale = nextScale
+      j += 1
+    }
+  }
+
+  /** Coded (width, height) from one SPS NAL (header byte included),
+    * applying frame cropping in chroma-format units. None if the bits
+    * don't parse as an SPS. */
+  def parseSps(nal: Array[Byte]): Option[(Int, Int)] =
+    try {
+      if (nal.length < 4 || (nal(0) & 0x1F) != 7) return None // nal_unit_type 7 = SPS
+      val r = new BitReader(unescape(nal.drop(1)))
+      val profileIdc = r.u(8)
+      r.u(8) // constraint flags + reserved
+      r.u(8) // level_idc
+      r.ue() // seq_parameter_set_id
+      var chromaFormatIdc = 1
+      var separateColourPlane = 0
+      if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135).contains(profileIdc)) {
+        chromaFormatIdc = r.ue()
+        if (chromaFormatIdc == 3) separateColourPlane = r.u1()
+        r.ue(); r.ue() // bit_depth_luma/chroma_minus8
+        r.u1() // qpprime_y_zero_transform_bypass_flag
+        if (r.u1() == 1) { // seq_scaling_matrix_present_flag
+          val lists = if (chromaFormatIdc == 3) 12 else 8
+          var i = 0
+          while (i < lists) {
+            if (r.u1() == 1) skipScalingList(r, if (i < 6) 16 else 64)
+            i += 1
+          }
+        }
+      }
+      r.ue() // log2_max_frame_num_minus4
+      r.ue() match { // pic_order_cnt_type
+        case 0 => r.ue() // log2_max_pic_order_cnt_lsb_minus4
+        case 1 =>
+          r.u1(); r.se(); r.se()
+          val n = r.ue()
+          var i = 0; while (i < n) { r.se(); i += 1 }
+        case _ => // type 2: nothing
+      }
+      r.ue() // max_num_ref_frames
+      r.u1() // gaps_in_frame_num_value_allowed_flag
+      val widthMbs = r.ue() + 1
+      val heightMapUnits = r.ue() + 1
+      val frameMbsOnly = r.u1()
+      if (frameMbsOnly == 0) r.u1() // mb_adaptive_frame_field_flag
+      r.u1() // direct_8x8_inference_flag
+      var cropL = 0; var cropR = 0; var cropT = 0; var cropB = 0
+      if (r.u1() == 1) { cropL = r.ue(); cropR = r.ue(); cropT = r.ue(); cropB = r.ue() }
+      // crop units per chroma format (spec table 6-1): 4:2:0 -> (2,2),
+      // 4:2:2 -> (2,1), 4:4:4/monochrome/separate planes -> (1,1);
+      // vertical unit additionally doubles for field-coded (interlaced)
+      val (subW, subH) = chromaFormatIdc match {
+        case 0 => (1, 1)
+        case 1 => (2, 2)
+        case 2 => (2, 1)
+        case _ => if (separateColourPlane == 1) (1, 1) else (1, 1)
+      }
+      val cropUnitX = subW
+      val cropUnitY = subH * (2 - frameMbsOnly)
+      val w = widthMbs * 16 - (cropL + cropR) * cropUnitX
+      val h = (2 - frameMbsOnly) * heightMapUnits * 16 - (cropT + cropB) * cropUnitY
+      if (w > 0 && h > 0) Some((w, h)) else None
+    } catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException => None }
+
+  /** Dims from the first SPS of an AVCDecoderConfigurationRecord
+    * (`avcC` payload at [start, end)): version(1) profile(1) compat(1)
+    * level(1) lengthSize(1) numSPS(1), then [len:2 BE][NAL] per SPS. */
+  def firstSpsDims(b: Array[Byte], start: Int, end: Int): Option[(Int, Int)] = {
+    if (end - start < 8 || b(start) != 1) return None
+    val numSps = b(start + 5) & 0x1F
+    if (numSps < 1) return None
+    val lenOff = start + 6
+    if (lenOff + 2 > end) return None
+    val spsLen = ((b(lenOff) & 0xFF) << 8) | (b(lenOff + 1) & 0xFF)
+    if (lenOff + 2 + spsLen > end) return None
+    parseSps(java.util.Arrays.copyOfRange(b, lenOff + 2, lenOff + 2 + spsLen))
   }
 }

@@ -159,6 +159,12 @@ object Dedup {
     * final edge cache is dropped before returning — callers get a
     * materialized, lineage-free result and `getPersistentRDDs` goes
     * back to where it started. */
+  /** Rounds the most recent [[connectedComponents]] call took to reach
+    * its fixpoint — the observability receipt for the O(log n)
+    * convergence claim (spec-pinned on a diameter-1000 path graph;
+    * includes the final confirming round). */
+  @volatile private[graft] var ccRounds: Int = 0
+
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     // canonical hi -> lo directed edges; `edges` always holds the ONE
     // persisted frame (the round-5 leak lesson: unpersist the exact
@@ -231,6 +237,7 @@ object Dedup {
       prev = cur
       iter += 1
     }
+    ccRounds = iter
     if (!converged)
       System.err.println(s"[graft] connectedComponents: star contraction did not " +
         s"converge in $maxIterations rounds (edges=${prev._1}); labels may be " +

@@ -152,6 +152,99 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2).getInt(2) >= 64 && out(2).getSeq[Float](5).length == 8)
   }
 
+  test("H.264 SPS: coded dims from avcC (crop + emulation-prevention bytes); SPS beats tkhd presentation size") {
+    import spark.implicits._
+    import java.nio.ByteBuffer
+    def box(cc: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(cc.getBytes("ISO-8859-1")).put(payload)
+      bb.array()
+    }
+    // bitstream writer for seq_parameter_set_data (ISO 14496-10 §7.3.2.1)
+    class BitWriter {
+      private val bits = scala.collection.mutable.ArrayBuffer[Int]()
+      def u(v: Int, n: Int): this.type = { ((n - 1) to 0 by -1).foreach(i => bits += ((v >> i) & 1)); this }
+      def ue(v: Int): this.type = {
+        val k = v + 1
+        val len = 32 - Integer.numberOfLeadingZeros(k)
+        u(0, len - 1); u(k, len)
+      }
+      def rbsp: Array[Byte] = {
+        val all = bits :+ 1 // rbsp_stop_one_bit
+        val padded = all ++ Seq.fill((8 - all.length % 8) % 8)(0)
+        padded.grouped(8).map(_.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+      }
+    }
+    // emulation-prevention escaping: 00 00 followed by <= 03 gets a 03
+    def escape(rbsp: Array[Byte]): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer[Byte]()
+      var zeros = 0
+      rbsp.foreach { b =>
+        if (zeros >= 2 && (b & 0xFF) <= 3) { out += 3; zeros = 0 }
+        out += b
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      out.toArray
+    }
+    // baseline 320x180: 20x12 macroblocks with 6 map units of bottom
+    // crop (x2 for 4:2:0 chroma) — 192 - 12 = 180
+    def sps(spsId: Int, level: Int, cropBottom: Int): Array[Byte] = {
+      val w = new BitWriter
+      w.u(66, 8).u(0, 8).u(level, 8).ue(spsId)
+      w.ue(0)      // log2_max_frame_num_minus4
+      w.ue(0)      // pic_order_cnt_type 0
+      w.ue(0)      // log2_max_pic_order_cnt_lsb_minus4
+      w.ue(1)      // max_num_ref_frames
+      w.u(0, 1)    // gaps_in_frame_num_value_allowed_flag
+      w.ue(19)     // pic_width_in_mbs_minus1  -> 320
+      w.ue(11)     // pic_height_in_map_units_minus1 -> 192
+      w.u(1, 1)    // frame_mbs_only_flag
+      w.u(1, 1)    // direct_8x8_inference_flag
+      if (cropBottom > 0) { w.u(1, 1); w.ue(0); w.ue(0); w.ue(0); w.ue(cropBottom) }
+      else w.u(0, 1)
+      Array(0x67.toByte) ++ escape(w.rbsp)
+    }
+    assert(H264Sps.parseSps(sps(0, 30, 6)) == Some((320, 180)))
+    // constraint+level bytes 00 00 followed by sps_id ue(63) = bits
+    // 000000100.. forces a real 00 00 03 escape in the NAL — the parser
+    // must read through it
+    val escaped = sps(63, 0, 0)
+    assert(escaped.containsSlice(Array[Byte](0, 0, 3)), "fixture must exercise escaping")
+    assert(H264Sps.parseSps(escaped) == Some((320, 192)))
+    // full container: avcC inside an avc1 sample entry inside stsd;
+    // tkhd deliberately carries a DIFFERENT (scaled) presentation size
+    val nal = sps(0, 30, 6)
+    val avcC = box("avcC", Array[Byte](1, 66, 0, 30, 0xFF.toByte, 0xE1.toByte,
+      (nal.length >> 8).toByte, (nal.length & 0xFF).toByte) ++ nal ++ Array[Byte](0))
+    val avc1 = {
+      val fields = new Array[Byte](78) // VisualSampleEntry fixed fields
+      val bb = ByteBuffer.allocate(8 + 78 + avcC.length)
+      bb.putInt(8 + 78 + avcC.length).put("avc1".getBytes("ISO-8859-1")).put(fields).put(avcC)
+      bb.array()
+    }
+    val stsd = {
+      val bb = ByteBuffer.allocate(8 + avc1.length)
+      bb.putInt(0).putInt(1).put(avc1) // version/flags, entry_count
+      box("stsd", bb.array())
+    }
+    val tkhd = ByteBuffer.allocate(84)
+    tkhd.position(76); tkhd.putInt(640 << 16).putInt(360 << 16) // presentation 2x
+    val hdlr = ByteBuffer.allocate(25)
+    hdlr.position(8); hdlr.put("vide".getBytes("ISO-8859-1"))
+    val stsz = ByteBuffer.allocate(12)
+    stsz.position(8); stsz.putInt(240)
+    val stbl = box("stbl", stsd ++ box("stsz", stsz.array()))
+    val mdia = box("mdia", box("hdlr", hdlr.array()) ++ box("minf", stbl))
+    val trak = box("trak", box("tkhd", tkhd.array()) ++ mdia)
+    val mp4 = box("ftyp", "isomiso2".getBytes("ISO-8859-1")) ++
+      box("moov", box("mvhd", new Array[Byte](100)) ++ trak)
+    val out = Multimodal.decodeAndFeaturize(Seq((40L, "video", mp4)).toDF("asset_id", "kind", "bytes"),
+      featureDim = 8).collect()(0)
+    assert(out.getInt(2) == 320 && out.getInt(3) == 180,
+      s"coded SPS dims must beat tkhd presentation dims, got ${out.getInt(2)}x${out.getInt(3)}")
+    assert(out.getInt(4) == 240)
+  }
+
   test("MJPEG AVI: REAL frame decode (true dims + luminance features) and extractFrames returns whole JPEGs") {
     import spark.implicits._
     import java.nio.{ByteBuffer, ByteOrder}

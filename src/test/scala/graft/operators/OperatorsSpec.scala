@@ -198,6 +198,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"connectedComponents leaked caches: $before -> $after persistent RDDs")
   }
 
+  test("connectedComponents: a diameter-1000 path converges in O(log n) rounds, not diameter") {
+    import spark.implicits._
+    // the shape that kills per-hop min-label propagation (1000 rounds
+    // needed, maxIterations = 20 -> silent partial labels): star
+    // contraction must finish well inside the default bound
+    val path = (0L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 1000L).forall(comp(_) == 0L), "path must collapse to node 0")
+    assert(Dedup.ccRounds <= 12,
+      s"star contraction took ${Dedup.ccRounds} rounds on a 1000-path (want ~log2 n)")
+  }
+
   test("nearDupClusters: near-identical docs share a cluster, distinct docs are singletons") {
     val base = "the quick brown fox jumps over the lazy dog again and again every single day"
     val df = docs(

@@ -39,7 +39,8 @@ final case class ServerConfig(
   */
 final class Server(config: ServerConfig, catalog: TableCatalog,
                    ingest: IngestService, spool: Spool, executor: QueryExecutor,
-                   meta: MetaStore, metrics: Metrics = new Metrics) {
+                   meta: MetaStore, metrics: Metrics = new Metrics,
+                   shareCache: graft.store.TtlCache = new graft.store.TtlCache) {
 
   private val hashedKeys: Map[String, String] = config.apiKeys.map { case (k, v) => MetaStore.sha256(k) -> v }
   private val hashedAdmin: Option[String] = config.adminKey.map(MetaStore.sha256)
@@ -235,18 +236,25 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
 
   /** Stream a query result; 500 with the error only when nothing has been
     * written yet (reference data.go:53-55 — errors after streaming began
-    * are lost). Statement-type / unknown-relation rejections are 400s. */
-  private def runQuery(ex: HttpExchange, db: String, query: String, format: String): Unit =
+    * are lost). Statement-type / unknown-relation rejections are 400s.
+    * With `cacheKey`, the streamed body is additionally teed into a
+    * size-capped buffer and cached on success — streaming semantics are
+    * untouched (an over-cap or failed response simply isn't cached). */
+  private def runQuery(ex: HttpExchange, db: String, query: String, format: String,
+                       cacheKey: Option[String] = None): Unit =
     try {
       val df = executor.execute(db, query)
       val isCsv = format.equalsIgnoreCase("csv")
       ex.getResponseHeaders.set("Content-Type", if (isCsv) "text/csv" else "application/json")
       ex.setAttribute("graft.status", 200)
       ex.sendResponseHeaders(200, 0) // chunked
-      val out: OutputStream = new CountingOutputStream(ex.getResponseBody,
+      val counting: OutputStream = new CountingOutputStream(ex.getResponseBody,
         n => ex.setAttribute("graft.bytes", n))
+      val tee = cacheKey.map(_ => new TeeBufferStream(counting, Server.ShareCacheCapBytes))
+      val out: OutputStream = tee.getOrElse(counting)
       if (isCsv) ResultEncoders.writeCsv(df, out) else ResultEncoders.writeJson(df, out)
       out.close()
+      for { k <- cacheKey; t <- tee; body <- t.captured } shareCache.set(k, body)
       ex.close()
     } catch {
       case e: QueryRejectedException =>
@@ -256,11 +264,53 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
         catch { case NonFatal(_) => ex.close() }
     }
 
+  /** Public share replays serve from the [[graft.store.TtlCache]] when
+    * possible: dashboards poll a FIXED query, so the serialized body is
+    * cached keyed on (uuid, format, data epoch) — any catalog change
+    * bumps the epoch (`core/DataEpoch`), so a hit can never serve data
+    * older than the last visible write. Expired/unknown shares 404
+    * before the cache is consulted, preserving link-expiry semantics. */
   private def shareData(ex: HttpExchange, uuid: String, format: String): Unit =
     meta.getShare(uuid) match {
-      case Some(s) => runQuery(ex, s.db, s.query, format)
-      case None    => respond(ex, 404, "Query not found")
+      case Some(s) =>
+        val key = s"share/$uuid.$format@${graft.core.DataEpoch.current}"
+        shareCache.get(key) match {
+          case Some(body) =>
+            val isCsv = format.equalsIgnoreCase("csv")
+            ex.getResponseHeaders.set("Content-Type", if (isCsv) "text/csv" else "application/json")
+            ex.setAttribute("graft.status", 200)
+            ex.setAttribute("graft.bytes", body.length.toLong)
+            ex.sendResponseHeaders(200, body.length)
+            ex.getResponseBody.write(body)
+            ex.close()
+          case None => runQuery(ex, s.db, s.query, format, cacheKey = Some(key))
+        }
+      case None => respond(ex, 404, "Query not found")
     }
+}
+
+object Server {
+  /** Share bodies above this size stream uncached (a cache of 1024
+    * such entries stays bounded at ~1 GiB worst case). */
+  val ShareCacheCapBytes: Int = 1 << 20
+}
+
+/** Write-through tee: passes every byte to `under` while buffering up
+  * to `cap` bytes; past the cap buffering stops (captured = None) but
+  * streaming continues untouched. */
+private final class TeeBufferStream(under: OutputStream, cap: Int) extends OutputStream {
+  private val buf = new java.io.ByteArrayOutputStream()
+  private var over = false
+  private def room(len: Int): Boolean = !over && {
+    if (buf.size() + len <= cap) true else { over = true; buf.reset(); false }
+  }
+  override def write(b: Int): Unit = { under.write(b); if (room(1)) buf.write(b) }
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    under.write(b, off, len); if (room(len)) buf.write(b, off, len)
+  }
+  override def flush(): Unit = under.flush()
+  override def close(): Unit = under.close()
+  def captured: Option[Array[Byte]] = if (over) None else Some(buf.toByteArray)
 }
 
 /** Counts bytes written through to the response stream (metrics). */

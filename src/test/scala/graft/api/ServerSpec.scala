@@ -185,6 +185,48 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get(s"/share/$eid/data.json").statusCode() == 404)
   }
 
+  test("share replays serve from the ttl cache, keyed on the data epoch (reference Cache service)") {
+    val cache = new graft.store.TtlCache
+    val cbase = Files.createTempDirectory("graft-api-cache").toString
+    val catalog = new TableCatalog(s"$cbase/tables")
+    val ingest = new IngestService(spark, catalog)
+    val spool = new Spool(s"$cbase/spool", SpoolConfig(maxRows = 1, rotatePeriodMillis = 100),
+      f => ingest.ingestFile(f.getParentFile.getParentFile.getName, f.getParentFile.getName, f))
+    val srv = new Server(ServerConfig(0, Map("ckey" -> "1"), None, s"$cbase/unhealthy"),
+      catalog, ingest, spool, new QueryExecutor(spark, catalog), new MetaStore(cbase, Set(1L)),
+      shareCache = cache)
+    val cport = srv.start()
+    try {
+      def cget(path: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$cport$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      val created = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$cport/api/data/query/share?api_key=ckey"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"query": "select 6*7 as answer", "duration": 600}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(created.statusCode() == 200)
+      val id = created.body().split("\"")(3)
+      assert(cache.size == 0)
+      val first = cget(s"/share/$id/data.json")
+      assert(first.statusCode() == 200 && first.body() == """[{"answer":42}]""")
+      assert(cache.size == 1, "first replay must populate the cache")
+      // second replay: served from the cached body, bit-identical
+      val second = cget(s"/share/$id/data.json")
+      assert(second.body() == first.body())
+      assert(cache.size == 1)
+      // a visible catalog change bumps the data epoch -> new key, so a
+      // replay can never serve pre-write data
+      graft.core.DataEpoch.bump()
+      val third = cget(s"/share/$id/data.json")
+      assert(third.statusCode() == 200 && third.body() == first.body())
+      assert(cache.size == 2, "epoch bump must miss and repopulate under the new key")
+      // csv replays cache independently of json
+      assert(cget(s"/share/$id/data.csv").body() == "answer\n42\n")
+      assert(cache.size == 3)
+    } finally srv.stop()
+  }
+
   test("share links and minted keys survive a server restart (gorm.go:93-129)") {
     val created = post("/api/data/query/share?api_key=key1",
       """{"query": "select 41+1 as answer", "duration": 3600}""")

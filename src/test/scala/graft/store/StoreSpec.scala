@@ -249,6 +249,23 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kv.get("k").isEmpty)
   }
 
+  test("ttl cache: expiry on read, default ttl, LRU bound (reference Cache service surface)") {
+    var now = 1000L
+    val c = new TtlCache(defaultTtlMillis = 100L, maxEntries = 3, clock = () => now)
+    c.set("a", Array[Byte](1))
+    assert(c.get("a").exists(_.sameElements(Array[Byte](1))))
+    now += 101 // default TTL passed
+    assert(c.get("a").isEmpty && c.size == 0, "expired entry must drop on read")
+    c.set("b", Array[Byte](2), ttlMillis = Some(1000L)) // per-entry TTL beats default
+    now += 500
+    assert(c.get("b").isDefined)
+    // LRU bound: touch b, then insert past the cap — eldest untouched goes
+    c.set("c", Array[Byte](3), Some(1000L)); c.set("d", Array[Byte](4), Some(1000L))
+    assert(c.get("b").isDefined) // b is now most-recently-used
+    c.set("e", Array[Byte](5), Some(1000L)) // evicts c (eldest by access)
+    assert(c.size == 3 && c.get("c").isEmpty && c.get("b").isDefined && c.get("e").isDefined)
+  }
+
   test("cas claim queue over S3 conditional writes: same steal/fence/renew contract (SigV4-verified fake)") {
     val fake = new FakeS3("AKTEST", "sekrit", "eu-west-1")
     try casQueueSuite(new S3CasStore(fake.endpoint, "graft-test", "claims",

@@ -1121,7 +1121,52 @@ object ExtQueries {
              |    ON i.pack_bucket = w.pack_bucket AND i.rn = w.rn + 1
              |)
              |SELECT doc_id, n_tokens, pack_bucket, seq_idx
-             |FROM walk ORDER BY doc_id""".stripMargin)))
+             |FROM walk ORDER BY doc_id""".stripMargin))),
+
+    // Duplicated-span REMOVAL (the excision step over q75's metrics):
+    // every token covered by an 8-token window occurring >= 2 times
+    // corpus-wide is dropped; survivors re-join as clean_text. The
+    // oracle replays the same set semantics with gram STRINGS (as q75):
+    // dup starts -> covered positions -> anti join -> ordered re-join.
+    "q86_remove_dup_spans" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.removeDuplicatedSpans(docs(s, d), "doc_id", "text", k = 8)
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+             |  FROM documents
+             |), st0 AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+             |    i -> struct_pack(i := i, gram := array_to_string(t[i:i+7], ' ')))) AS s
+             |  FROM tk WHERE len(t) >= 8
+             |), st AS (
+             |  SELECT doc_id, s.i AS i, s.gram AS gram FROM st0
+             |), tot AS (
+             |  SELECT gram, count(*) AS total FROM st GROUP BY 1
+             |), cov AS (
+             |  SELECT DISTINCT st.doc_id, unnest(range(st.i, st.i + 8)) AS j
+             |  FROM st JOIN tot USING (gram) WHERE tot.total >= 2
+             |), tr0 AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+             |    j -> struct_pack(j := j, tok := t[j]))) AS s
+             |  FROM tk WHERE len(t) >= 1
+             |), tr AS (
+             |  SELECT doc_id, s.j AS j, s.tok AS tok FROM tr0
+             |), keep AS (
+             |  SELECT tr.doc_id, tr.j, tr.tok
+             |  FROM tr LEFT JOIN cov ON tr.doc_id = cov.doc_id AND tr.j = cov.j
+             |  WHERE cov.j IS NULL
+             |), agg AS (
+             |  SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text,
+             |         count(*) AS n_kept
+             |  FROM keep GROUP BY 1
+             |)
+             |SELECT tk.doc_id,
+             |       coalesce(agg.clean_text, '') AS clean_text,
+             |       CAST(len(tk.t) AS BIGINT) AS n_tokens,
+             |       CAST(len(tk.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+             |FROM tk LEFT JOIN agg USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -391,6 +391,66 @@ object Dedup {
         .otherwise(col("dup_grams").cast("double") / col("n_grams").cast("double")))
   }
 
+  /** Duplicated-span REMOVAL — the excision step completing
+    * [[duplicatedSpans]]'s metrics: every token covered by a k-token
+    * window whose text occurs >= `minCount` times corpus-wide is
+    * dropped, and the surviving tokens re-join into `clean_text`. This
+    * is the boilerplate-excision flavor of exact-substring dedup
+    * (repeated headers/footers/navigation chrome vanish EVERYWHERE,
+    * including their first occurrence); the keep-one-copy variant of
+    * Lee et al. 2021 needs a canonical-occurrence choice this operator
+    * deliberately avoids (document-level near-dup ops keep
+    * representatives; span removal targets text no copy of which
+    * should train). Output per input row: `clean_text`, `n_tokens`
+    * (before), `n_removed`.
+    *
+    * Scale shape — everything LINEAR, no quadratic step anywhere:
+    * gram totals by window over the gram hash (one shuffle, as in
+    * [[duplicatedSpans]]); duplicated starts explode to their k
+    * covered positions (O(k * dup-starts) rows, ids+ints only); kept
+    * tokens = one (id, position) anti join; reassembly = one groupBy
+    * over struct-sorted collect_list (documents are row-sized by
+    * contract, so the per-doc list is bounded). The corpus is
+    * tokenized twice (gram pass + token pass) — two cheap codegen'd
+    * map scans, deliberately NOT a corpus-sized cached token table. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8, minCount: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val toked = df.select(col(idCol).as("id"),
+      filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("__t"))
+    // 1-based gram start positions with their 64-bit window hashes
+    val starts = toked.select(col("id"),
+      posexplode(when(size(col("__t")) >= k,
+        transform(sequence(lit(1), size(col("__t")) - (k - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("__t"), i, lit(k))))))
+        .otherwise(array().cast("array<bigint>"))).as(Seq("__p", "gram")))
+      .select(col("id"), (col("__p") + 1).as("i"), col("gram"))
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val covered = starts
+      .withColumn("total", count(lit(1)).over(byGram))
+      .filter(col("total") >= minCount)
+      .select(col("id"), explode(sequence(col("i"), col("i") + (k - 1))).as("j"))
+      .distinct()
+    val tokenRows = toked
+      .select(col("id"), posexplode(col("__t")).as(Seq("__p", "tok")))
+      .select(col("id"), (col("__p") + 1).as("j"), col("tok"))
+    val kept = tokenRows.join(covered, Seq("id", "j"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("j"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id"),
+        size(filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0))
+          .cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Benchmark decontamination — the n-gram overlap check every LLM
     * training pipeline runs against held-out eval sets (the GPT-3 /
     * PaLM appendix procedure): a training doc is CONTAMINATED when it

@@ -376,6 +376,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row(4) == ((0L, 0L, 0.0)))
   }
 
+  test("removeDuplicatedSpans: cross-doc and within-doc spans excised, short/unique/empty docs intact") {
+    // k=4: only the constructed runs repeat; every covered token goes,
+    // including the FIRST occurrence (boilerplate-excision semantics)
+    val df = docs(
+      1L -> "a1 a2 c1 c2 c3 c4 a3 a4",       // shared run mid-doc
+      2L -> "b1 c1 c2 c3 c4 b2 b3 b4",       // same run, different offset
+      3L -> "r1 r2 r3 r4 z1 r1 r2 r3 r4",    // internal repeat
+      4L -> "u1 u2 u3 u4 u5",                // unique -> untouched
+      5L -> "s1 s2",                          // shorter than k -> untouched
+      6L -> "")                               // empty
+    val out = Dedup.removeDuplicatedSpans(df, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a1 a2 a3 a4", 8L, 4L)))
+    assert(out(2L) == (("b1 b2 b3 b4", 8L, 4L)))
+    assert(out(3L) == (("z1", 9L, 8L)))       // both occurrences excised
+    assert(out(4L) == (("u1 u2 u3 u4 u5", 5L, 0L)))
+    assert(out(5L) == (("s1 s2", 2L, 0L)))
+    assert(out(6L) == (("", 0L, 0L)))
+  }
+
   test("contaminationReport: shared shingles flag docs, short-doc fallback matches, broadcast == shuffle") {
     val train = docs(
       1L -> "a b c d e",  // shares shingle "a b c" with bench doc 10

@@ -1166,7 +1166,37 @@ object ExtQueries {
              |       CAST(len(tk.t) AS BIGINT) AS n_tokens,
              |       CAST(len(tk.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
              |FROM tk LEFT JOIN agg USING (doc_id)
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin))),
+
+    // Corpus-frequency scoring (the unigram proxy for CCNet-style
+    // commonness bucketing): mean corpus frequency of each doc's
+    // tokens. Integer sums + two fixed-order double divisions — no
+    // transcendentals, so the oracle replays it bit-for-bit.
+    "q87_token_freq_score" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.tokenFrequencyScore(docs(s, d), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+             |  FROM documents
+             |), tok AS (
+             |  SELECT doc_id, unnest(t) AS token FROM tk
+             |), cnt AS (
+             |  SELECT token, count(*) AS c FROM tok GROUP BY 1
+             |), tot AS (
+             |  SELECT sum(c) AS N FROM cnt
+             |), per AS (
+             |  SELECT tok.doc_id, sum(cnt.c) AS s, count(*) AS n
+             |  FROM tok JOIN cnt USING (token) GROUP BY 1
+             |)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
+             |       CASE WHEN per.n IS NULL THEN 0.0
+             |            ELSE (CAST(per.s AS DOUBLE) / CAST(per.n AS DOUBLE))
+             |                 / CAST(tot.N AS DOUBLE) END AS score
+             |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+             |CROSS JOIN tot
+             |ORDER BY d.doc_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -398,6 +398,41 @@ object TextAnalysis {
       .drop("__stratum", "__cut")
   }
 
+  /** Corpus-frequency document scoring — the unigram proxy for
+    * CCNet-style LM commonness bucketing (head/middle/tail splits by
+    * how "ordinary" a document's vocabulary is): each document scores
+    * the mean corpus frequency of its tokens,
+    * `score = (Σ_i c(t_i) / n_doc) / N_corpus` — rare-vocabulary
+    * documents (gibberish, code dumps, non-target languages) score
+    * low, boilerplate scores high. Feed the output to
+    * [[qualityPercentileFilter]] (or its approx variant) to cut the
+    * tails.
+    *
+    * Deliberately transcendental-free: a true LM perplexity needs
+    * ln/exp, whose last-ULP behavior differs across math libraries and
+    * breaks bit-exact oracles; this score is integer sums with two
+    * final double divisions in a fixed order, so DuckDB replays it
+    * exactly.
+    *
+    * Shape: explode + one groupBy(token) shuffle for counts (word-count
+    * shape, map-side partials, O(vocab) reduce); token→count join is a
+    * shuffled equi-join on the token key (linear); totals broadcast as
+    * an O(1) crossJoin — no driver-side action anywhere. */
+  def tokenFrequencyScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+    val counts = tok.groupBy("token").agg(count(lit(1)).as("__c"))
+    val totals = counts.agg(sum(col("__c")).as("__corpus_total"))
+    val per = tok.join(counts, "token")
+      .groupBy("id").agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id").as(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_tokens"),
+        when(col("__n").isNull, lit(0.0))
+          .otherwise((col("__s").cast("double") / col("__n").cast("double")) /
+            col("__corpus_total").cast("double")).as("score"))
+  }
+
   /** Corpus-mixture rebalancing plan: given target fractions per
     * stratum (language / source / domain), compute the per-stratum
     * DOWNSAMPLING rates that achieve the target mixture while keeping

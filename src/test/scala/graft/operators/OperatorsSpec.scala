@@ -673,6 +673,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       minShared = 1).count() == 0L)
   }
 
+  test("tokenFrequencyScore: mean corpus frequency per doc, rare-vocab docs score low, empty doc 0") {
+    val df = docs(1L -> "a a b", 2L -> "a c", 3L -> "")
+    // counts: a=3 b=1 c=1, N=5
+    val scored = TextAnalysis.tokenFrequencyScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(scored(1L) == ((3L, (7.0 / 3.0) / 5.0)))
+    assert(scored(2L) == ((2L, (4.0 / 2.0) / 5.0)))
+    assert(scored(3L) == ((0L, 0.0)))
+  }
+
   test("mixturePlan: binding stratum keeps all, others downsample to the target mixture") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

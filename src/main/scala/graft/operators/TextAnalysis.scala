@@ -421,9 +421,12 @@ object TextAnalysis {
   def tokenFrequencyScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
     val counts = tok.groupBy("token").agg(count(lit(1)).as("__c"))
-    val totals = counts.agg(sum(col("__c")).as("__corpus_total"))
     val per = tok.join(counts, "token")
       .groupBy("id").agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
+    // N = Σ per-doc token counts — derived from the tiny per-doc
+    // aggregate (one row per doc) instead of re-aggregating the counts
+    // subtree, which would re-run the word-count shuffle for one number
+    val totals = per.agg(sum(col("__n")).as("__corpus_total"))
     df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
       .crossJoin(broadcast(totals))
       .select(col("id").as(idCol),

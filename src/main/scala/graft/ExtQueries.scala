@@ -485,6 +485,17 @@ object ExtQueries {
           queryVec(s, d), k = 10, nCells = 16, nProbe = 4),
       Some(OracleSql.ivfTopKSql(k = 10, nCells = 16, nProbe = 4)))),
 
+    // IVF-SQ8: the same IVF search over the int8-QUANTIZED store (the
+    // 4x-smaller scan path); dequantize on the fly, full-precision
+    // query. Oracle = the q57 replay over the dequantize replay.
+    "q88_ann_ivf_quantized" -> ((
+      (s: SparkSession, d: String) => {
+        val quant = SimilaritySearch.quantizeEmbeddings(embs(s, d), "vec_id", "embedding")
+        SimilaritySearch.ivfTopKQuantized(quant, "vec_id", queryVec(s, d),
+          k = 10, nCells = 16, nProbe = 4)
+      },
+      Some(OracleSql.ivfTopKQuantizedSql(k = 10, nCells = 16, nProbe = 4)))),
+
     // Exact k-NN join (crossJoin validation path of knnJoin): top-3
     // cosine neighbors for each of the first 20 vectors, hash-checked
     // against a DuckDB cross join with identical double accumulation

@@ -367,17 +367,42 @@ object OracleSql {
     * (DESC, j) and probes the best nProbe; vectors assign to the
     * first-max-wins argmax cell; exact cosine top-k over the probed
     * union. */
-  def ivfTopKSql(k: Int, nCells: Int, nProbe: Int): String = {
+  def ivfTopKSql(k: Int, nCells: Int, nProbe: Int): String =
+    ivfTopKSqlFrom(k, nCells, nProbe, source = "embeddings", extraCte = "")
+
+  /** q88 oracle: the same IVF replay over the int8-DEQUANTIZED corpus —
+    * the `deq` CTE replays quantize (q84's bit-exact math) then
+    * dequantize ((code + 128) * scale + min, cast FLOAT, matching
+    * `dequantizeEmbeddings`); the query vector stays full-precision. */
+  def ivfTopKQuantizedSql(k: Int, nCells: Int, nProbe: Int): String = {
+    val deq =
+      """deq AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(
+        |    (CAST(CAST(round((CAST(x AS DOUBLE) - mn) / sc) - 128 AS TINYINT) AS DOUBLE) + 128)
+        |      * sc + mn AS FLOAT)) AS embedding
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |      CASE WHEN CAST(list_max(embedding) AS DOUBLE) > CAST(list_min(embedding) AS DOUBLE)
+        |           THEN (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0
+        |           ELSE 1.0 END AS sc
+        |    FROM embeddings)
+        |), """.stripMargin
+    ivfTopKSqlFrom(k, nCells, nProbe, source = "deq", extraCte = deq)
+  }
+
+  private def ivfTopKSqlFrom(k: Int, nCells: Int, nProbe: Int,
+                             source: String, extraCte: String): String = {
     // xxhash64(long, seed 42) closed form: h0 = seed + P5 + 8, one
     // 8-byte tail round, avalanche
     val h0 = (BigInt(42) + BigInt(P5) + 8) mod (BigInt(1) << 64)
-    s"""WITH q AS (
+    s"""WITH ${extraCte}q AS (
        |  SELECT embedding AS qe, len(embedding) AS dim FROM embeddings WHERE vec_id = 0
        |), hu AS (
        |  SELECT embedding,
        |    CASE WHEN vec_id < 0 THEN CAST(vec_id AS HUGEINT) + CAST('$M' AS HUGEINT)
        |         ELSE CAST(vec_id AS HUGEINT) END AS u
-       |  FROM embeddings WHERE len(embedding) > 0
+       |  FROM $source WHERE len(embedding) > 0
        |), hx AS (
        |  SELECT embedding, ((${mul(rotl(xorm(s"CAST('$h0' AS HUGEINT)", rnd("0", "u")), 27), P1)} + $P4) % $M) AS h2 FROM hu
        |), ha1 AS (SELECT embedding, ${mul(xorm("h2", s"h2 // ${1L << 33}"), P2)} AS a1 FROM hx
@@ -406,7 +431,7 @@ object OracleSql {
        |    list_transform(range(0, CAST(kc AS INTEGER)), j2 ->
        |      list_sum(list_transform(range(1, dim + 1), ii -> CAST(e.embedding[ii] AS DOUBLE) * cl[j2 + 1][ii]))) AS dl,
        |    kc
-       |  FROM embeddings e, cl, q
+       |  FROM $source e, cl, q
        |), cells AS (
        |  SELECT vec_id, embedding,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, kc)),

@@ -361,6 +361,20 @@ object SimilaritySearch {
     * the best `nProbe` cells, exact cosine within them. `nProbe = nCells`
     * degenerates to exact brute force (recall 1) — the knob trades scan
     * fraction (~nProbe/nCells) for recall. */
+  /** IVF ANN over an int8-quantized corpus — the IVF-SQ8 pattern: the
+    * 100 TB embedding store stays quantized on disk (4× smaller scan,
+    * [[quantizeEmbeddings]]'s (q_min, q_scale, q_codes) layout); search
+    * dequantizes ON THE FLY — a codegen'd map in the same stage as the
+    * scan, never materializing a float corpus — and runs the standard
+    * IVF path over the restored vectors. Queries stay full-precision.
+    * Ranking error is bounded by the quantization error (each restored
+    * coordinate is within scale/2 of the original), the standard
+    * storage/recall trade; with nProbe = nCells the result is EXACTLY
+    * brute force over the dequantized corpus (spec-pinned). */
+  def ivfTopKQuantized(quantized: DataFrame, idCol: String, query: Array[Float],
+                       k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfTopK(dequantizeEmbeddings(quantized), idCol, "q_restored", query, k, nCells, nProbe)
+
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String, query: Array[Float],
               k: Int, nCells: Int = 16, nProbe: Int = 4,
               centroids: Array[Double] = null): DataFrame = {

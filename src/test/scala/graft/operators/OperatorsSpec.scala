@@ -704,6 +704,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.map(_ / kept.sum).zip(Seq(0.5, 0.25, 0.25)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
   }
 
+  test("ivfTopKQuantized at nProbe = nCells equals brute force over the dequantized corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1).toSeq)).toDF("vec_id", "embedding")
+    val query = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val quant = SimilaritySearch.quantizeEmbeddings(corpus, "vec_id", "embedding")
+    val deq = SimilaritySearch.dequantizeEmbeddings(quant)
+    val exact = SimilaritySearch.bruteForceTopK(deq, "vec_id", "q_restored", query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = SimilaritySearch.ivfTopKQuantized(quant, "vec_id", query,
+        k = 10, nCells = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == exact, "all-probe quantized IVF must equal dequantized brute force")
+    // quantization distorts ranking only within the error bound: the
+    // quantized top-10 stays inside the float top-15
+    val floatTop = SimilaritySearch.bruteForceTopK(corpus, "vec_id", "embedding", query, 15)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.map(_._1).count(floatTop) >= 8,
+      s"quantized top-10 drifted beyond the error bound: ${ivf.map(_._1)}")
+  }
+
   test("quantizeEmbeddings: int8 roundtrip within scale/2, constant-vector guard") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -341,6 +341,32 @@ object TextAnalysis {
       }(Encoders.row(outSchema))
   }
 
+  /** Materialize token-budget shards to disk — the terminal "write the
+    * training shards" step over [[shardByTokenBudget]]'s assignment:
+    * one parquet directory per `(shard_bucket, shard_idx)` pair, so a
+    * training job (or a resumed pipeline) addresses shards by path and
+    * readers prune at directory level (`PartitionFilters`, no file
+    * opens outside the requested shards).
+    *
+    * Write shape at 100 TB: the shard assignment already hash-exchanged
+    * the corpus on `shard_bucket`, so each write task holds exactly the
+    * buckets it writes — `partitionBy` fans its rows into that bucket's
+    * shard dirs without a second shuffle; ~(corpus tokens /
+    * tokensPerShard) directories, e.g. one hundred thousand 1B-token
+    * shards for a 100T-token corpus. Overwrite mode keeps re-runs
+    * idempotent (same salt => identical shards => identical layout).
+    * Returns the shard assignment it wrote (re-read the path for the
+    * persisted copy). */
+  def writeShards(df: DataFrame, idCol: String, textCol: String, path: String,
+                  tokensPerShard: Long, salt: String = "",
+                  numBuckets: Int = 1024): DataFrame = {
+    val sharded = shardByTokenBudget(df, idCol, textCol, tokensPerShard, salt, numBuckets)
+    sharded.write.mode("overwrite")
+      .partitionBy("shard_bucket", "shard_idx")
+      .parquet(path)
+    sharded
+  }
+
   /** Quality-percentile filter: keep the best `keepFraction` of
     * documents per stratum (e.g. per language) by a quality score —
     * the relative-threshold quality cut used when an absolute score

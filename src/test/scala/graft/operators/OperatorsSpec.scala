@@ -562,6 +562,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re == out.toSet)
   }
 
+  test("writeShards: per-shard directories, content round-trips, partition pruning reaches the scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (0L until 100L).map(i => i -> ("w " * (i % 5 + 1).toInt).trim).toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val written = TextAnalysis.writeShards(df, "id", "text", path,
+      tokensPerShard = 25L, salt = "s", numBuckets = 4)
+    val back = spark.read.parquet(path)
+    // layout: one dir per (bucket, shard); all rows round-trip with
+    // their assignment intact
+    assert(back.count() == 100L)
+    val expect = written.select("id", "shard_bucket", "shard_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // partition-dir values read back type-inferred (int) — normalize
+    val got = back.select(col("id"), col("shard_bucket").cast("long"),
+        col("shard_idx").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(new java.io.File(path).listFiles().count(_.getName.startsWith("shard_bucket=")) == 4)
+    // a shard-addressed read prunes at directory level, not per-file
+    val pruned = back.filter(col("shard_bucket") === 0 && col("shard_idx") === 0)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.treeString
+    assert(scan.contains("PartitionFilters") && scan.contains("shard_bucket"),
+      s"shard read must prune partitions:\n$scan")
+    // idempotent re-run: same salt, identical layout and content
+    TextAnalysis.writeShards(df, "id", "text", path, tokensPerShard = 25L,
+      salt = "s", numBuckets = 4)
+    assert(spark.read.parquet(path).select(col("id"), col("shard_bucket").cast("long"),
+        col("shard_idx").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == expect)
+  }
+
   test("qualityPercentileFilter: per-stratum cut, deterministic ties, singleton stratum kept") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

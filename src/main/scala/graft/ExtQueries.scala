@@ -1207,7 +1207,56 @@ object ExtQueries {
              |                 / CAST(tot.N AS DOUBLE) END AS score
              |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
              |CROSS JOIN tot
-             |ORDER BY d.doc_id""".stripMargin)))
+             |ORDER BY d.doc_id""".stripMargin))),
+
+    // Keep-one-copy exact-substring dedup (Lee et al. 2021 canonical
+    // variant of q86): a repeated 8-token span keeps exactly its
+    // minimum (doc_id, position) occurrence; all other occurrences are
+    // excised. The oracle replays the same set semantics with gram
+    // STRINGS, ranking occurrences by (doc_id, i) inside each gram and
+    // excising rank > 1 only.
+    "q89_remove_dup_spans_keep_first" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.removeDuplicatedSpansKeepFirst(docs(s, d), "doc_id", "text", k = 8)
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+             |  FROM documents
+             |), st0 AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+             |    i -> struct_pack(i := i, gram := array_to_string(t[i:i+7], ' ')))) AS s
+             |  FROM tk WHERE len(t) >= 8
+             |), st AS (
+             |  SELECT doc_id, s.i AS i, s.gram AS gram FROM st0
+             |), marked AS (
+             |  SELECT doc_id, i,
+             |         count(*) OVER (PARTITION BY gram) AS total,
+             |         row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+             |  FROM st
+             |), cov AS (
+             |  SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS j
+             |  FROM marked WHERE total >= 2 AND rn > 1
+             |), tr0 AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+             |    j -> struct_pack(j := j, tok := t[j]))) AS s
+             |  FROM tk WHERE len(t) >= 1
+             |), tr AS (
+             |  SELECT doc_id, s.j AS j, s.tok AS tok FROM tr0
+             |), keep AS (
+             |  SELECT tr.doc_id, tr.j, tr.tok
+             |  FROM tr LEFT JOIN cov ON tr.doc_id = cov.doc_id AND tr.j = cov.j
+             |  WHERE cov.j IS NULL
+             |), agg AS (
+             |  SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text,
+             |         count(*) AS n_kept
+             |  FROM keep GROUP BY 1
+             |)
+             |SELECT tk.doc_id,
+             |       coalesce(agg.clean_text, '') AS clean_text,
+             |       CAST(len(tk.t) AS BIGINT) AS n_tokens,
+             |       CAST(len(tk.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+             |FROM tk LEFT JOIN agg USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -363,7 +363,15 @@ object Dedup {
     * scans; the window form has one) — then a per-doc rollup. No caps
     * needed: nothing is quadratic — a boilerplate gram shared by a
     * million docs is one buffered (spillable) window partition, not a
-    * million^2 pair block. */
+    * million^2 pair block.
+    *
+    * Gram identity is a single 64-bit hash: past ~2^32 distinct grams
+    * the birthday bound makes some collisions certain, each inflating
+    * `dup_grams` by the colliding occurrences — at 10^12 grams the
+    * expected overcount is ~n²/2⁶⁵ ≈ 0.003% of grams, inside this
+    * METRIC's tolerance (cf. the documented HLL/MinHash error budgets).
+    * The destructive removal ops below use a 128-bit double hash
+    * instead, because there a collision deletes text. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8): DataFrame = {
     // token array materialized in its own Project (same shape-lesson as
@@ -412,24 +420,100 @@ object Dedup {
     * over struct-sorted collect_list (documents are row-sized by
     * contract, so the per-doc list is bounded). The corpus is
     * tokenized twice (gram pass + token pass) — two cheap codegen'd
-    * map scans, deliberately NOT a corpus-sized cached token table. */
+    * map scans, deliberately NOT a corpus-sized cached token table.
+    *
+    * Excision is destructive, so gram identity is NOT a single 64-bit
+    * hash: at 100 TB the distinct-gram count blows past the 2^32
+    * birthday bound and a lone xxhash64 would silently delete
+    * non-duplicated text on collision. Two independent 64-bit hashes of
+    * the gram text (the second seeded by a constant prefix) form the
+    * dup key — an effective 128-bit key whose collision odds at n
+    * grams are ~n²/2¹²⁹ (≪ 10⁻¹² even at 10¹⁴ grams), while keeping the
+    * shuffle rows ids+ints only (gram TEXT never enters an exchange). */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 8, minCount: Int = 2): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val toked = df.select(col(idCol).as("id"),
       filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("__t"))
-    // 1-based gram start positions with their 64-bit window hashes
-    val starts = toked.select(col("id"),
-      posexplode(when(size(col("__t")) >= k,
-        transform(sequence(lit(1), size(col("__t")) - (k - 1)),
-          i => xxhash64(concat_ws(" ", slice(col("__t"), i, lit(k))))))
-        .otherwise(array().cast("array<bigint>"))).as(Seq("__p", "gram")))
-      .select(col("id"), (col("__p") + 1).as("i"), col("gram"))
-    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val starts = gramStarts(toked, k)
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram", "gram2")
     val covered = starts
       .withColumn("total", count(lit(1)).over(byGram))
       .filter(col("total") >= minCount)
+      .select(col("id"), explode(sequence(col("i"), col("i") + (k - 1))).as("j"))
+      .distinct()
+    val tokenRows = toked
+      .select(col("id"), posexplode(col("__t")).as(Seq("__p", "tok")))
+      .select(col("id"), (col("__p") + 1).as("j"), col("tok"))
+    val kept = tokenRows.join(covered, Seq("id", "j"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("j"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id"),
+        size(filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0))
+          .cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** 1-based k-gram start positions over a pre-tokenized frame
+    * `(id, __t: array<string>)`, each gram identified by TWO
+    * independent 64-bit hashes of its text (`gram`, `gram2` — the
+    * second hash is the same function seeded by a constant first
+    * argument). The gram string exists only inside this one codegen'd
+    * map stage; what flows downstream (and into any exchange) is
+    * (id, i, gram, gram2) — ids and ints. */
+  private def gramStarts(toked: DataFrame, k: Int): DataFrame =
+    toked.select(col("id"),
+      posexplode(when(size(col("__t")) >= k,
+        transform(sequence(lit(1), size(col("__t")) - (k - 1)),
+          i => concat_ws(" ", slice(col("__t"), i, lit(k)))))
+        .otherwise(array().cast("array<string>"))).as(Seq("__p", "__g")))
+      .select(col("id"), (col("__p") + 1).as("i"),
+        xxhash64(col("__g")).as("gram"),
+        xxhash64(lit(0x9E3779B97F4A7C15L), col("__g")).as("gram2"))
+
+  /** Keep-one-copy exact-substring dedup — the canonical Lee et al.
+    * 2021 ("Deduplicating Training Data Makes Language Models Better",
+    * `scripts/dedup` in its repo is the suffix-array original) variant
+    * of [[removeDuplicatedSpans]]: a k-token span occurring >=
+    * `minCount` times corpus-wide keeps exactly ONE occurrence — the
+    * minimum (doc_id, position) one, a deterministic canonical rule so
+    * the result is oracle-checkable — and every OTHER occurrence's
+    * tokens are excised. This is the form most pipelines mean by
+    * "exact-substring dedup": the first copy of a repeated passage
+    * still trains; copies two..n vanish.
+    *
+    * A canonical occurrence's tokens may still be removed when some
+    * OTHER duplicated gram covers them non-canonically (overlapping
+    * spans — the spec pins this with a hand-computed corpus): removal
+    * is per gram-occurrence, and a token survives only if NO
+    * non-canonical duplicated occurrence covers it.
+    *
+    * Scale shape: identical to [[removeDuplicatedSpans]] (linear, one
+    * gram-keyed window shuffle of ids+ints, anti join, bounded per-doc
+    * reassembly) plus one `min(struct(id, i))` alongside the window
+    * count — same exchange, one extra aggregate buffer. Same 128-bit
+    * double-hash gram identity (destructive op ⇒ collision-guarded). */
+  def removeDuplicatedSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                                     k: Int = 8, minCount: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val toked = df.select(col(idCol).as("id"),
+      filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("__t"))
+    val starts = gramStarts(toked, k)
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram", "gram2")
+    val covered = starts
+      .withColumn("total", count(lit(1)).over(byGram))
+      .withColumn("canon", min(struct(col("id"), col("i"))).over(byGram))
+      .filter(col("total") >= minCount &&
+        struct(col("id"), col("i")) =!= col("canon"))
       .select(col("id"), explode(sequence(col("i"), col("i") + (k - 1))).as("j"))
       .distinct()
     val tokenRows = toked

@@ -419,7 +419,9 @@ object TextAnalysis {
     require(accuracy > 0, s"accuracy must be positive, got $accuracy")
     val cutoffs = df.groupBy(stratumCol.as("__stratum"))
       .agg(approx_percentile(scoreCol, lit(1.0 - keepFraction), lit(accuracy)).as("__cut"))
-    df.join(broadcast(cutoffs), stratumCol === col("__stratum"), "inner")
+    // null-safe join key: a NULL stratum is a window group of its own in
+    // the exact variant, so it must survive here too (=== would drop it)
+    df.join(broadcast(cutoffs), stratumCol <=> col("__stratum"), "inner")
       .filter(scoreCol >= col("__cut"))
       .drop("__stratum", "__cut")
   }
@@ -440,15 +442,23 @@ object TextAnalysis {
     * final double divisions in a fixed order, so DuckDB replays it
     * exactly.
     *
-    * Shape: explode + one groupBy(token) shuffle for counts (word-count
-    * shape, map-side partials, O(vocab) reduce); token→count join is a
-    * shuffled equi-join on the token key (linear); totals broadcast as
-    * an O(1) crossJoin — no driver-side action anywhere. */
+    * Shape: explode → groupBy(id, token) pre-aggregation FIRST, so
+    * everything downstream of the explode carries one row per distinct
+    * (doc, token) pair with its multiplicity `m`, never one row per
+    * occurrence. The composite (id, token) key is skew-free (hot tokens
+    * spread across docs); corpus counts then reduce the pair set with
+    * map-side partials (`c(t) = Σ_docs m`), and the token→count join's
+    * input volume is O(distinct pairs) — on a Zipf-skewed corpus the
+    * hottest token's join partition holds documents-containing rows,
+    * not total-occurrence rows. Score is recovered exactly as
+    * `Σ m·c(t) / Σ m`. Totals broadcast as an O(1) crossJoin — no
+    * driver-side action anywhere. */
   def tokenFrequencyScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
-    val counts = tok.groupBy("token").agg(count(lit(1)).as("__c"))
-    val per = tok.join(counts, "token")
-      .groupBy("id").agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
+    val pairs = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("__m"))
+    val counts = pairs.groupBy("token").agg(sum(col("__m")).as("__c"))
+    val per = pairs.join(counts, "token")
+      .groupBy("id").agg(sum(col("__m") * col("__c")).as("__s"), sum(col("__m")).as("__n"))
     // N = Σ per-doc token counts — derived from the tiny per-doc
     // aggregate (one row per doc) instead of re-aggregating the counts
     // subtree, which would re-run the word-count shuffle for one number

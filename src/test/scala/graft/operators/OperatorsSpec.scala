@@ -396,6 +396,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == (("", 0L, 0L)))
   }
 
+  test("removeDuplicatedSpansKeepFirst: min (doc_id, pos) occurrence survives, others excised, overlap ties pinned") {
+    val df = docs(
+      0L -> "p1 p2 p3 p4",                     // canonical holder of P
+      1L -> "a1 a2 c1 c2 c3 c4 a3 a4",         // canonical holder of C (vs doc 2)
+      2L -> "b1 c1 c2 c3 c4 b2 b3 b4",         // C non-canonical -> excised
+      3L -> "r1 r2 r3 r4 z1 r1 r2 r3 r4",      // within-doc repeat: FIRST kept
+      4L -> "u1 u2 u3 u4 u5",                  // unique -> untouched
+      5L -> "s1 s2",                           // shorter than k -> untouched
+      6L -> "",                                // empty
+      7L -> "x1 x2 x3 x4 x5",                  // canonical holder of BOTH overlapping grams
+      8L -> "w0 x1 x2 x3 x4 x5",               // two overlapping non-canonical spans union-covered
+      9L -> "q1 q2 q3 q4 p1 p2 p3 p4")         // canonical for Q, loses P to doc 0
+    val out = Dedup.removeDuplicatedSpansKeepFirst(df, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == (("p1 p2 p3 p4", 4L, 0L)))
+    // vs removeDuplicatedSpans, which excises doc 1 down to "a1 a2 a3 a4"
+    assert(out(1L) == (("a1 a2 c1 c2 c3 c4 a3 a4", 8L, 0L)))
+    assert(out(2L) == (("b1 b2 b3 b4", 8L, 4L)))
+    assert(out(3L) == (("r1 r2 r3 r4 z1", 9L, 4L)))
+    assert(out(4L) == (("u1 u2 u3 u4 u5", 5L, 0L)))
+    assert(out(5L) == (("s1 s2", 2L, 0L)))
+    assert(out(6L) == (("", 0L, 0L)))
+    assert(out(7L) == (("x1 x2 x3 x4 x5", 5L, 0L)))
+    assert(out(8L) == (("w0", 6L, 5L)))
+    assert(out(9L) == (("q1 q2 q3 q4", 8L, 4L)))
+  }
+
   test("contaminationReport: shared shingles flag docs, short-doc fallback matches, broadcast == shuffle") {
     val train = docs(
       1L -> "a b c d e",  // shares shingle "a b c" with bench doc 10

@@ -353,48 +353,59 @@ object ExtQueries {
              |       min(fp) AS min_fp, max(fp) AS max_fp
              |FROM signed""".stripMargin))),
 
-    // MinHash LSH near-dup candidates (32 hashes, 8 bands).
+    // MinHash LSH near-dup candidates (32 hashes, 8 bands). Same call as
+    // q74; hash-checked against the full signature/band/bucket/score
+    // replay since round 8 ("sketch-defined" is in fact deterministic).
     "q46_minhash_candidates" -> ((
       (s: SparkSession, d: String) =>
         Dedup.minHashCandidates(docs(s, d), "doc_id", "text")
           .filter(col("est_jaccard") >= 0.5)
           .orderBy("id_a", "id_b"),
-      None)),
+      Some(OracleSql.minhashCandidatesSql(
+        numHashes = 32, bands = 8, w = 3, maxBucketSize = 500, threshold = 0.5)))),
 
-    // MinHash dedup verdict: rows surviving at jaccard>=0.8.
+    // MinHash dedup verdict: rows surviving at jaccard>=0.8, hash-checked
+    // against the candidate replay's survivor count (round 8).
     "q47_minhash_dedup" -> ((
       (s: SparkSession, d: String) =>
         Dedup.minHashDedup(docs(s, d), "doc_id", "text", threshold = 0.8)
           .agg(count(lit(1)).as("n_kept")),
-      None)),
+      Some(OracleSql.minhashDedupCountSql(
+        numHashes = 32, bands = 8, w = 3, maxBucketSize = 500, threshold = 0.8)))),
 
     // Near-dup cluster assignment: MinHash candidates -> connected
-    // components (min-label propagation); output is the cluster-size
-    // histogram. Sketch-dependent -> rows-only.
+    // components; output is the cluster-size histogram. Hash-checked
+    // since round 8: the oracle replays the candidate set (q74
+    // machinery) and closes it with a recursive CTE (q70 machinery) —
+    // star-contraction drift, dropped edges, or early convergence all
+    // mismatch here.
     "q61_neardup_clusters" -> ((
       (s: SparkSession, d: String) =>
         Dedup.nearDupClusters(docs(s, d), "doc_id", "text", threshold = 0.5)
           .groupBy("cluster").agg(count(lit(1)).as("size"))
           .groupBy("size").agg(count(lit(1)).as("n_clusters"))
           .orderBy("size"),
-      None)),
+      Some(OracleSql.minhashClustersSql(
+        numHashes = 32, bands = 8, w = 3, maxBucketSize = 500, threshold = 0.5)))),
 
     // SimHash near-dup pairs (hamming <= 3 over 64-bit sketches).
+    // Hash-checked since round 8: q71's sketch replay + pigeonhole
+    // banding + capped blocking + exact Hamming filter in SQL.
     "q48_simhash_pairs" -> ((
       (s: SparkSession, d: String) =>
         Dedup.simHashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
           .orderBy("id_a", "id_b"),
-      None)),
+      Some(OracleSql.simhashPairsSql(maxHamming = 3, maxBucketSize = 500)))),
 
     // Winnowing fingerprint overlap: copied-passage detection (rolling
-    // k-gram hashes + window minima; Schleimer et al. 2003). Selection is
-    // engine-defined (which window minima survive) -> rows-only check;
-    // the winnowing guarantee itself is pinned in OperatorsSpec.
+    // k-gram hashes + window minima; Schleimer et al. 2003).
+    // Hash-checked since round 8: q73's fingerprint replay + DF-capped
+    // inverted index + shared-count threshold in SQL.
     "q59_winnow_overlap" -> ((
       (s: SparkSession, d: String) =>
         Dedup.winnowOverlapPairs(docs(s, d), "doc_id", "text")
           .orderBy("id_a", "id_b"),
-      None)),
+      Some(OracleSql.winnowPairsSql(k = 24, window = 12, minShared = 3, maxDf = 1000)))),
 
     // Exact n-gram Jaccard pairs via inverted-index blocking. The oracle
     // recomputes jaccard over distinct 3-token shingle STRINGS with a

@@ -133,12 +133,11 @@ object OracleSql {
     s"CASE WHEN $u >= CAST('9223372036854775808' AS HUGEINT) " +
       s"THEN CAST($u - CAST('$M' AS HUGEINT) AS BIGINT) ELSE CAST($u AS BIGINT) END"
 
-  /** q71 oracle: simhash64(token_hashes(text)) per document — tokenize,
-    * xxhash64 each token, +-1 vote per bit, sign -> bit; NULL for
-    * token-less docs (TokenHashes yields an empty array, SimHash64 maps
-    * it to NULL). */
-  def simhashSql: String =
-    s"""WITH tk AS (
+  /** Shared simhash CTEs: documents -> `sim(doc_id, simhash)` —
+    * tokenize, xxhash64 each token, +-1 vote per bit, sign -> bit;
+    * token-less docs are absent from `sim` (the engine's NULL). */
+  private def simhashCtes: String =
+    s"""tk AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks
        |  FROM documents
        |), tok AS (
@@ -151,15 +150,55 @@ object OracleSql {
        |  GROUP BY doc_id, bit
        |), sim AS (
        |  SELECT doc_id,
-       |         sum(CASE WHEN tally > 0 THEN
+       |         CAST(sum(CASE WHEN tally > 0 THEN
        |               CASE WHEN bit = 63 THEN CAST('-9223372036854775808' AS BIGINT)
        |                    ELSE CAST(1 AS BIGINT) << bit END
-       |             ELSE 0 END) AS simhash
+       |             ELSE 0 END) AS BIGINT) AS simhash
        |  FROM bits GROUP BY doc_id
-       |)
-       |SELECT d.doc_id, CAST(s.simhash AS BIGINT) AS simhash
+       |)""".stripMargin
+
+  /** q71 oracle: simhash64(token_hashes(text)) per document. */
+  def simhashSql: String =
+    s"""WITH $simhashCtes
+       |SELECT d.doc_id, s.simhash
        |FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** q48 oracle: the FULL SimHash pairing (Dedup.simHashPairs) replayed —
+    * sketches from [[simhashCtes]], pigeonhole bands ((maxHamming+1)
+    * width-(64/nBands) slices; arithmetic-shift fill bits die under the
+    * band mask exactly as in Spark's `shiftright(sh, b*width) & mask`),
+    * bucket-cap blocking, distinct pairs, exact Hamming filter. */
+  def simhashPairsSql(maxHamming: Int, maxBucketSize: Int): String = {
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
+    s"""WITH $simhashCtes,
+       |bnd AS (
+       |  SELECT doc_id, bi AS band, (simhash >> (bi * $width)) & $mask AS bits
+       |  FROM sim CROSS JOIN (SELECT unnest(range(0, $nBands)) AS bi) bb
+       |), ok AS (
+       |  SELECT band, bits FROM bnd GROUP BY band, bits
+       |  HAVING count(*) BETWEEN 2 AND $maxBucketSize
+       |), pr AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM bnd l
+       |  JOIN bnd r ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id
+       |  JOIN ok o ON o.band = l.band AND o.bits = l.bits
+       |), ham AS (
+       |  SELECT p.id_a, p.id_b,
+       |    -- per-bit compare on the SIGNED value: arithmetic-shift fill
+       |    -- never reaches `& 1` (DuckDB refuses negative->UBIGINT casts)
+       |    CAST(list_sum(list_transform(range(0, 64), bit ->
+       |      CASE WHEN ((a.simhash >> bit) & 1) <> ((b.simhash >> bit) & 1)
+       |           THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       |  FROM pr p
+       |  JOIN sim a ON a.doc_id = p.id_a
+       |  JOIN sim b ON b.doc_id = p.id_b
+       |)
+       |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   private val Gold = "11400714819323198485" // 0x9E3779B97F4A7C15
   private val Mx1  = "13787848793156543929" // 0xBF58476D1CE4E5B9 (SplitMix64)
@@ -487,11 +526,47 @@ object OracleSql {
     * position right of the current min can only take over, never a
     * position left of it). Texts shorter than k fingerprint as one
     * whole-text FNV hash. */
-  def winnowSql(k: Int, window: Int): String = {
+  def winnowSql(k: Int, window: Int): String =
+    s"""WITH ${winnowCtes(k, window)}
+       |SELECT doc_id,
+       |       array_to_string(
+       |         list_transform(list_sort(list_distinct(wins)), p -> grams[p + 1]), ',') AS fps
+       |FROM win ORDER BY doc_id""".stripMargin
+
+  /** q59 oracle: winnowing-overlap pairs (Dedup.winnowOverlapPairs)
+    * replayed — per-doc DISTINCT fingerprints from [[winnowCtes]], a
+    * DF-capped inverted index, per-fingerprint pair multiplicity summed
+    * to `shared_fps` (the engine's `blockPairs(dedup = false)` +
+    * count), threshold filter. */
+  def winnowPairsSql(k: Int, window: Int, minShared: Int, maxDf: Int): String =
+    s"""WITH ${winnowCtes(k, window)},
+       |fpl AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(list_sort(list_distinct(wins)), p -> grams[p + 1])) AS fps
+       |  FROM win
+       |), inv AS (
+       |  SELECT doc_id, unnest(fps) AS fp FROM fpl
+       |), ok AS (
+       |  SELECT fp FROM inv GROUP BY fp HAVING count(*) BETWEEN 2 AND $maxDf
+       |), pr AS (
+       |  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS shared_fps
+       |  FROM inv l
+       |  JOIN inv r ON l.fp = r.fp AND l.doc_id < r.doc_id
+       |  JOIN ok o ON o.fp = l.fp
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b, CAST(shared_fps AS BIGINT) AS shared_fps FROM pr
+       |WHERE shared_fps >= $minShared ORDER BY id_a, id_b""".stripMargin
+
+  /** Shared winnowing CTEs: documents -> `win(doc_id, grams, wins)` —
+    * normalized text, FNV-1a k-char grams, rightmost-min window
+    * positions (see [[winnowSql]]'s scaladoc for the equivalence
+    * argument). */
+  private def winnowCtes(k: Int, window: Int): String = {
     val fnvFold = s"(${mul(xorm("h", "y"), FnvPrime)})"
     val gram = signed(s"list_reduce(list_prepend($FnvBasis, b[i + 1 : i + $k]), (h, y) -> $fnvFold)")
     val whole = signed(s"list_reduce(list_prepend($FnvBasis, b), (h, y) -> $fnvFold)")
-    s"""WITH nrm AS (
+    s"""nrm AS (
        |  SELECT doc_id, trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS s
        |  FROM documents
        |), byt AS (
@@ -514,22 +589,67 @@ object OracleSql {
        |          (p, q) -> CASE WHEN grams[q + 1] <= grams[p + 1] THEN q ELSE p END))
        |      END AS wins
        |  FROM grm
-       |)
-       |SELECT doc_id,
-       |       array_to_string(
-       |         list_transform(list_sort(list_distinct(wins)), p -> grams[p + 1]), ',') AS fps
-       |FROM win ORDER BY doc_id""".stripMargin
+       |)""".stripMargin
   }
 
-  /** q74 oracle: the FULL MinHash LSH candidate pipeline
+  /** q46/q74 oracle: the FULL MinHash LSH candidate pipeline
     * (Dedup.minHashCandidates) replayed exactly — signatures, band
     * strings (comma-joined signature slice + band index, exactly
     * Spark's `concat_ws`), xxhash64 band buckets, bucket-cap pair
     * blocking, signature-agreement scoring, threshold. */
   def minhashCandidatesSql(numHashes: Int, bands: Int, w: Int,
-                           maxBucketSize: Int, threshold: Double): String = {
+                           maxBucketSize: Int, threshold: Double): String =
+    s"""WITH ${candidateCtes(numHashes, bands, w, maxBucketSize)}
+       |SELECT id_a, id_b, est_jaccard FROM scored
+       |WHERE est_jaccard >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q47 oracle: MinHash dedup survivor count (Dedup.minHashDedup) —
+    * every doc with a smaller-id candidate at est_jaccard >= threshold
+    * is dropped; survivors counted. */
+  def minhashDedupCountSql(numHashes: Int, bands: Int, w: Int,
+                           maxBucketSize: Int, threshold: Double): String =
+    s"""WITH ${candidateCtes(numHashes, bands, w, maxBucketSize)},
+       |dup AS (
+       |  SELECT DISTINCT id_b FROM scored WHERE est_jaccard >= $threshold
+       |)
+       |SELECT (SELECT count(*) FROM documents) - (SELECT count(*) FROM dup) AS n_kept""".stripMargin
+
+  /** q61 oracle: near-dup cluster-size histogram
+    * (Dedup.nearDupClusters -> size counts) — the candidate set from
+    * [[candidateCtes]] closed transitively with a recursive CTE (min
+    * reachable id per node == the engine's star-contraction fixpoint,
+    * same closure as q70), singletons their own cluster, then the
+    * cluster-size histogram. */
+  def minhashClustersSql(numHashes: Int, bands: Int, w: Int,
+                         maxBucketSize: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${candidateCtes(numHashes, bands, w, maxBucketSize)},
+       |cand AS (
+       |  SELECT id_a, id_b FROM scored WHERE est_jaccard >= $threshold
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM cand
+       |  UNION SELECT id_b, id_a FROM cand
+       |), reach AS (
+       |  SELECT src AS id, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+       |), memb AS (
+       |  SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
+       |), asg AS (
+       |  SELECT d.doc_id, coalesce(m.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN memb m ON d.doc_id = m.id
+       |), cs AS (
+       |  SELECT cluster, count(*) AS csize FROM asg GROUP BY cluster
+       |)
+       |SELECT CAST(csize AS BIGINT) AS size, count(*) AS n_clusters
+       |FROM cs GROUP BY csize ORDER BY size""".stripMargin
+
+  /** Shared MinHash LSH candidate CTEs: documents -> `scored(id_a,
+    * id_b, est_jaccard)` (UNthresholded — callers filter). */
+  private def candidateCtes(numHashes: Int, bands: Int, w: Int,
+                            maxBucketSize: Int): String = {
     val rpb = numHashes / bands
-    s"""WITH ${sigCtes(numHashes, w)},
+    s"""${sigCtes(numHashes, w)},
        |bnd AS (
        |  -- bi, not b: the hash chain's byte-list column is named b
        |  SELECT doc_id, bi,
@@ -553,9 +673,6 @@ object OracleSql {
        |  FROM pairs p
        |  JOIN sg sa ON sa.doc_id = p.id_a
        |  JOIN sg sb ON sb.doc_id = p.id_b
-       |)
-       |SELECT id_a, id_b, est_jaccard FROM scored
-       |WHERE est_jaccard >= $threshold
-       |ORDER BY id_a, id_b""".stripMargin
+       |)""".stripMargin
   }
 }

@@ -21,19 +21,26 @@ final class BenchListener extends SparkListener {
       tasks.incrementAndGet()
     }
   }
+  /** Quiesce timeouts seen so far — nonzero means some query's metrics
+    * may include a straggler's tail (reported in the bench JSON). */
+  val quiesceTimeouts = new AtomicLong(0)
   def snapshot: (Long, Long, Long, Long) =
     (executorRunTimeMs.get, jvmGcTimeMs.get, executorCpuTimeMs.get, tasks.get)
   /** Listener events are posted asynchronously; poll until the counters
-    * go quiet so each query's delta is attributed to that query. */
-  def quiesce(): (Long, Long, Long, Long) = {
+    * go quiet so each query's delta is attributed to that query.
+    * Bounded: leaked async activity (a job still finishing after a
+    * swallowed per-query failure) must not hang the whole battery — on
+    * timeout return the latest snapshot and count it as approximate. */
+  def quiesce(maxWaitMs: Long = 3000): (Long, Long, Long, Long) = {
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
     var prev = snapshot
     var stable = 0
-    while (stable < 2) {
+    while (stable < 2 && System.nanoTime() < deadline) {
       Thread.sleep(50)
       val cur = snapshot
       if (cur == prev) stable += 1 else { stable = 0; prev = cur }
     }
-    prev
+    if (stable < 2) { quiesceTimeouts.incrementAndGet(); snapshot } else prev
   }
 }
 
@@ -63,25 +70,34 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    // ONE quiesce per query: the post-query snapshot doubles as the next
+    // query's baseline (the two-quiesce form slept a minimum of ~200 ms
+    // per query — ~18 s of pure sleep across the full battery)
+    var baseline = listener.quiesce()
     val results = selected.map { case (name, fn) =>
-      val before = listener.quiesce()
       val t0 = System.nanoTime()
       // toRdd.count() materializes EVERY output column of every result
       // row (a plain df.count() would let Spark prune the projection)
       try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
       val wall = (System.nanoTime() - t0) / 1e9
       val after = listener.quiesce()
-      name -> (wall,
-        after._1 - before._1, after._2 - before._2,
-        after._3 - before._3, after._4 - before._4)
+      val delta = name -> (wall,
+        after._1 - baseline._1, after._2 - baseline._2,
+        after._3 - baseline._3, after._4 - baseline._4)
+      baseline = after
+      delta
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${v._1}%.4f" }
       .mkString("{", ",", "}")
     val ms = results.map { case (k, (_, run, gc, cpu, n)) =>
       s"\"$k\":{\"executorRunTimeMs\":$run,\"jvmGcTimeMs\":$gc,\"executorCpuTimeMs\":$cpu,\"tasks\":$n}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"taskMetrics":$ms,"sf":"$sfDir"}""")
+    // field order is load-bearing: the driver records the TAIL of the
+    // output, so the big per-query maps go first and the headline
+    // metric/value/unit go LAST (r7's walls were truncated away because
+    // they led the line)
+    println(s"""{"taskMetrics":$ms,"queries":$qs,"quiesceTimeouts":${listener.quiesceTimeouts.get},"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }

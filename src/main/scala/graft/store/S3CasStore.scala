@@ -140,7 +140,13 @@ final class S3CasStore(endpoint: String, bucket: String, prefix: String,
     val resp = send("GET", key, Array.emptyByteArray, Nil)
     resp.statusCode() match {
       case 200 =>
-        val etag = resp.headers().firstValue("ETag").orElse("")
+        // a missing ETag must be an ERROR, not "": If-Match: "" never
+        // matches, so replaceIf/deleteIf would fail forever against an
+        // endpoint that omits the header — a silent claim wedge (expired
+        // leases unstealable) instead of a diagnosable fault
+        val etag = resp.headers().firstValue("ETag").orElseThrow(() =>
+          new java.io.IOException(s"get($key): 200 response without ETag header — " +
+            "endpoint does not support the conditional-write protocol"))
         Some((new String(resp.body(), UTF_8), etag))
       case 404 => None
       case other => throw new java.io.IOException(s"get($key): HTTP $other")

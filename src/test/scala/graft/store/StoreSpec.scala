@@ -266,6 +266,28 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.size == 3 && c.get("c").isEmpty && c.get("b").isDefined && c.get("e").isDefined)
   }
 
+  test("ttl cache: total-byte bound evicts LRU entries; oversized value not retained; accounting exact") {
+    var now = 1000L
+    val c = new TtlCache(defaultTtlMillis = 10000L, maxEntries = 100,
+      maxBytes = 10L, clock = () => now)
+    c.set("a", Array.fill[Byte](4)(1))
+    c.set("b", Array.fill[Byte](4)(2))
+    assert(c.bytes == 8L && c.size == 2)
+    c.get("a") // a is now most-recently-used
+    c.set("c", Array.fill[Byte](4)(3)) // 12 > 10: evicts b (LRU), not a
+    assert(c.size == 2 && c.bytes == 8L, s"bytes=${c.bytes}")
+    assert(c.get("b").isEmpty && c.get("a").isDefined && c.get("c").isDefined)
+    // replacing a key swaps its bytes, never double-counts
+    c.set("a", Array.fill[Byte](6)(9))
+    assert(c.bytes == 10L && c.size == 2)
+    // a value bigger than the whole budget is not retained at all
+    c.set("big", Array.fill[Byte](11)(7))
+    assert(c.get("big").isEmpty && c.bytes <= 10L)
+    // expiry-on-read releases its bytes
+    now += 10001
+    assert(c.get("a").isEmpty && c.get("c").isEmpty && c.bytes == 0L)
+  }
+
   test("cas claim queue over S3 conditional writes: same steal/fence/renew contract (SigV4-verified fake)") {
     val fake = new FakeS3("AKTEST", "sekrit", "eu-west-1")
     try casQueueSuite(new S3CasStore(fake.endpoint, "graft-test", "claims",

@@ -17,7 +17,7 @@ object Prof {
     val names = sys.env.getOrElse("PROF_QUERIES", "q58_pivot").split(",")
     names.foreach { n =>
       println(s"===== $n =====")
-      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.treeString.take(4000))
+      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.treeString.take(12000))
     }
     spark.stop()
   }

@@ -1,0 +1,148 @@
+package graft.api
+
+import com.sun.net.httpserver.HttpExchange
+import graft.store.{MetaStore, TtlCache, User}
+import java.util.UUID
+
+/** Dashboard session settings: the OAuth provider client plus the JWT
+  * cookie parameters (reference: 7-day expiry, HttpOnly `jwt` cookie —
+  * `/root/reference/pkg/api/auth.go:155-165`). */
+final case class DashboardConfig(
+    oauth: OAuthClient,
+    jwtSecret: Array[Byte],
+    sessionTtlSeconds: Long = 7 * 24 * 3600)
+
+/** The reference's login + dashboard surface
+  * (`/root/reference/pkg/api/auth.go:60-166`, `pkg/view/router.go`):
+  *
+  *   GET /login                      -> 307 to the provider's consent URL
+  *   GET /oauth/callback?code&state  -> code->token->userinfo, first-or-
+  *                                      create the user, set the JWT
+  *                                      cookie, 303 /dashboard
+  *   GET /logout                     -> clear cookie, 303 /login
+  *   GET /dashboard                  \
+  *   GET /dashboard/connections      |  HTML pages, JWT-cookie-gated;
+  *   GET /dashboard/connections/new  |  any auth defect 307s to /login
+  *   GET /dashboard/keys             /
+  *
+  * Two deliberate deviations, both STRICTER than the reference: the
+  * OAuth `state` is actually verified (one-time-use, 5-minute TTL —
+  * the reference mints a state but never checks it, leaving the
+  * callback CSRF-able), and JWT verification rejects non-HS256
+  * headers outright (see [[Jwt]]). Pages are server-rendered strings
+  * over live MetaStore data — goview templates replaced by the
+  * engine-side equivalent, not a translation. */
+final class Dashboard(cfg: DashboardConfig, meta: MetaStore,
+                      respond: (HttpExchange, Int, String, String) => Unit) {
+
+  // pending one-time OAuth states; entry-count bound is DoS headroom
+  // (an unauthenticated client can mint states by hitting /login)
+  private val states = new TtlCache(5 * 60 * 1000L, 4096, 1 << 20)
+
+  private def redirect(ex: HttpExchange, code: Int, location: String): Unit = {
+    ex.getResponseHeaders.set("Location", location)
+    respond(ex, code, "", "text/plain")
+  }
+
+  def login(ex: HttpExchange): Unit = {
+    val state = UUID.randomUUID().toString
+    states.set(state, Array[Byte](1))
+    redirect(ex, 307, cfg.oauth.authCodeUrl(state))
+  }
+
+  def logout(ex: HttpExchange): Unit = {
+    ex.getResponseHeaders.add("Set-Cookie", "jwt=; HttpOnly; Path=/; Max-Age=0")
+    redirect(ex, 303, "/login")
+  }
+
+  /** The callback leg: state must be a live one we minted (consumed on
+    * first use), then code -> token -> userinfo -> first-or-create ->
+    * session cookie. Every failure lands back on /login. */
+  def callback(ex: HttpExchange, p: Map[String, String]): Unit = {
+    val ok = for {
+      state <- p.get("state")
+      _ <- states.get(state)
+      // one-time use: overwrite with an already-expired entry
+      _ = states.set(state, Array.emptyByteArray, ttlMillis = Some(0L))
+      code <- p.get("code")
+      token <- cfg.oauth.exchange(code)
+      info <- cfg.oauth.fetchUserinfo(token)
+      node <- graft.core.Json.parse(info)
+      email = node.path("email").asText("")
+      if email.nonEmpty
+    } yield meta.createUser(email, "google", info)
+    ok match {
+      case Some(user) =>
+        val jwt = Jwt.encodeSession(user.id, cfg.jwtSecret, cfg.sessionTtlSeconds)
+        ex.getResponseHeaders.add("Set-Cookie", s"jwt=$jwt; HttpOnly; Path=/")
+        redirect(ex, 303, "/dashboard")
+      case None => redirect(ex, 307, "/login")
+    }
+  }
+
+  /** JWT cookie -> live user, or None (expired, tampered, unknown id). */
+  private def authenticate(ex: HttpExchange): Option[User] =
+    for {
+      header <- Option(ex.getRequestHeaders.getFirst("Cookie"))
+      jwt <- header.split(";").map(_.trim).collectFirst {
+        case c if c.startsWith("jwt=") => c.stripPrefix("jwt=")
+      }
+      claims <- Jwt.verify(jwt, cfg.jwtSecret)
+      id <- Option.when(claims.path("user_id").canConvertToLong)(claims.get("user_id").asLong)
+      user <- meta.getUser(id)
+    } yield user
+
+  def page(ex: HttpExchange, rest: List[String]): Unit =
+    authenticate(ex) match {
+      case None => redirect(ex, 307, "/login")
+      case Some(user) => rest match {
+        case Nil                        => render(ex, user, "Overview", overview())
+        case List("connections")        => render(ex, user, "Connections", connections())
+        case List("connections", "new") => render(ex, user, "New Connection", newConnection())
+        case List("keys")               => render(ex, user, "API Keys", keys())
+        case _                          => respond(ex, 404, "not found", "text/plain")
+      }
+    }
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+      case '"' => "&quot;"; case '\'' => "&#39;"; case c => c.toString
+    }
+
+  private def overview(): String = {
+    val nDest = meta.listDestinations.size
+    s"""<p>Destinations: <b>$nDest</b></p>
+       |<p>Insert data with <code>POST /api/data/insert/{table}</code>, query with
+       |<code>/api/data/query</code>.</p>""".stripMargin
+  }
+
+  private def connections(): String = {
+    val rows = meta.listDestinations.map(d =>
+      s"<tr><td>${d.id}</td><td>${esc(d.dtype)}</td><td>${esc(d.name)}</td></tr>")
+      .mkString("\n")
+    s"""<table><tr><th>ID</th><th>Type</th><th>Name</th></tr>
+       |$rows</table>
+       |<p><a href="/dashboard/connections/new">New connection</a></p>""".stripMargin
+  }
+
+  private def newConnection(): String =
+    """<p>Create a destination via the API:</p>
+      |<pre>curl -X POST /api/destinations?api_key=... -d '{"type":"spark","name":"..."}'</pre>""".stripMargin
+
+  private def keys(): String =
+    """<p>Mint a destination-scoped API key (shown once; stored hashed):</p>
+      |<pre>curl -X POST /api/destinations/{id}/keys?api_key=...</pre>""".stripMargin
+
+  private def render(ex: HttpExchange, user: User, title: String, body: String): Unit = {
+    val html =
+      s"""<!doctype html><html><head><title>${esc(title)} — graft</title></head>
+         |<body>
+         |<nav><a href="/dashboard">Overview</a> | <a href="/dashboard/connections">Connections</a>
+         | | <a href="/dashboard/keys">Keys</a> | ${esc(user.email)} (<a href="/logout">log out</a>)</nav>
+         |<h1>${esc(title)}</h1>
+         |$body
+         |</body></html>""".stripMargin
+    respond(ex, 200, html, "text/html; charset=utf-8")
+  }
+}

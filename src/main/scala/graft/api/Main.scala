@@ -130,8 +130,24 @@ object Main {
     uploader.retryPending() // ...or mid-ingest
 
     val executor = new QueryExecutor(spark, catalog)
+    // dashboard (JWT sessions over OAuth) boots when the provider
+    // credentials are configured — GRAFT_OAUTH_CLIENT_ID/CLIENT_SECRET/
+    // REDIRECT + GRAFT_JWT_SECRET, with optional *_URL endpoint
+    // overrides for non-Google IdPs (reference: config-gated dashboard)
+    val dashboardCfg = for {
+      id <- sys.env.get("GRAFT_OAUTH_CLIENT_ID")
+      secret <- sys.env.get("GRAFT_OAUTH_CLIENT_SECRET")
+      redirect <- sys.env.get("GRAFT_OAUTH_REDIRECT")
+      jwtSecret <- sys.env.get("GRAFT_JWT_SECRET")
+    } yield {
+      var oc = OAuthConfig(id, secret, redirect)
+      sys.env.get("GRAFT_OAUTH_AUTH_URL").foreach(u => oc = oc.copy(authUrl = u))
+      sys.env.get("GRAFT_OAUTH_TOKEN_URL").foreach(u => oc = oc.copy(tokenUrl = u))
+      sys.env.get("GRAFT_OAUTH_USERINFO_URL").foreach(u => oc = oc.copy(userinfoUrl = u))
+      DashboardConfig(new OAuthClient(oc), jwtSecret.getBytes("UTF-8"))
+    }
     val server = new Server(ServerConfig(port, Map(apiKey -> "1"), sys.env.get("GRAFT_ADMIN_KEY")),
-      catalog, ingest, spool, executor, meta)
+      catalog, ingest, spool, executor, meta, dashboardConfig = dashboardCfg)
 
     val sweeper = Executors.newSingleThreadScheduledExecutor { r =>
       val t = new Thread(r, "graft-sweeper"); t.setDaemon(true); t

@@ -36,11 +36,23 @@ final case class ServerConfig(
   *   POST /api/destinations/{id}/keys                   (auth; own id or admin)
   *   POST /api/data/query/share {query, duration}       (auth)
   *   GET  /share/{uuid}/data.{format}                   (public)
+  *
+  * With a [[DashboardConfig]], additionally the reference's login +
+  * dashboard surface (JWT-cookie sessions over OAuth — see
+  * [[Dashboard]]):
+  *
+  *   GET /login | /oauth/callback | /logout
+  *   GET /dashboard[/connections[/new]|/keys]
   */
 final class Server(config: ServerConfig, catalog: TableCatalog,
                    ingest: IngestService, spool: Spool, executor: QueryExecutor,
                    meta: MetaStore, metrics: Metrics = new Metrics,
-                   shareCache: graft.store.TtlCache = new graft.store.TtlCache) {
+                   shareCache: graft.store.TtlCache = new graft.store.TtlCache,
+                   dashboardConfig: Option[DashboardConfig] = None) {
+
+  private val dashboard: Option[Dashboard] =
+    dashboardConfig.map(c => new Dashboard(c, meta,
+      (ex, code, body, ct) => respond(ex, code, body, ct)))
 
   private val hashedKeys: Map[String, String] = config.apiKeys.map { case (k, v) => MetaStore.sha256(k) -> v }
   private val hashedAdmin: Option[String] = config.adminKey.map(MetaStore.sha256)
@@ -121,6 +133,18 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
         case ("GET", List("share", uuid, data)) if data.startsWith("data.") =>
           ex.setAttribute("graft.route", "/share/{uuid}/data.{format}")
           shareData(ex, uuid, data.stripPrefix("data."))
+        case ("GET", List("login")) if dashboard.isDefined =>
+          ex.setAttribute("graft.route", "/login")
+          dashboard.get.login(ex)
+        case ("GET", List("oauth", "callback")) if dashboard.isDefined =>
+          ex.setAttribute("graft.route", "/oauth/callback")
+          dashboard.get.callback(ex, p)
+        case ("GET", List("logout")) if dashboard.isDefined =>
+          ex.setAttribute("graft.route", "/logout")
+          dashboard.get.logout(ex)
+        case ("GET", "dashboard" :: rest) if dashboard.isDefined =>
+          ex.setAttribute("graft.route", "/dashboard")
+          dashboard.get.page(ex, rest)
         case _ => respond(ex, 404, "not found")
       }
     } catch {

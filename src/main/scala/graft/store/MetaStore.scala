@@ -17,6 +17,10 @@ final case class Destination(id: Long, dtype: String, name: String)
 /** A shared-query link (reference `models.SharedQuery`, gorm.go:93-129). */
 final case class Share(uuid: String, db: String, query: String, expiresAtMillis: Long)
 
+/** A dashboard user (reference `models.User` — email + auth provider +
+  * the provider's raw userinfo payload; gorm.go:207-232). */
+final case class User(id: Long, email: String, authType: String, authDetails: String)
+
 /** Persistent control-plane metadata: destinations, hashed API keys and
   * shared-query links, stored as one JSON document with atomic
   * tmp-then-move rewrites — the single-node stand-in for the reference's
@@ -40,6 +44,7 @@ final class MetaStore(rootDir: String, reservedIds: Set[Long] = Set.empty) {
   @volatile private var destinations = Vector.empty[Destination]
   @volatile private var keys = Map.empty[String, String] // sha256(key) -> db id
   @volatile private var shares = Map.empty[String, Share]
+  @volatile private var users = Vector.empty[User]
   load()
 
   def sha256(s: String): String = MetaStore.sha256(s)
@@ -107,6 +112,26 @@ final class MetaStore(rootDir: String, reservedIds: Set[Long] = Set.empty) {
     dead.size
   }
 
+  // -- users ------------------------------------------------------------
+
+  /** First-or-create by (email, authType) — the reference's CreateUser
+    * transaction (gorm.go:216-232, `FirstOrCreate`): a returning user
+    * keeps their id and original details; a new login row persists the
+    * provider's raw userinfo payload. */
+  def createUser(email: String, authType: String, authDetails: String): User = synchronized {
+    users.find(u => u.email == email && u.authType == authType).getOrElse {
+      val u = User(users.map(_.id).maxOption.getOrElse(0L) + 1, email, authType, authDetails)
+      users :+= u
+      save()
+      u
+    }
+  }
+
+  /** User by id, or None (reference GetUser returns a zero-ID sentinel;
+    * an Option is the honest Scala shape). Lock-free snapshot read —
+    * this runs on every authenticated dashboard request. */
+  def getUser(id: Long): Option[User] = users.find(_.id == id)
+
   // -- persistence ----------------------------------------------------
 
   private def load(): Unit = synchronized {
@@ -130,6 +155,12 @@ final class MetaStore(rootDir: String, reservedIds: Set[Long] = Set.empty) {
           shares += (s.uuid -> s)
         }
       }
+      if (root.has("users")) {
+        root.get("users").forEach { n =>
+          users :+= User(n.get("id").asLong, n.get("email").asText,
+            n.get("auth_type").asText, n.get("auth_details").asText)
+        }
+      }
     }
   }
 
@@ -150,6 +181,12 @@ final class MetaStore(rootDir: String, reservedIds: Set[Long] = Set.empty) {
       val n = ss.addObject()
       n.put("uuid", s.uuid); n.put("destination_id", s.db)
       n.put("query", s.query); n.put("expires_at", s.expiresAtMillis)
+    }
+    val us = root.putArray("users")
+    users.foreach { u =>
+      val n = us.addObject()
+      n.put("id", u.id); n.put("email", u.email)
+      n.put("auth_type", u.authType); n.put("auth_details", u.authDetails)
     }
     file.getParentFile.mkdirs()
     val tmp = new File(rootDir, "metadata.json.tmp")

@@ -1,0 +1,181 @@
+package graft.api
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.engine.QueryExecutor
+import graft.store.{IngestService, MetaStore, Spool, SpoolConfig, TableCatalog}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.{InetSocketAddress, URI}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+/** Full login flow over HTTP against an in-process fake OAuth provider
+  * (the FakeS3 pattern): /login redirect -> provider -> /oauth/callback
+  * code exchange + userinfo -> JWT cookie -> gated dashboard pages. */
+class DashboardSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private var base: String = _
+  private var server: Server = _
+  private var port: Int = 0
+  private var meta: MetaStore = _
+  private var provider: HttpServer = _
+  private var providerPort: Int = 0
+  @volatile private var tokenRequests = Vector.empty[String]
+  private val client = HttpClient.newHttpClient() // never follows redirects
+
+  private def startProvider(): Unit = {
+    provider = HttpServer.create(new InetSocketAddress(0), 0)
+    provider.createContext("/token", (ex: HttpExchange) => {
+      val form = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      tokenRequests :+= form
+      val ok = form.contains("grant_type=authorization_code") &&
+        form.contains("code=good-code") && form.contains("client_id=cid") &&
+        form.contains("client_secret=csec")
+      val body = if (ok) """{"access_token":"tok-123","token_type":"Bearer"}"""
+                 else """{"error":"invalid_grant"}"""
+      val b = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(if (ok) 200 else 400, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    provider.createContext("/userinfo", (ex: HttpExchange) => {
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      val ok = auth == "Bearer tok-123"
+      val body = if (ok) """{"sub":"g-1","email":"alice@example.com"}""" else "{}"
+      val b = body.getBytes(UTF_8)
+      ex.sendResponseHeaders(if (ok) 200 else 401, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    provider.start()
+    providerPort = provider.getAddress.getPort
+  }
+
+  override def beforeAll(): Unit = {
+    base = Files.createTempDirectory("graft-dash").toString
+    startProvider()
+    val catalog = new TableCatalog(s"$base/tables")
+    val ingest = new IngestService(spark, catalog)
+    val spool = new Spool(s"$base/spool", SpoolConfig(maxRows = 1, rotatePeriodMillis = 100),
+      f => ingest.ingestFile(f.getParentFile.getParentFile.getName, f.getParentFile.getName, f))
+    val executor = new QueryExecutor(spark, catalog)
+    meta = new MetaStore(base, Set(1L))
+    val oauth = new OAuthClient(OAuthConfig(
+      clientId = "cid", clientSecret = "csec",
+      redirectUri = "http://localhost/oauth/callback",
+      authUrl = s"http://localhost:$providerPort/auth",
+      tokenUrl = s"http://localhost:$providerPort/token",
+      userinfoUrl = s"http://localhost:$providerPort/userinfo"))
+    server = new Server(ServerConfig(0, Map("key1" -> "1"), None, s"$base/unhealthy"),
+      catalog, ingest, spool, executor, meta,
+      dashboardConfig = Some(DashboardConfig(oauth, "jwt-test-secret".getBytes(UTF_8))))
+    port = server.start()
+  }
+
+  override def afterAll(): Unit = {
+    server.stop(); provider.stop(0); spark.stop()
+  }
+
+  private def get(path: String, headers: (String, String)*): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).GET()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def stateFrom(location: String): String =
+    location.split("[?&]").collectFirst { case s if s.startsWith("state=") => s.stripPrefix("state=") }.get
+
+  private def login(): (String, String) = { // (state, Location)
+    val r = get("/login")
+    assert(r.statusCode() == 307)
+    val loc = r.headers().firstValue("Location").get
+    assert(loc.startsWith(s"http://localhost:$providerPort/auth?"))
+    assert(loc.contains("client_id=cid") && loc.contains("response_type=code"))
+    (stateFrom(loc), loc)
+  }
+
+  test("full code flow: login redirect -> callback -> JWT cookie -> gated pages render") {
+    val (state, _) = login()
+    val cb = get(s"/oauth/callback?code=good-code&state=$state")
+    assert(cb.statusCode() == 303)
+    assert(cb.headers().firstValue("Location").get == "/dashboard")
+    val cookie = cb.headers().firstValue("Set-Cookie").get
+    assert(cookie.startsWith("jwt=") && cookie.contains("HttpOnly"))
+    val jwt = cookie.split(";")(0)
+
+    for (p <- Seq("/dashboard", "/dashboard/connections", "/dashboard/connections/new", "/dashboard/keys")) {
+      val page = get(p, "Cookie" -> jwt)
+      assert(page.statusCode() == 200, s"$p -> ${page.statusCode()}")
+      assert(page.body().contains("alice@example.com"), s"$p missing user email")
+    }
+    // the user was first-or-created in the metastore
+    val u = meta.getUser(1L).get
+    assert(u.email == "alice@example.com" && u.authType == "google")
+    // token exchange really hit the provider with the full form
+    assert(tokenRequests.exists(f => f.contains("code=good-code") &&
+      f.contains("redirect_uri=http%3A%2F%2Flocalhost%2Foauth%2Fcallback")))
+  }
+
+  test("returning user keeps their id (FirstOrCreate semantics)") {
+    val before = meta.getUser(1L).get
+    val (state, _) = login()
+    val cb = get(s"/oauth/callback?code=good-code&state=$state")
+    assert(cb.statusCode() == 303)
+    assert(meta.getUser(1L).get.id == before.id)
+    assert(meta.getUser(2L).isEmpty, "duplicate user row created for a returning email")
+  }
+
+  test("unauthenticated, tampered, and expired sessions all redirect to /login") {
+    for (req <- Seq(get("/dashboard"),
+                    get("/dashboard", "Cookie" -> "jwt=aaa.bbb.ccc"),
+                    get("/dashboard/keys", "Cookie" -> "jwt="))) {
+      assert(req.statusCode() == 307)
+      assert(req.headers().firstValue("Location").get == "/login")
+    }
+    // valid-shape but expired token
+    val dead = Jwt.encodeSession(1L, "jwt-test-secret".getBytes(UTF_8), ttlSeconds = -1)
+    val r = get("/dashboard", "Cookie" -> s"jwt=$dead")
+    assert(r.statusCode() == 307 && r.headers().firstValue("Location").get == "/login")
+    // token signed with the WRONG secret but a real user id
+    val forged = Jwt.encodeSession(1L, "attacker".getBytes(UTF_8), ttlSeconds = 3600)
+    val f = get("/dashboard", "Cookie" -> s"jwt=$forged")
+    assert(f.statusCode() == 307 && f.headers().firstValue("Location").get == "/login")
+  }
+
+  test("state is verified and one-time-use; bad code fails closed (stricter than reference)") {
+    // unknown state: callback never calls the provider
+    val n0 = tokenRequests.size
+    val r1 = get("/oauth/callback?code=good-code&state=not-a-state")
+    assert(r1.statusCode() == 307 && r1.headers().firstValue("Location").get == "/login")
+    assert(tokenRequests.size == n0, "provider was called with an unverified state")
+    // replayed state: the first use consumed it
+    val (state, _) = login()
+    assert(get(s"/oauth/callback?code=good-code&state=$state").statusCode() == 303)
+    val replay = get(s"/oauth/callback?code=good-code&state=$state")
+    assert(replay.statusCode() == 307 && replay.headers().firstValue("Location").get == "/login")
+    // bad code: provider 400s, we land on /login with no cookie
+    val (state2, _) = login()
+    val bad = get(s"/oauth/callback?code=evil&state=$state2")
+    assert(bad.statusCode() == 307 && bad.headers().firstValue("Location").get == "/login")
+    assert(bad.headers().firstValue("Set-Cookie").isEmpty)
+  }
+
+  test("logout clears the cookie; dashboard routes 404 when no dashboard is configured") {
+    val r = get("/logout")
+    assert(r.statusCode() == 303 && r.headers().firstValue("Location").get == "/login")
+    val c = r.headers().firstValue("Set-Cookie").get
+    assert(c.startsWith("jwt=;") && c.contains("Max-Age=0"))
+  }
+
+  test("users survive a metastore reload (persistence round trip)") {
+    val reloaded = new MetaStore(base, Set(1L))
+    val u = reloaded.getUser(1L).get
+    assert(u.email == "alice@example.com" && u.authType == "google")
+    assert(u.authDetails.contains("\"sub\":\"g-1\""))
+  }
+}

@@ -61,9 +61,7 @@ final class Dashboard(cfg: DashboardConfig, meta: MetaStore,
   def callback(ex: HttpExchange, p: Map[String, String]): Unit = {
     val ok = for {
       state <- p.get("state")
-      _ <- states.get(state)
-      // one-time use: overwrite with an already-expired entry
-      _ = states.set(state, Array.emptyByteArray, ttlMillis = Some(0L))
+      _ <- states.remove(state) // atomic one-time consume
       code <- p.get("code")
       token <- cfg.oauth.exchange(code)
       info <- cfg.oauth.fetchUserinfo(token)

@@ -63,6 +63,18 @@ final class TtlCache(defaultTtlMillis: Long = 5 * 60 * 1000L,
       }
     }
 
+  /** Atomically take an unexpired entry — present-and-removed or None.
+    * The one-shot consume (OAuth states): two racing callers get
+    * exactly one Some between them. */
+  def remove(key: String): Option[Array[Byte]] = m.synchronized {
+    m.remove(key) match {
+      case null => None
+      case e =>
+        totalBytes -= e.value.length
+        if (e.expiresAt > clock()) Some(e.value) else None
+    }
+  }
+
   def size: Int = m.synchronized(m.size())
 
   /** Total cached payload bytes (the bound [[maxBytes]] enforces). */

@@ -97,7 +97,13 @@ object Bench {
     // output, so the big per-query maps go first and the headline
     // metric/value/unit go LAST (r7's walls were truncated away because
     // they led the line)
-    println(s"""{"taskMetrics":$ms,"queries":$qs,"quiesceTimeouts":${listener.quiesceTimeouts.get},"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
+    val line = s"""{"taskMetrics":$ms,"queries":$qs,"quiesceTimeouts":${listener.quiesceTimeouts.get},"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}"""
+    println(line)
+    // optional file copy: stdout passes through harnesses that keep only
+    // a bounded tail — the file preserves the full per-query receipts
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").filter(_.nonEmpty).foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
   }
 }

@@ -148,7 +148,9 @@ object OracleSql {
        |         sum(CASE WHEN (CAST(hfin AS UBIGINT) >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS tally
        |  FROM xhashed CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) bb
        |  GROUP BY doc_id, bit
-       |), sim AS (
+       |), sim AS MATERIALIZED (
+       |  -- pair oracles reference sim 3x; one evaluation of the
+       |  -- per-token xxhash64 + bit-vote chain, not three
        |  SELECT doc_id,
        |         CAST(sum(CASE WHEN tally > 0 THEN
        |               CASE WHEN bit = 63 THEN CAST('-9223372036854775808' AS BIGINT)
@@ -234,7 +236,9 @@ object OracleSql {
        |  SELECT doc_id, j, ${signed(xorm("z2", s"z2 // ${1L << 31}"))} AS z3 FROM mx2
        |), mn AS (
        |  SELECT doc_id, j, min(z3) AS mh FROM mx3 GROUP BY doc_id, j
-       |), sg AS (
+       |), sg AS MATERIALIZED (
+       |  -- candidate oracles reference sg 3x (banding + both scoring
+       |  -- joins); one evaluation of the shingle/SplitMix64 chain
        |  SELECT doc_id, list(mh ORDER BY j) AS sig FROM mn GROUP BY doc_id
        |)""".stripMargin
   }
@@ -544,7 +548,9 @@ object OracleSql {
        |  SELECT doc_id,
        |         list_distinct(list_transform(list_sort(list_distinct(wins)), p -> grams[p + 1])) AS fps
        |  FROM win
-       |), inv AS (
+       |), inv AS MATERIALIZED (
+       |  -- referenced 3x below; materialize so the per-char FNV gram
+       |  -- chain above runs ONCE, not once per reference
        |  SELECT doc_id, unnest(fps) AS fp FROM fpl
        |), ok AS (
        |  SELECT fp FROM inv GROUP BY fp HAVING count(*) BETWEEN 2 AND $maxDf
@@ -656,7 +662,7 @@ object OracleSql {
        |         array_to_string(sig[bi * $rpb + 1 : bi * $rpb + $rpb], ',') || ',' || CAST(bi AS VARCHAR) AS t
        |  FROM sg CROSS JOIN (SELECT unnest(range(0, $bands)) AS bi) bb
        |), ${xxhChain("bnd", Seq("doc_id", "bi"), "t", "bx")},
-       |bkt AS (
+       |bkt AS MATERIALIZED (
        |  SELECT doc_id, bi AS band, hfin AS bucket FROM bxhashed
        |), ok AS (
        |  SELECT band, bucket FROM bkt GROUP BY band, bucket

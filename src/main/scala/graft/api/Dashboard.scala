@@ -72,7 +72,10 @@ final class Dashboard(cfg: DashboardConfig, meta: MetaStore,
     ok match {
       case Some(user) =>
         val jwt = Jwt.encodeSession(user.id, cfg.jwtSecret, cfg.sessionTtlSeconds)
-        ex.getResponseHeaders.add("Set-Cookie", s"jwt=$jwt; HttpOnly; Path=/")
+        // SameSite=Lax (stricter than the reference's bare cookie):
+        // top-level navigations still carry it, cross-site subresource
+        // requests don't
+        ex.getResponseHeaders.add("Set-Cookie", s"jwt=$jwt; HttpOnly; Path=/; SameSite=Lax")
         redirect(ex, 303, "/dashboard")
       case None => redirect(ex, 307, "/login")
     }

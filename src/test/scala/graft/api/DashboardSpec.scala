@@ -165,11 +165,18 @@ class DashboardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.headers().firstValue("Set-Cookie").isEmpty)
   }
 
-  test("logout clears the cookie; dashboard routes 404 when no dashboard is configured") {
+  test("logout clears the cookie") {
     val r = get("/logout")
     assert(r.statusCode() == 303 && r.headers().firstValue("Location").get == "/login")
     val c = r.headers().firstValue("Set-Cookie").get
     assert(c.startsWith("jwt=;") && c.contains("Max-Age=0"))
+  }
+
+  test("session cookie is HttpOnly + SameSite=Lax") {
+    val (state, _) = login()
+    val cb = get(s"/oauth/callback?code=good-code&state=$state")
+    val c = cb.headers().firstValue("Set-Cookie").get
+    assert(c.contains("HttpOnly") && c.contains("SameSite=Lax") && c.contains("Path=/"))
   }
 
   test("users survive a metastore reload (persistence round trip)") {

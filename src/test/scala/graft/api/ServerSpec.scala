@@ -262,6 +262,11 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/healthcheck").statusCode() == 200)
   }
 
+  test("dashboard routes are 404 when no DashboardConfig is set") {
+    for (p <- Seq("/login", "/logout", "/oauth/callback", "/dashboard", "/dashboard/keys"))
+      assert(get(p).statusCode() == 404, s"$p should 404 without a dashboard")
+  }
+
   test("extension functions are served through the tenant SQL endpoint") {
     def enc(q: String) = java.net.URLEncoder.encode(q, "UTF-8")
     // fingerprint64 over ingested tenant data == the engine's own hash

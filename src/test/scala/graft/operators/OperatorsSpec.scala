@@ -423,6 +423,49 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(9L) == (("q1 q2 q3 q4", 8L, 4L)))
   }
 
+  test("span excision invariants: keep-first keeps a superset of remove-all; counts reconcile; canonical set intact") {
+    // seeded random corpora with planted repeats: the two excision
+    // variants must agree on WHAT is duplicated and differ only in
+    // whether the canonical occurrence survives
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = (0 until 40).map(i => s"w$i")
+    def randDoc(): String =
+      Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val boiler = "b1 b2 b3 b4 b5" // planted 5-token boilerplate run
+    val corpus = (0L until 30L).map { i =>
+      val t = randDoc()
+      i -> (if (i % 3 == 0) s"$t $boiler" else t) // every 3rd doc carries the run
+    }
+    val df = docs(corpus: _*)
+    val all = Dedup.removeDuplicatedSpans(df, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val first = Dedup.removeDuplicatedSpansKeepFirst(df, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(all.keySet == first.keySet && all.size == 30)
+    var strictlyMore = 0
+    for ((id, (cleanAll, nTokAll, nRemAll)) <- all) {
+      val (cleanFirst, nTokFirst, nRemFirst) = first(id)
+      assert(nTokAll == nTokFirst, s"doc $id token counts disagree")
+      // keep-first never removes MORE than remove-all
+      assert(nRemFirst <= nRemAll, s"doc $id: keep-first removed more than remove-all")
+      // counts reconcile with the emitted text on both sides
+      def count(s: String) = if (s.isEmpty) 0 else s.split(" ").length
+      assert(count(cleanAll) == nTokAll - nRemAll)
+      assert(count(cleanFirst) == nTokFirst - nRemFirst)
+      // kept tokens of remove-all are a SUBSEQUENCE of keep-first's
+      // (keep-first only adds back canonical occurrences)
+      val a = cleanAll.split(" ").filter(_.nonEmpty)
+      var j = 0
+      for (t <- cleanFirst.split(" ").filter(_.nonEmpty) if j < a.length && t == a(j)) j += 1
+      assert(j == a.length, s"doc $id: remove-all kept set not a subsequence of keep-first's")
+      if (nRemFirst < nRemAll) strictlyMore += 1
+    }
+    // the planted boilerplate guarantees the variants actually diverge:
+    // its canonical holder (doc 0) keeps the run only under keep-first
+    assert(strictlyMore >= 1, "variants never diverged — planted repeat missing?")
+    assert(first(0L)._1.endsWith(boiler) && !all(0L)._1.endsWith(boiler))
+  }
+
   test("contaminationReport: shared shingles flag docs, short-doc fallback matches, broadcast == shuffle") {
     val train = docs(
       1L -> "a b c d e",  // shares shingle "a b c" with bench doc 10

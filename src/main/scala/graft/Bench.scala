@@ -87,8 +87,11 @@ object Bench {
       baseline = after
       delta
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${v._1}%.4f" }
-      .mkString("{", ",", "}")
+    // Locale.ROOT: the f interpolator uses the JVM default locale, and a
+    // comma-decimal locale would corrupt the JSON line
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v._1))
+    }.mkString("{", ",", "}")
     val ms = results.map { case (k, (_, run, gc, cpu, n)) =>
       s"\"$k\":{\"executorRunTimeMs\":$run,\"jvmGcTimeMs\":$gc,\"executorCpuTimeMs\":$cpu,\"tasks\":$n}"
     }.mkString("{", ",", "}")
@@ -102,7 +105,10 @@ object Bench {
     // optional file copy: stdout passes through harnesses that keep only
     // a bounded tail — the file preserves the full per-query receipts
     sys.env.get("SPARK_GRAFT_BENCH_OUT").filter(_.nonEmpty).foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      // best-effort: a bad path must not fail a green battery post-hoc
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
     }
     spark.stop()
   }

@@ -35,9 +35,15 @@ final case class DashboardConfig(
 final class Dashboard(cfg: DashboardConfig, meta: MetaStore,
                       respond: (HttpExchange, Int, String, String) => Unit) {
 
-  // pending one-time OAuth states; entry-count bound is DoS headroom
-  // (an unauthenticated client can mint states by hitting /login)
-  private val states = new TtlCache(5 * 60 * 1000L, 4096, 1 << 20)
+  // Pending one-time OAuth states. An unauthenticated client can mint
+  // states by hitting /login, and LRU eviction here denies service to
+  // honest in-flight logins — so the bound is sized for flood headroom,
+  // not typical load: 2^17 36-char keys ≈ 10 MB worst case, forcing an
+  // attacker to sustain ~440 req/s for the whole 5-minute TTL window to
+  // evict anyone. Residual flood risk belongs to a rate limiter in
+  // front (the reference has this exposure too — it never verifies
+  // state at all, so state verification here is strictly additive).
+  private val states = new TtlCache(5 * 60 * 1000L, 1 << 17, 16 << 20)
 
   private def redirect(ex: HttpExchange, code: Int, location: String): Unit = {
     ex.getResponseHeaders.set("Location", location)
@@ -74,8 +80,11 @@ final class Dashboard(cfg: DashboardConfig, meta: MetaStore,
         val jwt = Jwt.encodeSession(user.id, cfg.jwtSecret, cfg.sessionTtlSeconds)
         // SameSite=Lax (stricter than the reference's bare cookie):
         // top-level navigations still carry it, cross-site subresource
-        // requests don't
-        ex.getResponseHeaders.add("Set-Cookie", s"jwt=$jwt; HttpOnly; Path=/; SameSite=Lax")
+        // requests don't. Max-Age matches the JWT's exp so the browser
+        // keeps the cookie the full session length (a bare cookie dies
+        // on browser close, cutting the documented 7 days short).
+        ex.getResponseHeaders.add("Set-Cookie",
+          s"jwt=$jwt; HttpOnly; Path=/; SameSite=Lax; Max-Age=${cfg.sessionTtlSeconds}")
         redirect(ex, 303, "/dashboard")
       case None => redirect(ex, 307, "/login")
     }

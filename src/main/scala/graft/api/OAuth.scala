@@ -47,6 +47,7 @@ final class OAuthClient(cfg: OAuthConfig,
       "redirect_uri" -> cfg.redirectUri)
       .map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
     val req = HttpRequest.newBuilder(URI.create(cfg.tokenUrl))
+      .timeout(Duration.ofSeconds(15)) // a stalled IdP must not pin a handler thread
       .header("Content-Type", "application/x-www-form-urlencoded")
       .POST(HttpRequest.BodyPublishers.ofString(form)).build()
     for {
@@ -61,6 +62,7 @@ final class OAuthClient(cfg: OAuthConfig,
   /** Userinfo JSON for a bearer token, or None. */
   def fetchUserinfo(accessToken: String): Option[String] = {
     val req = HttpRequest.newBuilder(URI.create(cfg.userinfoUrl))
+      .timeout(Duration.ofSeconds(15))
       .header("Authorization", s"Bearer $accessToken").GET().build()
     send(req).filter(_.statusCode() == 200).map(_.body())
   }

@@ -434,15 +434,29 @@ object Dedup {
                             k: Int = 8, minCount: Int = 2): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    val toked = df.select(col(idCol).as("id"),
-      filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("__t"))
-    val starts = gramStarts(toked, k)
+    val toked = tokedFrame(df, idCol, textCol)
     val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram", "gram2")
-    val covered = starts
+    val covered = gramStarts(toked, k)
       .withColumn("total", count(lit(1)).over(byGram))
       .filter(col("total") >= minCount)
       .select(col("id"), explode(sequence(col("i"), col("i") + (k - 1))).as("j"))
       .distinct()
+    exciseCovered(df, idCol, textCol, toked, covered)
+  }
+
+  /** `(id, __t: array<string>)` tokenization shared by the excision
+    * operators. */
+  private def tokedFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("__t"))
+
+  /** Shared excision tail: drop the `covered` (id, 1-based position)
+    * set from `toked`, reassemble survivors in position order, and
+    * emit (idCol, clean_text, n_tokens, n_removed) for EVERY input row
+    * (untouched docs included). Both span-removal variants are this
+    * pipeline; they differ only in how `covered` is computed. */
+  private def exciseCovered(df: DataFrame, idCol: String, textCol: String,
+                            toked: DataFrame, covered: DataFrame): DataFrame = {
     val tokenRows = toked
       .select(col("id"), posexplode(col("__t")).as(Seq("__p", "tok")))
       .select(col("id"), (col("__p") + 1).as("j"), col("tok"))
@@ -505,34 +519,16 @@ object Dedup {
                                      k: Int = 8, minCount: Int = 2): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    val toked = df.select(col(idCol).as("id"),
-      filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("__t"))
-    val starts = gramStarts(toked, k)
+    val toked = tokedFrame(df, idCol, textCol)
     val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram", "gram2")
-    val covered = starts
+    val covered = gramStarts(toked, k)
       .withColumn("total", count(lit(1)).over(byGram))
       .withColumn("canon", min(struct(col("id"), col("i"))).over(byGram))
       .filter(col("total") >= minCount &&
         struct(col("id"), col("i")) =!= col("canon"))
       .select(col("id"), explode(sequence(col("i"), col("i") + (k - 1))).as("j"))
       .distinct()
-    val tokenRows = toked
-      .select(col("id"), posexplode(col("__t")).as(Seq("__p", "tok")))
-      .select(col("id"), (col("__p") + 1).as("j"), col("tok"))
-    val kept = tokenRows.join(covered, Seq("id", "j"), "left_anti")
-      .groupBy("id")
-      .agg(
-        array_join(transform(array_sort(collect_list(struct(col("j"), col("tok")))),
-          s => s.getField("tok")), " ").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    df.select(col(idCol).as("id"),
-        size(filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0))
-          .cast("long").as("n_tokens"))
-      .join(kept, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    exciseCovered(df, idCol, textCol, toked, covered)
   }
 
   /** Benchmark decontamination — the n-gram overlap check every LLM

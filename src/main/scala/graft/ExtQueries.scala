@@ -534,14 +534,19 @@ object ExtQueries {
              |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))),
 
     // Embedding-cosine near-duplicate pairs (banded LSH blocking, capped
-    // blocks, ids-only shuffle). Candidate set is sketch-defined ->
-    // rows-only; the exact twin below is the hash-checked oracle.
+    // blocks, ids-only shuffle). Hash-checked since round 8: the plane
+    // stream / sign-bit buckets / banding / cap are all deterministic
+    // and replayed in SQL (q51's machinery, single table) — so the
+    // BLOCKING is checked, not just the cosine math q64 pins. Threshold
+    // 0.44 as in q64 (0.9 yields zero pairs on the near-orthogonal
+    // synthetic embeddings, which would make the check vacuous); the
+    // banded path's pair set vs q64's exact set is the recall receipt.
     "q53_embedding_dupes" -> ((
       (s: SparkSession, d: String) =>
         SimilaritySearch.embeddingDupPairs(embs(s, d), "vec_id", "embedding",
-          threshold = 0.9)
-          .agg(count(lit(1)).as("n_pairs")),
-      None)),
+          threshold = 0.44)
+          .orderBy("id_a", "id_b"),
+      Some(OracleSql.embeddingDupPairsSql(threshold = 0.44)))),
 
     // Exact embedding near-dup pairs (cross join + threshold — the
     // validation twin of q53's bucketed path), hash-checked against a

@@ -290,6 +290,53 @@ object OracleSql {
        |  SELECT t, list(plane ORDER BY i) AS pl FROM pl3 GROUP BY t
        |)""".stripMargin
 
+  /** q53 oracle: the FULL banded-LSH embedding near-dup pipeline
+    * (SimilaritySearch.embeddingDupPairs, non-exact path) replayed —
+    * single hyperplane table (t = 0, seed 42, the same SplitMix64
+    * stream as [[annLshSql]]), strict-positive sign-bit buckets, the
+    * bucket cut into nBands band slices, capped blocking, exact cosine
+    * over the candidate pairs, threshold. The blocking itself is part
+    * of the replay, so the oracle checks recall-relevant drift (a
+    * dropped band, a wrong mask) — not just the cosine math the q64
+    * exact twin already pins. */
+  def embeddingDupPairsSql(threshold: Double, nPlanes: Int = 10,
+                           nBands: Int = 2, maxBucketSize: Int = 500): String = {
+    val width = nPlanes / nBands
+    val mask = (1 << width) - 1
+    s"""WITH dm AS (
+       |  SELECT len(embedding) AS dim FROM embeddings WHERE len(embedding) > 0 LIMIT 1
+       |), np AS (
+       |  SELECT $nPlanes AS p
+       |), ${planeCtes(1, 42L)},
+       |cb AS MATERIALIZED (
+       |  SELECT e.vec_id AS id, ${bucketExpr("e.embedding", "pls.pl")} AS bucket
+       |  FROM embeddings e, pls, np, dm
+       |), bnd AS (
+       |  SELECT id, bi AS band, (bucket >> (bi * $width)) & $mask AS bits
+       |  FROM cb CROSS JOIN (SELECT unnest(range(0, $nBands)) AS bi) bb
+       |), ok AS (
+       |  SELECT band, bits FROM bnd GROUP BY band, bits
+       |  HAVING count(*) BETWEEN 2 AND $maxBucketSize
+       |), pr AS (
+       |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM bnd l
+       |  JOIN bnd r ON l.band = r.band AND l.bits = r.bits AND l.id < r.id
+       |  JOIN ok o ON o.band = l.band AND o.bits = l.bits
+       |), sims AS (
+       |  SELECT p.id_a, p.id_b,
+       |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
+       |    list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+       |    list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+       |  FROM pr p
+       |  JOIN embeddings a ON a.vec_id = p.id_a
+       |  JOIN embeddings b ON b.vec_id = p.id_b
+       |)
+       |SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS cosine
+       |FROM sims WHERE dot / (sqrt(na) * sqrt(nb)) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** autoPlanes replay: floor(ln(n/8k)/ln 2) clamped to [1,24]. */
   private def autoPlanesCte(k: Int): String =
     s"""np AS (

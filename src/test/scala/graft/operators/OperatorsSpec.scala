@@ -423,6 +423,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(9L) == (("q1 q2 q3 q4", 8L, 4L)))
   }
 
+  test("approx_count_distinct (q35's sketch) stays inside 3x its documented rsd vs exact") {
+    // the q35 battery row is rows-only because HLL sketches differ
+    // across engines BY DESIGN; this pins the Spark sketch's accuracy
+    // against the exact count so "rows-only" is not "unchecked".
+    // approx_count_distinct is deterministic for fixed input, so the
+    // bound is a hard assertion, not a flaky statistical one.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct, col, lit}
+    val df = (0L until 60000L).map(i => (i % 7, i % 9901)).toDF("grp", "uid")
+    val rsd = 0.05 // Spark's default relativeSD
+    val rows = df.groupBy("grp")
+      .agg(approx_count_distinct(col("uid"), rsd).as("approx"),
+           countDistinct(col("uid")).as("exact"))
+      .collect()
+    assert(rows.length == 7)
+    for (r <- rows) {
+      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      val relErr = math.abs(approx - exact) / exact
+      assert(relErr <= 3 * rsd, s"grp ${r.get(0)}: approx $approx vs exact $exact (relErr $relErr)")
+    }
+  }
+
   test("span excision invariants: keep-first keeps a superset of remove-all; counts reconcile; canonical set intact") {
     // seeded random corpora with planted repeats: the two excision
     // variants must agree on WHAT is duplicated and differ only in

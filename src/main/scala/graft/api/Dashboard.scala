@@ -83,8 +83,12 @@ final class Dashboard(cfg: DashboardConfig, meta: MetaStore,
         // requests don't. Max-Age matches the JWT's exp so the browser
         // keeps the cookie the full session length (a bare cookie dies
         // on browser close, cutting the documented 7 days short).
+        // Secure when the deployment is HTTPS — the redirect URI is the
+        // one config value that reliably knows (plain-HTTP local dev
+        // must still be able to set the cookie).
+        val secure = if (cfg.oauth.redirectsToHttps) "; Secure" else ""
         ex.getResponseHeaders.add("Set-Cookie",
-          s"jwt=$jwt; HttpOnly; Path=/; SameSite=Lax; Max-Age=${cfg.sessionTtlSeconds}")
+          s"jwt=$jwt; HttpOnly; Path=/; SameSite=Lax; Max-Age=${cfg.sessionTtlSeconds}$secure")
         redirect(ex, 303, "/dashboard")
       case None => redirect(ex, 307, "/login")
     }

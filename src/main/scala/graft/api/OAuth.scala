@@ -34,6 +34,10 @@ final class OAuthClient(cfg: OAuthConfig,
 
   private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
 
+  /** Whether the configured callback is HTTPS — the session cookie's
+    * Secure flag follows this. */
+  def redirectsToHttps: Boolean = cfg.redirectUri.startsWith("https://")
+
   def authCodeUrl(state: String): String =
     s"${cfg.authUrl}?response_type=code&client_id=${enc(cfg.clientId)}" +
       s"&redirect_uri=${enc(cfg.redirectUri)}&scope=${enc(cfg.scope)}&state=${enc(state)}"

@@ -172,11 +172,17 @@ class DashboardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.startsWith("jwt=;") && c.contains("Max-Age=0"))
   }
 
-  test("session cookie is HttpOnly + SameSite=Lax") {
+  test("session cookie is HttpOnly + SameSite=Lax + Max-Age; Secure tracks the redirect scheme") {
     val (state, _) = login()
     val cb = get(s"/oauth/callback?code=good-code&state=$state")
     val c = cb.headers().firstValue("Set-Cookie").get
     assert(c.contains("HttpOnly") && c.contains("SameSite=Lax") && c.contains("Path=/"))
+    assert(c.contains(s"Max-Age=${7 * 24 * 3600}"))
+    // this spec's redirect URI is http:// — plain-HTTP dev must still
+    // be able to set the cookie, so Secure is absent here
+    assert(!c.contains("Secure"))
+    val httpsClient = new OAuthClient(OAuthConfig("cid", "csec", "https://host/oauth/callback"))
+    assert(httpsClient.redirectsToHttps)
   }
 
   test("users survive a metastore reload (persistence round trip)") {

@@ -667,10 +667,10 @@ object ExtQueries {
              |FROM events
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
 
-    // Connected components hash-checked end-to-end: q61's clustering is
-    // rows-only because its MinHash candidate set is sketch-defined, but
-    // over the EXACT n-gram-Jaccard pair set (q49's oracle machinery) the
-    // component assignment is fully deterministic — the DuckDB oracle
+    // Connected components hash-checked end-to-end over the EXACT
+    // n-gram-Jaccard pair set (q49's oracle machinery) — q61's own
+    // candidate set is also hash-checked since round 8; this twin pins
+    // the component assignment in isolation. The DuckDB oracle
     // recomputes the pairs and closes them transitively with a recursive
     // CTE (min reachable id per node == min-label propagation fixpoint).
     // Any drift in the iterative propagation (a dropped edge, a stale
@@ -714,9 +714,9 @@ object ExtQueries {
              |SELECT id AS doc_id, min(lbl) AS cluster
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))),
 
-    // SimHash hash-checked bit-for-bit: q48's pairing is rows-only
-    // because the pair set is sketch-defined, but the sketch VALUE is
-    // deterministic — the oracle replays xxhash64(seed 42) per token in
+    // SimHash sketch VALUE hash-checked bit-for-bit (q48's pairing is
+    // also hash-checked since round 8; this twin isolates the sketch) —
+    // the oracle replays xxhash64(seed 42) per token in
     // HUGEINT mod-2^64 SQL (OracleSql.xxhChain) and re-runs the bit
     // voting. Any drift in tokenize/hash/vote hash-mismatches here.
     "q71_simhash_exact" -> ((

@@ -608,7 +608,9 @@ object Queries {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))),
 
     // Approx distinct (HLL++): engines' sketches differ by design — no
-    // SQL oracle; the driver's rows-only check applies.
+    // SQL oracle; the driver's rows-only check applies. Accuracy is
+    // pinned separately: OperatorsSpec asserts the sketch within 3x its
+    // documented rsd of the exact count.
     "q35_approx_distinct" -> ((
       (s: SparkSession, d: String) =>
         t(s, d, "events").groupBy(col("event_type"))

@@ -148,7 +148,12 @@ object Dedup {
     * set is materialized at any time. Each round LAZILY
     * `localCheckpoint`s the new edge set — the convergence aggregate
     * is the action that materializes it, so the checkpoint costs no
-    * extra job — then unpersists the previous round's blocks.
+    * extra job — then releases the previous round's blocks. Release
+    * means the backing RDD, not `Dataset.unpersist()`: checkpoint
+    * blocks are RDD-level persistence the CacheManager never sees, and
+    * relying on GC + ContextCleaner instead holds O(rounds) edge-set
+    * copies at the loop's high-water mark (caught by the
+    * `ccPeakCaches` receipt, round 8).
     * Checkpointing EVERY round (not every Nth) is load-bearing here,
     * not an optimization: one star round references `edges` ~12 times
     * (sym × ls × ssMin × the union), so an untruncated k-round lineage
@@ -164,6 +169,16 @@ object Dedup {
     * convergence claim (spec-pinned on a diameter-1000 path graph;
     * includes the final confirming round). */
   @volatile private[graft] var ccRounds: Int = 0
+
+  /** High-water persistent-RDD count observed INSIDE the most recent
+    * [[connectedComponents]] loop — the observability receipt for the
+    * bounded-cache contract. Counting caches after return is
+    * nondeterministic (lingering localCheckpoint RDDs are reclaimed
+    * asynchronously by the ContextCleaner), but the peak during the
+    * loop is exact: an O(rounds) cache leak shows up here as a count
+    * that grows with the iteration number regardless of cleaner
+    * timing. */
+  @volatile private[graft] var ccPeakCaches: Int = 0
 
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     // canonical hi -> lo directed edges; `edges` always holds the ONE
@@ -184,6 +199,10 @@ object Dedup {
     var prev = stats(edges)
     var iter = 0
     var converged = prev._1 == 0L
+    var ccPeak = pairs.sparkSession.sparkContext.getPersistentRDDs.size
+    // the RDD backing the current round's localCheckpoint (None for the
+    // round-0 persisted frame) — see the release comment below
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     // both star steps are "per-node neighborhood min, broadcast back to
     // the node's edges" — a WINDOW over the edge list, not a
     // groupBy-then-self-join: the window is one exchange + sort where
@@ -231,13 +250,26 @@ object Dedup {
       // dead. Fixpoint (count + order-free hash sum unchanged) = the
       // edge set is the star set rooted at component minima.
       val cur = stats(next)
+      // both the old and new edge sets are live right here — the loop's
+      // cache high-water mark (see ccPeakCaches)
+      ccPeak = math.max(ccPeak,
+        pairs.sparkSession.sparkContext.getPersistentRDDs.size)
+      // release the superseded edge set FOR REAL. Dataset.unpersist
+      // covers the round-0 .persist() frame only: checkpoint blocks are
+      // RDD-level persistence the CacheManager never sees, so every
+      // later round must drop the tracked RDD directly — without this
+      // the loop holds O(rounds) edge-set copies until a GC lets the
+      // ContextCleaner catch up (found by the ccPeakCaches receipt).
       edges.unpersist()
+      prevCkpt.foreach(_.unpersist(false))
+      prevCkpt = org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(next)
       edges = next
       converged = cur == prev
       prev = cur
       iter += 1
     }
     ccRounds = iter
+    ccPeakCaches = ccPeak
     if (!converged)
       System.err.println(s"[graft] connectedComponents: star contraction did not " +
         s"converge in $maxIterations rounds (edges=${prev._1}); labels may be " +
@@ -249,8 +281,11 @@ object Dedup {
     val roots = edges.select(col("v").as("id")).distinct()
       .join(memb.select(col("id")), Seq("id"), "left_anti")
       .withColumn("cluster", col("id"))
+    // eager checkpoint materializes result BEFORE the final edge set is
+    // released (result's lineage reads edges until then)
     val result = memb.union(roots).localCheckpoint()
     edges.unpersist()
+    prevCkpt.foreach(_.unpersist(false))
     result
   }
 

@@ -13,4 +13,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The RDD a `Dataset.localCheckpoint` persisted, or None. A
+    * checkpointed Dataset's plan is a `LogicalRDD` over the persisted
+    * internal RDD; `Dataset.unpersist()` only talks to the
+    * CacheManager and never releases those blocks, so an iterative
+    * caller that checkpoints per round must unpersist the superseded
+    * round's RDD DIRECTLY — this is the handle. */
+  def checkpointedRdd(df: org.apache.spark.sql.DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => Some(r.rdd)
+      case _ => None
+    }
 }

@@ -507,6 +507,21 @@ object ExtQueries {
       },
       Some(OracleSql.ivfTopKQuantizedSql(k = 10, nCells = 16, nProbe = 4)))),
 
+    // IVF-PQ tier: product-quantized ADC top-k over the full corpus —
+    // the m-bytes-per-row 100 TB scan path (SQ8 in q88 is 4x smaller;
+    // PQ is 4*dim/m x, 64x here). Codebook = the deterministic
+    // hash-ordered sample idiom (raw rows), codes = first-min-wins
+    // subvector argmins, score = m LUT lookups — every step is pure
+    // double arithmetic in a fixed order, so the full
+    // encode -> ADC -> rank pipeline replays in SQL and hash-checks.
+    // The IVF cell-pruning composition is pinned by spec (all-probe
+    // ivfPqTopK == this query) + q57's oracle-checked cell machinery.
+    "q90_ann_pq_adc" -> ((
+      (s: SparkSession, d: String) =>
+        SimilaritySearch.pqTopK(embs(s, d), "vec_id", "embedding",
+          queryVec(s, d), k = 10, nCodes = 16, m = 4),
+      Some(OracleSql.pqTopKSql(k = 10, nCodes = 16, m = 4)))),
+
     // Exact k-NN join (crossJoin validation path of knnJoin): top-3
     // cosine neighbors for each of the first 20 vectors, hash-checked
     // against a DuckDB cross join with identical double accumulation

@@ -543,6 +543,64 @@ object OracleSql {
        |ORDER BY cosine DESC, vec_id LIMIT $k""".stripMargin
   }
 
+  /** q90 oracle: PQ-ADC top-k replayed exactly. Codebook = q57's
+    * deterministic hash-ordered sample idiom (xxhash64(vec_id) closed
+    * form, ascending, limit nCodes) kept RAW (PQ approximates raw
+    * subvectors, no normalization); each row's m codes are
+    * ascending-scan argmins of subvector L2 distance (strict `<`,
+    * first-min-wins — PqEncode's rule); the score replays PqAdcScore's
+    * exact double grouping: per-subspace inner sums, ascending-s outer
+    * sum, `qn * sqrt(n2)` denominator, flat query norm. */
+  def pqTopKSql(k: Int, nCodes: Int, m: Int): String = {
+    val h0 = (BigInt(42) + BigInt(P5) + 8) mod (BigInt(1) << 64)
+    s"""WITH q AS (
+       |  SELECT embedding AS qe, len(embedding) // $m AS dsub
+       |  FROM embeddings WHERE vec_id = 0
+       |), hu AS (
+       |  SELECT embedding,
+       |    CASE WHEN vec_id < 0 THEN CAST(vec_id AS HUGEINT) + CAST('$M' AS HUGEINT)
+       |         ELSE CAST(vec_id AS HUGEINT) END AS u
+       |  FROM embeddings WHERE len(embedding) > 0
+       |), hx AS (
+       |  SELECT embedding, ((${mul(rotl(xorm(s"CAST('$h0' AS HUGEINT)", rnd("0", "u")), 27), P1)} + $P4) % $M) AS h2 FROM hu
+       |), ha1 AS (SELECT embedding, ${mul(xorm("h2", s"h2 // ${1L << 33}"), P2)} AS a1 FROM hx
+       |), ha2 AS (SELECT embedding, ${mul(xorm("a1", s"a1 // ${1L << 29}"), P3)} AS a2 FROM ha1
+       |), hf AS (
+       |  SELECT embedding, ${signed(xorm("a2", s"a2 // ${1L << 32}"))} AS hsig FROM ha2
+       |), cbk AS (
+       |  SELECT row_number() OVER (ORDER BY hsig) - 1 AS j, embedding
+       |  FROM hf ORDER BY hsig LIMIT $nCodes
+       |), cbl AS (
+       |  SELECT list(embedding ORDER BY j) AS cw, count(*) AS nc FROM cbk
+       |), dst AS (
+       |  SELECT e.vec_id, nc, dsub,
+       |    list_transform(range(0, $m * nc), t ->
+       |      list_sum(list_transform(range(1, dsub + 1), i ->
+       |        (CAST(e.embedding[(t // nc) * dsub + i] AS DOUBLE) - CAST(cw[t % nc + 1][(t // nc) * dsub + i] AS DOUBLE))
+       |      * (CAST(e.embedding[(t // nc) * dsub + i] AS DOUBLE) - CAST(cw[t % nc + 1][(t // nc) * dsub + i] AS DOUBLE))))) AS d
+       |  FROM embeddings e, cbl, q
+       |), enc AS (
+       |  SELECT vec_id,
+       |    list_transform(range(0, $m), s ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, nc)),
+       |        (pp, qq) -> CASE WHEN d[s * nc + qq + 1] < d[s * nc + pp + 1] THEN qq ELSE pp END)) AS codes
+       |  FROM dst
+       |), adc AS (
+       |  SELECT vec_id,
+       |    list_sum(list_transform(range(0, $m), s ->
+       |      list_sum(list_transform(range(1, dsub + 1), i ->
+       |        CAST(qe[s * dsub + i] AS DOUBLE) * CAST(cw[codes[s + 1] + 1][s * dsub + i] AS DOUBLE))))) AS ip,
+       |    list_sum(list_transform(range(0, $m), s ->
+       |      list_sum(list_transform(range(1, dsub + 1), i ->
+       |        CAST(cw[codes[s + 1] + 1][s * dsub + i] AS DOUBLE) * CAST(cw[codes[s + 1] + 1][s * dsub + i] AS DOUBLE))))) AS n2,
+       |    sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+       |  FROM enc, cbl, q
+       |)
+       |SELECT vec_id, ip / (qn * sqrt(n2)) AS adc_cosine
+       |FROM adc WHERE qn <> 0 AND n2 <> 0
+       |ORDER BY adc_cosine DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   /** q55 oracle: Multimodal frame sampling replayed — video assets are
     * doc_id % 3 == 2 (assetsFromDocuments' kind cycle), frames are
     * every-4th 64-byte chunk, and the checked aggregate is per-asset

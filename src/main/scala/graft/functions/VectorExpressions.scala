@@ -221,6 +221,138 @@ object NearestCentroid {
   }
 }
 
+/** Product-quantization encoder: split the vector into `m` contiguous
+  * subvectors of dim/m coordinates; each subvector maps to the index of
+  * the L2-nearest codeword slice (`argmin_j sum_i (x_i - cw_ji)^2`,
+  * strict `<` so ties keep the LOWEST j — deterministic, SQL-replayable
+  * with an ascending reduce). The codebook is `nCodes` FULL-dimension
+  * rows laid out row-major; subspace `s` uses columns
+  * `[s*dsub, (s+1)*dsub)` of every row, so one sampled-row codebook
+  * serves all subspaces. Output is `ARRAY<TINYINT>` of length m with
+  * codes stored as `j - 128` (nCodes <= 256): the 100 TB embedding
+  * store shrinks from 4*dim bytes/row to m bytes/row (32x at dim=64,
+  * m=8). Codegen'd — encoding a corpus is one fused map stage inside
+  * whole-stage codegen. */
+case class PqEncode(child: Expression, codebook: Array[Double], nCodes: Int, m: Int)
+    extends UnaryExpression {
+  require(nCodes >= 2 && nCodes <= 256, "nCodes must be in [2, 256]")
+  require(codebook.length % nCodes == 0, "codebook must be nCodes x dim row-major")
+  require(m >= 1 && (codebook.length / nCodes) % m == 0, "m must divide dim")
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val dim = codebook.length / nCodes
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) throw HyperplaneBucket.dimMismatch(x.numElements(), dim)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PqEncode.encode(x, codebook, nCodes, dim, m))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebook", codebook, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $dim) { throw graft.functions.HyperplaneBucket.dimMismatch($n, $dim); }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.PqEncode.encode($x, $cbRef, $nCodes, $dim, $m));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PqEncode {
+  /** Shared by interpreted + generated code. Distances accumulate in
+    * double, ascending coordinate order within each subspace, codes
+    * scan ascending j — bit-deterministic and first-min-wins. */
+  def encode(x: ArrayData, cb: Array[Double], nCodes: Int, dim: Int, m: Int): Array[Byte] = {
+    val dsub = dim / m
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val base = s * dsub
+      var best = 0; var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < nCodes) {
+        var d = 0.0; var i = 0; val off = j * dim + base
+        while (i < dsub) {
+          val diff = x.getFloat(base + i).toDouble - cb(off + i)
+          d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(s) = (best - 128).toByte
+      s += 1
+    }
+    out
+  }
+}
+
+/** Asymmetric-distance (ADC) approximate cosine for a PQ-encoded row:
+  * the query side precomputes, per (subspace, code), the partial inner
+  * product `lutIp[s*nCodes+j] = dot(q_s, cw_j_s)` and the partial
+  * codeword norm `lutNorm[s*nCodes+j] = |cw_j_s|^2` — m*nCodes doubles,
+  * a broadcast constant — so scoring a row is m table lookups instead
+  * of a dim-length float scan (the reason a PQ store is scanned at
+  * memory bandwidth). Result: `sum_s ip / (qNorm * sqrt(sum_s n2))`,
+  * null when either norm is zero (matches cosine_sim's convention).
+  * Sums run ascending s, matching the nested-sum oracle replay. */
+case class PqAdcScore(child: Expression, lutIp: Array[Double], lutNorm: Array[Double],
+                      qNorm: Double, nCodes: Int, m: Int)
+    extends UnaryExpression {
+  require(lutIp.length == m * nCodes && lutNorm.length == m * nCodes,
+    "LUTs must be m x nCodes row-major")
+  override def prettyName: String = "pq_adc_score"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val codes = v.asInstanceOf[ArrayData]
+    if (codes.numElements() != m) throw HyperplaneBucket.dimMismatch(codes.numElements(), m)
+    val r = PqAdcScore.score(codes, lutIp, lutNorm, qNorm, nCodes, m)
+    if (r.isNaN) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ipRef = ctx.addReferenceObj("lutIp", lutIp, "double[]")
+    val nrmRef = ctx.addReferenceObj("lutNorm", lutNorm, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n"); val r = ctx.freshName("r")
+      s"""
+         |int $n = $c.numElements();
+         |if ($n != $m) { throw graft.functions.HyperplaneBucket.dimMismatch($n, $m); }
+         |double $r = graft.functions.PqAdcScore.score($c, $ipRef, $nrmRef, $qNorm, $nCodes, $m);
+         |if (Double.isNaN($r)) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PqAdcScore {
+  /** Shared by interpreted + generated code; NaN signals null. */
+  def score(codes: ArrayData, lutIp: Array[Double], lutNorm: Array[Double],
+            qNorm: Double, nCodes: Int, m: Int): Double = {
+    var ip = 0.0; var n2 = 0.0
+    var s = 0
+    while (s < m) {
+      val j = codes.getByte(s) + 128
+      ip += lutIp(s * nCodes + j); n2 += lutNorm(s * nCodes + j)
+      s += 1
+    }
+    if (qNorm == 0.0 || n2 == 0.0) Double.NaN
+    else ip / (qNorm * math.sqrt(n2))
+  }
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.Bridge.{column => C, expression => E}
   def dot_product(a: Column, b: Column): Column = C(DotProduct(E(a), E(b)))
@@ -229,6 +361,11 @@ object VectorFunctions {
     C(HyperplaneBucket(E(v), planes, nPlanes))
   def nearest_centroid(v: Column, centroids: Array[Double], k: Int): Column =
     C(NearestCentroid(E(v), centroids, k))
+  def pq_encode(v: Column, codebook: Array[Double], nCodes: Int, m: Int): Column =
+    C(PqEncode(E(v), codebook, nCodes, m))
+  def pq_adc_score(codes: Column, lutIp: Array[Double], lutNorm: Array[Double],
+                   qNorm: Double, nCodes: Int, m: Int): Column =
+    C(PqAdcScore(E(codes), lutIp, lutNorm, qNorm, nCodes, m))
 
   /** Deterministic pseudo-random hyperplanes (SplitMix64 stream). */
   def makePlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Double] = {

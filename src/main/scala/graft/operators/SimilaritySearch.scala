@@ -375,6 +375,118 @@ object SimilaritySearch {
                        k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame =
     ivfTopK(dequantizeEmbeddings(quantized), idCol, "q_restored", query, k, nCells, nProbe)
 
+  // -------------------------------------------------- PQ tier (IVF-PQ)
+
+  /** Product-quantization codebook: `nCodes` full-dimension rows, a
+    * deterministic hash-ordered corpus sample like [[ivfCentroids]] but
+    * RAW (not L2-normalized) — PQ codewords approximate raw subvector
+    * values, and subspace `s` of every sampled row is subspace `s`'s
+    * codeword set. nCodes x dim doubles fit the driver trivially and
+    * broadcast as a codegen reference constant. (Sampled codewords are
+    * the bootstrap analogue of sampled IVF centroids; k-means refinement
+    * would only tighten the same cells.) */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                 nCodes: Int): Array[Double] = {
+    val rows = corpus.select(col(vecCol))
+      .filter(size(col(vecCol)) > 0)
+      .orderBy(xxhash64(col(idCol)))
+      .limit(nCodes)
+      .collect()
+    require(rows.nonEmpty, "cannot build a PQ codebook from an empty corpus")
+    val dim = rows.head.getSeq[Float](0).length
+    val out = new Array[Double](rows.length * dim)
+    rows.zipWithIndex.foreach { case (r, j) =>
+      val v = r.getSeq[Float](0)
+      var i = 0
+      while (i < dim) { out(j * dim + i) = v(i).toDouble; i += 1 }
+    }
+    out
+  }
+
+  /** Encode a corpus against a PQ codebook: `(id, pq_codes)` with
+    * `pq_codes` = m bytes/row (see [[graft.functions.PqEncode]]) — the
+    * 100 TB scan-path layout: 4*dim bytes -> m bytes (32x at dim=64,
+    * m=8), one codegen'd map stage, no shuffle. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebook: Array[Double], nCodes: Int, m: Int): DataFrame =
+    df.select(col(idCol), pq_encode(col(vecCol), codebook, nCodes, m).as("pq_codes"))
+
+  /** Driver-side ADC lookup tables for one query: per (subspace, code)
+    * partial inner product and codeword norm, plus the flat query norm.
+    * All sums are double, ascending coordinate order — the same order
+    * the SQL oracle's nested list_sum replays. */
+  private[graft] def adcLuts(codebook: Array[Double], nCodes: Int, m: Int,
+                             query: Array[Float]): (Array[Double], Array[Double], Double) = {
+    val dim = codebook.length / nCodes
+    val dsub = dim / m
+    val lutIp = new Array[Double](m * nCodes)
+    val lutNorm = new Array[Double](m * nCodes)
+    var s = 0
+    while (s < m) {
+      val base = s * dsub
+      var j = 0
+      while (j < nCodes) {
+        var ip = 0.0; var n2 = 0.0; var i = 0; val off = j * dim + base
+        while (i < dsub) {
+          val c = codebook(off + i)
+          ip += query(base + i).toDouble * c; n2 += c * c; i += 1
+        }
+        lutIp(s * nCodes + j) = ip; lutNorm(s * nCodes + j) = n2
+        j += 1
+      }
+      s += 1
+    }
+    var qn2 = 0.0; var i = 0
+    while (i < query.length) { val q = query(i).toDouble; qn2 += q * q; i += 1 }
+    (lutIp, lutNorm, math.sqrt(qn2))
+  }
+
+  /** PQ ANN top-k by asymmetric distance: encode (or reuse an encoded
+    * store), score every row with m LUT lookups, exact ordering over the
+    * approximate scores. The scan touches m bytes + 2m double adds per
+    * row — memory-bandwidth-bound at 100 TB, no float corpus ever
+    * materialized. `approx cosine = dot(q, x̂)/(|q||x̂|)` over the
+    * reconstruction x̂, so quality degrades gracefully with codebook
+    * coarseness (spec-pinned: m=1 + corpus-sized codebook == exact). */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String, query: Array[Float],
+             k: Int, nCodes: Int = 256, m: Int = 8,
+             codebook: Array[Double] = null): DataFrame = {
+    val cb = Option(codebook).getOrElse(pqCodebook(corpus, idCol, vecCol, nCodes))
+    val nc = cb.length / query.length
+    val (lutIp, lutNorm, qNorm) = adcLuts(cb, nc, m, query)
+    pqEncode(corpus, idCol, vecCol, cb, nc, m)
+      .select(col(idCol), pq_adc_score(col("pq_codes"), lutIp, lutNorm, qNorm, nc, m)
+        .as("adc_cosine"))
+      .filter(col("adc_cosine").isNotNull)
+      .orderBy(col("adc_cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-PQ: the canonical 100 TB ANN layout — coarse IVF cells prune
+    * the scan to ~nProbe/nCells of the corpus (directory-level when the
+    * store is partitioned by cell), PQ codes make the surviving scan m
+    * bytes/row. Codebook and centroids both derive from the FULL corpus
+    * (deterministic regardless of which cells are probed), so
+    * nProbe = nCells degenerates to exactly [[pqTopK]] (spec-pinned);
+    * the IVF side is q57's oracle-pinned machinery unchanged. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String, query: Array[Float],
+                k: Int, nCells: Int = 16, nProbe: Int = 4,
+                nCodes: Int = 256, m: Int = 8): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCells)
+    val cb = pqCodebook(corpus, idCol, vecCol, nCodes)
+    val dim = query.length
+    val kCells = cents.length / dim
+    val scored = (0 until kCells).map { j =>
+      var dot = 0.0; var i = 0
+      while (i < dim) { dot += query(i).toDouble * cents(j * dim + i); i += 1 }
+      (j, dot)
+    }.sortBy { case (j, dot) => (-dot, j) }
+    val probes = scored.take(math.min(nProbe, kCells)).map(_._1)
+    pqTopK(withIvfCell(corpus, vecCol, cents, kCells)
+      .filter(col("cell").isin(probes: _*)), idCol, vecCol, query, k,
+      nCodes, m, codebook = cb)
+  }
+
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String, query: Array[Float],
               k: Int, nCells: Int = 16, nProbe: Int = 4,
               centroids: Array[Double] = null): DataFrame = {

@@ -899,6 +899,73 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pqTopK degenerate exactness: m=1 + corpus-sized codebook equals brute force bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 50L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1).toSeq)).toDF("vec_id", "embedding")
+    val query = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    // every corpus row is a codeword and m=1, so each vector's nearest
+    // codeword is itself (distance exactly 0) — reconstruction is the
+    // identity and ADC cosine must equal cosine_sim bit-for-bit
+    val adc = SimilaritySearch.pqTopK(corpus, "vec_id", "embedding", query,
+        k = 10, nCodes = 50, m = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = SimilaritySearch.bruteForceTopK(corpus, "vec_id", "embedding", query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(adc == exact, "identity-codebook ADC must reproduce exact cosine top-k")
+  }
+
+  test("ivfPqTopK: all-probe degenerates to pqTopK; codes are m bytes and repartition-stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(29)
+    val corpus = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1).toSeq)).toDF("vec_id", "embedding")
+    val query = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val full = SimilaritySearch.pqTopK(corpus, "vec_id", "embedding", query,
+        k = 10, nCodes = 16, m = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = SimilaritySearch.ivfPqTopK(corpus, "vec_id", "embedding", query,
+        k = 10, nCells = 8, nProbe = 8, nCodes = 16, m = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == full, "nProbe = nCells IVF-PQ must equal whole-corpus PQ ADC")
+    // storage contract: m TINYINT codes per row, dim*4 -> m bytes
+    val cb = SimilaritySearch.pqCodebook(corpus, "vec_id", "embedding", 16)
+    val enc = SimilaritySearch.pqEncode(corpus, "vec_id", "embedding", cb, 16, 4)
+    assert(enc.schema("pq_codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, false))
+    assert(enc.select(org.apache.spark.sql.functions.size(col("pq_codes"))).distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(4))
+    // encoding is a pure map of (vector, codebook): any partitioning
+    // yields identical codes
+    val a = enc.collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    val b = SimilaritySearch.pqEncode(corpus.repartition(13), "vec_id", "embedding", cb, 16, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(a == b)
+  }
+
+  test("pqTopK recall on a clustered corpus: ADC top-10 overlaps exact top-10") {
+    import spark.implicits._
+    // same production shape as the knnJoin recall spec: cluster centers
+    // + per-point noise, where PQ's sampled codewords land near centers
+    // and reconstruction error is the noise scale
+    val rnd = new scala.util.Random(31)
+    val dim = 32
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val corpus = (0L until 400L).map { i =>
+      val c = centers(rnd.nextInt(20))
+      (i, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val query = centers(3).map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val adcIds = SimilaritySearch.pqTopK(corpus, "vec_id", "embedding", query,
+      k = 10, nCodes = 64, m = 4).collect().map(_.getLong(0)).toSet
+    val exactIds = SimilaritySearch.bruteForceTopK(corpus, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(adcIds.intersect(exactIds).size >= 7,
+      s"ADC top-10 drifted too far from exact: ${adcIds.intersect(exactIds).size}/10")
+  }
+
   test("knnJoin recall >= 0.9 at auto settings on a clustered corpus (the production shape)") {
     import spark.implicits._
     // 20 cluster centers + per-point noise in 32 dims: the shape real

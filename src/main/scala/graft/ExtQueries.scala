@@ -522,6 +522,24 @@ object ExtQueries {
           queryVec(s, d), k = 10, nCodes = 16, m = 4),
       Some(OracleSql.pqTopKSql(k = 10, nCodes = 16, m = 4)))),
 
+    // Hybrid retrieval (reciprocal-rank fusion): lexical top-n over
+    // documents fused with vector top-n over embeddings by
+    // score = sum 1/(60 + rank) — the curation-pipeline triage query
+    // (decontamination / targeted-dedup pulls combine keyword and
+    // embedding evidence). RRF is bit-deterministic (integer ranks,
+    // fixed-order double division — no transcendental idf), so the
+    // whole two-branch pipeline hash-checks. The corpora never join;
+    // the only join is the full-outer fuse of two <= 50-row lists.
+    "q91_hybrid_rrf" -> ((
+      (s: SparkSession, d: String) =>
+        SimilaritySearch.hybridTopK(
+          docs(s, d), "doc_id", "text",
+          embs(s, d), "vec_id", "embedding",
+          queryText = "spark merge window", queryVec = queryVec(s, d),
+          k = 20, nPerList = 50, rrfK = 60),
+      Some(OracleSql.hybridTopKSql(Seq("spark", "merge", "window"),
+        k = 20, nPerList = 50, rrfK = 60)))),
+
     // Exact k-NN join (crossJoin validation path of knnJoin): top-3
     // cosine neighbors for each of the first 20 vectors, hash-checked
     // against a DuckDB cross join with identical double accumulation

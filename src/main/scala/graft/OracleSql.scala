@@ -422,6 +422,52 @@ object OracleSql {
        |WHERE "rank" <= $k ORDER BY query_id, "rank"""".stripMargin
   }
 
+  /** q91 oracle: hybrid RRF retrieval replayed exactly. Lexical branch
+    * = q42's tokenization replay + (overlap DESC, tf DESC, id) ranking;
+    * vector branch = q56's cosine replay + (cosine DESC, id) ranking;
+    * fusion = COALESCE'd 1/(rrfK+rank) terms summed lex-then-vec — RRF
+    * uses only integer ranks and fixed-order double division, which is
+    * why this hybrid is hash-checkable while BM25+cosine score mixing
+    * (transcendental idf) would not be. */
+  def hybridTopKSql(queryTokens: Seq[String], k: Int, nPerList: Int, rrfK: Int): String = {
+    val qlist = queryTokens.map(_.toLowerCase).distinct
+      .map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH lexall AS (
+       |  SELECT doc_id AS id,
+       |    CAST(len(list_distinct(list_filter(toks, t -> list_contains($qlist, t)))) AS BIGINT) AS overlap,
+       |    CAST(len(list_filter(toks, t -> list_contains($qlist, t))) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                                   x -> len(x) > 0) AS toks
+       |        FROM documents)
+       |), lex AS (
+       |  SELECT id, CAST(row_number() OVER (ORDER BY overlap DESC, tf DESC, id) AS BIGINT) AS lex_rank
+       |  FROM lexall WHERE overlap > 0
+       |  ORDER BY overlap DESC, tf DESC, id LIMIT $nPerList
+       |), q AS (
+       |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+       |), sims AS (
+       |  SELECT e.vec_id,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS dot,
+       |    list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+       |    list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+       |  FROM embeddings e, q
+       |), vec AS (
+       |  SELECT vec_id AS id,
+       |    CAST(row_number() OVER (ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS BIGINT) AS vec_rank
+       |  FROM sims WHERE na <> 0 AND nb <> 0
+       |  ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT $nPerList
+       |), fused AS (
+       |  SELECT COALESCE(lex.id, vec.id) AS id,
+       |    COALESCE(CAST(1 AS DOUBLE) / ($rrfK + lex_rank), 0) +
+       |    COALESCE(CAST(1 AS DOUBLE) / ($rrfK + vec_rank), 0) AS rrf_score,
+       |    lex_rank, vec_rank
+       |  FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+       |)
+       |SELECT id, rrf_score, lex_rank, vec_rank FROM fused
+       |ORDER BY rrf_score DESC, id LIMIT $k""".stripMargin
+  }
+
   /** q54 oracle: the multimodal decode aggregate replayed. The corpus
     * payloads are document text — none parse as image/audio/video — so
     * every asset takes the DETERMINISTIC STUB path, whose metadata is

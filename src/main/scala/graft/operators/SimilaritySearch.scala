@@ -487,6 +487,66 @@ object SimilaritySearch {
       nCodes, m, codebook = cb)
   }
 
+  // --------------------------------------------- hybrid retrieval (RRF)
+
+  /** Lexical top-k for a tokenized query: rank docs by (distinct query
+    * tokens present DESC, total query-token occurrences DESC, id ASC) —
+    * a deliberately transcendental-free lexical score (BM25's log-idf
+    * differs in the last ULP across math libraries and breaks bit-exact
+    * oracles; overlap+tf is the same coarse ordering for short queries).
+    * Shape: one codegen'd map (the query tokens ride as an array
+    * literal) + TakeOrderedAndProject — no shuffle, no inverted index
+    * needed for a single query; `lex_rank` is assigned by a window over
+    * the k survivors only (k rows, not the corpus). */
+  def lexicalTopK(corpus: DataFrame, idCol: String, textCol: String,
+                  queryTokens: Seq[String], k: Int): DataFrame = {
+    require(queryTokens.nonEmpty, "lexicalTopK needs at least one query token")
+    val qlit = typedlit(queryTokens.map(_.toLowerCase).distinct)
+    val matched = filter(TextAnalysis.tokens(col(textCol)),
+      t => array_contains(qlit, t))
+    corpus.select(col(idCol), matched.as("__m"))
+      .select(col(idCol),
+        size(array_distinct(col("__m"))).cast("long").as("overlap"),
+        size(col("__m")).cast("long").as("tf"))
+      .filter(col("overlap") > 0)
+      .orderBy(col("overlap").desc, col("tf").desc, col(idCol))
+      .limit(k)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("overlap").desc, col("tf").desc, col(idCol))).cast("long"))
+  }
+
+  /** Hybrid retrieval by reciprocal-rank fusion: the standard way a
+    * curation pipeline combines keyword and embedding evidence (triage
+    * for decontamination, targeted dedup, topic pulls).
+    * `score(d) = Σ_lists 1/(rrfK + rank_list(d))` over the lexical
+    * top-nPerList and the vector top-nPerList; docs missing from a list
+    * contribute 0 for it. RRF needs only integer ranks and fixed-order
+    * double division, so unlike BM25+cosine score mixing it is
+    * bit-deterministic and SQL-replayable. The two corpora stay
+    * SEPARATE inputs (text store and embedding store never join); the
+    * only join is the full-outer fuse of two ≤ nPerList-row lists —
+    * at 100 TB both branches are the existing scalable top-k scans and
+    * the fusion cost is O(nPerList). */
+  def hybridTopK(textCorpus: DataFrame, textIdCol: String, textCol: String,
+                 vecCorpus: DataFrame, vecIdCol: String, vecCol: String,
+                 queryText: String, queryVec: Array[Float], k: Int,
+                 nPerList: Int = 100, rrfK: Int = 60): DataFrame = {
+    val qTokens = queryText.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val lex = lexicalTopK(textCorpus, textIdCol, textCol, qTokens, nPerList)
+      .select(col(textIdCol).as("id"), col("lex_rank"))
+    val vec = bruteForceTopK(vecCorpus, vecIdCol, vecCol, queryVec, nPerList)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col(vecIdCol))).cast("long"))
+      .select(col(vecIdCol).as("id"), col("vec_rank"))
+    lex.join(vec, Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0))).as("rrf_score"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy(col("rrf_score").desc, col("id"))
+      .limit(k)
+  }
+
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String, query: Array[Float],
               k: Int, nCells: Int = 16, nProbe: Int = 4,
               centroids: Array[Double] = null): DataFrame = {

@@ -966,6 +966,45 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ADC top-10 drifted too far from exact: ${adcIds.intersect(exactIds).size}/10")
   }
 
+  test("lexicalTopK: overlap-then-tf-then-id ordering, zero-overlap docs dropped") {
+    val df = docs(
+      1L -> "alpha beta beta gamma",   // overlap 2 (alpha, beta), tf 3
+      2L -> "alpha alpha alpha",       // overlap 1, tf 3
+      3L -> "beta",                    // overlap 1, tf 1
+      4L -> "delta epsilon",           // overlap 0 -> dropped
+      5L -> "beta alpha")              // overlap 2, tf 2
+    val out = SimilaritySearch.lexicalTopK(df, "doc_id", "text",
+        Seq("alpha", "beta"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // (id, overlap, tf, rank): 1 beats 5 on tf; 2 beats 3 on tf
+    assert(out.toSeq == Seq((1L, 2L, 3L, 1L), (5L, 2L, 2L, 2L),
+      (2L, 1L, 3L, 3L), (3L, 1L, 1L, 4L)))
+  }
+
+  test("hybridTopK: RRF sums 1/(k0+rank) across lists, single-list docs keep one term") {
+    import spark.implicits._
+    val texts = docs(1L -> "alpha beta", 2L -> "alpha", 3L -> "gamma delta")
+    // embeddings: id 2 closest to the query, then 3; id 1 has no vector
+    val vecs = Seq(
+      (2L, Seq(1f, 0f)), (3L, Seq(0.8f, 0.6f)), (9L, Seq(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.hybridTopK(
+        texts, "doc_id", "text", vecs, "vec_id", "embedding",
+        queryText = "alpha beta", queryVec = Array(1f, 0f),
+        k = 10, nPerList = 10, rrfK = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // lexical ranks: 1 -> 1, 2 -> 2; vector ranks: 2 -> 1, 3 -> 2, 9 -> 3
+    assert(out(1L) == 1.0 / 61)               // lexical only
+    assert(out(2L) == 1.0 / 62 + 1.0 / 61)    // both lists
+    assert(out(3L) == 1.0 / 62)               // vector only
+    assert(out(9L) == 1.0 / 63)               // anti-correlated but ranked
+    // fusion puts the both-lists doc first
+    val first = SimilaritySearch.hybridTopK(
+      texts, "doc_id", "text", vecs, "vec_id", "embedding",
+      "alpha beta", Array(1f, 0f), k = 1, nPerList = 10).head().getLong(0)
+    assert(first == 2L)
+  }
+
   test("knnJoin recall >= 0.9 at auto settings on a clustered corpus (the production shape)") {
     import spark.implicits._
     // 20 cluster centers + per-point noise in 32 dims: the shape real

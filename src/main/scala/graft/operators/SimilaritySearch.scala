@@ -487,6 +487,65 @@ object SimilaritySearch {
       nCodes, m, codebook = cb)
   }
 
+  /** Materialize the PQ-encoded corpus PARTITIONED BY IVF cell — the
+    * full 100 TB ANN layout on disk: rows carry only (id, m-byte codes)
+    * under one directory per coarse cell, so a probe reads
+    * ~nProbe/nCells of an already-~64x-smaller store with
+    * directory-level pruning (PartitionFilters, spec-asserted), and the
+    * float corpus is never stored at all. One repartition on `cell`
+    * gives one output file set per cell instead of tasks x cells
+    * fragments. Centroids + codebook persist alongside in a one-row
+    * `meta` table so searches rebuild nothing (and stay deterministic
+    * even if the source corpus later changes). */
+  def writeIvfPq(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+                 nCells: Int = 16, nCodes: Int = 256, m: Int = 8): Unit = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCells)
+    val cb = pqCodebook(corpus, idCol, vecCol, nCodes)
+    val dim = cb.length / nCodes
+    val kCells = cents.length / dim
+    withIvfCell(corpus, vecCol, cents, kCells)
+      .select(col(idCol), col("cell"),
+        pq_encode(col(vecCol), cb, nCodes, m).as("pq_codes"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((cents.toSeq, cb.toSeq, kCells, nCodes, m))
+      .toDF("centroids", "codebook", "n_cells", "n_codes", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** ANN top-k over a [[writeIvfPq]] layout: rank cells on the driver
+    * from the persisted centroids, read ONLY the probed cell
+    * directories (partition pruning before any file opens), ADC-score
+    * the m-byte codes. Identical results to [[ivfPqTopK]] over the
+    * source corpus (spec-pinned) — but the scan never touches a float
+    * vector. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                       idCol: String, query: Array[Float], k: Int,
+                       nProbe: Int = 4): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val cents = meta.getSeq[Double](0).toArray
+    val cb = meta.getSeq[Double](1).toArray
+    val kCells = meta.getInt(2); val nCodes = meta.getInt(3); val m = meta.getInt(4)
+    val dim = query.length
+    require(cents.length == kCells * dim, s"centroid/query dim mismatch")
+    val scored = (0 until kCells).map { j =>
+      var dot = 0.0; var i = 0
+      while (i < dim) { dot += query(i).toDouble * cents(j * dim + i); i += 1 }
+      (j, dot)
+    }.sortBy { case (j, dot) => (-dot, j) }
+    val probes = scored.take(math.min(nProbe, kCells)).map(_._1)
+    val (lutIp, lutNorm, qNorm) = adcLuts(cb, nCodes, m, query)
+    spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probes: _*))
+      .select(col(idCol), pq_adc_score(col("pq_codes"), lutIp, lutNorm, qNorm, nCodes, m)
+        .as("adc_cosine"))
+      .filter(col("adc_cosine").isNotNull)
+      .orderBy(col("adc_cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   // --------------------------------------------- hybrid retrieval (RRF)
 
   /** Lexical top-k for a tokenized query: rank docs by (distinct query

@@ -966,6 +966,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ADC top-10 drifted too far from exact: ${adcIds.intersect(exactIds).size}/10")
   }
 
+  test("writeIvfPq layout: indexed search equals in-memory ivfPqTopK and prunes cell dirs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(37)
+    val corpus = (0L until 300L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1).toSeq)).toDF("vec_id", "embedding")
+    val query = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    SimilaritySearch.writeIvfPq(corpus, "vec_id", "embedding", path,
+      nCells = 8, nCodes = 16, m = 4)
+    val idx = SimilaritySearch.ivfPqTopKIndexed(spark, path, "vec_id", query,
+      k = 10, nProbe = 3)
+    // probe predicate must prune at the directory level, before any
+    // file opens — the property that matters at 100 TB
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan.take(800))
+    val mem = SimilaritySearch.ivfPqTopK(corpus, "vec_id", "embedding", query,
+        k = 10, nCells = 8, nProbe = 3, nCodes = 16, m = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(idx.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == mem,
+      "indexed IVF-PQ must equal the in-memory composition")
+    // the stored rows carry only (id, codes, cell) — no float vectors
+    assert(spark.read.parquet(s"$path/codes").schema.fieldNames.toSet ==
+      Set("vec_id", "pq_codes", "cell"))
+  }
+
   test("lexicalTopK: overlap-then-tf-then-id ordering, zero-overlap docs dropped") {
     val df = docs(
       1L -> "alpha beta beta gamma",   // overlap 2 (alpha, beta), tf 3

@@ -27,6 +27,32 @@ object ExtQueries {
     embs(s, d).filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
 
+  /** Shared by q76 (exact) and q92 (Bloom-pre-filtered): the Bloom
+    * variant is result-IDENTICAL by construction (no false negatives +
+    * exact confirm join), so both hash-check against the same replay. */
+  private val decontaminateSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 5
+      |      THEN list_distinct(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')))
+      |      ELSE [array_to_string(t, ' ')] END AS s
+      |  FROM tk
+      |), bg AS (
+      |  SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 97 = 0
+      |), tg AS (
+      |  SELECT doc_id, unnest(s) AS gram FROM sh
+      |), m AS (
+      |  SELECT tg.doc_id, count(*) AS matched FROM tg JOIN bg USING (gram) GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |       CAST(coalesce(m.matched, 0) AS BIGINT) AS matched,
+      |       coalesce(m.matched, 0) >= 1 AS contaminated
+      |FROM documents d LEFT JOIN m USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: ListMap[String, (Q, Option[String])] = ListMap(
 
     // Exact dedup verdict: corpus size vs distinct content hashes.
@@ -849,27 +875,21 @@ object ExtQueries {
             docs(s, d), docs(s, d).filter(col("doc_id") % 97 === 0),
             "doc_id", "text", width = 5, minShared = 1)
           .orderBy("doc_id"),
-      Some("""WITH tk AS (
-             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
-             |  FROM documents
-             |), sh AS (
-             |  SELECT doc_id,
-             |    CASE WHEN len(t) >= 5
-             |      THEN list_distinct(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')))
-             |      ELSE [array_to_string(t, ' ')] END AS s
-             |  FROM tk
-             |), bg AS (
-             |  SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 97 = 0
-             |), tg AS (
-             |  SELECT doc_id, unnest(s) AS gram FROM sh
-             |), m AS (
-             |  SELECT tg.doc_id, count(*) AS matched FROM tg JOIN bg USING (gram) GROUP BY 1
-             |)
-             |SELECT d.doc_id,
-             |       CAST(coalesce(m.matched, 0) AS BIGINT) AS matched,
-             |       coalesce(m.matched, 0) >= 1 AS contaminated
-             |FROM documents d LEFT JOIN m USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))),
+      Some(decontaminateSql))),
+
+    // Bloom-pre-filtered decontamination: the 100 TB path — benchmark
+    // grams broadcast as a ~10-bits/gram Bloom filter probed inside the
+    // scan stage (codegen'd), exact confirm join only over survivors.
+    // No false negatives + confirm join => BIT-IDENTICAL to q76 at any
+    // fpp, so it hash-checks against the SAME oracle (equality with the
+    // exact operator is additionally spec-pinned at fpp 1% and 40%).
+    "q92_decontaminate_bloom" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.contaminationReportBloom(
+            docs(s, d), docs(s, d).filter(col("doc_id") % 97 === 0),
+            "doc_id", "text", width = 5, minShared = 1, fpp = 0.01)
+          .orderBy("doc_id"),
+      Some(decontaminateSql))),
 
     // Fixed-token training-window chunking (32-token chunks, 8-token
     // overlap): one row per chunk, exact string output — the oracle

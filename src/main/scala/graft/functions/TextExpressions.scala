@@ -466,9 +466,42 @@ object Winnow {
   }
 }
 
+/** Bloom-filter membership for a LONG key (the gram-hash domain).
+  * `bits` is a serialized `org.apache.spark.util.sketch.BloomFilter`
+  * (built distributed via `DataFrameStatFunctions.bloomFilter`),
+  * rebuilt lazily ONCE per deserialized expression instance — i.e. once
+  * per executor plan, not per row. The use is a broadcast PRE-FILTER in
+  * front of an exact join (decontamination at 100 TB): ~10 bits/element
+  * at 1% fpp versus 64-bit join rows plus a hash table, no false
+  * negatives — so an exact confirm join downstream keeps the composed
+  * result bit-identical to the unfiltered join at ANY fpp. */
+case class BloomMightContainLong(child: Expression, bits: Array[Byte])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "bloom_might_contain_long"
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val bloom = org.apache.spark.util.sketch.BloomFilter
+    .readFrom(new java.io.ByteArrayInputStream(bits))
+
+  /** Shared by interpreted + generated code. */
+  def mightContain(v: Long): Boolean = bloom.mightContainLong(v)
+
+  override def nullSafeEval(v: Any): Any = mightContain(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomExpr", this, classOf[BloomMightContainLong].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.mightContain($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.Bridge.{column => C, expression => E}
   def fingerprint64(c: Column): Column = C(Fingerprint64(E(c)))
+  def bloom_might_contain_long(c: Column, bits: Array[Byte]): Column =
+    C(BloomMightContainLong(E(c), bits))
   def minhash_signature(c: Column, k: Int): Column = C(MinHashSignature(E(c), k))
   def simhash64(c: Column): Column = C(SimHash64(E(c)))
   def shingle_hashes(c: Column, width: Int): Column = C(ShingleHashes(E(c), width))

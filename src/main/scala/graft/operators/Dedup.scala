@@ -598,6 +598,41 @@ object Dedup {
         (coalesce(col("matched"), lit(0L)) >= minShared).as("contaminated"))
   }
 
+  /** [[contaminationReport]]'s 100 TB path: a broadcast Bloom filter of
+    * the benchmark grams PRE-FILTERS the training-gram stream before
+    * the exact confirm join. The broadcast variant ships the gram set
+    * as a join table (8 bytes/gram + hash table, ~8 GB broadcast
+    * ceiling); the Bloom filter is ~10 bits/gram at 1% fpp — ~50×
+    * smaller — and membership is a codegen'd O(1) probe inside the
+    * scan stage. Bloom filters have NO false negatives and the
+    * surviving grams still confirm against the real gram set (a
+    * shuffle join, but over ~(matches + fpp·stream) rows instead of
+    * the whole stream), so the output is BIT-IDENTICAL to
+    * [[contaminationReport]] at any fpp — spec-pinned at 1% and at a
+    * deliberately terrible 40%. `expectedGrams < 0` sizes the filter
+    * with one count job; pass an estimate to skip it. */
+  def contaminationReportBloom(train: DataFrame, bench: DataFrame,
+                               idCol: String, textCol: String,
+                               width: Int = 13, minShared: Int = 1,
+                               fpp: Double = 0.01,
+                               expectedGrams: Long = -1L): DataFrame = {
+    val bg = bench.select(explode(shingleHashes(col(textCol), width)).as("gram")).distinct()
+    val n = if (expectedGrams > 0) expectedGrams else math.max(bg.count(), 1L)
+    val bloom = bg.stat.bloomFilter("gram", n, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    val tg = train.select(col(idCol).as("id"),
+        explode(shingleHashes(col(textCol), width)).as("gram"))
+      .filter(graft.functions.TextFunctions.bloom_might_contain_long(col("gram"), bytes))
+    val matched = tg.join(bg, "gram").groupBy("id").agg(count(lit(1)).as("matched"))
+    train.select(col(idCol).as("id")).join(matched, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("matched"), lit(0L)).as("matched"),
+        (coalesce(col("matched"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs that share at
     * least one shingle-hash (inverted-index blocking: explode shingles,
     * group per shingle, pair within the group; |A∪B| = |A|+|B|-shared).

@@ -966,6 +966,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ADC top-10 drifted too far from exact: ${adcIds.intersect(exactIds).size}/10")
   }
 
+  test("contaminationReportBloom equals the exact report at fpp 1% and at a terrible 40%") {
+    val train = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs",
+      3L -> "the quick brown fox jumps again and again today",
+      4L -> "completely unrelated words nowhere near benchmarks at all")
+    val bench = docs(10L -> "the quick brown fox jumps over a fence",
+                     11L -> "short")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val exact = rows(Dedup.contaminationReport(train, bench, "doc_id", "text",
+      width = 5, minShared = 1))
+    // no false negatives + exact confirm join => identical at ANY fpp;
+    // 0.4 floods the pre-filter with false positives on purpose
+    for (fpp <- Seq(0.01, 0.4)) {
+      val bloomed = rows(Dedup.contaminationReportBloom(train, bench, "doc_id", "text",
+        width = 5, minShared = 1, fpp = fpp))
+      assert(bloomed == exact, s"fpp=$fpp diverged from the exact report")
+    }
+    // sanity: the corpus actually exercises both outcomes
+    assert(exact.exists(_._3) && exact.exists(!_._3))
+  }
+
   test("writeIvfPq layout: indexed search equals in-memory ivfPqTopK and prunes cell dirs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -891,6 +891,25 @@ object ExtQueries {
           .orderBy("doc_id"),
       Some(decontaminateSql))),
 
+    // Heavy-hitter tokens via the native space-saving aggregate
+    // (TypedImperativeAggregate): bounded sketches instead of a
+    // word-count shuffle. capacity 256 >> the corpus's 31 distinct
+    // tokens, so the sketch runs in its provably-EXACT regime (nothing
+    // evicted, err = 0) and hash-checks against a plain word count;
+    // the saturated regime's bounds are spec-pinned instead.
+    "q93_top_tokens_sketch" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.approxTopTokens(docs(s, d), "text", k = 20, capacity = 256),
+      Some("""WITH t AS (
+             |  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |                            x -> len(x) > 0)) AS token
+             |  FROM documents
+             |), c AS (
+             |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token
+             |)
+             |SELECT token, cnt, CAST(0 AS BIGINT) AS err FROM c
+             |ORDER BY cnt DESC, token LIMIT 20""".stripMargin))),
+
     // Fixed-token training-window chunking (32-token chunks, 8-token
     // overlap): one row per chunk, exact string output — the oracle
     // replays starts (step 24, suffix-only chunks suppressed) and

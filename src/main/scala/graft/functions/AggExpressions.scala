@@ -1,0 +1,156 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Space-saving (Metwally et al. 2005) heavy-hitters state: at most
+  * `capacity` (token -> (cnt, err)) entries. Invariants the specs pin:
+  * `cnt` never underestimates the true count, overestimates it by at
+  * most `err`, and any token with true frequency > N/capacity is
+  * guaranteed present after a single-stream pass. Merging follows
+  * Agarwal et al. 2013 ("Mergeable Summaries"): sum counts and errors
+  * for shared keys, union the rest, then evict the smallest-count
+  * entries down to capacity — the per-entry count bounds survive
+  * merging in any order. While the structure never saturates (distinct
+  * tokens <= capacity) nothing is ever evicted and the summary is the
+  * EXACT word count with err = 0 — the regime the battery oracle
+  * hash-checks; saturation is deliberately approximate (eviction and
+  * merge order sensitive), covered by the bound specs instead. */
+final class SpaceSavingState(val capacity: Int) {
+  // insertion-ordered so min-eviction tie-breaks are reproducible for a
+  // given arrival order (cross-partition arrival order is still Spark's)
+  val entries = new java.util.LinkedHashMap[String, Array[Long]]()
+
+  def add(token: String, cnt: Long, err: Long): Unit = {
+    val cur = entries.get(token)
+    if (cur != null) { cur(0) += cnt; cur(1) += err }
+    else entries.put(token, Array(cnt, err))
+  }
+
+  def update(token: String): Unit = {
+    val cur = entries.get(token)
+    if (cur != null) cur(0) += 1
+    else if (entries.size() < capacity) entries.put(token, Array(1L, 0L))
+    else {
+      // evict the (first-seen) minimum-count entry; the newcomer
+      // inherits its count as the classic overestimate-with-receipt
+      var minKey: String = null; var minCnt = Long.MaxValue
+      val it = entries.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue()(0) < minCnt) { minCnt = e.getValue()(0); minKey = e.getKey }
+      }
+      entries.remove(minKey)
+      entries.put(token, Array(minCnt + 1, minCnt))
+    }
+  }
+
+  def trimToCapacity(): Unit = if (entries.size() > capacity) {
+    val all = new java.util.ArrayList(entries.entrySet())
+    // drop smallest counts (ties: later insertion order goes first)
+    all.sort((a, b) => java.lang.Long.compare(a.getValue()(0), b.getValue()(0)))
+    var toDrop = entries.size() - capacity
+    val it = all.iterator()
+    while (toDrop > 0 && it.hasNext) { entries.remove(it.next().getKey); toDrop -= 1 }
+  }
+}
+
+/** Native heavy-hitters aggregate over a STRING column: ONE bounded
+  * sketch per partition (partial aggregation), merged pairwise — the
+  * 100 TB replacement for a full word-count exchange when only the top
+  * of the distribution matters: the shuffle carries `capacity`-entry
+  * summaries instead of one row per distinct token. Output is
+  * `ARRAY<STRUCT<token, cnt, err>>` sorted (cnt DESC, token ASC). */
+case class TopKTokens(child: Expression, capacity: Int,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[SpaceSavingState] {
+  require(capacity >= 1 && capacity <= 65536, "capacity must be in [1, 65536]")
+
+  override def prettyName: String = "top_k_tokens"
+  override def nullable: Boolean = false
+  override def dataType: DataType = TopKTokens.schema
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): SpaceSavingState = new SpaceSavingState(capacity)
+
+  override def update(buf: SpaceSavingState, input: InternalRow): SpaceSavingState = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(buf: SpaceSavingState, other: SpaceSavingState): SpaceSavingState = {
+    other.entries.forEach((k, ce) => buf.add(k, ce(0), ce(1)))
+    buf.trimToCapacity()
+    buf
+  }
+
+  override def eval(buf: SpaceSavingState): Any = {
+    val all = new java.util.ArrayList(buf.entries.entrySet())
+    all.sort { (a, b) =>
+      val c = java.lang.Long.compare(b.getValue()(0), a.getValue()(0))
+      if (c != 0) c else a.getKey.compareTo(b.getKey)
+    }
+    val rows = new Array[Any](all.size())
+    var i = 0
+    while (i < all.size()) {
+      val e = all.get(i)
+      rows(i) = InternalRow(UTF8String.fromString(e.getKey), e.getValue()(0), e.getValue()(1))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: SpaceSavingState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.capacity)
+    out.writeInt(buf.entries.size())
+    buf.entries.forEach { (k, ce) =>
+      val b = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(ce(0)); out.writeLong(ce(1))
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingState = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val st = new SpaceSavingState(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt(); val b = new Array[Byte](len); in.readFully(b)
+      st.add(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong(), in.readLong())
+      i += 1
+    }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKTokens =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKTokens =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+object TopKTokens {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+}
+
+object AggFunctions {
+  import org.apache.spark.sql.graftbridge.Bridge.{column => C, expression => E}
+  def top_k_tokens(c: Column, capacity: Int): Column =
+    C(TopKTokens(E(c), capacity).toAggregateExpression())
+}

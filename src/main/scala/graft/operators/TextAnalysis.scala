@@ -206,6 +206,26 @@ object TextAnalysis {
            countDistinct(col("__doc")).as("n_docs"))
       .filter(col("n_occurrences") >= minCount)
 
+  /** Approximate heavy-hitter tokens via the space-saving sketch
+    * ([[graft.functions.TopKTokens]], a native TypedImperativeAggregate):
+    * the 100 TB answer when only the top of the token distribution
+    * matters — ONE bounded `capacity`-entry sketch per partition
+    * (map-side partial agg), merged pairwise, so the exchange carries
+    * sketches instead of [[vocabStats]]'s one-row-per-distinct-token
+    * word-count shuffle. While distinct tokens <= capacity the result
+    * is the EXACT word count with err = 0 (hash-checked regime);
+    * saturated, every emitted `cnt` is within [true, true + err] and
+    * any token with frequency > N/capacity is guaranteed present
+    * (spec-pinned). */
+  def approxTopTokens(df: DataFrame, textCol: String, k: Int,
+                      capacity: Int = 4096): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .agg(graft.functions.AggFunctions.top_k_tokens(col("tok"), capacity).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.token").as("token"), col("e.cnt").as("cnt"), col("e.err").as("err"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
   /** Deterministic corpus shuffle for reproducible training order:
     * every row gets a `(shuffle_bucket, shuffle_pos)` pair whose
     * lexicographic order is a salted pseudo-random permutation of the

@@ -966,6 +966,70 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ADC top-10 drifted too far from exact: ${adcIds.intersect(exactIds).size}/10")
   }
 
+  test("approxTopTokens exact regime: capacity >= distinct equals word count, err 0, any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val df = (0L until 200L).map(i =>
+      (i, Seq.fill(12)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val exact = df.select(org.apache.spark.sql.functions.explode(
+        TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 7)) {
+      val got = TextAnalysis.approxTopTokens(df.repartition(parts), "text",
+          k = 10, capacity = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.forall(_._3 == 0L), "unsaturated sketch must report err 0")
+      assert(got.map(e => e._1 -> e._2).toMap == exact,
+        s"parts=$parts: unsaturated sketch must equal the exact word count")
+      // output order is (cnt DESC, token)
+      assert(got.sortBy(e => (-e._2, e._1)).toSeq == got.toSeq)
+    }
+  }
+
+  test("approxTopTokens saturated: count bounds hold and guaranteed heavy hitters survive") {
+    import spark.implicits._
+    // 3 heavy tokens (120/90/60 of N=400) + a 130-token distinct tail,
+    // capacity 8: heavy freqs are far above N/capacity = 50... except
+    // h3 at 60 > 50 — all three are space-saving-guaranteed on a
+    // single stream
+    val words = Seq.fill(120)("h1") ++ Seq.fill(90)("h2") ++ Seq.fill(60)("h3") ++
+      (0 until 130).map(i => s"tail$i")
+    val shuffled = new scala.util.Random(43).shuffle(words)
+    val df = shuffled.grouped(10).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val truth = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // single partition pins the classic one-pass guarantee
+    val got = TextAnalysis.approxTopTokens(df.repartition(1), "text",
+        k = 8, capacity = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byTok = got.map(e => e._1 -> e).toMap
+    assert(Seq("h1", "h2", "h3").forall(byTok.contains),
+      s"guaranteed heavy hitters missing: ${got.map(_._1).toSeq}")
+    got.foreach { case (t, cnt, err) =>
+      val real = truth(t)
+      assert(cnt >= real && cnt - err <= real,
+        s"$t: cnt=$cnt err=$err true=$real violates space-saving bounds")
+    }
+    // multi-partition merge: trimming can drop occurrences a token had
+    // in another sketch, so the one-sided overestimate no longer holds;
+    // what survives merging (Agarwal et al. 2013) is the two-sided
+    // error bound |cnt - true| <= N/capacity — and the heavy hitters
+    // still dominate the summary
+    val n = words.size
+    val merged = TextAnalysis.approxTopTokens(df.repartition(5), "text", k = 8, capacity = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    merged.foreach { case (t, cnt, _) =>
+      val real = truth(t)
+      assert(math.abs(cnt - real) <= n / 8,
+        s"merged $t: cnt=$cnt true=$real violates the eps*N mergeable bound")
+    }
+    assert(Seq("h1", "h2", "h3").forall(merged.map(_._1).toSet),
+      s"merged summary lost a guaranteed heavy hitter: ${merged.map(_._1).toSeq}")
+  }
+
   test("contaminationReportBloom equals the exact report at fpp 1% and at a terrible 40%") {
     val train = docs(
       1L -> "the quick brown fox jumps over the lazy dog",

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
+import graft.operators.{Dedup, EventAnalytics, SimilaritySearch, TextAnalysis}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -21,6 +21,15 @@ object ExtQueries {
 
   private def docs(s: SparkSession, d: String) = s.read.parquet(s"$d/documents.parquet")
   private def embs(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) read as a long under
+    * nanosAsLong — integer-divide to micros exactly as [[Queries.t]]. */
+  private def events(s: SparkSession, d: String): DataFrame = {
+    val df = s.read.parquet(s"$d/events.parquet")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   /** First embedding vector of the corpus — deterministic ANN query. */
   private def queryVec(s: SparkSession, d: String): Array[Float] =
@@ -1344,7 +1353,77 @@ object ExtQueries {
              |       CAST(len(tk.t) AS BIGINT) AS n_tokens,
              |       CAST(len(tk.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
              |FROM tk LEFT JOIN agg USING (doc_id)
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin))),
+
+    // Ordered-funnel conversion over the events stream (view -> click
+    // -> purchase): chained running-min windows over ONE (user, ts,
+    // event_id) sort — the event table is exchanged once regardless of
+    // funnel depth (no per-step self-joins). The oracle replays the
+    // same chained-window recurrence; rate is a double division of
+    // exact longs, bit-identical across engines.
+    "q94_funnel" -> ((
+      (s: SparkSession, d: String) =>
+        EventAnalytics.funnel(events(s, d), "user_id", "ts", "event_id",
+            "event_type", Seq("view", "click", "purchase"))
+          .orderBy("step_idx"),
+      Some("""WITH w0 AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         CASE WHEN event_type = 'view' THEN ts END AS q0
+             |  FROM events
+             |), w1 AS (
+             |  SELECT *, CASE WHEN event_type = 'click'
+             |      AND min(q0) OVER pw IS NOT NULL THEN ts END AS q1
+             |  FROM w0
+             |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |), w2 AS (
+             |  SELECT *, CASE WHEN event_type = 'purchase'
+             |      AND min(q1) OVER pw IS NOT NULL THEN ts END AS q2
+             |  FROM w1
+             |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |), pu AS (
+             |  SELECT user_id,
+             |         max(CASE WHEN q0 IS NOT NULL THEN 1 ELSE 0 END) AS r0,
+             |         max(CASE WHEN q1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+             |         max(CASE WHEN q2 IS NOT NULL THEN 1 ELSE 0 END) AS r2
+             |  FROM w2 GROUP BY user_id
+             |), tot AS (
+             |  SELECT sum(r0) AS u0, sum(r1) AS u1, sum(r2) AS u2 FROM pu
+             |), st AS (
+             |  SELECT 0 AS step_idx, 'view' AS step, u0 AS users FROM tot
+             |  UNION ALL SELECT 1, 'click', u1 FROM tot
+             |  UNION ALL SELECT 2, 'purchase', u2 FROM tot
+             |)
+             |SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+             |       CAST(users AS BIGINT) AS users,
+             |       CASE WHEN first_value(users) OVER w = 0 THEN 0.0
+             |            ELSE CAST(users AS DOUBLE) /
+             |                 CAST(first_value(users) OVER w AS DOUBLE) END AS rate
+             |FROM st
+             |WINDOW w AS (ORDER BY step_idx
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY step_idx""".stripMargin))),
+
+    // Weekly cohort retention: users cohorted by the Monday of their
+    // first event; one exchange on the user key, then an O(users x
+    // active-weeks) distinct + count — never O(events) past the
+    // map-side distinct.
+    "q95_retention_cohorts" -> ((
+      (s: SparkSession, d: String) =>
+        EventAnalytics.retentionCohorts(events(s, d), "user_id", "ts")
+          .orderBy("cohort_week", "week_offset"),
+      Some("""WITH u AS (
+             |  SELECT user_id, ts,
+             |         CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS DATE) AS cohort
+             |  FROM events
+             |), c AS (
+             |  SELECT DISTINCT user_id, cohort AS cohort_week,
+             |         CAST(datediff('day', cohort, CAST(date_trunc('week', ts) AS DATE)) // 7 AS BIGINT) AS week_offset
+             |  FROM u
+             |)
+             |SELECT cohort_week, week_offset, count(*) AS active_users
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

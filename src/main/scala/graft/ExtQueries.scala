@@ -1423,7 +1423,35 @@ object ExtQueries {
              |  FROM u
              |)
              |SELECT cohort_week, week_offset, count(*) AS active_users
-             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    // Spherical Lloyd k-means cluster assignment after two full
+    // rounds: component sums accumulate as DECIMAL(38,12) (exact,
+    // order-free — partition-invariant by construction), every other
+    // step is fixed-order double arithmetic, so the oracle replays
+    // init -> assign -> mean -> renormalize -> assign twice over and
+    // the integer (vec_id, cell) output hash-checks bit-exact.
+    "q96_kmeans_assign" -> ((
+      (s: SparkSession, d: String) =>
+        SimilaritySearch.kMeansAssign(embs(s, d), "vec_id", "embedding",
+            k = 8, iters = 2)
+          .select(col("vec_id"), col("cell").cast("long").as("cell"))
+          .orderBy("vec_id"),
+      Some(OracleSql.kMeansAssignSql(k = 8, iters = 2)))),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup = k-means cells ->
+    // within-cell exact-cosine near-dup pairs (capped block explode)
+    // -> connected components -> keep the min-id representative per
+    // duplicate group. Composes q96's cell machinery, q64's cosine
+    // threshold and q70's closure, all previously hash-checked.
+    "q97_semantic_dedup" -> ((
+      (s: SparkSession, d: String) =>
+        SimilaritySearch.semanticDedup(embs(s, d), "vec_id", "embedding",
+            k = 8, iters = 2, threshold = 0.44, maxCellSize = 100000)
+          .select(col("vec_id"), col("cell").cast("long").as("cell"))
+          .orderBy("vec_id"),
+      Some(OracleSql.semanticDedupSql(k = 8, iters = 2, threshold = 0.44,
+        cap = 100000))))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -832,4 +832,118 @@ object OracleSql {
        |  JOIN sg sb ON sb.doc_id = p.id_b
        |)""".stripMargin
   }
+
+  /** Shared k-means CTE chain for q96/q97: init centroids = q57's
+    * hash-ordered sample idiom (xxhash64(vec_id) closed form,
+    * normalized) as `cl0`, then per Lloyd iteration t: assignment
+    * `asg{t}` under `cl{t-1}` (first-max-wins argmax, the
+    * NearestCentroid rule), component sums as DECIMAL(38,12) — the
+    * exact order-free addition matching the Spark side — mean =
+    * CAST(s AS DOUBLE)/n, renormalize, empty cells inherit the
+    * previous centroid. `asg{iters+1}` is the final assignment.
+    * Requires corpus >= k rows (as does the operator). */
+  private def kMeansCtes(k: Int, iters: Int): String = {
+    val h0 = (BigInt(42) + BigInt(P5) + 8) mod (BigInt(1) << 64)
+    val init =
+      s"""hu AS (
+         |  SELECT vec_id, embedding,
+         |    CASE WHEN vec_id < 0 THEN CAST(vec_id AS HUGEINT) + CAST('$M' AS HUGEINT)
+         |         ELSE CAST(vec_id AS HUGEINT) END AS u
+         |  FROM embeddings WHERE len(embedding) > 0
+         |), hx AS (
+         |  SELECT embedding, ((${mul(rotl(xorm(s"CAST('$h0' AS HUGEINT)", rnd("0", "u")), 27), P1)} + $P4) % $M) AS h2 FROM hu
+         |), ha1 AS (SELECT embedding, ${mul(xorm("h2", s"h2 // ${1L << 33}"), P2)} AS a1 FROM hx
+         |), ha2 AS (SELECT embedding, ${mul(xorm("a1", s"a1 // ${1L << 29}"), P3)} AS a2 FROM ha1
+         |), hf AS (
+         |  SELECT embedding, ${signed(xorm("a2", s"a2 // ${1L << 32}"))} AS hsig FROM ha2
+         |), cent AS (
+         |  SELECT row_number() OVER (ORDER BY hsig) - 1 AS j, embedding
+         |  FROM hf ORDER BY hsig LIMIT $k
+         |), cn0 AS (
+         |  SELECT j, list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm, embedding
+         |  FROM cent
+         |), cnorm AS (
+         |  SELECT j, list_transform(embedding, x ->
+         |    CAST(x AS DOUBLE) * CASE WHEN nrm = 0 THEN 0 ELSE 1 / sqrt(nrm) END) AS c
+         |  FROM cn0
+         |), cl0 AS (
+         |  SELECT list(c ORDER BY j) AS cl, count(*) AS kc FROM cnorm
+         |)""".stripMargin
+    def asg(t: Int, from: String): String =
+      s"""asg$t AS (
+         |  SELECT vec_id, embedding,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, kc)),
+         |      (pp, qq) -> CASE WHEN dl[qq + 1] > dl[pp + 1] THEN qq ELSE pp END) AS cell
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding,
+         |      list_transform(range(0, CAST(kc AS INTEGER)), j2 ->
+         |        list_sum(list_transform(range(1, len(e.embedding) + 1), ii ->
+         |          CAST(e.embedding[ii] AS DOUBLE) * cl[j2 + 1][ii]))) AS dl, kc
+         |    FROM embeddings e, $from WHERE len(e.embedding) > 0) t$t
+         |)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""${asg(t, s"cl${t - 1}")}, ex$t AS (
+         |  SELECT cell, unnest(range(1, len(embedding) + 1)) AS i, unnest(embedding) AS x
+         |  FROM asg$t
+         |), sm$t AS (
+         |  SELECT cell, i, sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS s, count(*) AS n
+         |  FROM ex$t GROUP BY 1, 2
+         |), mv$t AS (
+         |  SELECT cell, list(CAST(s AS DOUBLE) / n ORDER BY i) AS mv FROM sm$t GROUP BY cell
+         |), nv$t AS (
+         |  SELECT cell, list_transform(mv, x ->
+         |    x * (CASE WHEN nrm = 0 THEN 0 ELSE 1 / sqrt(nrm) END)) AS c
+         |  FROM (SELECT cell, mv, list_sum(list_transform(mv, x -> x * x)) AS nrm FROM mv$t) z$t
+         |), cl$t AS (
+         |  SELECT list(c2 ORDER BY j) AS cl, count(*) AS kc FROM (
+         |    SELECT r.j, CASE WHEN nv.cell IS NULL THEN p.cl[CAST(r.j AS INTEGER) + 1] ELSE nv.c END AS c2
+         |    FROM range(0, $k) r(j) CROSS JOIN cl${t - 1} p LEFT JOIN nv$t nv ON nv.cell = r.j) y$t
+         |)""".stripMargin
+    }.mkString(", ")
+    s"$init, $rounds, ${asg(iters + 1, s"cl$iters")}"
+  }
+
+  /** q96 oracle: spherical Lloyd k-means cluster assignment replayed
+    * exactly — integer output (vec_id, cell), so the hash compare is
+    * bit-exact end-to-end through two full Lloyd rounds. */
+  def kMeansAssignSql(k: Int, iters: Int): String =
+    s"""WITH ${kMeansCtes(k, iters)}
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell
+       |FROM asg${iters + 1} ORDER BY vec_id""".stripMargin
+
+  /** q97 oracle: SemDeDup replayed exactly — k-means cells (q96
+    * machinery), within-cell exact-cosine pairs over cells sized
+    * [2, cap] (the blockPairs guard), duplicate groups closed by the
+    * q70 recursive min-label closure, keep = group minimum. */
+  def semanticDedupSql(k: Int, iters: Int, threshold: Double, cap: Int): String = {
+    val f = iters + 1
+    s"""WITH RECURSIVE ${kMeansCtes(k, iters)}, cz AS (
+       |  SELECT cell, count(*) AS csz FROM asg$f GROUP BY cell
+       |), pr AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
+       |    list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+       |    list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+       |  FROM asg$f a JOIN asg$f b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN cz ON cz.cell = a.cell
+       |  WHERE cz.csz BETWEEN 2 AND $cap
+       |), pairs AS (
+       |  SELECT id_a, id_b FROM pr WHERE dot / (sqrt(na) * sqrt(nb)) >= $threshold
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs
+       |), reach AS (
+       |  SELECT src AS id, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+       |), grp AS (
+       |  SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
+       |), dropped AS (
+       |  SELECT id FROM grp WHERE id <> cluster
+       |)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM asg$f
+       |WHERE vec_id NOT IN (SELECT id FROM dropped)
+       |ORDER BY vec_id""".stripMargin
+  }
 }

@@ -622,4 +622,113 @@ object SimilaritySearch {
     val cells = withIvfCell(corpus, vecCol, cents, kCells)
     bruteForceTopK(cells.filter(col("cell").isin(probes: _*)), idCol, vecCol, query, k)
   }
+
+  // -------------------------------------------------- k-means tier
+
+  /** Spherical Lloyd k-means centroids (MacQueen 1967 / Lloyd 1982,
+    * cosine variant): init = the deterministic hash-ordered sample
+    * ([[ivfCentroids]], L2-normalized), then `iters` rounds of
+    * assign-to-max-dot / recompute-mean / renormalize. Requires corpus
+    * size >= k (the init sample must fill all k cells).
+    *
+    * Per round the whole distributed work is ONE declarative job:
+    * scan -> codegen'd `nearest_centroid` -> posexplode to (cell, pos,
+    * x) -> partial-aggregated groupBy(cell, pos) -> k x dim tiny rows
+    * to the driver. The exchange carries O(partitions x k x dim)
+    * partial-sum rows (map-side combine), never the corpus; centroids
+    * live on the driver (k x dim doubles) and ride into the next
+    * round's scan as a codegen constant — the treeAggregate shape of
+    * MLlib's KMeans, expressed declaratively. At 100 TB each round is
+    * one corpus scan; `iters` stays small (SemDeDup uses a handful).
+    *
+    * DETERMINISM (the property the oracle checks): component sums are
+    * accumulated as DECIMAL(38,12) — exact, ORDER-INDEPENDENT addition,
+    * so the result is identical under any partitioning (a plain double
+    * sum would drift by ULPs with partition order and could flip later
+    * assignments). Mean = cast(sum as double)/n, normalization and dot
+    * products are fixed-order double arithmetic — bit-equal replayable
+    * in SQL. Empty cells keep their previous centroid. */
+  def kMeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 2): Array[Double] = {
+    import org.apache.spark.sql.types.DecimalType
+    var cents = ivfCentroids(corpus, idCol, vecCol, k)
+    require(cents.length / k * k == cents.length && cents.length / k > 0,
+      s"corpus must have >= $k vectors to seed $k cells")
+    val dim = cents.length / k
+    for (_ <- 1 to iters) {
+      val stats = corpus
+        .filter(size(col(vecCol)) > 0)
+        .select(nearest_centroid(col(vecCol), cents, k).as("cell"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("x").cast("double").cast(DecimalType(38, 12))).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          (col("s").cast("double") / col("n")).as("mu"))
+        .collect()
+      val next = cents.clone() // empty cells keep their previous centroid
+      val means = Array.fill[Array[Double]](k)(null)
+      stats.foreach { r =>
+        val cell = r.getInt(0)
+        if (means(cell) == null) means(cell) = new Array[Double](dim)
+        means(cell)(r.getInt(1)) = r.getDouble(2)
+      }
+      var j = 0
+      while (j < k) {
+        val m = means(j)
+        if (m != null) {
+          var nrm = 0.0; var i = 0
+          while (i < dim) { nrm += m(i) * m(i); i += 1 }
+          val inv = if (nrm == 0.0) 0.0 else 1.0 / math.sqrt(nrm)
+          i = 0
+          while (i < dim) { next(j * dim + i) = m(i) * inv; i += 1 }
+        }
+        j += 1
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Corpus annotated with its Lloyd-refined cluster (`cell` column):
+    * [[kMeansCentroids]] then one codegen'd assignment pass. */
+  def kMeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int = 2): DataFrame =
+    withIvfCell(corpus.filter(size(col(vecCol)) > 0), vecCol,
+      kMeansCentroids(corpus, idCol, vecCol, k, iters), k)
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication = k-means-cluster the embedding space, find
+    * cosine-near-duplicate pairs WITHIN each cluster only, and keep one
+    * representative per duplicate group. Returns the kept rows with
+    * their `cell`.
+    *
+    * Spark shape: clusters from [[kMeansAssign]] (centroids are a
+    * broadcast codegen constant); within-cell candidate pairs via the
+    * capped ids-only block explode ([[Dedup.blockPairs]] — cells larger
+    * than `maxCellSize` are skipped, the boilerplate guard; size k so
+    * cells stay ~corpus/k); exact cosine on candidates only; duplicate
+    * groups closed by [[Dedup.connectedComponents]] (O(log n) rounds);
+    * representative = min id per group (deterministic, so the whole
+    * pipeline is SQL-replayable). The corpus itself never self-joins —
+    * only ids and candidate pairs shuffle, and the final drop is a
+    * broadcast-sized anti join, the q80 pattern. At 100 TB pick k so
+    * corpus/k fits comfortably under maxCellSize: the published
+    * algorithm's cost IS the within-cluster pairing. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int = 2, threshold: Double = 0.95,
+                    maxCellSize: Int = 100000): DataFrame = {
+    val cells = kMeansAssign(corpus, idCol, vecCol, k, iters)
+    val slim = cells.select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"))
+    val cand = Dedup.blockPairs(slim.select("id", "cell"), "id", Seq("cell"), maxCellSize)
+    val pairs = cand
+      .join(slim.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(slim.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .filter(cosine_sim(col("vec_a"), col("vec_b")) >= threshold)
+      .select("id_a", "id_b")
+    val dropped = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    cells.join(dropped, Seq(idCol), "left_anti")
+  }
 }

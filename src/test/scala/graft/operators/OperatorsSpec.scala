@@ -1231,4 +1231,65 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex.getMessage != null)
   }
+
+  test("kMeansAssign separates two planted clusters and is repartition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // two tight caps on opposite axes + small noise
+    def around(base: Array[Float]) =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f).toSeq
+    val ax = Array(1f, 0f, 0f, 0f); val ay = Array(0f, 1f, 0f, 0f)
+    val corpus = ((0L until 20L).map(i => i -> around(ax)) ++
+      (20L until 40L).map(i => i -> around(ay))).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.kMeansAssign(corpus, "vec_id", "embedding", k = 2, iters = 3)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cellsA = (0L until 20L).map(out).toSet
+    val cellsB = (20L until 40L).map(out).toSet
+    assert(cellsA.size == 1 && cellsB.size == 1 && cellsA != cellsB,
+      s"clusters not separated: $cellsA vs $cellsB")
+    // decimal-exact sums: identical assignment under any partitioning
+    val again = SimilaritySearch.kMeansAssign(corpus.repartition(7), "vec_id",
+        "embedding", k = 2, iters = 3)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == out)
+  }
+
+  test("kMeansCentroids: empty cell keeps its previous centroid, output stays finite") {
+    import spark.implicits._
+    // all vectors identical -> both init centroids equal -> every row
+    // assigns first-max-wins to cell 0, cell 1 never updates
+    val v = Seq(0.6f, 0.8f, 0f, 0f)
+    val corpus = (0L until 6L).map(i => i -> v).toDF("vec_id", "embedding")
+    val cents = SimilaritySearch.kMeansCentroids(corpus, "vec_id", "embedding", k = 2, iters = 2)
+    assert(cents.forall(java.lang.Double.isFinite))
+    val cells = SimilaritySearch.kMeansAssign(corpus, "vec_id", "embedding", k = 2, iters = 2)
+      .select("cell").collect().map(_.getInt(0)).toSet
+    assert(cells == Set(0))
+  }
+
+  test("semanticDedup keeps one representative per transitive cosine group") {
+    import spark.implicits._
+    // chain: a~b (cos 15deg ~ .966), b~c (cos 15deg), a-c only cos 30deg
+    // (~.866 < .95) -> one CC group {a,b,c}; d is orthogonal noise
+    def rot(theta: Double) = Seq(math.cos(theta).toFloat, math.sin(theta).toFloat, 0f, 0f)
+    val t = math.Pi / 12
+    val corpus = Seq(10L -> rot(0), 11L -> rot(t), 12L -> rot(2 * t),
+      13L -> Seq(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding")
+    val kept = SimilaritySearch.semanticDedup(corpus, "vec_id", "embedding",
+        k = 1, iters = 1, threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 13L), s"kept $kept")
+  }
+
+  test("semanticDedup maxCellSize guard skips oversized cells") {
+    import spark.implicits._
+    def rot(theta: Double) = Seq(math.cos(theta).toFloat, math.sin(theta).toFloat, 0f, 0f)
+    val t = math.Pi / 12
+    val corpus = Seq(10L -> rot(0), 11L -> rot(t), 12L -> rot(2 * t))
+      .toDF("vec_id", "embedding")
+    val kept = SimilaritySearch.semanticDedup(corpus, "vec_id", "embedding",
+        k = 1, iters = 1, threshold = 0.95, maxCellSize = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 11L, 12L)) // 3-row cell exceeds the cap: untouched
+  }
 }

@@ -96,11 +96,34 @@ object Bench {
       s"\"$k\":{\"executorRunTimeMs\":$run,\"jvmGcTimeMs\":$gc,\"executorCpuTimeMs\":$cpu,\"tasks\":$n}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    // Compact short-key maps for the truncation-surviving tail: the
+    // driver keeps only the last ~1.7 KB of stdout, so full-name maps
+    // (taskMetrics ~9 KB, full walls ~2.7 KB) never fit. Key = the qNN
+    // prefix (unique across the battery), value = one decimal — ~11
+    // bytes/query, ~1.1 KB/map for ~100 queries. r7 had executor times
+    // but no walls in the surviving tail; r8 had walls but no executor
+    // times; these two maps are sized so BOTH survive together.
+    def shortKey(name: String): String = {
+      val i = name.indexOf('_')
+      if (i > 0) name.substring(0, i) else name
+    }
+    // ascending by wall: if the tail window still clips ~200-400 bytes,
+    // it eats the sub-second queries' entries first — the heavies (the
+    // only ones perf disputes are ever about) sit at the very end
+    val byWall = results.toSeq.sortBy(_._2._1)
+    def compact(sel: ((Double, Long, Long, Long, Long)) => Double): String =
+      byWall.map { case (k, v) =>
+        "\"" + shortKey(k) + "\":" +
+          String.format(java.util.Locale.ROOT, "%.1f", Double.box(sel(v)))
+      }.mkString("{", ",", "}")
+    val wallsS = compact(_._1)
+    val execS = compact(_._2 / 1000.0)
     // field order is load-bearing: the driver records the TAIL of the
-    // output, so the big per-query maps go first and the headline
-    // metric/value/unit go LAST (r7's walls were truncated away because
-    // they led the line)
-    val line = s"""{"taskMetrics":$ms,"queries":$qs,"quiesceTimeouts":${listener.quiesceTimeouts.get},"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}"""
+    // output, so the big per-query maps go first and the compact
+    // walls_s/exec_s maps + headline metric/value/unit go LAST (r7's
+    // walls were truncated away because they led the line; r8's
+    // taskMetrics were truncated away for the same reason)
+    val line = s"""{"taskMetrics":$ms,"queries":$qs,"walls_s":$wallsS,"exec_s":$execS,"quiesceTimeouts":${listener.quiesceTimeouts.get},"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}"""
     println(line)
     // optional file copy: stdout passes through harnesses that keep only
     // a bounded tail — the file preserves the full per-query receipts

@@ -353,6 +353,116 @@ object PqAdcScore {
   }
 }
 
+/** Inverse of the int8 affine quantization (see
+  * `SimilaritySearch.quantizeEmbeddings`): `x = (float)((code + 128) *
+  * scale + min)` per element, double math in that exact operation
+  * order — bit-identical to the `transform` lambda it replaces, so the
+  * q88 oracle replays unchanged. The lambda was the battery's one
+  * interpreted hot-path eval: Catalyst higher-order functions are
+  * CodegenFallback, so every probe of the quantized store paid
+  * per-element interpreted dispatch; this expression keeps the
+  * dequantizing scan inside whole-stage codegen, which is what makes
+  * the 4×-smaller store CPU-free to read at 100 TB. */
+case class Dequantize(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "dequantize"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(ByteType), DoubleType, DoubleType)
+
+  override def nullSafeEval(codes: Any, scale: Any, vmin: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Dequantize.restore(codes.asInstanceOf[ArrayData],
+        scale.asInstanceOf[Double], vmin.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, s, mn) => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.Dequantize.restore($c, $s, $mn));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object Dequantize {
+  /** Shared by interpreted + generated code. Same op order as the
+    * original lambda: (code_double + 128) * scale + min, cast float. */
+  def restore(codes: ArrayData, scale: Double, vmin: Double): Array[Float] = {
+    val n = codes.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((codes.getByte(i).toDouble + 128.0) * scale + vmin).toFloat
+      i += 1
+    }
+    out
+  }
+}
+
+/** Forward int8 affine quantization: `code = (tinyint)(round((x - min)
+  * / scale) - 128)` per element, where `round` replicates Spark's
+  * `Round(_, 0)` on double EXACTLY (java.math.BigDecimal.valueOf →
+  * setScale(0, HALF_UP) → doubleValue, NaN/Inf passthrough — the same
+  * code Spark's RoundBase generates), so the emitted codes are
+  * bit-identical to the `transform(round(...))` lambda this replaces
+  * and the q84/q88 SQL oracles replay unchanged. The lambda was
+  * CodegenFallback; worse, Catalyst's collapsed projections inlined it
+  * into every downstream consumer (q88's Filter evaluated the
+  * quantize lambda THREE times per row, interpreted). This expression
+  * keeps the whole quantize→search pipeline in one codegen span. */
+case class QuantizeCodes(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "quantize_codes"
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), DoubleType, DoubleType)
+
+  override def nullSafeEval(vec: Any, vmin: Any, scale: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      QuantizeCodes.encode(vec.asInstanceOf[ArrayData],
+        vmin.asInstanceOf[Double], scale.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, mn, s) => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.QuantizeCodes.encode($v, $mn, $s));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object QuantizeCodes {
+  /** Spark `Round(d, 0)` double semantics, verbatim. */
+  private def sparkRound(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Shared by interpreted + generated code. Same op order as the
+    * original lambda: round((x_double - min) / scale) - 128, cast
+    * tinyint. */
+  def encode(vec: ArrayData, vmin: Double, scale: Double): Array[Byte] = {
+    val n = vec.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (sparkRound((vec.getFloat(i).toDouble - vmin) / scale) - 128.0).toByte
+      i += 1
+    }
+    out
+  }
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.Bridge.{column => C, expression => E}
   def dot_product(a: Column, b: Column): Column = C(DotProduct(E(a), E(b)))
@@ -366,6 +476,10 @@ object VectorFunctions {
   def pq_adc_score(codes: Column, lutIp: Array[Double], lutNorm: Array[Double],
                    qNorm: Double, nCodes: Int, m: Int): Column =
     C(PqAdcScore(E(codes), lutIp, lutNorm, qNorm, nCodes, m))
+  def dequantize(codes: Column, scale: Column, vmin: Column): Column =
+    C(Dequantize(E(codes), E(scale), E(vmin)))
+  def quantize_codes(vec: Column, vmin: Column, scale: Column): Column =
+    C(QuantizeCodes(E(vec), E(vmin), E(scale)))
 
   /** Deterministic pseudo-random hyperplanes (SplitMix64 stream). */
   def makePlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Double] = {

@@ -259,12 +259,13 @@ object SimilaritySearch {
     * operation order, so an SQL oracle replays the codes bit-for-bit;
     * pure map stage, no shuffle.
     *
-    * q_min/q_scale are projected in a FIRST select and the transform
-    * lambda references the resulting attributes: higher-order functions
-    * are CodegenFallback and re-evaluate non-trivial argument
-    * expressions per element, so inlining array_min/array_max into the
-    * lambda would make the map stage O(d²) per vector at production
-    * dims. An attribute reference is free. */
+    * Encoding is the codegen'd [[graft.functions.QuantizeCodes]]
+    * expression (bit-identical to Spark's `round`): the previous
+    * `transform(round(...))` lambda was CodegenFallback, and worse,
+    * collapsed projections inlined the interpreted lambda into every
+    * downstream consumer — q88's filter re-evaluated it three times
+    * per row. q_min/q_scale stay projected in a FIRST select so the
+    * array_min/array_max scans run once per row, not once per use. */
   def quantizeEmbeddings(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol)
     val vmin = array_min(v).cast("double")
@@ -272,17 +273,17 @@ object SimilaritySearch {
     val scale = when(vmax > vmin, (vmax - vmin) / lit(255.0)).otherwise(lit(1.0))
     df.select(col(idCol), v.as("__v"), vmin.as("q_min"), scale.as("q_scale"))
       .select(col(idCol), col("q_min"), col("q_scale"),
-        transform(col("__v"),
-          x => (round((x.cast("double") - col("q_min")) / col("q_scale")) - 128).cast("byte"))
-          .as("q_codes"))
+        quantize_codes(col("__v"), col("q_min"), col("q_scale")).as("q_codes"))
   }
 
   /** Inverse of [[quantizeEmbeddings]]: reconstruct approximate float
-    * vectors from (q_min, q_scale, q_codes). */
+    * vectors from (q_min, q_scale, q_codes). Uses the codegen'd
+    * [[graft.functions.Dequantize]] expression — the previous
+    * `transform` lambda was CodegenFallback (interpreted per-element
+    * eval in the scan stage; q88 paid 11 s cold / 2 s warm for it). */
   def dequantizeEmbeddings(df: DataFrame): DataFrame =
     df.withColumn("q_restored",
-      transform(col("q_codes"),
-        c => ((c.cast("double") + 128) * col("q_scale") + col("q_min")).cast("float")))
+      dequantize(col("q_codes"), col("q_scale"), col("q_min")))
 
   /** Driver-side bucket of one vector (same planes as the expression). */
   def bucketOf(v: Array[Float], planes: Array[Double], nPlanes: Int): Int = {

@@ -870,6 +870,44 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"quantized top-10 drifted beyond the error bound: ${ivf.map(_._1)}")
   }
 
+  test("QuantizeCodes/Dequantize codegen expressions are bit-identical to the lambda forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, transform, round, array_min, array_max, when, lit}
+    // the r8 formulation: interpreted transform lambdas — kept here as
+    // the executable spec the native expressions must replay bit-for-bit
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 300L).map(i => i -> Seq.fill(24)(rnd.nextFloat() * 6f - 3f)) :+
+      (999L -> Seq.fill(24)(-0.25f)) // constant vector -> scale 1.0 branch
+    val df = vecs.toDF("vec_id", "embedding")
+    val v = col("embedding")
+    val vmin = array_min(v).cast("double")
+    val vmax = array_max(v).cast("double")
+    val scale = when(vmax > vmin, (vmax - vmin) / lit(255.0)).otherwise(lit(1.0))
+    val staged = df.select(col("vec_id"), v.as("__v"), vmin.as("q_min"), scale.as("q_scale"))
+    val lambdaQ = staged.select(col("vec_id"), col("q_min"), col("q_scale"),
+      transform(col("__v"),
+        x => (round((x.cast("double") - col("q_min")) / col("q_scale")) - 128).cast("byte"))
+        .as("q_codes"))
+    val nativeQ = SimilaritySearch.quantizeEmbeddings(df, "vec_id", "embedding")
+    val lq = lambdaQ.orderBy("vec_id").collect()
+    val nq = nativeQ.orderBy("vec_id").collect()
+    assert(lq.length == nq.length)
+    lq.zip(nq).foreach { case (a, b) =>
+      assert(a.getSeq[Byte](3) == b.getSeq[Byte](3), s"codes diverge at vec ${a.getLong(0)}")
+      assert(a.getDouble(1) == b.getDouble(1) && a.getDouble(2) == b.getDouble(2))
+    }
+    val lambdaD = lambdaQ.withColumn("q_restored",
+      transform(col("q_codes"),
+        c => ((c.cast("double") + 128) * col("q_scale") + col("q_min")).cast("float")))
+      .orderBy("vec_id").collect()
+    val nativeD = SimilaritySearch.dequantizeEmbeddings(nativeQ)
+      .orderBy("vec_id").collect()
+    lambdaD.zip(nativeD).foreach { case (a, b) =>
+      assert(a.getSeq[Float](4) == b.getSeq[Float](4),
+        s"restored floats diverge at vec ${a.getLong(0)}")
+    }
+  }
+
   test("quantizeEmbeddings: int8 roundtrip within scale/2, constant-vector guard") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -1451,7 +1451,58 @@ object ExtQueries {
           .select(col("vec_id"), col("cell").cast("long").as("cell"))
           .orderBy("vec_id"),
       Some(OracleSql.semanticDedupSql(k = 8, iters = 2, threshold = 0.44,
-        cap = 100000))))
+        cap = 100000)))),
+
+    // Time-boxed funnel: view -> click -> purchase must complete within
+    // 4 hours of the chain's step-0 view. Same single-exchange stacked-
+    // window plan as q94; the recurrence carries the chain ANCHOR as
+    // exact integer epoch-micros and propagates the MAX anchor (the
+    // greedy witness — see EventAnalytics.funnelWithin's proof sketch),
+    // so the oracle replays bit-exact. Deadline is inclusive (== T
+    // counts), spec-pinned at the boundary.
+    "q98_funnel_within" -> ((
+      (s: SparkSession, d: String) =>
+        EventAnalytics.funnelWithin(events(s, d), "user_id", "ts", "event_id",
+            "event_type", Seq("view", "click", "purchase"), withinSeconds = 14400L)
+          .orderBy("step_idx"),
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS tsu,
+             |         CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS a0
+             |  FROM events
+             |), w1 AS (
+             |  SELECT *, CASE WHEN event_type = 'click' AND max(a0) OVER pw IS NOT NULL
+             |      AND tsu - max(a0) OVER pw <= 14400000000 THEN max(a0) OVER pw END AS a1
+             |  FROM e
+             |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |), w2 AS (
+             |  SELECT *, CASE WHEN event_type = 'purchase' AND max(a1) OVER pw IS NOT NULL
+             |      AND tsu - max(a1) OVER pw <= 14400000000 THEN max(a1) OVER pw END AS a2
+             |  FROM w1
+             |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |), pu AS (
+             |  SELECT user_id,
+             |         max(CASE WHEN a0 IS NOT NULL THEN 1 ELSE 0 END) AS r0,
+             |         max(CASE WHEN a1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+             |         max(CASE WHEN a2 IS NOT NULL THEN 1 ELSE 0 END) AS r2
+             |  FROM w2 GROUP BY user_id
+             |), tot AS (
+             |  SELECT sum(r0) AS u0, sum(r1) AS u1, sum(r2) AS u2 FROM pu
+             |), st AS (
+             |  SELECT 0 AS step_idx, 'view' AS step, u0 AS users FROM tot
+             |  UNION ALL SELECT 1, 'click', u1 FROM tot
+             |  UNION ALL SELECT 2, 'purchase', u2 FROM tot
+             |)
+             |SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+             |       CAST(users AS BIGINT) AS users,
+             |       CASE WHEN first_value(users) OVER w = 0 THEN 0.0
+             |            ELSE CAST(users AS DOUBLE) /
+             |                 CAST(first_value(users) OVER w AS DOUBLE) END AS rate
+             |FROM st
+             |WINDOW w AS (ORDER BY step_idx
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY step_idx""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

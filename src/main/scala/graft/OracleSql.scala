@@ -929,7 +929,12 @@ object OracleSql {
        |  JOIN cz ON cz.cell = a.cell
        |  WHERE cz.csz BETWEEN 2 AND $cap
        |), pairs AS (
-       |  SELECT id_a, id_b FROM pr WHERE dot / (sqrt(na) * sqrt(nb)) >= $threshold
+       |  -- zero-norm guard mirrors cosine_sim's NULL (a bare division
+       |  -- would yield NaN, which DuckDB sorts greatest, so NaN >= t
+       |  -- would KEEP a degenerate pair the engine drops)
+       |  SELECT id_a, id_b FROM pr
+       |  WHERE (CASE WHEN na = 0 OR nb = 0 THEN NULL
+       |              ELSE dot / (sqrt(na) * sqrt(nb)) END) >= $threshold
        |), edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION SELECT id_b, id_a FROM pairs

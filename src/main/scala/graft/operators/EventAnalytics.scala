@@ -1,21 +1,64 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics over the reference's events surface
   * (ScratchDB's headline use case is exactly this kind of product
   * analytics over ingested JSON events — see
-  * /root/reference/README.md:9-14): ordered-funnel conversion and
-  * cohort retention. Both are single-shuffle shapes: one hash exchange
-  * on the user key, one in-partition sort, chained window functions —
-  * no self-joins, no per-step re-scans, so the event table is read
-  * exactly once regardless of funnel depth. At 100 TB the exchange
-  * carries only (user, ts, tie, type) — project before calling if the
-  * event rows are wide.
+  * /root/reference/README.md:9-14): ordered-funnel conversion (plain
+  * and complete-within-T) and cohort retention. All are single-shuffle
+  * shapes: one hash exchange on the user key, one in-partition sort,
+  * chained window functions — no self-joins, no per-step re-scans, so
+  * the event table is read exactly once regardless of funnel depth.
+  * The operators project down to the event columns they use before
+  * adding any internal column, so at 100 TB the exchange carries only
+  * (user, ts, tie, type) however wide the input rows are, and caller
+  * columns can never collide with the `__`-prefixed temporaries.
   */
 object EventAnalytics {
+
+  /** The four analysis columns, projected in a fixed internal order.
+    * Input column names must not use the reserved `__` prefix (that
+    * namespace belongs to the operator's temporaries). */
+  private def projected(events: DataFrame, cols: String*): DataFrame = {
+    require(cols.forall(!_.startsWith("__")),
+      s"column names must not start with the reserved '__' prefix, got ${cols.mkString(", ")}")
+    events.select(cols.map(c => col(c)): _*)
+  }
+
+  /** Shared funnel tail: per-user reached flags from the qual columns,
+    * one global total row, then an O(steps) typed unpivot. `step_idx`,
+    * `step`, `users` and `rate` are built with `lit`/`struct` (never
+    * string-interpolated SQL, so step names containing quotes are data,
+    * not syntax) and rate is computed on the single totals row BEFORE
+    * unpivoting — no window over the O(steps) output, so nothing here
+    * ever plans a single-partition WindowExec. */
+  private def funnelTail(withQuals: DataFrame, userCol: String,
+                         qualCols: Seq[String], steps: Seq[String]): DataFrame = {
+    val perUser = withQuals.groupBy(col(userCol))
+      .agg(qualCols.zipWithIndex.map { case (c, k) =>
+        max(when(col(c).isNotNull, 1L).otherwise(0L)).as(s"__r$k")
+      }.head, qualCols.zipWithIndex.tail.map { case (c, k) =>
+        max(when(col(c).isNotNull, 1L).otherwise(0L)).as(s"__r$k")
+      }: _*)
+
+    val totals = perUser.agg(
+      sum(col("__r0")).as("__u0"),
+      qualCols.indices.tail.map(k => sum(col(s"__r$k")).as(s"__u$k")): _*)
+
+    // O(steps) rows out of ONE totals row: rate = users/step-0 users
+    // (double division of exact longs — deterministic).
+    val rows = array(steps.indices.map { k =>
+      struct(lit(k.toLong).as("step_idx"), lit(steps(k)).as("step"),
+        col(s"__u$k").cast("long").as("users"),
+        when(col("__u0") === 0L, lit(0.0))
+          .otherwise(col(s"__u$k").cast("double") / col("__u0").cast("double"))
+          .as("rate"))
+    }: _*)
+    totals.select(explode(rows).as("__s")).select("__s.*")
+  }
 
   /** Ordered funnel: for each user, step k counts as reached when an
     * event of `steps(k)` occurs strictly after (in (ts, tie) sort
@@ -34,41 +77,67 @@ object EventAnalytics {
   def funnel(events: DataFrame, userCol: String, tsCol: String, tieCol: String,
              typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.size >= 2, s"funnel needs >= 2 steps, got ${steps.size}")
+    val base = projected(events, userCol, tsCol, tieCol, typeCol)
     val wPrev = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, -1)
 
     // qualCols(k): per-row ts iff this row completes step k.
     val qual0 = when(col(typeCol) === steps.head, col(tsCol))
     val (withQuals, qualCols) =
-      steps.zipWithIndex.tail.foldLeft((events.withColumn("__q0", qual0), Seq("__q0"))) {
+      steps.zipWithIndex.tail.foldLeft((base.withColumn("__q0", qual0), Seq("__q0"))) {
         case ((df, cols), (step, k)) =>
           val prev = min(col(cols.last)).over(wPrev)
           val q = when(col(typeCol) === step && prev.isNotNull, col(tsCol))
           (df.withColumn(s"__q$k", q), cols :+ s"__q$k")
       }
+    funnelTail(withQuals, userCol, qualCols, steps)
+  }
 
-    val perUser = withQuals.groupBy(col(userCol))
-      .agg(qualCols.zipWithIndex.map { case (c, k) =>
-        max(when(col(c).isNotNull, 1L).otherwise(0L)).as(s"__r$k")
-      }.head, qualCols.zipWithIndex.tail.map { case (c, k) =>
-        max(when(col(c).isNotNull, 1L).otherwise(0L)).as(s"__r$k")
-      }: _*)
+  /** Time-boxed ordered funnel: step k counts only when the whole chain
+    * completes within `withinSeconds` of its step-0 anchor event —
+    * "signed up, then activated, then purchased, all inside 7 days",
+    * the form product funnels over the reference's events use case
+    * actually take (readme.md:9-14, the events-table quickstart).
+    *
+    * Same single Exchange + Sort + stacked-Window plan as [[funnel]];
+    * the recurrence carries the chain's ANCHOR (the step-0 event time,
+    * as exact integer epoch-micros) instead of the completion time, and
+    * propagates the MAXIMUM anchor:
+    *
+    *   a_0(r)  = epoch_us(ts)   if r is a step-0 event
+    *   prevA_k(r) = max a_k over rows strictly before r
+    *   a_k(r)  = prevA_{k-1}(r) if r is a step-k event
+    *             and epoch_us(ts(r)) - prevA_{k-1}(r) <= T_us
+    *
+    * Propagating the max (most recent) anchor is the correct greedy
+    * witness: if ANY chain within the deadline reaches step k at r,
+    * the max-anchor chain does too (every intermediate event of the
+    * witness chain is <= ts(r), so it satisfies the deadline under any
+    * anchor >= the witness's). The deadline is inclusive — a chain
+    * completing at exactly T counts (spec-pinned) — and all window
+    * arithmetic is integer microseconds, bit-replayable in SQL.
+    */
+  def funnelWithin(events: DataFrame, userCol: String, tsCol: String,
+                   tieCol: String, typeCol: String, steps: Seq[String],
+                   withinSeconds: Long): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got ${steps.size}")
+    require(withinSeconds > 0, s"withinSeconds must be positive, got $withinSeconds")
+    val withinUs = math.multiplyExact(withinSeconds, 1000000L)
+    val base = projected(events, userCol, tsCol, tieCol, typeCol)
+    val wPrev = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
 
-    val totals = perUser.agg(
-      sum(col("__r0")).as("__u0"),
-      qualCols.indices.tail.map(k => sum(col(s"__r$k")).as(s"__u$k")): _*)
-
-    // O(steps) rows: unpivot the single totals row via a stack expr.
-    val stacked = steps.indices.map(k =>
-      s"CAST($k AS BIGINT), '${steps(k)}', CAST(__u$k AS BIGINT)").mkString(", ")
-    totals.selectExpr(
-        s"stack(${steps.size}, $stacked) AS (step_idx, step, users)")
-      .withColumn("rate",
-        when(first(col("users")).over(Window.orderBy("step_idx")
-            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)) === 0L, 0.0)
-          .otherwise(col("users").cast("double") /
-            first(col("users")).over(Window.orderBy("step_idx")
-              .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).cast("double")))
+    val tsUs = unix_micros(col(tsCol))
+    val anchor0 = when(col(typeCol) === steps.head, tsUs)
+    val (withQuals, qualCols) =
+      steps.zipWithIndex.tail.foldLeft((base.withColumn("__q0", anchor0), Seq("__q0"))) {
+        case ((df, cols), (step, k)) =>
+          val prevA = max(col(cols.last)).over(wPrev)
+          val q = when(col(typeCol) === step && prevA.isNotNull &&
+            tsUs - prevA <= withinUs, prevA)
+          (df.withColumn(s"__q$k", q), cols :+ s"__q$k")
+      }
+    funnelTail(withQuals, userCol, qualCols, steps)
   }
 
   /** Cohort retention: users cohorted by the Monday of their first
@@ -80,7 +149,7 @@ object EventAnalytics {
     */
   def retentionCohorts(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val wUser = Window.partitionBy(col(userCol))
-    events
+    projected(events, userCol, tsCol)
       .withColumn("__cohort", date_trunc("week", min(col(tsCol)).over(wUser)).cast("date"))
       .withColumn("__week", date_trunc("week", col(tsCol)).cast("date"))
       .withColumn("week_offset",

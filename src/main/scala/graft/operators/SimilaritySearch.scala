@@ -330,7 +330,16 @@ object SimilaritySearch {
     * assignment is one map pass. (Sampled centroids are the standard
     * IVF baseline; Lloyd refinement would only reshuffle cell sizes.) */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                   nCells: Int): Array[Double] = {
+                   nCells: Int): Array[Double] =
+    ivfCentroidRows(corpus, idCol, vecCol, nCells)._1
+
+  /** [[ivfCentroids]] plus the number of seed rows actually sampled —
+    * callers that need exactly `nCells` seeds (k-means) check the count
+    * directly instead of inferring it from array-length divisibility
+    * (which can mis-derive `dim` when n < nCells but n*dim happens to
+    * divide nCells). */
+  private def ivfCentroidRows(corpus: DataFrame, idCol: String, vecCol: String,
+                              nCells: Int): (Array[Double], Int) = {
     val rows = corpus.select(col(vecCol))
       .filter(size(col(vecCol)) > 0)
       .orderBy(xxhash64(col(idCol)))
@@ -348,7 +357,7 @@ object SimilaritySearch {
       i = 0
       while (i < dim) { out(j * dim + i) = v(i).toDouble * inv; i += 1 }
     }
-    out
+    (out, rows.length)
   }
 
   /** Annotate each row with its IVF cell (argmax dot against normalized
@@ -652,9 +661,10 @@ object SimilaritySearch {
   def kMeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 2): Array[Double] = {
     import org.apache.spark.sql.types.DecimalType
-    var cents = ivfCentroids(corpus, idCol, vecCol, k)
-    require(cents.length / k * k == cents.length && cents.length / k > 0,
-      s"corpus must have >= $k vectors to seed $k cells")
+    val (seed, nSeed) = ivfCentroidRows(corpus, idCol, vecCol, k)
+    require(nSeed == k,
+      s"corpus must have >= $k non-empty vectors to seed $k cells, got $nSeed")
+    var cents = seed
     val dim = cents.length / k
     for (_ <- 1 to iters) {
       val stats = corpus
@@ -705,31 +715,50 @@ object SimilaritySearch {
     * their `cell`.
     *
     * Spark shape: clusters from [[kMeansAssign]] (centroids are a
-    * broadcast codegen constant); within-cell candidate pairs via the
-    * capped ids-only block explode ([[Dedup.blockPairs]] — cells larger
-    * than `maxCellSize` are skipped, the boilerplate guard; size k so
-    * cells stay ~corpus/k); exact cosine on candidates only; duplicate
-    * groups closed by [[Dedup.connectedComponents]] (O(log n) rounds);
+    * broadcast codegen constant); pairing is CELL-LOCAL — the slim
+    * (id, vec, cell) projection shuffles ONCE on `cell` and pairs by a
+    * self-equi-join on `cell` with `id_a < id_b`, which Catalyst plans
+    * as one Exchange + ReusedExchange (both join inputs canonicalize to
+    * the same slim scan), so the corpus's vector bytes cross the wire
+    * exactly once (r8 paid two extra id-keyed vector joins here).
+    * Oversized cells (> `maxCellSize`, the boilerplate blocking guard;
+    * pick k so cells stay ~corpus/k) and singleton cells are excluded
+    * by a broadcast O(k)-row cell-size filter before the join, so the
+    * quadratic work per cell is hard-capped. Exact cosine on the
+    * cell-local pairs only; duplicate groups closed by
+    * [[Dedup.connectedComponents]] (O(log n) rounds, ids only);
     * representative = min id per group (deterministic, so the whole
-    * pipeline is SQL-replayable). The corpus itself never self-joins —
-    * only ids and candidate pairs shuffle, and the final drop is a
-    * broadcast-sized anti join, the q80 pattern. At 100 TB pick k so
-    * corpus/k fits comfortably under maxCellSize: the published
-    * algorithm's cost IS the within-cluster pairing. */
+    * pipeline is SQL-replayable). The final drop is a broadcast-sized
+    * anti join, the q80 pattern. At 100 TB pick k so corpus/k fits
+    * comfortably under maxCellSize: the published algorithm's cost IS
+    * the within-cluster pairing. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int = 2, threshold: Double = 0.95,
                     maxCellSize: Int = 100000): DataFrame = {
     val cells = kMeansAssign(corpus, idCol, vecCol, k, iters)
     val slim = cells.select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"))
-    val cand = Dedup.blockPairs(slim.select("id", "cell"), "id", Seq("cell"), maxCellSize)
-    val pairs = cand
-      .join(slim.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(slim.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
-      .filter(cosine_sim(col("vec_a"), col("vec_b")) >= threshold)
-      .select("id_a", "id_b")
+    val pairs = semanticPairs(slim, threshold, maxCellSize)
     val dropped = Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     cells.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** Cell-local near-duplicate pairing over a slim (id, vec, cell)
+    * projection — the SemDeDup candidate stage, exposed for plan
+    * receipts. One `cell`-keyed shuffle of the vector bytes (self-join
+    * both sides canonicalize to the same scan → Exchange +
+    * ReusedExchange); ids never key an exchange that carries vectors. */
+  private[graft] def semanticPairs(slim: DataFrame, threshold: Double,
+                                   maxCellSize: Int): DataFrame = {
+    // O(k) rows — broadcast both ways; [2, cap] mirrors blockPairs' guard
+    val okCells = slim.groupBy("cell").agg(count(lit(1)).as("__csz"))
+      .filter(col("__csz").between(2, maxCellSize)).select("cell")
+    val paired = slim.join(broadcast(okCells), "cell")
+    paired.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
+      .join(paired.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b")), "cell")
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine_sim(col("vec_a"), col("vec_b")) >= threshold)
+      .select("id_a", "id_b")
   }
 }

@@ -104,6 +104,119 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("2024-01-08", 0L, 1L)))  // u2
   }
 
+  test("funnelWithin boundary: a chain completing at exactly T counts (inclusive)") {
+    // T = 3600 s. u1 completes view->click->purchase at exactly +3600 s of
+    // the view anchor. u2 purchases at +3601 s -> purchase step NOT reached.
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (1L, "2024-01-01 10:30:00", 2L, "click"),
+      (1L, "2024-01-01 11:00:00", 3L, "purchase"),
+      (2L, "2024-01-01 10:00:00", 4L, "view"),
+      (2L, "2024-01-01 10:30:00", 5L, "click"),
+      (2L, "2024-01-01 11:00:01", 6L, "purchase"))
+    val out = EventAnalytics.funnelWithin(df, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"), withinSeconds = 3600L)
+      .orderBy("step_idx").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((0L, 2L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("funnelWithin propagates the max anchor (greedy witness)") {
+    // u1 views at 09:00 and again at 10:50. The click at 10:55 is outside
+    // T=600 s of the FIRST view but inside it of the second: only the
+    // max-anchor recurrence reaches the click step. The purchase at 11:00
+    // is within T of the surviving (10:50) anchor -> full funnel.
+    val df = events(
+      (1L, "2024-01-01 09:00:00", 1L, "view"),
+      (1L, "2024-01-01 10:50:00", 2L, "view"),
+      (1L, "2024-01-01 10:55:00", 3L, "click"),
+      (1L, "2024-01-01 11:00:00", 4L, "purchase"))
+    val out = EventAnalytics.funnelWithin(df, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"), withinSeconds = 600L)
+      .orderBy("step_idx").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L, 1L))
+  }
+
+  test("funnelWithin deadline binds the whole chain to the step-0 anchor") {
+    // Each hop is only 10 min apart, but the chain spans 09:00 -> 09:20:
+    // with T = 15 min the purchase step is out of deadline even though
+    // every adjacent gap is under T.
+    val df = events(
+      (1L, "2024-01-01 09:00:00", 1L, "view"),
+      (1L, "2024-01-01 09:10:00", 2L, "click"),
+      (1L, "2024-01-01 09:20:00", 3L, "purchase"))
+    val out = EventAnalytics.funnelWithin(df, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"), withinSeconds = 900L)
+      .orderBy("step_idx").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L, 0L))
+  }
+
+  test("funnel treats quotes in step names as data, not SQL syntax") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "o'view"),
+      (1L, "2024-01-01 10:01:00", 2L, "o'click"))
+    val out = EventAnalytics.funnel(df, "user_id", "ts", "event_id",
+        "event_type", Seq("o'view", "o'click")).orderBy("step_idx").collect()
+    assert(out.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("o'view", 1L), ("o'click", 1L)))
+  }
+
+  test("funnel rejects reserved __-prefixed input column names") {
+    val df = events((1L, "2024-01-01 10:00:00", 1L, "view"))
+      .withColumnRenamed("event_type", "__q0")
+    val e = intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(df, "user_id", "ts", "event_id", "__q0",
+        Seq("view", "click"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  test("funnel ignores unrelated caller columns that share temp names") {
+    // A column named like an internal temporary is simply projected away.
+    val df = events((1L, "2024-01-01 10:00:00", 1L, "view"),
+        (1L, "2024-01-01 10:01:00", 2L, "click"))
+      .withColumn("step", lit("junk")).withColumn("users", lit(-1L))
+    val out = EventAnalytics.funnel(df, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click")).orderBy("step_idx").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L))
+  }
+
+  test("funnelWithin result is invariant under repartitioning") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (1L, "2024-01-01 10:20:00", 2L, "click"),
+      (2L, "2024-01-01 11:00:00", 3L, "view"),
+      (2L, "2024-01-01 12:30:00", 4L, "click"))
+    val a = EventAnalytics.funnelWithin(df, "user_id", "ts", "event_id",
+      "event_type", Seq("view", "click"), 3600L).orderBy("step_idx").collect().toSeq
+    val b = EventAnalytics.funnelWithin(df.repartition(7), "user_id", "ts",
+      "event_id", "event_type", Seq("view", "click"), 3600L)
+      .orderBy("step_idx").collect().toSeq
+    assert(a == b)
+  }
+
+  test("funnelWithin plans a single event-sized exchange") {
+    val df = events((1L, "2024-01-01 10:00:00", 1L, "view"))
+    val plan = EventAnalytics.funnelWithin(df, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"), 3600L)
+      .queryExecution.executedPlan.toString
+    val bigExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).length
+    assert(bigExchanges == 1, s"expected 1 user_id exchange, plan:\n$plan")
+  }
+
+  test("funnel no longer plans any single-partition WindowExec") {
+    val df = events((1L, "2024-01-01 10:00:00", 1L, "view"))
+    // The O(steps) rate rollup is computed on the single totals row via
+    // struct-explode, so the ONLY Window ops left are the user-partitioned
+    // chained-recurrence ones: exactly steps-1 of them, each mentioning
+    // the user key in its spec.
+    val plan = EventAnalytics.funnel(df, "user_id", "ts", "event_id",
+      "event_type", Seq("view", "click")).queryExecution.executedPlan.toString
+    val windowOps = "Window \\[".r.findAllIn(plan).length
+    assert(windowOps == 1, s"expected 1 Window op (no rate window), plan:\n$plan")
+  }
+
   test("funnel plans a single exchange for the per-user phase") {
     val df = events((1L, "2024-01-01 10:00:00", 1L, "view"))
     val plan = EventAnalytics.funnel(df, "user_id", "ts", "event_id", "event_type",

@@ -1319,6 +1319,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(10L, 13L), s"kept $kept")
   }
 
+  test("semanticPairs shuffles vector bytes once, keyed by cell, never by id") {
+    import spark.implicits._
+    def rot(theta: Double) = Seq(math.cos(theta).toFloat, math.sin(theta).toFloat)
+    val slim = (0L until 12L).map(i => (i, rot(i * 0.1), i % 3))
+      .toDF("id", "vec", "cell")
+    // Force the at-scale sort-merge path (a 12-row side would broadcast,
+    // which shuffles nothing and proves nothing).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = SimilaritySearch.semanticPairs(slim, 0.9, 100)
+      pairs.collect() // finalize the adaptive plan so exchange reuse shows
+      val plan = pairs.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head // assert on the FINAL plan only
+      // The r8 shape joined candidate ids back to the corpus twice on `id`;
+      // cell-local pairing must never key a vector-carrying exchange by id.
+      assert(!plan.contains("hashpartitioning(id"),
+        s"vector exchange keyed by id:\n$plan")
+      // Self-join inputs canonicalize to one scan: the vector bytes are
+      // shuffled once and the second side reads the SAME shuffle via
+      // reuse. Materialized exchanges on cell: 1 vector-carrying + 1 for
+      // the O(k)-row cell-size count = 2.
+      val cellEx = "Exchange hashpartitioning\\(cell".r.findAllIn(plan).length
+      val reused = plan.contains("ReusedExchange") ||
+        plan.contains("ReusedQueryStage")
+      assert(cellEx <= 2 && reused,
+        s"expected <=2 cell exchanges + reuse (got $cellEx, reused=$reused):\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("semanticDedup maxCellSize guard skips oversized cells") {
     import spark.implicits._
     def rot(theta: Double) = Seq(math.cos(theta).toFloat, math.sin(theta).toFloat, 0f, 0f)

@@ -22,14 +22,11 @@ object ExtQueries {
   private def docs(s: SparkSession, d: String) = s.read.parquet(s"$d/documents.parquet")
   private def embs(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) read as a long under
-    * nanosAsLong — integer-divide to micros exactly as [[Queries.t]]. */
-  private def events(s: SparkSession, d: String): DataFrame = {
-    val df = s.read.parquet(s"$d/events.parquet")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
-  }
+  /** events.ts ships as either nanos-as-long or TIMESTAMP_NTZ depending
+    * on the testdata generation — [[Queries.normalizeEventTs]] handles
+    * both and yields TIMESTAMP. */
+  private def events(s: SparkSession, d: String): DataFrame =
+    Queries.normalizeEventTs(s.read.parquet(s"$d/events.parquet"))
 
   /** First embedding vector of the corpus — deterministic ANN query. */
   private def queryVec(s: SparkSession, d: String): Array[Float] =
@@ -683,7 +680,7 @@ object ExtQueries {
     // finalize and is filtered by key as well).
     "q69_streaming_mv" -> ((
       (s: SparkSession, d: String) => {
-        import org.apache.spark.sql.types.{DecimalType, LongType}
+        import org.apache.spark.sql.types.DecimalType
         val sfName = new java.io.File(d).getName
         val base = new java.io.File(s"/tmp/graft_mv_export_$sfName")
         def rm(f: java.io.File): Unit = {
@@ -693,9 +690,7 @@ object ExtQueries {
         rm(base)
         val inDir = new java.io.File(base, "in"); inDir.mkdirs()
         val raw = s.read.parquet(s"$d/events.parquet")
-        val ev = (if (raw.schema("ts").dataType == LongType)
-            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          else raw)
+        val ev = Queries.normalizeEventTs(raw)
           .select(col("ts"), col("event_type"),
             col("value").cast(DecimalType(18, 2)).as("value"))
         val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)

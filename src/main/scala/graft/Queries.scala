@@ -29,14 +29,25 @@ object Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a long
-    // (with spark.sql.legacy.parquet.nanosAsLong=true, set in our session
-    // builders). Convert ns -> µs with integer division (`div`: a double
-    // roundtrip would lose precision on 1.7e18 ns epochs).
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
   }
+
+  /** events.ts has shipped in two parquet shapes across testdata
+    * generations: TIMESTAMP(NANOS) — read as a long under
+    * spark.sql.legacy.parquet.nanosAsLong=true (set in our session
+    * builders), ns -> µs by integer division (`div`: a double roundtrip
+    * would lose precision on 1.7e18 ns epochs) — and plain micros
+    * without timezone, which Spark 4 reads as TIMESTAMP_NTZ. Normalize
+    * both to TIMESTAMP; session tz is UTC so the NTZ cast preserves the
+    * stored micros bit-for-bit (what DuckDB's oracle reads too). */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** Exact money arithmetic: 2-decimal double -> DECIMAL(18,2). */
   private def money(c: Column): Column = c.cast(DecimalType(18, 2))

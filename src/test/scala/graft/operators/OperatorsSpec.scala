@@ -1326,6 +1326,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("id", "vec", "cell")
     // Force the at-scale sort-merge path (a 12-row side would broadcast,
     // which shuffles nothing and proves nothing).
+    val priorThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val pairs = SimilaritySearch.semanticPairs(slim, 0.9, 100)
@@ -1340,12 +1341,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // shuffled once and the second side reads the SAME shuffle via
       // reuse. Materialized exchanges on cell: 1 vector-carrying + 1 for
       // the O(k)-row cell-size count = 2.
-      val cellEx = "Exchange hashpartitioning\\(cell".r.findAllIn(plan).length
+      // ReusedExchange nodes re-print the text of the exchange they
+      // reference, so count only lines that MATERIALIZE an exchange.
+      val cellEx = plan.linesIterator
+        .filterNot(_.contains("ReusedExchange"))
+        .count(_.matches(".*Exchange hashpartitioning\\(cell.*"))
       val reused = plan.contains("ReusedExchange") ||
         plan.contains("ReusedQueryStage")
       assert(cellEx <= 2 && reused,
         s"expected <=2 cell exchanges + reuse (got $cellEx, reused=$reused):\n$plan")
-    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally priorThreshold match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("semanticDedup maxCellSize guard skips oversized cells") {

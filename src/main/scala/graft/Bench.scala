@@ -74,11 +74,19 @@ object Bench {
     // query's baseline (the two-quiesce form slept a minimum of ~200 ms
     // per query — ~18 s of pure sleep across the full battery)
     var baseline = listener.quiesce()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() materializes EVERY output column of every result
       // row (a plain df.count() would let Spark prune the projection)
-      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
+        case e: Throwable =>
+          // record the failure loudly: a swallowed throw used to render
+          // as a normal ~0.0 s entry, disguising hard breaks as fast
+          // queries (r9 shipped three that way)
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       val wall = (System.nanoTime() - t0) / 1e9
       val after = listener.quiesce()
       val delta = name -> (wall,
@@ -111,19 +119,29 @@ object Bench {
     // it eats the sub-second queries' entries first — the heavies (the
     // only ones perf disputes are ever about) sit at the very end
     val byWall = results.toSeq.sortBy(_._2._1)
-    def compact(sel: ((Double, Long, Long, Long, Long)) => Double): String =
-      byWall.map { case (k, v) =>
+    def compact(sel: ((Double, Long, Long, Long, Long)) => Double,
+                minWall: Double = 0.0): String =
+      byWall.filter(_._2._1 >= minWall).map { case (k, v) =>
         "\"" + shortKey(k) + "\":" +
           String.format(java.util.Locale.ROOT, "%.1f", Double.box(sel(v)))
       }.mkString("{", ",", "}")
     val wallsS = compact(_._1)
-    val execS = compact(_._2 / 1000.0)
+    // exec_s inflates with host starvation (executorRunTime is task
+    // wall-clock); executorCpuTime is the starvation-immune receipt —
+    // idle-host cpu ≈ exec, contended-host cpu stays flat while exec
+    // balloons. Both are restricted to wall >= 1 s so all three maps +
+    // the failed list fit the driver's ~1.7 KB surviving tail (sub-
+    // second queries' executor times are never what a dispute is about).
+    val execS = compact(_._2 / 1000.0, minWall = 1.0)
+    val cpuS = compact(_._4 / 1000.0, minWall = 1.0)
+    val failedJson = failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     // field order is load-bearing: the driver records the TAIL of the
-    // output, so the big per-query maps go first and the compact
-    // walls_s/exec_s maps + headline metric/value/unit go LAST (r7's
-    // walls were truncated away because they led the line; r8's
-    // taskMetrics were truncated away for the same reason)
-    val line = s"""{"taskMetrics":$ms,"queries":$qs,"walls_s":$wallsS,"exec_s":$execS,"quiesceTimeouts":${listener.quiesceTimeouts.get},"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}"""
+    // output, so the big per-query maps go first; then walls_s (all
+    // queries, ascending by wall so clipping eats sub-second entries
+    // first), then the heavies-only exec_s/cpu_s, the failed list, and
+    // the headline metric/value/unit LAST (r7's walls were truncated
+    // away because they led the line; r8's taskMetrics likewise)
+    val line = s"""{"taskMetrics":$ms,"queries":$qs,"walls_s":$wallsS,"exec_s":$execS,"cpu_s":$cpuS,"failed":$failedJson,"quiesceTimeouts":${listener.quiesceTimeouts.get},"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}"""
     println(line)
     // optional file copy: stdout passes through harnesses that keep only
     // a bounded tail — the file preserves the full per-query receipts

@@ -1497,7 +1497,28 @@ object ExtQueries {
              |FROM st
              |WINDOW w AS (ORDER BY step_idx
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-             |ORDER BY step_idx""".stripMargin)))
+             |ORDER BY step_idx""".stripMargin))),
+
+    // IVF-PQ INDEXED store, end-to-end through the on-disk layout:
+    // write the corpus as (id, m-byte codes) partitioned by coarse
+    // cell (+ a one-row meta table with centroids/codebook), then
+    // search via ivfPqTopKIndexed — cell ranking from the persisted
+    // centroids, directory-level pruning (PartitionFilters,
+    // spec-asserted with nProbe < nCells in OperatorsSpec), ADC
+    // scoring of the codes. With nProbe = nCells the probe set is
+    // every cell, so the result is EXACTLY q90's pqTopK over the
+    // source corpus and the same SQL replay hash-checks it — the
+    // pruned path's indexed == in-memory equality is spec-pinned.
+    "q99_ann_ivfpq_indexed" -> ((
+      (s: SparkSession, d: String) => {
+        val sfName = new java.io.File(d).getName
+        val path = s"/tmp/graft_ivfpq_$sfName"
+        SimilaritySearch.writeIvfPq(embs(s, d), "vec_id", "embedding", path,
+          nCells = 16, nCodes = 16, m = 4)
+        SimilaritySearch.ivfPqTopKIndexed(s, path, "vec_id", queryVec(s, d),
+          k = 10, nProbe = 16)
+      },
+      Some(OracleSql.pqTopKSql(k = 10, nCodes = 16, m = 4))))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

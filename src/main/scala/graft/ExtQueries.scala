@@ -1518,7 +1518,50 @@ object ExtQueries {
         SimilaritySearch.ivfPqTopKIndexed(s, path, "vec_id", queryVec(s, d),
           k = 10, nProbe = 16)
       },
-      Some(OracleSql.pqTopKSql(k = 10, nCodes = 16, m = 4))))
+      Some(OracleSql.pqTopKSql(k = 10, nCodes = 16, m = 4)))),
+
+    // Approx quality-percentile filter (the few-huge-strata scale
+    // path of q82): per-lang cutoffs from approx_percentile, broadcast
+    // back as a plain filter — no per-stratum sort of the corpus.
+    // Hash-checkable because accuracy (1e6) exceeds every stratum's
+    // row count, so the GK sketch never compresses: it holds every
+    // sample with exact ranks, making the cutoff the EXACT order
+    // statistic at rank ceil(0.7 * n) — deterministic regardless of
+    // partial-merge order (compression is the only order-sensitive
+    // step, and it can't trigger below accuracy rows; at 100 TB you
+    // lower accuracy and accept the documented ±n/accuracy rank band).
+    // The oracle replays that order statistic and the >=-cut filter
+    // (ties at the cutoff all kept, exactly like the operator).
+    "q100_quality_filter_approx" -> ((
+      (s: SparkSession, d: String) => {
+        val base = docs(s, d).withColumn("score",
+          when(length(col("text")) > 0,
+            regexp_count(col("text"), lit("[aeiou]")).cast("double") /
+              length(col("text")).cast("double")).otherwise(lit(0.0)))
+        TextAnalysis.qualityPercentileFilterApprox(base, col("score"), col("lang"),
+            keepFraction = 0.3, accuracy = 1000000)
+          .select("doc_id", "lang", "score")
+          .orderBy("doc_id")
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN length(text) > 0 THEN
+             |      CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+             |        / length(text)
+             |    ELSE 0.0 END AS score
+             |  FROM documents
+             |), cuts AS (
+             |  SELECT lang, score AS cut FROM (
+             |    SELECT lang, score,
+             |           row_number() OVER (PARTITION BY lang ORDER BY score) AS rn,
+             |           count(*) OVER (PARTITION BY lang) AS n
+             |    FROM scored) t
+             |  WHERE rn = CAST(ceil(0.7 * n) AS BIGINT)
+             |)
+             |SELECT s.doc_id, s.lang, s.score
+             |FROM scored s JOIN cuts c USING (lang)
+             |WHERE s.score >= c.cut
+             |ORDER BY doc_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

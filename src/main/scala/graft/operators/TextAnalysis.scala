@@ -430,7 +430,17 @@ object TextAnalysis {
     * AT the cutoff score are all kept (score predicate, no id
     * tie-break), another deliberate approximation — deterministic, but
     * a hair more rows than `keepFraction` when the cutoff score is
-    * heavily tied. */
+    * heavily tied.
+    *
+    * Exact regime: when `accuracy` exceeds a stratum's row count, the
+    * GK sketch never compresses (pruning requires g + delta below
+    * 2·count/accuracy, and every sample's g is at least 1), so it holds
+    * every sample with exact ranks and the cutoff is the exact order
+    * statistic at rank ceil((1-keepFraction)·n) — deterministic
+    * regardless of partial-merge order, since compression is the only
+    * order-sensitive step. q100 hash-checks this regime against a SQL
+    * replay; at 100 TB scale you lower `accuracy` below stratum size
+    * and accept the rank band. */
   def qualityPercentileFilterApprox(df: DataFrame, scoreCol: Column, stratumCol: Column,
                                     keepFraction: Double,
                                     accuracy: Int = 10000): DataFrame = {

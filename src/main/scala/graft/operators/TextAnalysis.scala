@@ -275,7 +275,19 @@ object TextAnalysis {
     * Same 100 TB shape as the shuffle: the prefix-sum window partitions
     * by bucket, numBuckets-way parallel, no global sort; membership is
     * a pure function of (salt, corpus), so re-runs and resumed
-    * pipelines produce identical shards. */
+    * pipelines produce identical shards.
+    *
+    * Sizing `numBuckets` at 100 TB: each bucket's prefix sum is ONE
+    * window partition — serial within a task — so buckets bound both
+    * parallelism and per-task sort mass. Pick numBuckets >= 4x total
+    * executor cores (stragglers balance; salted FNV keeps buckets
+    * within ~±sqrt of N/numBuckets rows) and small enough that one
+    * bucket's rows sort inside a task's spill budget: a ~25T-token
+    * corpus at numBuckets = 4096 puts ~6B tokens ≈ ~1.5M docs in a
+    * bucket — tens of MB of (key, id, n_tokens) window state, far under
+    * task memory. Anywhere in 1024–16384 is sane for a 1000-executor
+    * cluster; correctness is bucket-count-independent (spec-pinned at
+    * 4 and 4096), only the parallelism/balance trade moves. */
   def shardByTokenBudget(df: DataFrame, idCol: String, textCol: String,
                          tokensPerShard: Long, salt: String = "",
                          numBuckets: Int = 1024): DataFrame = {
@@ -325,7 +337,16 @@ object TextAnalysis {
     * O(rows) pass with two longs of state, resetting at bucket
     * changes. numBuckets-way parallel, no global sort, no driver
     * state; determinism is total because the hash partitioner and the
-    * within-partition sort are both pure functions of the data. */
+    * within-partition sort are both pure functions of the data.
+    *
+    * Sizing `numBuckets` at 100 TB: the NFD walk is serial per bucket,
+    * so as with [[shardByTokenBudget]] pick numBuckets >= 4x total
+    * executor cores; the per-bucket cost is a sort of N/numBuckets
+    * (id, n_tokens) pairs — at ~2.5e10 chunks and numBuckets = 4096
+    * that is ~6M pairs ≈ ~100 MB sorted with spill, fine for one task.
+    * Larger numBuckets only narrows each bucket's packing horizon
+    * (marginally more tail sequences); correctness and determinism are
+    * bucket-count-independent (spec-pinned at 4 and 4096). */
   def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
                     tokensPerSequence: Long, salt: String = "",
                     numBuckets: Int = 256): DataFrame = {

@@ -788,6 +788,49 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bigOut.count(_._2 == oversizedSeq) == 1, "oversized item must pack alone")
   }
 
+  test("high-bucket regime (numBuckets = 4096): pack/shard assignment deterministic, invariants intact") {
+    import spark.implicits._
+    // production numBuckets dwarfs test data: most buckets are empty,
+    // many hold a single row — the degenerate horizons the 4-bucket
+    // specs never reach. Determinism and budget invariants must hold
+    // unchanged.
+    val rnd = new scala.util.Random(11)
+    val items = (1L to 500L).map(i => (i, rnd.nextInt(16) + 1L)).toDF("id", "n_tokens")
+    def packed(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.packSequences(df, "id", "n_tokens",
+          tokensPerSequence = 32L, salt = "p", numBuckets = 4096)
+        .select("id", "pack_bucket", "seq_idx", "n_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val p1 = packed(items)
+    assert(p1.length == 500)
+    assert(packed(items.repartition(29)).toSet == p1.toSet,
+      "4096-bucket packing changed under repartition")
+    p1.groupBy(t => (t._2, t._3)).foreach { case ((b, s), rows) =>
+      assert(rows.map(_._4).sum <= 32L, s"sequence ($b,$s) overflowed") }
+    val docs = (0L until 400L).map(i => i -> ("w " * (i % 7 + 1).toInt).trim).toDF("id", "text")
+    def sharded(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.shardByTokenBudget(df, "id", "text",
+          tokensPerShard = 20L, salt = "s", numBuckets = 4096)
+        .select("id", "shard_bucket", "shard_idx", "n_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val s1 = sharded(docs)
+    assert(s1.length == 400)
+    assert(sharded(docs.repartition(17)).toSet == s1.toSet,
+      "4096-bucket sharding changed under repartition")
+    // per-bucket invariants survive the near-empty regime: indices
+    // contiguous from 0, non-final shards within one document of budget
+    s1.groupBy(_._2).foreach { case (b, rows) =>
+      val idxs = rows.map(_._3).distinct.sorted.toSeq
+      assert(idxs == (0L until idxs.length).toSeq, s"bucket $b shard gaps: $idxs")
+      val last = rows.map(_._3).max
+      rows.groupBy(_._3).foreach { case (s, rs) =>
+        val total = rs.map(_._4).sum
+        if (s != last) assert(total > 20L - 7L, s"shard ($b,$s) held only $total")
+        assert(total < 20L + 7L, s"shard ($b,$s) overflowed to $total")
+      }
+    }
+  }
+
   test("winnowing guarantee on an adversarial corpus: exactly window+k-1 shared chars force a shared fingerprint") {
     import spark.implicits._
     // constructed worst case: the shared run is the MINIMUM length the

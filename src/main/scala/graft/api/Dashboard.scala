@@ -94,8 +94,10 @@ final class Dashboard(cfg: DashboardConfig, meta: MetaStore,
     }
   }
 
-  /** JWT cookie -> live user, or None (expired, tampered, unknown id). */
-  private def authenticate(ex: HttpExchange): Option[User] =
+  /** JWT cookie -> (live user, raw token), or None (expired, tampered,
+    * unknown id). The raw token is kept because the CSRF token is
+    * derived from it ([[Jwt.csrfToken]]). */
+  private def authenticate(ex: HttpExchange): Option[(User, String)] =
     for {
       header <- Option(ex.getRequestHeaders.getFirst("Cookie"))
       jwt <- header.split(";").map(_.trim).collectFirst {
@@ -104,19 +106,63 @@ final class Dashboard(cfg: DashboardConfig, meta: MetaStore,
       claims <- Jwt.verify(jwt, cfg.jwtSecret)
       id <- Option.when(claims.path("user_id").canConvertToLong)(claims.get("user_id").asLong)
       user <- meta.getUser(id)
-    } yield user
+    } yield (user, jwt)
 
   def page(ex: HttpExchange, rest: List[String]): Unit =
     authenticate(ex) match {
       case None => redirect(ex, 307, "/login")
-      case Some(user) => rest match {
-        case Nil                        => render(ex, user, "Overview", overview())
-        case List("connections")        => render(ex, user, "Connections", connections())
-        case List("connections", "new") => render(ex, user, "New Connection", newConnection())
-        case List("keys")               => render(ex, user, "API Keys", keys())
-        case _                          => respond(ex, 404, "not found", "text/plain")
-      }
+      case Some((user, jwt)) =>
+        val csrf = Jwt.csrfToken(jwt, cfg.jwtSecret)
+        rest match {
+          case Nil                        => render(ex, user, "Overview", overview())
+          case List("connections")        => render(ex, user, "Connections", connections())
+          case List("connections", "new") => render(ex, user, "New Connection", newConnection(csrf))
+          case List("keys")               => render(ex, user, "API Keys", keys(csrf))
+          case _                          => respond(ex, 404, "not found", "text/plain")
+        }
     }
+
+  /** Dashboard form POSTs. Every mutating form carries the session's
+    * CSRF token as a hidden field; a POST whose token fails the
+    * constant-time check is rejected with 403 BEFORE any state changes
+    * — the SameSite=Lax cookie already stops most cross-site sends,
+    * the token stops the rest (e.g. top-level form navigations, which
+    * Lax lets through only as GET, but defense in depth is free). */
+  def post(ex: HttpExchange, rest: List[String]): Unit =
+    authenticate(ex) match {
+      case None => redirect(ex, 307, "/login")
+      case Some((user, jwt)) =>
+        val form = parseForm(new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        if (!form.get("csrf").exists(Jwt.csrfValid(_, jwt, cfg.jwtSecret)))
+          respond(ex, 403, "invalid CSRF token", "text/plain")
+        else rest match {
+          case List("connections") =>
+            val dtype = form.getOrElse("type", "spark")
+            val name = form.getOrElse("name", "destination")
+            meta.createDestination(dtype, name)
+            redirect(ex, 303, "/dashboard/connections")
+          case List("keys") =>
+            form.get("destination_id").filter(_.nonEmpty) match {
+              case None => respond(ex, 400, "destination_id required", "text/plain")
+              case Some(destId) =>
+                val key = meta.addKey(destId)
+                // shown once, like the API path: only the hash persists
+                render(ex, user, "API Keys",
+                  s"""<p>New key for destination <b>${esc(destId)}</b> (copy now — shown once):</p>
+                     |<pre>${esc(key)}</pre>
+                     |<p><a href="/dashboard/keys">Back</a></p>""".stripMargin)
+            }
+          case _ => respond(ex, 404, "not found", "text/plain")
+        }
+    }
+
+  private def parseForm(body: String): Map[String, String] =
+    body.split("&").iterator.filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+      java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
 
   private def esc(s: String): String =
     s.flatMap {
@@ -140,13 +186,25 @@ final class Dashboard(cfg: DashboardConfig, meta: MetaStore,
        |<p><a href="/dashboard/connections/new">New connection</a></p>""".stripMargin
   }
 
-  private def newConnection(): String =
-    """<p>Create a destination via the API:</p>
-      |<pre>curl -X POST /api/destinations?api_key=... -d '{"type":"spark","name":"..."}'</pre>""".stripMargin
+  private def newConnection(csrf: String): String =
+    s"""<form method="post" action="/dashboard/connections">
+       |<input type="hidden" name="csrf" value="${esc(csrf)}">
+       |<label>Type <input name="type" value="spark"></label>
+       |<label>Name <input name="name"></label>
+       |<button type="submit">Create</button>
+       |</form>
+       |<p>Or via the API:</p>
+       |<pre>curl -X POST /api/destinations?api_key=... -d '{"type":"spark","name":"..."}'</pre>""".stripMargin
 
-  private def keys(): String =
-    """<p>Mint a destination-scoped API key (shown once; stored hashed):</p>
-      |<pre>curl -X POST /api/destinations/{id}/keys?api_key=...</pre>""".stripMargin
+  private def keys(csrf: String): String =
+    s"""<p>Mint a destination-scoped API key (shown once; stored hashed):</p>
+       |<form method="post" action="/dashboard/keys">
+       |<input type="hidden" name="csrf" value="${esc(csrf)}">
+       |<label>Destination ID <input name="destination_id"></label>
+       |<button type="submit">Mint key</button>
+       |</form>
+       |<p>Or via the API:</p>
+       |<pre>curl -X POST /api/destinations/{id}/keys?api_key=...</pre>""".stripMargin
 
   private def render(ex: HttpExchange, user: User, title: String, body: String): Unit = {
     val html =

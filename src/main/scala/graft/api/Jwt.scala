@@ -71,4 +71,17 @@ object Jwt {
         } yield claims
       case _ => None
     }
+
+  /** Session-bound CSRF token: HMAC of the session JWT itself. A
+    * cross-site attacker can make the browser SEND the cookie but can
+    * never READ it, so it cannot derive this value; stateless (nothing
+    * stored server-side) and scoped exactly to one session — rotating
+    * the cookie rotates the token. */
+  def csrfToken(sessionToken: String, secret: Array[Byte]): String =
+    b64(hmac(secret, "csrf:" + sessionToken))
+
+  /** Constant-time check of a submitted CSRF token for this session. */
+  def csrfValid(submitted: String, sessionToken: String, secret: Array[Byte]): Boolean =
+    java.security.MessageDigest.isEqual(
+      submitted.getBytes(UTF_8), csrfToken(sessionToken, secret).getBytes(UTF_8))
 }

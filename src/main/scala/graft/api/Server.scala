@@ -145,6 +145,9 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
         case ("GET", "dashboard" :: rest) if dashboard.isDefined =>
           ex.setAttribute("graft.route", "/dashboard")
           dashboard.get.page(ex, rest)
+        case ("POST", "dashboard" :: rest) if dashboard.isDefined =>
+          ex.setAttribute("graft.route", "/dashboard")
+          dashboard.get.post(ex, rest)
         case _ => respond(ex, 404, "not found")
       }
     } catch {

@@ -191,4 +191,55 @@ class DashboardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(u.email == "alice@example.com" && u.authType == "google")
     assert(u.authDetails.contains("\"sub\":\"g-1\""))
   }
+
+  private def post(path: String, body: String, headers: (String, String)*): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("dashboard POST forms carry a CSRF token; forged POSTs are rejected before any state change") {
+    val (state, _) = login()
+    val cb = get(s"/oauth/callback?code=good-code&state=$state")
+    val jwtCookie = cb.headers().firstValue("Set-Cookie").get.split(";")(0)
+    // the rendered form embeds the session's token
+    val page = get("/dashboard/connections/new", "Cookie" -> jwtCookie)
+    val csrf = """name="csrf" value="([^"]+)"""".r
+      .findFirstMatchIn(page.body()).map(_.group(1))
+      .getOrElse(fail("new-connection form has no csrf field"))
+    val nBefore = meta.listDestinations.size
+    // forged: cookie rides along (the CSRF scenario) but the attacker
+    // cannot read the token — wrong/missing token must 403 untouched
+    for (bad <- Seq("type=spark&name=evil",
+                    "type=spark&name=evil&csrf=wrong",
+                    s"type=spark&name=evil&csrf=${csrf.dropRight(2)}xx")) {
+      val r = post("/dashboard/connections", bad, "Cookie" -> jwtCookie)
+      assert(r.statusCode() == 403, s"forged POST got ${r.statusCode()}")
+    }
+    assert(meta.listDestinations.size == nBefore, "forged POST mutated state")
+    // no session at all -> login redirect, still no mutation
+    val anon = post("/dashboard/connections", s"type=spark&name=evil&csrf=$csrf")
+    assert(anon.statusCode() == 307 &&
+      anon.headers().firstValue("Location").get == "/login")
+    assert(meta.listDestinations.size == nBefore)
+    // the legitimate form submission works
+    val ok = post("/dashboard/connections", s"type=spark&name=from-form&csrf=$csrf",
+      "Cookie" -> jwtCookie)
+    assert(ok.statusCode() == 303 &&
+      ok.headers().firstValue("Location").get == "/dashboard/connections")
+    val dest = meta.listDestinations.find(_.name == "from-form")
+      .getOrElse(fail("form POST did not create the destination"))
+    // key minting: same token gate, key shown once in the response
+    val mint = post("/dashboard/keys", s"destination_id=${dest.id}&csrf=$csrf",
+      "Cookie" -> jwtCookie)
+    assert(mint.statusCode() == 200 && mint.body().contains("shown once"))
+    assert(post("/dashboard/keys", s"destination_id=${dest.id}&csrf=nope",
+      "Cookie" -> jwtCookie).statusCode() == 403)
+    // a DIFFERENT session's token does not validate against this cookie
+    val otherCsrf = Jwt.csrfToken("some-other-session-jwt", "jwt-test-secret".getBytes(UTF_8))
+    assert(post("/dashboard/connections", s"type=spark&name=x&csrf=$otherCsrf",
+      "Cookie" -> jwtCookie).statusCode() == 403)
+  }
 }

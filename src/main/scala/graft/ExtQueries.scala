@@ -1559,7 +1559,7 @@ object ExtQueries {
              |  WHERE rn = CAST(ceil(0.7 * n) AS BIGINT)
              |)
              |SELECT s.doc_id, s.lang, s.score
-             |FROM scored s JOIN cuts c USING (lang)
+             |FROM scored s JOIN cuts c ON s.lang IS NOT DISTINCT FROM c.lang
              |WHERE s.score >= c.cut
              |ORDER BY doc_id""".stripMargin)))
   )

@@ -145,6 +145,15 @@ final class Dashboard(cfg: DashboardConfig, meta: MetaStore,
           case List("keys") =>
             form.get("destination_id").filter(_.nonEmpty) match {
               case None => respond(ex, 400, "destination_id required", "text/plain")
+              // same gate as the API route (Server POST /destinations/{id}/
+              // keys): the id must be well-formed (it becomes a tenant DIR
+              // name downstream — an unchecked "../x" is a traversal) and
+              // must name a created destination (static env tenants mint
+              // via the admin API only, never the browser form)
+              case Some(destId) if !destId.matches("^[A-Za-z0-9_]+$") =>
+                respond(ex, 400, "invalid destination id", "text/plain")
+              case Some(destId) if !meta.destinationExists(destId) =>
+                respond(ex, 404, "no such destination", "text/plain")
               case Some(destId) =>
                 val key = meta.addKey(destId)
                 // shown once, like the API path: only the hash persists
@@ -158,10 +167,14 @@ final class Dashboard(cfg: DashboardConfig, meta: MetaStore,
     }
 
   private def parseForm(body: String): Map[String, String] =
-    body.split("&").iterator.filter(_.nonEmpty).map { kv =>
+    body.split("&").iterator.filter(_.nonEmpty).flatMap { kv =>
       val i = kv.indexOf('=')
       val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
-      java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+      // a malformed %-escape is client error: drop the pair (the CSRF
+      // check then 403s) rather than letting URLDecoder's
+      // IllegalArgumentException surface as a 500
+      try Some(java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8"))
+      catch { case _: IllegalArgumentException => None }
     }.toMap
 
   private def esc(s: String): String =

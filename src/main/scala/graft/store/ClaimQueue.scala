@@ -65,10 +65,21 @@ final class LocalClaimQueue extends ClaimQueue {
   *    re-claimed cannot extend the new holder's lease, and [[release]]
   *    checks the same so it cannot delete the new holder's marker.
   *
+  * Fencing honesty: the renew/release owner checks are read-then-act —
+  * POSIX gives no compare-and-delete, so a steal landing in the
+  * microseconds between heldBy and the mtime-set/delete can still be
+  * clobbered. That window requires a peer to steal at the exact instant
+  * the owner acts, which in turn requires the lease to be AT expiry —
+  * and the TTL/3 heartbeat keeps live owners far from expiry, so the
+  * exposure is a dead-worker race measured in microseconds against a
+  * TTL measured in minutes. Deployments that cannot tolerate it use
+  * [[CasClaimQueue]], whose every transition is a true CAS.
+  *
   * An object-store deployment swaps this for [[CasClaimQueue]] over a
   * conditional-PUT store (S3 lacks atomic create-if-absent on the
   * filesystem API); the Uploader doesn't care. */
-final class FileLeaseQueue(dir: String, leaseTtlMillis: Long = 5 * 60 * 1000) extends ClaimQueue {
+final class FileLeaseQueue(dir: String, leaseTtlMillis: Long = 5 * 60 * 1000,
+                           clock: () => Long = System.currentTimeMillis) extends ClaimQueue {
   private val root: Path = new File(dir).toPath
 
   private def marker(key: String): Path = {
@@ -85,11 +96,24 @@ final class FileLeaseQueue(dir: String, leaseTtlMillis: Long = 5 * 60 * 1000) ex
     Files.createDirectories(root)
     try {
       Files.write(f, owner.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
-      true
+      // stamp the lease birth from OUR clock, not the filesystem's: the
+      // expiry check below compares against the same clock, so lease
+      // age is consistent even when the marker lives on a remote mount
+      // whose server time drifts from the claimant's
+      try Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(clock()))
+      catch { case _: NoSuchFileException => }
+      // verify-after-stamp: if the mount's server clock lags our clock
+      // by more than the TTL, a peer could judge the freshly created
+      // marker (briefly carrying the fs mtime) expired and steal it in
+      // the create->stamp window. We hold the lease only if the marker
+      // still carries OUR id after stamping — the thief's recreate wrote
+      // its own id, so exactly one of us proceeds.
+      heldBy(f, owner)
     } catch {
       case _: FileAlreadyExistsException =>
         val expired =
-          try System.currentTimeMillis() - Files.getLastModifiedTime(f).toMillis > leaseTtlMillis
+          try clock() - Files.getLastModifiedTime(f).toMillis > leaseTtlMillis
           catch { case _: NoSuchFileException => false } // released just now; next sweep gets it
         if (!expired) false
         else {
@@ -109,7 +133,7 @@ final class FileLeaseQueue(dir: String, leaseTtlMillis: Long = 5 * 60 * 1000) ex
     val f = marker(key)
     if (heldBy(f, owner)) // fencing: never extend a lease we no longer hold
       try Files.setLastModifiedTime(f,
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        java.nio.file.attribute.FileTime.fromMillis(clock()))
       catch { case _: NoSuchFileException => }
   }
 

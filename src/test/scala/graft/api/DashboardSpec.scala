@@ -237,6 +237,17 @@ class DashboardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mint.statusCode() == 200 && mint.body().contains("shown once"))
     assert(post("/dashboard/keys", s"destination_id=${dest.id}&csrf=nope",
       "Cookie" -> jwtCookie).statusCode() == 403)
+    // the form enforces the API route's gate: well-formed id (a tenant
+    // DIR name downstream — traversal strings rejected), and only
+    // created destinations (static env tenants never mint via browser)
+    assert(post("/dashboard/keys", s"destination_id=..%2Fetc&csrf=$csrf",
+      "Cookie" -> jwtCookie).statusCode() == 400)
+    assert(post("/dashboard/keys", s"destination_id=999&csrf=$csrf",
+      "Cookie" -> jwtCookie).statusCode() == 404)
+    // malformed %-escapes are client error (dropped pair -> csrf 403),
+    // never a 500
+    assert(post("/dashboard/connections", "type=spark&name=%zz&csrf=bad%",
+      "Cookie" -> jwtCookie).statusCode() == 403)
     // a DIFFERENT session's token does not validate against this cookie
     val otherCsrf = Jwt.csrfToken("some-other-session-jwt", "jwt-test-secret".getBytes(UTF_8))
     assert(post("/dashboard/connections", s"type=spark&name=x&csrf=$otherCsrf",

@@ -39,11 +39,26 @@ object Queries {
     * would lose precision on 1.7e18 ns epochs) — and plain micros
     * without timezone, which Spark 4 reads as TIMESTAMP_NTZ. Normalize
     * both to TIMESTAMP; session tz is UTC so the NTZ cast preserves the
-    * stored micros bit-for-bit (what DuckDB's oracle reads too). */
+    * stored micros bit-for-bit (what DuckDB's oracle reads too).
+    *
+    * The long case dispatches on epoch MAGNITUDE instead of assuming
+    * nanos: for any plausible epoch (1973–2100+) the unit bands are
+    * separated by ~3 orders (ns ~1e18, µs ~1e15, ms ~1e12, s ~1e9), so
+    * ONE non-null value classifies the whole generation unambiguously —
+    * the probe is a LIMIT-1 scan (a single parquet page, short-circuits;
+    * a max() would scan the full column at 100 TB). The r9 testdata
+    * regeneration broke three queries on exactly this class of silent
+    * shape drift. */
   private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val probe = df.select(abs(col("ts")).as("a"))
+          .filter(col("a").isNotNull).limit(1).collect()
+        val m = if (probe.isEmpty) Long.MaxValue else probe(0).getLong(0)
+        if (m > 5e17.toLong)      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else if (m > 5e14.toLong) df.withColumn("ts", expr("timestamp_micros(ts)"))
+        else if (m > 5e11.toLong) df.withColumn("ts", expr("timestamp_millis(ts)"))
+        else                      df.withColumn("ts", expr("timestamp_seconds(ts)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df

@@ -20,6 +20,7 @@ object Verify {
     // on a new oracle without replaying the full battery (driver sets
     // no env, so its gate always runs everything)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -27,6 +28,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> String.valueOf(e.getMessage).take(400)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -49,6 +51,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SFNAME}", sfName))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a throwing query writes no parquet and silently vanishes from the
+    // driver's compare (how r9 shipped three broken queries unnoticed);
+    // this receipt names them — empty object on a clean run
+    Files.writeString(Paths.get(s"$outDir/failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

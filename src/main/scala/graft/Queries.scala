@@ -42,22 +42,24 @@ object Queries {
     * stored micros bit-for-bit (what DuckDB's oracle reads too).
     *
     * The long case dispatches on epoch MAGNITUDE instead of assuming
-    * nanos: for any plausible epoch (1973–2100+) the unit bands are
-    * separated by ~3 orders (ns ~1e18, µs ~1e15, ms ~1e12, s ~1e9), so
-    * ONE non-null value classifies the whole generation unambiguously —
-    * the probe is a LIMIT-1 scan (a single parquet page, short-circuits;
-    * a max() would scan the full column at 100 TB). The r9 testdata
-    * regeneration broke three queries on exactly this class of silent
-    * shape drift. */
+    * nanos: ONE non-null value classifies the whole generation — the
+    * probe is a LIMIT-1 scan (a single parquet page, short-circuits; a
+    * max() would scan the full column at 100 TB). Cuts sit at the
+    * GEOMETRIC MEAN between adjacent unit bands over epochs 1971–2100
+    * (ns spans 3.2e16–4.1e18, µs 3.2e13–4.1e15, ms 3.2e10–4.1e12, s
+    * 3.2e7–4.1e9), so every in-range epoch classifies unambiguously —
+    * a midpoint like 5e17 would misread a pre-1986 nanos value as
+    * micros. The r9 testdata regeneration broke three queries on
+    * exactly this class of silent shape drift. */
   private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         val probe = df.select(abs(col("ts")).as("a"))
           .filter(col("a").isNotNull).limit(1).collect()
         val m = if (probe.isEmpty) Long.MaxValue else probe(0).getLong(0)
-        if (m > 5e17.toLong)      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else if (m > 5e14.toLong) df.withColumn("ts", expr("timestamp_micros(ts)"))
-        else if (m > 5e11.toLong) df.withColumn("ts", expr("timestamp_millis(ts)"))
+        if (m > 1e16.toLong)      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else if (m > 1e13.toLong) df.withColumn("ts", expr("timestamp_micros(ts)"))
+        else if (m > 1e10.toLong) df.withColumn("ts", expr("timestamp_millis(ts)"))
         else                      df.withColumn("ts", expr("timestamp_seconds(ts)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast("timestamp"))

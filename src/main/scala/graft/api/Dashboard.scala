@@ -150,7 +150,7 @@ final class Dashboard(cfg: DashboardConfig, meta: MetaStore,
               // name downstream — an unchecked "../x" is a traversal) and
               // must name a created destination (static env tenants mint
               // via the admin API only, never the browser form)
-              case Some(destId) if !destId.matches("^[A-Za-z0-9_]+$") =>
+              case Some(destId) if !Server.SafeName.matches(destId) =>
                 respond(ex, 400, "invalid destination id", "text/plain")
               case Some(destId) if !meta.destinationExists(destId) =>
                 respond(ex, 404, "no such destination", "text/plain")

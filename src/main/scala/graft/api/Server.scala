@@ -57,12 +57,7 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
   private val hashedKeys: Map[String, String] = config.apiKeys.map { case (k, v) => MetaStore.sha256(k) -> v }
   private val hashedAdmin: Option[String] = config.adminKey.map(MetaStore.sha256)
 
-  /** `^[A-Za-z0-9_]+$` — table names and destination ids become
-    * filesystem path components (Spool/TableCatalog) and view names, so
-    * anything else (`..`, `/`, quotes) is rejected with a 400 before it
-    * touches storage. */
-  private val SafeName = "^[A-Za-z0-9_]+$".r
-  private def safeName(s: String): Boolean = SafeName.matches(s)
+  private def safeName(s: String): Boolean = Server.SafeName.matches(s)
 
   private val server = HttpServer.create(new InetSocketAddress(config.port), 0)
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
@@ -320,6 +315,13 @@ object Server {
   /** Share bodies above this size stream uncached (a cache of 1024
     * such entries stays bounded at ~1 GiB worst case). */
   val ShareCacheCapBytes: Int = 1 << 20
+
+  /** `^[A-Za-z0-9_]+$` — table names and destination ids become
+    * filesystem path components (Spool/TableCatalog) and view names, so
+    * anything else (`..`, `/`, quotes) is rejected before it touches
+    * storage. ONE definition, shared by the API routes and the
+    * dashboard forms, so the two gates can never drift. */
+  private[api] val SafeName = "^[A-Za-z0-9_]+$".r
 }
 
 /** Write-through tee: passes every byte to `under` while buffering up

@@ -102,14 +102,22 @@ final class FileLeaseQueue(dir: String, leaseTtlMillis: Long = 5 * 60 * 1000,
       // whose server time drifts from the claimant's
       try Files.setLastModifiedTime(f,
         java.nio.file.attribute.FileTime.fromMillis(clock()))
-      catch { case _: NoSuchFileException => }
+      catch { case _: java.io.IOException => } // marker keeps fs mtime; lease still works
       // verify-after-stamp: if the mount's server clock lags our clock
       // by more than the TTL, a peer could judge the freshly created
       // marker (briefly carrying the fs mtime) expired and steal it in
       // the create->stamp window. We hold the lease only if the marker
       // still carries OUR id after stamping — the thief's recreate wrote
-      // its own id, so exactly one of us proceeds.
-      heldBy(f, owner)
+      // its own id, so exactly one of us proceeds. Gone = stolen-and-
+      // renamed = lost; a TRANSIENT read error must NOT report lost
+      // (the marker would sit orphaned for a full TTL with its creator
+      // gone) — unreadable-but-present keeps the pre-verify behavior of
+      // trusting our own successful create.
+      readOwner(f) match {
+        case OwnerRead(Some(id)) => id == owner
+        case OwnerRead(None)     => false // positively gone: stolen
+        case OwnerReadError      => true  // can't know; we did create it
+      }
     } catch {
       case _: FileAlreadyExistsException =>
         val expired =
@@ -120,14 +128,45 @@ final class FileLeaseQueue(dir: String, leaseTtlMillis: Long = 5 * 60 * 1000,
           val steal = root.resolve(f.getFileName.toString + ".stale-" + java.util.UUID.randomUUID())
           try {
             Files.move(f, steal, StandardCopyOption.ATOMIC_MOVE) // exactly one stealer wins
-            Files.deleteIfExists(steal)
-            tryClaim(key, owner)
+            // recheck-after-rename: the stat that judged `f` expired may
+            // be stale — a faster stealer can have already renamed,
+            // deleted AND recreated it, in which case the move above
+            // grabbed the winner's FRESH marker. Renaming is the only
+            // atomic primitive here, so the recheck reads the captured
+            // copy: fresh ⇒ we raced a live recreate — restore it and
+            // lose; actually stale ⇒ discard and re-claim.
+            val fresh =
+              try clock() - Files.getLastModifiedTime(steal).toMillis <= leaseTtlMillis
+              catch { case _: NoSuchFileException => false }
+            if (fresh) {
+              try { Files.move(steal, f, StandardCopyOption.ATOMIC_MOVE); false }
+              catch { case _: FileAlreadyExistsException =>
+                // a third claimant recreated f inside this microsecond
+                // window; the captured copy is superseded either way
+                Files.deleteIfExists(steal); false
+              }
+            } else {
+              Files.deleteIfExists(steal)
+              tryClaim(key, owner)
+            }
           } catch {
             case _: NoSuchFileException => false // another worker stole or released it first
           }
         }
     }
   }
+
+  /** Three-way marker read: present-with-content / positively absent /
+    * unreadable (transient IO) — callers fence differently on each. */
+  private sealed trait OwnerReadResult
+  private case class OwnerRead(id: Option[String]) extends OwnerReadResult
+  private case object OwnerReadError extends OwnerReadResult
+  private def readOwner(f: Path): OwnerReadResult =
+    try OwnerRead(Some(new String(Files.readAllBytes(f), "UTF-8")))
+    catch {
+      case _: NoSuchFileException => OwnerRead(None)
+      case _: java.io.IOException => OwnerReadError
+    }
 
   override def renew(key: String, owner: String): Unit = {
     val f = marker(key)

@@ -230,20 +230,23 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("normalizeEventTs classifies long epochs by magnitude (ns/us/ms/s all land on the same instant)") {
     import spark.implicits._
-    // 2001-09-09T01:46:40Z = epoch 1e9 s, comfortably inside every band
-    val micros = 1_000_000_000_000_000L
-    val shapes = Seq(
-      "ns" -> micros * 1000L,
-      "us" -> micros,
-      "ms" -> micros / 1000L,
-      "s"  -> micros / 1_000_000L)
-    for ((label, raw) <- shapes) {
-      val df = Seq(raw).toDF("ts")
-      val out = graft.Queries.normalizeEventTs(df)
-      assert(out.schema("ts").dataType ==
-        org.apache.spark.sql.types.TimestampType, s"$label shape not TIMESTAMP")
-      val got = out.select(unix_micros(col("ts"))).head().getLong(0)
-      assert(got == micros, s"$label shape: got $got micros, want $micros")
+    // band edges matter: 2001 (mid-band) AND 1975 (1.6e8 s — the early
+    // epoch a naive 5e17 ns cut misclassified as micros) both round-trip
+    for (seconds <- Seq(1_000_000_000L, 160_000_000L)) {
+      val micros = seconds * 1_000_000L
+      val shapes = Seq(
+        "ns" -> micros * 1000L,
+        "us" -> micros,
+        "ms" -> micros / 1000L,
+        "s"  -> seconds)
+      for ((label, raw) <- shapes) {
+        val df = Seq(raw).toDF("ts")
+        val out = graft.Queries.normalizeEventTs(df)
+        assert(out.schema("ts").dataType ==
+          org.apache.spark.sql.types.TimestampType, s"$label shape not TIMESTAMP")
+        val got = out.select(unix_micros(col("ts"))).head().getLong(0)
+        assert(got == micros, s"$label/$seconds: got $got micros, want $micros")
+      }
     }
     // empty table: no probe value — must not throw, any unit maps nothing
     val empty = Seq.empty[Long].toDF("ts")

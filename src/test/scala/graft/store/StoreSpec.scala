@@ -182,34 +182,40 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("file lease queue: live leases exclusive; expired leases stolen by exactly one of N workers") {
     val dir = tmpDir()
-    val q = new FileLeaseQueue(dir, leaseTtlMillis = 1000000)
+    // injected clock: lease age is decided by `now`, not wall time, so a
+    // starved test thread can never spuriously expire (or fail to
+    // expire) a lease — the steal race below stays genuinely concurrent
+    @volatile var now = 1000000L
+    def mkQ() = new FileLeaseQueue(dir, leaseTtlMillis = 1000, clock = () => now)
+    val q = mkQ()
     assert(q.tryClaim("k", "a"))
     assert(!q.tryClaim("k", "b"), "live lease must not be re-claimable")
     q.release("k", "a")
     assert(q.tryClaim("k", "b"), "released lease must be claimable")
-    // the lease now ages past a short TTL: N stealers race, one wins
-    Thread.sleep(150)
-    val stealers = (1 to 8).map(i => new FileLeaseQueue(dir, leaseTtlMillis = 50))
+    // age the lease past the TTL by advancing the clock: N stealers
+    // race, exactly one rename wins
+    now += 1500
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-    val wins = stealers.zipWithIndex.map { case (sq, i) =>
+    val wins = (1 to 8).map { i =>
+      val sq = mkQ()
       pool.submit(new java.util.concurrent.Callable[Boolean] {
         def call(): Boolean = sq.tryClaim("k", s"w$i")
       })
     }.count(_.get())
     pool.shutdown()
     assert(wins == 1, s"$wins stealers claimed one expired lease")
-    // renew keeps a slow-but-alive worker's lease
-    val holder = new FileLeaseQueue(dir, leaseTtlMillis = 300)
-    // the current marker belongs to whichever stealer won; age it past
-    // holder's own 300ms TTL so holder can steal it in turn
-    Thread.sleep(350)
+    // renew keeps a slow-but-alive worker's lease: expire the stealer's
+    // marker, claim it, then renew at 80% TTL so the second 80% doesn't
+    // cross expiry
+    val holder = mkQ()
+    now += 1500
     assert(holder.tryClaim("k", "slow"), "expired stealer lease should be re-claimable")
-    Thread.sleep(200); holder.renew("k", "slow"); Thread.sleep(200)
+    now += 800; holder.renew("k", "slow"); now += 800
     assert(!holder.tryClaim("k", "thief"), "renewed lease was stolen")
     // fencing: renew/release under the WRONG owner must not touch the lease
     holder.renew("k", "imposter")
     holder.release("k", "imposter")
-    assert(!new FileLeaseQueue(dir, leaseTtlMillis = 300).tryClaim("k", "thief2"),
+    assert(!mkQ().tryClaim("k", "thief2"),
       "imposter release deleted a live holder's marker")
     holder.release("k", "slow")
     assert(holder.tryClaim("k", "next"), "owner release must free the lease")
@@ -366,22 +372,26 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
     val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
     val processedTimes = new java.util.concurrent.atomic.AtomicInteger(0)
-    // process takes 4x the lease TTL — without the TTL/3 heartbeat the
-    // second uploader steals the lease and both write concurrently
+    // process takes 2x the lease TTL — without the TTL/3 heartbeat the
+    // second uploader steals the lease and both write concurrently.
+    // The heartbeat thread is real wall-clock, so this test can't use a
+    // fake clock; instead the TTL (1200 ms, beats every 400 ms) leaves
+    // enough slack that only a multi-second scheduler stall could miss
+    // three consecutive beats and flake it.
     def slowProcess(db: String, t: String, f: File): Unit = {
       val n = inFlight.incrementAndGet()
       maxInFlight.updateAndGet(m => math.max(m, n))
-      try { Thread.sleep(1200); processedTimes.incrementAndGet() }
+      try { Thread.sleep(2400); processedTimes.incrementAndGet() }
       finally inFlight.decrementAndGet()
     }
     def mkUploader() = new Uploader(store, slowProcess,
-      claims = new FileLeaseQueue(s"$base/claims", leaseTtlMillis = 300))
+      claims = new FileLeaseQueue(s"$base/claims", leaseTtlMillis = 1200))
     val f = new File(base, "7311209990.ndjson")
     Files.writeString(f.toPath, "{\"v\": 1, \"__row_id\": 1}\n")
     store.put("5/slow/7311209990.ndjson", f)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     val a = pool.submit(new java.util.concurrent.Callable[Int] { def call(): Int = mkUploader().retryPending() })
-    Thread.sleep(500) // a is mid-process, its original lease would have expired
+    Thread.sleep(1600) // a is mid-process, its original lease would have expired
     val b = pool.submit(new java.util.concurrent.Callable[Int] { def call(): Int = mkUploader().retryPending() })
     val (na, nb) = (a.get(), b.get()); pool.shutdown()
     assert(processedTimes.get() == 1, s"batch processed ${processedTimes.get()} times, want exactly 1")

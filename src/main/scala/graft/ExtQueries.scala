@@ -1561,7 +1561,35 @@ object ExtQueries {
              |SELECT s.doc_id, s.lang, s.score
              |FROM scored s JOIN cuts c ON s.lang IS NOT DISTINCT FROM c.lang
              |WHERE s.score >= c.cut
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin))),
+
+    // External ORC scan (the q37/q38 family's fourth format — Hive-era
+    // lakes are ORC; Spark reads it natively with the same pushdown
+    // story as parquet). DuckDB has no ORC reader, so the oracle
+    // replays the aggregate over the SOURCE events table instead of the
+    // exported files: a hash match proves the Spark->ORC->Spark round
+    // trip lossless AND the scan correct. Aggregates are chosen
+    // order-independent (count / min / max / integer sum), as in q37.
+    "q101_external_orc" -> ((
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+        val dir = s"/tmp/graft_external_${new java.io.File(d).getName}/events_orc"
+        s.read.parquet(s"$d/events.parquet")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .coalesce(1).write.mode("overwrite").orc(dir)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType)))
+        graft.sources.ExternalSources.readOrc(s, dir, Some(schema))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+               max(col("value")).as("max_v"), sum(col("event_id")).cast("long").as("id_sum"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -38,4 +38,14 @@ object ExternalSources {
     val r = spark.read
     schema.fold(r)(s => r.schema(s)).parquet(path)
   }
+
+  /** ORC scan with a pinned schema — the fourth columnar format a
+    * migrating warehouse most often brings along (Hive-era lakes are
+    * ORC). Same pushdown story as parquet in Spark: predicates and
+    * column pruning reach the stripe reader, so the 100 TB posture is
+    * identical. */
+  def readOrc(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).orc(path)
+  }
 }

@@ -1589,7 +1589,44 @@ object ExtQueries {
       Some("""SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
              |       CAST(sum(event_id) AS BIGINT) AS id_sum
              |FROM events
-             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))),
+
+    // Exactly-k-per-stratum deterministic sample: the "take N docs per
+    // language for the eval set" primitive — rank by salted FNV within
+    // the stratum, keep the k smallest (ties by id). Fraction conds
+    // (q84's family) give binomial counts; this pins counts exactly.
+    // Oracle replays the q79 HUGEINT FNV machinery with this salt and
+    // the bucketed rank.
+    "q102_sample_exact_k" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.sampleExactPerStratum(docs(s, d), col("doc_id"), col("lang"),
+            k = 20, salt = "q102")
+          .select("doc_id", "lang")
+          .orderBy("doc_id"),
+      Some("""WITH hx AS (
+             |  SELECT doc_id, lang, hex(encode('q102' || CAST(doc_id AS VARCHAR))) AS hx FROM documents
+             |), fp AS (
+             |  SELECT doc_id, lang, list_reduce(
+             |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |      list_transform(range(1, len(hx) // 2 + 1), i ->
+             |        CAST((strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+             |           + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1) AS HUGEINT))),
+             |    (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT) * 1099511628211)
+             |              % CAST('18446744073709551616' AS HUGEINT)
+             |  ) AS f
+             |  FROM hx
+             |), signed AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN f >= CAST('9223372036854775808' AS HUGEINT)
+             |         THEN CAST(f - CAST('18446744073709551616' AS HUGEINT) AS BIGINT)
+             |         ELSE CAST(f AS BIGINT) END AS fp
+             |  FROM fp
+             |)
+             |SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang,
+             |         row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS rk
+             |  FROM signed) t
+             |WHERE rk <= 20 ORDER BY doc_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -148,6 +148,31 @@ object TextAnalysis {
     }
   }
 
+  /** EXACTLY-k-per-stratum deterministic sample — "take 1000 documents
+    * per language for the eval set": rank rows within each stratum by
+    * their salted FNV fingerprint (ties by id) and keep the k smallest.
+    * Where the fraction-based conds above give each row an independent
+    * membership test (count is binomial around the target), this pins
+    * the count exactly — and, like them, membership is a pure function
+    * of (salt, corpus): the same k rows come back on any cluster, any
+    * partitioning, and a different salt draws an independent sample.
+    * A stratum with fewer than k rows is kept whole.
+    *
+    * Shape: one hash exchange on the stratum + per-stratum sort (the
+    * rank window) — the same cost as [[qualityPercentileFilter]], right
+    * for few-and-large strata. The fingerprint is codegen'd; nothing
+    * but the window sorts. */
+  def sampleExactPerStratum(df: DataFrame, idCol: Column, stratumCol: Column,
+                            k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val fp = TextFunctions.fingerprint64(concat(lit(salt), idCol.cast("string")))
+    val w = Window.partitionBy(stratumCol).orderBy(fp, idCol)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Chunk documents into fixed-size token windows with overlap — the
     * standard pre-training step that turns variable-length documents
     * into training sequences (context-window packing's simpler sibling).

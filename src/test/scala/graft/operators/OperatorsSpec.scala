@@ -831,6 +831,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sampleExactPerStratum: exact counts, partition/salt contracts, short strata kept whole") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = ((1L to 100L).map(i => (i, "en")) ++ (101L to 140L).map(i => (i, "de")) ++
+      (141L to 143L).map(i => (i, "fr"))).toDF("id", "lang")
+    def sample(d: org.apache.spark.sql.DataFrame, salt: String) =
+      TextAnalysis.sampleExactPerStratum(d, col("id"), col("lang"), k = 10, salt = salt)
+        .select("id", "lang").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val s1 = sample(df, "a")
+    // exact k per stratum; a stratum under k is kept whole
+    val byLang = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLang == Map("en" -> 10, "de" -> 10, "fr" -> 3), s"got $byLang")
+    // membership is a pure function of (salt, corpus)
+    assert(sample(df.repartition(13), "a") == s1, "sample changed under repartition")
+    // a different salt draws a different (independent) sample
+    assert(sample(df, "b") != s1, "distinct salts must not draw the same sample")
+    // original columns only
+    assert(TextAnalysis.sampleExactPerStratum(df, col("id"), col("lang"), 10, "a")
+      .columns.toSeq == Seq("id", "lang"))
+  }
+
   test("winnowing guarantee on an adversarial corpus: exactly window+k-1 shared chars force a shared fingerprint") {
     import spark.implicits._
     // constructed worst case: the shared run is the MINIMUM length the

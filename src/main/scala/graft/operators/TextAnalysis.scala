@@ -158,6 +158,12 @@ object TextAnalysis {
     * partitioning, and a different salt draws an independent sample.
     * A stratum with fewer than k rows is kept whole.
     *
+    * CONTRACT: `idCol` must be unique — it is both the hash input and
+    * the tie-break, so duplicate ids give duplicate sort keys and the
+    * window's pick among them is partition-order-dependent, voiding the
+    * determinism guarantee (the fraction-based conds above are immune:
+    * duplicate ids simply share a verdict).
+    *
     * Shape: one hash exchange on the stratum + per-stratum sort (the
     * rank window) — the same cost as [[qualityPercentileFilter]], right
     * for few-and-large strata. The fingerprint is codegen'd; nothing
@@ -168,9 +174,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val fp = TextFunctions.fingerprint64(concat(lit(salt), idCol.cast("string")))
     val w = Window.partitionBy(stratumCol).orderBy(fp, idCol)
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .drop("__rk")
+    // collision-proof scratch name: never clobber a caller's column
+    val rk = Iterator.from(0).map(i => s"__rk$i").find(n => !df.columns.contains(n)).get
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= k)
+      .drop(rk)
   }
 
   /** Chunk documents into fixed-size token windows with overlap — the

@@ -192,12 +192,17 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!q.tryClaim("k", "b"), "live lease must not be re-claimable")
     q.release("k", "a")
     assert(q.tryClaim("k", "b"), "released lease must be claimable")
-    // age the lease past the TTL by advancing the clock: N stealers
-    // race, exactly one rename wins
-    now += 1500
+    // age the lease past the STEALERS' TTL (but not the holder's own
+    // 1000 ms): the marker carries no TTL — each reader judges
+    // staleness by its own configured TTL, so the 300 ms stealers see
+    // an expired lease exactly where a 1000 ms reader would not.
+    // N stealers race, exactly one rename wins.
+    now += 500
+    assert(!mkQ().tryClaim("k", "same-ttl"),
+      "a reader at the holder's own TTL must still see a live lease")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     val wins = (1 to 8).map { i =>
-      val sq = mkQ()
+      val sq = new FileLeaseQueue(dir, leaseTtlMillis = 300, clock = () => now)
       pool.submit(new java.util.concurrent.Callable[Boolean] {
         def call(): Boolean = sq.tryClaim("k", s"w$i")
       })

@@ -1626,7 +1626,215 @@ object ExtQueries {
              |  SELECT doc_id, lang,
              |         row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS rk
              |  FROM signed) t
-             |WHERE rk <= 20 ORDER BY doc_id""".stripMargin)))
+             |WHERE rk <= 20 ORDER BY doc_id""".stripMargin))),
+
+    // Gopher/MassiveText composite quality rules (Rae et al. 2021
+    // A1.1): word-count bounds, mean-word-length bounds, alpha-word
+    // fraction, function-word hits, symbol ratio — every metric PLUS
+    // the conjunction verdict, so the oracle checks both the numbers
+    // and the rule wiring. minWords=30 splits this corpus (docs run
+    // 10-99 words); the other thresholds are the published ones.
+    "q103_gopher_rules" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.gopherRules(docs(s, d), "text", minWords = 30)
+          .select("doc_id", "n_words", "mean_word_len", "alpha_word_frac",
+                  "stopword_hits", "symbol_word_frac", "keep")
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS ws
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id,
+             |    CAST(len(ws) AS BIGINT) AS n_words,
+             |    CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0) AS DOUBLE)
+             |      / greatest(len(ws), 1) AS mean_word_len,
+             |    CAST(len(list_filter(ws, w -> regexp_matches(w, '\p{L}'))) AS DOUBLE)
+             |      / greatest(len(ws), 1) AS alpha_word_frac,
+             |    CAST(len(list_filter(ws, w -> list_contains(
+             |      ['the','be','to','of','and','that','have','with'], w))) AS BIGINT) AS stopword_hits,
+             |    CAST(len(list_filter(ws, w -> regexp_matches(w, '#|\.\.\.'))) AS DOUBLE)
+             |      / greatest(len(ws), 1) AS symbol_word_frac
+             |  FROM tk
+             |)
+             |SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stopword_hits,
+             |       symbol_word_frac,
+             |       (n_words BETWEEN 30 AND 100000
+             |        AND mean_word_len BETWEEN 3.0 AND 10.0
+             |        AND alpha_word_frac >= 0.8
+             |        AND stopword_hits >= 2
+             |        AND symbol_word_frac <= 0.1) AS keep
+             |FROM m ORDER BY doc_id""".stripMargin))),
+
+    // Rare-bigram fraction: the n-gram LM novelty proxy (CCNet's KenLM
+    // perplexity filter without the LM) — fraction of a doc's adjacent-
+    // token bigram instances with corpus frequency <= 2. Two corpus-
+    // token-sized gram-keyed exchanges + one doc-keyed aggregate; see
+    // TextAnalysis.rareBigramFraction's scaladoc for the scale shape.
+    "q104_rare_bigrams" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.rareBigramFraction(docs(s, d), "doc_id", "text", rareMax = 2L)
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS ws
+             |  FROM documents
+             |), bgl AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(ws) >= 2
+             |      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+             |      ELSE CAST([] AS VARCHAR[]) END AS bg
+             |  FROM tk
+             |), ex AS (
+             |  SELECT doc_id, unnest(bg) AS gram FROM bgl
+             |), cnt AS (
+             |  SELECT gram, count(*) AS freq FROM ex GROUP BY 1
+             |), pd AS (
+             |  SELECT ex.doc_id, count(*) AS nb,
+             |         sum(CASE WHEN cnt.freq <= 2 THEN 1 ELSE 0 END) AS nr
+             |  FROM ex JOIN cnt USING (gram) GROUP BY 1
+             |)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(pd.nb, 0) AS BIGINT) AS n_bigrams,
+             |       CAST(coalesce(pd.nr, 0) AS BIGINT) AS n_rare,
+             |       CAST(coalesce(pd.nr, 0) AS DOUBLE)
+             |         / greatest(coalesce(pd.nb, 0), 1) AS rare_frac
+             |FROM documents d LEFT JOIN pd USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))),
+
+    // Salted skew join, end-to-end: events (hot keys — 5 event types)
+    // joined to a per-type dim through SkewJoin.saltedJoin, then
+    // re-aggregated. Result-identical to the plain join by construction
+    // — the oracle replays the plain join, so a hash match proves the
+    // salt spread/replicate/drop plumbing loses and duplicates nothing.
+    // (The skew-spread plan shape itself is pinned in OperatorsSpec
+    // with broadcast disabled; at battery scale Spark broadcasts the
+    // replicated dim, which is also correct.)
+    "q105_salted_join" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d).select("event_id", "user_id", "event_type")
+        val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_total"))
+        graft.operators.SkewJoin.saltedJoin(ev, dim, Seq("event_type"),
+            saltFrom = "event_id", buckets = 8)
+          .groupBy("event_type", "type_total")
+          .agg(count(lit(1)).as("n"), sum(col("user_id")).cast("long").as("uid_sum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH dim AS (
+             |  SELECT event_type, count(*) AS type_total FROM events GROUP BY 1
+             |)
+             |SELECT e.event_type, d.type_total, count(*) AS n,
+             |       CAST(sum(e.user_id) AS BIGINT) AS uid_sum
+             |FROM events e JOIN dim d USING (event_type)
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin))),
+
+    // Range-sorted layout round trip: rewrite events clustered on ts
+    // (Layout.writeRangeSorted — disjoint per-file ts ranges + sorted
+    // row groups, the MergeTree-part analogue), read it back through a
+    // 2-day ts-range filter and aggregate. The oracle replays over the
+    // SOURCE table: a hash match proves the rewrite lossless and the
+    // filtered scan correct. File-range disjointness and the pushed
+    // ts filter are pinned in SourcesSpec (footer stats + plan).
+    "q106_sorted_layout" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+        val dir = s"/tmp/graft_layout_${new java.io.File(d).getName}/events_by_ts"
+        graft.store.Layout.writeRangeSorted(ev, dir, Seq("ts"), numFiles = 8)
+        val back = graft.store.Layout.readSorted(s, dir)
+        // micros-exact bounds (Timestamp.getTime would truncate to ms
+        // and disagree with the oracle's INTERVAL arithmetic at the
+        // boundary); timestamp_micros(lit) folds to a literal, so the
+        // range predicate still pushes down to the parquet scan
+        val loUs = back.agg(min(unix_micros(col("ts")))).head().getLong(0)
+        val hiUs = loUs + 2L * 86400L * 1000000L
+        back.filter(col("ts") >= timestamp_micros(lit(loUs)) &&
+                    col("ts") < timestamp_micros(lit(hiUs)))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               min(unix_micros(col("ts"))).as("min_us"),
+               max(unix_micros(col("ts"))).as("max_us"),
+               sum(col("event_id")).cast("long").as("id_sum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (SELECT min(ts) AS lo FROM events)
+             |SELECT event_type, count(*) AS n,
+             |       CAST(min(epoch_us(ts)) AS BIGINT) AS min_us,
+             |       CAST(max(epoch_us(ts)) AS BIGINT) AS max_us,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM events, b
+             |WHERE ts >= lo AND ts < lo + INTERVAL 2 DAY
+             |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // External XML scan (the q37/q38/q101 family's fifth format —
+    // Spark 4's native xml source; feed exports and enterprise dumps).
+    // DuckDB has no XML reader, so as with ORC the oracle replays the
+    // aggregate over the SOURCE table: a hash match proves the
+    // Spark->XML->Spark round trip lossless (Double.toString/parse
+    // round-trips IEEE-exactly) AND the scan correct. Order-independent
+    // aggregates, pinned schema (no inference pass).
+    "q107_external_xml" -> ((
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+        val dir = s"/tmp/graft_external_${new java.io.File(d).getName}/events_xml"
+        s.read.parquet(s"$d/events.parquet")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .coalesce(1).write.mode("overwrite").option("rowTag", "event").format("xml").save(dir)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType)))
+        graft.sources.ExternalSources.readXml(s, dir, rowTag = "event", Some(schema))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+               max(col("value")).as("max_v"), sum(col("event_id")).cast("long").as("id_sum"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM events
+             |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Incremental dedup against a persisted fingerprint store: history
+    // = even doc_ids (fingerprints written hash-bucketed to disk),
+    // batch = the whole corpus probed against it — survivors are docs
+    // whose CONTENT no even doc has. The history is never re-scanned:
+    // the probe reads only the store's fingerprint parquet (bucket-
+    // pruned via literal PartitionFilters, spec-pinned). Oracle replays
+    // the content anti join in SQL.
+    "q108_dedup_incremental" -> ((
+      (s: SparkSession, d: String) => {
+        val all = docs(s, d)
+        val path = s"/tmp/graft_fpstore_${new java.io.File(d).getName}"
+        Dedup.writeFingerprintStore(all.filter(col("doc_id") % 2 === 0), "text", path,
+          nBuckets = 32)
+        Dedup.dedupAgainstStore(all, "text", path)
+          .select("doc_id", "lang").orderBy("doc_id")
+      },
+      Some("""SELECT d.doc_id, d.lang FROM documents d
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM documents h
+             |  WHERE h.doc_id % 2 = 0 AND md5(h.text) = md5(d.text))
+             |ORDER BY doc_id""".stripMargin))),
+
+    // Hot-key report: the 20 heaviest user_ids with share-of-total and
+    // skew ratio vs a uniform spread — the diagnostic that sizes
+    // saltedJoin's buckets. Top-k is TakeOrderedAndProject (per-
+    // partition heaps), totals re-aggregate the O(distinct keys)
+    // counts; ties break by key so the report is deterministic.
+    "q109_hot_keys" -> ((
+      (s: SparkSession, d: String) =>
+        graft.operators.SkewJoin.hotKeys(
+            events(s, d).select("user_id", "event_type"), Seq("user_id"), k = 20)
+          .orderBy(col("n").desc, col("user_id")),
+      Some("""WITH c AS (
+             |  SELECT user_id, count(*) AS n FROM events GROUP BY 1
+             |), t AS (
+             |  SELECT sum(n) AS total, count(*) AS nk FROM c
+             |)
+             |SELECT user_id, n,
+             |       CAST(n AS DOUBLE) / total AS share,
+             |       CAST(n * nk AS DOUBLE) / total AS skew
+             |FROM c, t
+             |ORDER BY n DESC, user_id LIMIT 20""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -672,4 +672,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Persisted content-fingerprint store for INCREMENTAL dedup: dedup
+    * each day's batch against the full corpus history without ever
+    * re-scanning the history. The store holds only distinct md5 content
+    * fingerprints (32-byte rows — ~3 orders of magnitude smaller than
+    * the corpus), hash-bucketed into `nBuckets` hive partitions so a
+    * probe can prune at the DIRECTORY level. `meta` pins nBuckets — the
+    * probe side must bucket identically or dedup silently misses.
+    *
+    * Maintenance: after accepting a batch, append its surviving
+    * fingerprints with `mode = "append"` (same path, same nBuckets).
+    * Appends create small files; re-cluster occasionally by rewriting
+    * with `mode = "overwrite"` — exactly a ClickHouse part merge. */
+  def writeFingerprintStore(df: DataFrame, textCol: String, path: String,
+                            nBuckets: Int = 64, mode: String = "overwrite"): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    df.select(md5(col(textCol)).as("fp")).distinct()
+      .withColumn("bucket", pmod(xxhash64(col("fp")), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/fps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Anti-join a new batch against a fingerprint store: keeps only rows
+    * whose content hash has never been seen. Within-batch duplicates
+    * are NOT collapsed here (compose with [[exactByHash]] for that) —
+    * this operator answers "new vs history".
+    *
+    * Scale shape: the batch's distinct bucket ids (≤ nBuckets values,
+    * driver-bounded) become a LITERAL partition filter on the store
+    * scan — a small or skewed increment reads only its buckets'
+    * directories (PartitionFilters, spec-pinned); the anti join then
+    * shuffles fingerprints, never text. History cost is O(store
+    * fingerprints in probed buckets), independent of history SIZE. */
+  def dedupAgainstStore(df: DataFrame, textCol: String, path: String): DataFrame = {
+    val spark = df.sparkSession
+    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val probe = df.withColumn("__fp", md5(col(textCol)))
+      .withColumn("__bucket", pmod(xxhash64(col("__fp")), lit(nBuckets.toLong)).cast("int"))
+    val buckets = probe.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).sorted // driver-bounded: <= nBuckets values
+    val store = spark.read.parquet(s"$path/fps")
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
+    probe.join(store,
+        probe("__fp") === store("fp") && probe("__bucket") === store("bucket"),
+        "left_anti")
+      .drop("__fp", "__bucket")
+  }
 }

@@ -37,4 +37,28 @@ object SkewJoin {
       explode(sequence(lit(0), lit(buckets - 1))))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Hot-key report — the sizing input for [[saltedJoin]]'s `buckets`
+    * and the first diagnostic to run when one reducer runs forever:
+    * the `k` heaviest keys with row count, share of total, and skew
+    * ratio (count / mean-per-key; 1.0 = perfectly uniform).
+    *
+    * Scale shape: one partial-aggregated shuffle down to O(distinct
+    * keys); totals come from re-aggregating the COUNTS (O(distinct)
+    * rows, broadcast back as a single row), and the top-k is a
+    * TakeOrderedAndProject — per-partition heaps, never a full sort.
+    * Ties break by key for a deterministic report. */
+  def hotKeys(df: DataFrame, keys: Seq[String], k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keyCols = keys.map(c => col(s"`$c`"))
+    val counts = df.groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("__total"), count(lit(1)).as("__nk"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("share", col("n").cast("double") / col("__total").cast("double"))
+      .withColumn("skew",
+        (col("n") * col("__nk")).cast("double") / col("__total").cast("double"))
+      .drop("__total", "__nk")
+      .orderBy(col("n").desc +: keyCols: _*)
+      .limit(k)
+  }
 }

@@ -594,6 +594,92 @@ object TextAnalysis {
       .drop("k")
   }
 
+  /** The 8 high-frequency English function words the Gopher corpus
+    * filters test for (Rae et al. 2021, MassiveText §A1.1.2): a natural-
+    * language document should contain at least two of them. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher/MassiveText-style composite document-quality rules (Rae et
+    * al. 2021, appendix A1.1): per-document word count bounds, mean word
+    * length bounds, minimum fraction of words containing an alphabetic
+    * character, minimum function-word hits, and a symbol-to-word ratio
+    * cap ('#' and ellipsis — machine/boilerplate markers). Emits every
+    * metric plus the conjunction verdict `keep`, so downstream can
+    * filter OR audit which rule fired.
+    *
+    * All metrics are ratios of exact integer counts over the one
+    * materialized token array — a pure codegen'd map stage, no shuffle,
+    * embarrassingly parallel at 100 TB, and bit-exact SQL-replayable. */
+  def gopherRules(df: DataFrame, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  minAlphaWordFrac: Double = 0.8, minStopwordHits: Int = 2,
+                  maxSymbolWordFrac: Double = 0.1): DataFrame = {
+    val toks = col("__toks")
+    val nW = size(toks)
+    val nWd = greatest(nW, lit(1)).cast("double")
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("n_words", nW.cast("long"))
+      .withColumn("mean_word_len",
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+          .cast("double") / nWd)
+      .withColumn("alpha_word_frac",
+        size(filter(toks, t => t.rlike("\\p{L}"))).cast("double") / nWd)
+      .withColumn("stopword_hits",
+        size(filter(toks, t => t.isin(GopherStopwords: _*))).cast("long"))
+      .withColumn("symbol_word_frac",
+        size(filter(toks, t => t.rlike("#|\\.\\.\\."))).cast("double") / nWd)
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("alpha_word_frac") >= minAlphaWordFrac &&
+          col("stopword_hits") >= minStopwordHits &&
+          col("symbol_word_frac") <= maxSymbolWordFrac)
+      .drop("__toks")
+  }
+
+  /** Rare-bigram fraction — an n-gram LM novelty proxy (the cheap stand-
+    * in for CCNet's KenLM perplexity filter): the fraction of a
+    * document's adjacent-token bigram INSTANCES whose corpus-wide
+    * frequency is at most `rareMax`. High values flag text unlike the
+    * rest of the corpus (OCR garbage, codes, exotic boilerplate); low
+    * values flag template text. Integer count ratios -> bit-exact
+    * SQL oracle.
+    *
+    * Scale shape: two corpus-token-sized exchanges (the gram-keyed
+    * frequency count with map-side partial aggregation, then the
+    * gram-keyed instance↔frequency join, which reuses the count's
+    * partitioning on the frequency side) and one doc-keyed aggregate.
+    * That is the canonical distributed-LM-count shape — nothing is
+    * broadcast, so no vocabulary-size assumption. When `rareMax` is
+    * large enough that the COMMON set (freq > rareMax) is small — the
+    * Zipf head — a broadcast-anti variant (count common instances,
+    * subtract) would drop the second corpus exchange; not taken here
+    * because it caps the operator's generality at low `rareMax`. */
+  def rareBigramFraction(df: DataFrame, idCol: String, textCol: String,
+                         rareMax: Long = 2L): DataFrame = {
+    val toksC = tokens(col(textCol))
+    val bigrams = when(size(toksC) >= 2,
+        zip_with(
+          slice(toksC, lit(1), size(toksC) - 1),
+          slice(toksC, lit(2), size(toksC) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val exploded = df.select(col(idCol).as("id"), explode(bigrams).as("gram"))
+    val freqs = exploded.groupBy("gram").agg(count(lit(1)).as("__freq"))
+    val perDoc = exploded.join(freqs, "gram")
+      .groupBy("id")
+      .agg(count(lit(1)).as("__nb"),
+           sum(when(col("__freq") <= rareMax, 1L).otherwise(0L)).as("__nr"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("__nr"), lit(0L)).as("n_rare"),
+        (coalesce(col("__nr"), lit(0L)).cast("double") /
+          greatest(coalesce(col("__nb"), lit(0L)), lit(1L)).cast("double")).as("rare_frac"))
+  }
+
   /** Convenience: annotate a corpus with all text-analysis columns. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val base = qualityColumns(col(textCol)).foldLeft(df) { case (d, (name, c)) =>

@@ -48,4 +48,17 @@ object ExternalSources {
     val r = spark.read
     schema.fold(r)(s => r.schema(s)).orc(path)
   }
+
+  /** XML scan — Spark 4 ships the XML source natively (the spark-xml
+    * package was donated upstream in 4.0), so feed exports and legacy
+    * enterprise dumps read without an extra dependency. `rowTag` names
+    * the repeating record element. Row-based like JSON/CSV: column
+    * pruning applies after parse, predicates do NOT push into the
+    * parser — at 100 TB, convert to a columnar layout after one pass
+    * rather than re-scanning XML per query. */
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+              schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("rowTag", rowTag)
+    schema.fold(r)(s => r.schema(s)).format("xml").load(path)
+  }
 }

@@ -307,6 +307,112 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       canon(left.join(right, Seq("k"), "left")))
   }
 
+  test("saltedJoin plan (broadcast off) shuffles on (key, __salt) — the hot key spreads") {
+    import spark.implicits._
+    val prior = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val left = (1L to 500L).map(i => ("hot", i)).toDF("k", "lv")
+      val right = Seq(("hot", 1), ("cold", 2)).toDF("k", "rv")
+      val joined = SkewJoin.saltedJoin(left, right, Seq("k"), "lv", 8)
+      assert(joined.count() == 500L)
+      val plan = joined.queryExecution.executedPlan.toString
+      val saltedExchange = plan.linesIterator.exists(l =>
+        !l.contains("ReusedExchange") && l.contains("Exchange hashpartitioning") &&
+          l.contains("__salt"))
+      assert(saltedExchange, s"no (key, __salt)-keyed exchange in:\n${plan.take(1500)}")
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("gopherRules: each rule gates independently; boundaries are inclusive") {
+    import org.apache.spark.sql.functions.col
+    val good = (("the be to of and that have with good words " * 5).trim + " tail") // 51 words, stopword-rich
+    val df = docs(
+      1L -> good,                                   // passes everything
+      2L -> "short doc the be",                     // n_words < 10
+      3L -> (Seq.fill(60)("ab").mkString(" ") + " the be"), // mean_word_len < 3
+      4L -> (Seq.fill(60)("192.168.000.001").mkString(" ") + " the be"), // mean len > 10
+      5L -> ((good + " ") + Seq.fill(30)("###").mkString(" "))) // symbol ratio > 0.1
+    val out = TextAnalysis.gopherRules(df, "text", minWords = 10)
+      .select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false), out)
+
+    // boundary: exactly minWords words and mean length exactly 3.0 both KEEP
+    val b = docs(6L -> Seq.fill(10)("the").mkString(" "))
+    val row = TextAnalysis.gopherRules(b, "text", minWords = 10).head()
+    assert(row.getAs[Long]("n_words") == 10L)
+    assert(row.getAs[Double]("mean_word_len") == 3.0)
+    assert(row.getAs[Boolean]("keep"))
+  }
+
+  test("rareBigramFraction: corpus-global frequencies, zero-bigram docs, partition invariance") {
+    // "a b" occurs 3x across the corpus (common at rareMax=2);
+    // every other bigram exactly once (rare)
+    val df = docs(
+      1L -> "a b c",        // bigrams: "a b"(3), "b c"(1)  -> 1/2 rare
+      2L -> "a b",          // "a b"                         -> 0/1 rare
+      3L -> "x a b y",      // "x a"(1), "a b"(3), "b y"(1)  -> 2/3 rare
+      4L -> "solo",         // no bigrams
+      5L -> "")             // no tokens
+    val got = TextAnalysis.rareBigramFraction(df, "doc_id", "text", rareMax = 2L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((1L, 0L, 0.0)))
+    assert(got(3L) == ((3L, 2L, 2.0 / 3.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+    assert(got(5L) == ((0L, 0L, 0.0)))
+    val re = TextAnalysis.rareBigramFraction(df.repartition(7), "doc_id", "text", rareMax = 2L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(re == got)
+  }
+
+  test("fingerprint store: incremental probe drops history content, append maintains, buckets prune") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graft-fpstore").toString + "/store"
+    val history = docs(1L -> "alpha beta gamma", 2L -> "delta epsilon zeta")
+    Dedup.writeFingerprintStore(history, "text", path, nBuckets = 8)
+
+    val batch = docs(
+      10L -> "alpha beta gamma",     // history dupe -> dropped
+      11L -> "totally new content",  // new -> kept
+      12L -> "delta epsilon zeta")   // history dupe -> dropped
+    val out1 = Dedup.dedupAgainstStore(batch, "text", path)
+    assert(out1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L))
+
+    // the store scan is pruned to the PROBE's buckets, by literal
+    // partition filter — history cost is per-bucket, not per-store
+    val scans = out1.queryExecution.executedPlan.collectLeaves().map(_.treeString)
+    val storeScan = scans.find(_.contains("fps"))
+    assert(storeScan.exists(s => s.contains("PartitionFilters") && s.contains("bucket")),
+      s"store scan not bucket-pruned:\n${scans.mkString("\n").take(1200)}")
+
+    // append maintenance: accepted batch's fingerprints join the store,
+    // so a replay of the same content is now a dupe
+    Dedup.writeFingerprintStore(out1, "text", path, nBuckets = 8, mode = "append")
+    val replay = docs(20L -> "totally new content", 21L -> "still newer text")
+    val out2 = Dedup.dedupAgainstStore(replay, "text", path)
+    assert(out2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(21L))
+  }
+
+  test("hotKeys: counts/share/skew exact, deterministic ties, top-k never a full sort") {
+    import spark.implicits._
+    // key a: 6 rows, b: 3, c: 3, d: 1 -> mean 13/4
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d"))
+      .zipWithIndex.toDF("k", "i")
+    val top = SkewJoin.hotKeys(df, Seq("k"), k = 3)
+    val rows = top.select("k", "n", "share", "skew").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      ("a", 6L, 6.0 / 13.0, 24.0 / 13.0),
+      ("b", 3L, 3.0 / 13.0, 12.0 / 13.0),   // tie with c -> key order
+      ("c", 3L, 3.0 / 13.0, 12.0 / 13.0)))
+    assert(top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "top-k should plan as TakeOrderedAndProject, not a global sort")
+  }
+
   test("embeddingDupPairs: clustered corpus stays bounded; approx candidates validate against the exact twin") {
     import spark.implicits._
     val base = Array.fill(16)(0.3f)

@@ -1,0 +1,82 @@
+package graft.store
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** Layout.writeRangeSorted posture: the VALUES are gated by q106's
+  * oracle row; these specs pin the layout properties that make footer
+  * statistics prune at 100 TB — disjoint per-file sort-key ranges and
+  * a sort-key predicate that reaches the parquet scan. */
+class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Per-file [min,max] of a long column, straight from the footers. */
+  private def fileRanges(dir: String, column: String): Seq[(Long, Long)] = {
+    val conf = new Configuration()
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    files.toSeq.map { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+      try {
+        val stats = reader.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == column)
+          .map(_.getStatistics)
+        (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+         stats.map(_.genericGetMax.asInstanceOf[Long]).max)
+      } finally reader.close()
+    }
+  }
+
+  test("writeRangeSorted: per-file sort-key ranges are pairwise disjoint, content exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString + "/t"
+    // keys arrive shuffled — the rewrite must impose the clustering
+    val src = (1L to 10000L).map(i => ((i * 7919L) % 10007L, i))
+      .toDF("k", "payload")
+    Layout.writeRangeSorted(src, dir, Seq("k"), numFiles = 8)
+
+    val ranges = fileRanges(dir, "k").sortBy(_._1)
+    assert(ranges.size >= 2, s"expected a multi-file layout, got $ranges")
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+
+    val back = Layout.readSorted(spark, dir)
+    assert(back.count() == 10000L)
+    assert(back.agg(sum(col("payload"))).head().getLong(0) ==
+      src.agg(sum(col("payload"))).head().getLong(0))
+    assert(back.select("k", "payload").except(src).isEmpty &&
+      src.except(back.select("k", "payload")).isEmpty)
+  }
+
+  test("sort-key range predicate reaches the parquet scan as a pushed filter") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout2").toString + "/t"
+    Layout.writeRangeSorted(
+      (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v"), dir, Seq("k"), numFiles = 4)
+    val q = Layout.readSorted(spark, dir)
+      .filter(col("k") >= 100L && col("k") < 200L).select("k")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.treeString
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThanOrEqual(k,100)") && scan.contains("LessThan(k,200)"),
+      s"sort-key range not pushed to the scan:\n${scan.take(600)}")
+    assert(q.count() == 100L)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.store
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** Data-layout maintenance: clustering a table on its query keys.
   *
@@ -47,4 +47,55 @@ object Layout {
     * sort key prune files/row groups via the footer stats. */
   def readSorted(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Multi-dimension clustering via a Z-order (Morton) curve — the
+    * layout for tables queried by MORE than one key (tenant + time,
+    * user + day). A 1-D sort makes the second key span the FULL range
+    * in every file (its stats prune nothing); Z-ordering interleaves
+    * the bits of per-dimension quantile ranks so every file covers a
+    * small hyper-rectangle and footer stats prune on EVERY clustered
+    * column. Same idea as Delta/Iceberg `OPTIMIZE ZORDER BY`.
+    *
+    * Mechanics: each column is rank-bucketed into `2^bitsPerDim`
+    * quantile buckets (boundaries from `approxQuantile` — a driver-side
+    * array of `2^bitsPerDim` doubles, sketch-based, one pass); the
+    * bucket ids' bits are interleaved into the z-value; then the same
+    * range-partition + intra-sort + write as [[writeRangeSorted]].
+    * Quantile (not min/max-uniform) bucketing keeps cells equal-MASS,
+    * so skewed columns still spread across files. Columns must be
+    * numeric or timestamp (cast to double for ranking only — stored
+    * values are untouched). Cost: one quantile-sketch pass + one
+    * range exchange, identical asymptotics to the 1-D rewrite. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    numFiles: Int, bitsPerDim: Int = 8): Unit = {
+    require(zCols.size >= 2, "use writeRangeSorted for a single column")
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(bitsPerDim >= 1 && bitsPerDim * zCols.size <= 60,
+      s"bitsPerDim * dims must fit a long, got $bitsPerDim * ${zCols.size}")
+    val nBuckets = 1 << bitsPerDim
+    val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val asDouble = zCols.map(c => col(c).cast("double").as(s"__zd_$c"))
+    val forQuantiles = df.select(asDouble: _*)
+    val ranks: Seq[org.apache.spark.sql.Column] = zCols.map { c =>
+      val bnds = forQuantiles.stat.approxQuantile(s"__zd_$c", probes, 0.001)
+        .distinct.sorted // ties in skewed data collapse to fewer cuts
+      // rank = number of boundaries <= value (codegen'd fold over a
+      // literal array; O(2^bitsPerDim) comparisons per row)
+      aggregate(
+        filter(lit(bnds), b => b <= col(c).cast("double")),
+        lit(0L), (acc, _) => acc + 1L)
+    }
+    // Morton interleave: bit i of dim d lands at position i*D + d
+    val d = zCols.size
+    val z = (0 until bitsPerDim).foldLeft(lit(0L)) { (accBit, i) =>
+      ranks.zipWithIndex.foldLeft(accBit) { case (acc, (r, dim)) =>
+        acc + shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * d + dim).cast("long")
+      }
+    }
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

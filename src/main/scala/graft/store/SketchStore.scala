@@ -1,0 +1,54 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted mergeable-sketch store — the Spark-native analogue of
+  * ClickHouse's AggregatingMergeTree with `uniqState`/`uniqMerge`
+  * (the reference's ClickHouse destination can hold such aggregate
+  * states; here the state is a DataSketches HLL, which Spark 4 reads,
+  * merges and estimates natively via `hll_*` functions).
+  *
+  * The pattern it unlocks at 100 TB: distinct-count dashboards that
+  * never re-scan history. Each ingest batch (a day, an hour) reduces
+  * to one HLL sketch per group — a few KB regardless of row count —
+  * appended to the store. Any later query unions the relevant
+  * sketches: cost is O(groups x partitions-touched), not O(events).
+  * HLL union is exact over sketch state (no further error stacking:
+  * the union of per-part sketches equals the sketch of the union),
+  * so incremental maintenance is lossless vs a from-scratch rebuild —
+  * spec-pinned in LayoutSpec's sibling SketchStoreSpec.
+  */
+object SketchStore {
+
+  /** Reduce `df` to one HLL sketch per (`partExpr`, `groupCols`) cell
+    * counting distinct `valueCol`, appended to the store partitioned
+    * by part. `partExpr` is the incremental unit — `lit("2024-01-07")`
+    * when loading one batch, or a derived column like
+    * `date_format(col("ts"), "yyyy-MM-dd")` when backfilling many at
+    * once. Appends are IDEMPOTENT at read time: HLL union is a
+    * register-wise max, so re-appending the same sketch cannot move
+    * any estimate. `lgK` is the DataSketches log2(K) accuracy knob
+    * (12 ≈ 1.6% rsd, a few KB per sketch). */
+  def writeDistinctSketches(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                            path: String, partExpr: org.apache.spark.sql.Column,
+                            lgK: Int = 12): Unit = {
+    df.withColumn("part", partExpr)
+      .groupBy((col("part") +: groupCols.map(c => col(s"`$c`"))): _*)
+      .agg(hll_sketch_agg(col(s"`$valueCol`"), lit(lgK)).as("sketch"))
+      .write.mode("append").partitionBy("part").parquet(path)
+  }
+
+  /** Merge the stored sketches back to one estimate per group,
+    * optionally restricted to some `parts` (a literal partition filter
+    * — directory pruning, untouched parts are never read). */
+  def estimateDistinct(spark: SparkSession, path: String, groupCols: Seq[String],
+                       parts: Seq[String] = Nil): DataFrame = {
+    val all = spark.read.parquet(path)
+    val scoped = if (parts.isEmpty) all
+                 else all.filter(col("part").isin(parts.map(x => x: Any): _*))
+    scoped.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+        .as("approx_distinct"))
+  }
+}

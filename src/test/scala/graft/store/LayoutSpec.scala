@@ -66,6 +66,31 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       src.except(back.select("k", "payload")).isEmpty)
   }
 
+  test("writeZOrdered: files bound BOTH dims — a narrow 2nd-dim band prunes; 1-D sort reads all") {
+    import spark.implicits._
+    // independent 2-D grid: a 1-D sort on x leaves y unbounded per file
+    val n = 141
+    val src = (0 until n * n).map(i => (i.toLong % n, i.toLong / n)).toDF("x", "y")
+    val base = java.nio.file.Files.createTempDirectory("graft-z").toString
+    Layout.writeZOrdered(src, s"$base/z", Seq("x", "y"), numFiles = 16, bitsPerDim = 7)
+    Layout.writeRangeSorted(src, s"$base/x", Seq("x"), numFiles = 16)
+
+    def overlapping(dir: String, lo: Long, hi: Long): Int =
+      fileRanges(dir, "y").count { case (mn, mx) => mx >= lo && mn < hi }
+    val zFiles = fileRanges(s"$base/z", "y").size
+    val xFiles = fileRanges(s"$base/x", "y").size
+    // y-band query: the z layout prunes at least half the files on the
+    // SECOND dimension; the x-sorted layout can prune none
+    assert(overlapping(s"$base/z", 10L, 20L) <= zFiles / 2,
+      s"z layout did not bound y: ${fileRanges(s"$base/z", "y")}")
+    assert(overlapping(s"$base/x", 10L, 20L) == xFiles,
+      "x-sorted layout unexpectedly bounded y — test premise broken")
+
+    val back = Layout.readSorted(spark, s"$base/z")
+    assert(back.count() == n.toLong * n)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty)
+  }
+
   test("sort-key range predicate reaches the parquet scan as a pushed filter") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-layout2").toString + "/t"

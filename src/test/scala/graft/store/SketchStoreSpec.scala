@@ -1,0 +1,61 @@
+package graft.store
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SketchStore contracts: the store's estimates must be EXACTLY what a
+  * single from-scratch sketch over the same rows would say (HLL union
+  * is a register-wise max — partitioning the input cannot move the
+  * estimate), close to exact counts within the lgK error budget, and
+  * idempotent under re-appends of the same batch. */
+class SketchStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("merged parts == one global sketch exactly; near exact counts; append idempotent") {
+    import spark.implicits._
+    // 3 groups x 5 parts; user ids overlap across parts (the case where
+    // naive per-part count sums would overcount)
+    val df = (0 until 30000).map { i =>
+      (s"day${i % 5}", s"g${i % 3}", (i * 37) % 2000L)
+    }.toDF("day", "g", "user")
+    val path = java.nio.file.Files.createTempDirectory("graft-sketch").toString + "/s"
+    SketchStore.writeDistinctSketches(df, Seq("g"), "user", path, col("day"))
+
+    def estimates(parts: Seq[String] = Nil): Map[String, Long] =
+      SketchStore.estimateDistinct(spark, path, Seq("g"), parts)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = estimates()
+
+    // the from-scratch single sketch over the same rows
+    val global = df.groupBy("g")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user"), lit(12))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == global,
+      s"union of per-part sketches diverged from the global sketch: $merged vs $global")
+
+    // within the lgK=12 error budget of exact (~1.6% rsd; allow 5%)
+    val exact = df.groupBy("g").agg(countDistinct(col("user")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged.foreach { case (g, est) =>
+      assert(math.abs(est - exact(g)).toDouble / exact(g) < 0.05,
+        s"estimate for $g off: $est vs exact ${exact(g)}")
+    }
+
+    // re-appending the same batch must not move any estimate
+    SketchStore.writeDistinctSketches(df, Seq("g"), "user", path, col("day"))
+    assert(estimates() == merged, "append of identical sketches moved an estimate")
+
+    // part pruning: one part's estimate == a direct sketch of that slice
+    val day0 = df.filter(col("day") === "day0").groupBy("g")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user"), lit(12))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estimates(Seq("day0")) == day0)
+  }
+}

@@ -1834,7 +1834,154 @@ object ExtQueries {
              |       CAST(n AS DOUBLE) / total AS share,
              |       CAST(n * nk AS DOUBLE) / total AS skew
              |FROM c, t
-             |ORDER BY n DESC, user_id LIMIT 20""".stripMargin)))
+             |ORDER BY n DESC, user_id LIMIT 20""".stripMargin))),
+
+    // Z-order layout round trip: events clustered on BOTH user_id and
+    // event_id (Morton-interleaved quantile ranks — Layout.writeZOrdered,
+    // the OPTIMIZE-ZORDER analogue), read back through a 2-D box filter
+    // and aggregated. Oracle replays over the source: the hash proves
+    // the multi-dim rewrite lossless and the boxed scan correct. The
+    // layout property itself — every file bounds BOTH dimensions, so a
+    // single-dim predicate prunes files a 1-D sort could not — is
+    // pinned in LayoutSpec via footer stats.
+    "q110_zorder_layout" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+        val dir = s"/tmp/graft_layout_${new java.io.File(d).getName}/events_zorder"
+        graft.store.Layout.writeZOrdered(ev, dir, Seq("user_id", "event_id"), numFiles = 8)
+        graft.store.Layout.readSorted(s, dir)
+          .filter(col("user_id").between(0L, 99L) && col("event_id") < 5000L)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               sum(col("event_id")).cast("long").as("id_sum"),
+               sum(col("user_id")).cast("long").as("uid_sum"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |       CAST(sum(user_id) AS BIGINT) AS uid_sum
+             |FROM events
+             |WHERE user_id BETWEEN 0 AND 99 AND event_id < 5000
+             |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Persisted mergeable HLL sketch store (AggregatingMergeTree with
+    // uniqState/uniqMerge, Spark-native): one sketch per (day,
+    // event_type) written to a part-partitioned store, then distinct
+    // users per type estimated by UNIONING the stored sketches — no
+    // event re-scan. DataSketches HLL has no DuckDB twin, so like q35
+    // this is a rows-only battery row; the strong checks live in
+    // SketchStoreSpec (merged-parts == global-sketch EXACT equality,
+    // estimate within rsd of exact, append idempotence).
+    "q111_sketch_store" -> ((
+      (s: SparkSession, d: String) => {
+        val dir = s"/tmp/graft_sketches_${new java.io.File(d).getName}"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(dir)) // append-mode store: reset for a clean battery run
+        val ev = events(s, d)
+        graft.store.SketchStore.writeDistinctSketches(ev, Seq("event_type"), "user_id",
+          dir, date_format(col("ts"), "yyyy-MM-dd"))
+        graft.store.SketchStore.estimateDistinct(s, dir, Seq("event_type"))
+          .orderBy("event_type")
+      },
+      None)),
+
+    // As-of FORWARD: each click gets the EARLIEST error of the same
+    // user at or after it (pandas merge_asof direction='forward';
+    // DuckDB ASOF with the <= operator). Same single-exchange
+    // union+window plan as q36, traversed descending.
+    "q112_asof_forward" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("value"))
+        graft.operators.AsofJoin.asof(clicks, errors, Seq("user_id"), "ts", "ts",
+            prefix = "err_", direction = "forward")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+            date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"),
+            col("err_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT c.event_id, c.user_id,
+             |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+             |       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts,
+             |       e.value AS err_value
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+             |  ON c.user_id = e.user_id AND c.ts <= e.ts
+             |ORDER BY c.event_id""".stripMargin))),
+
+    // As-of with TOLERANCE: the q36 backward match, nulled when the
+    // matched error is more than 1 hour older than the click. The
+    // backward match IS the nearest preceding row, so the oracle's
+    // post-filter of DuckDB's ASOF result is exactly the operator's
+    // semantics (inclusive at the boundary on both sides).
+    "q113_asof_tolerance" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("value"))
+        graft.operators.AsofJoin.asof(clicks, errors, Seq("user_id"), "ts", "ts",
+            prefix = "err_", toleranceMicros = Some(3600000000L))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+            date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"),
+            col("err_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT c.event_id, c.user_id,
+             |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+             |       CASE WHEN e.ts IS NOT NULL AND c.ts - e.ts <= INTERVAL 1 HOUR
+             |            THEN strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') END AS err_ts,
+             |       CASE WHEN e.ts IS NOT NULL AND c.ts - e.ts <= INTERVAL 1 HOUR
+             |            THEN e.value END AS err_value
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+             |  ON c.user_id = e.user_id AND c.ts >= e.ts
+             |ORDER BY c.event_id""".stripMargin))),
+
+    // As-of NEAREST: the closer of the preceding and following error,
+    // ties to backward (pandas semantics). Oracle composes DuckDB's two
+    // directional ASOF joins and replays the delta comparison.
+    "q114_asof_nearest" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("value"))
+        graft.operators.AsofJoin.asof(clicks, errors, Seq("user_id"), "ts", "ts",
+            prefix = "err_", direction = "nearest")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+            date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"),
+            col("err_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |e AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error'),
+             |b AS (SELECT c.event_id, e.ts AS bts, e.value AS bval
+             |      FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts),
+             |f AS (SELECT c.event_id, e.ts AS fts, e.value AS fval
+             |      FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts <= e.ts)
+             |SELECT c.event_id, c.user_id,
+             |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+             |       CASE WHEN bts IS NOT NULL AND (fts IS NULL OR (c.ts - bts) <= (fts - c.ts))
+             |            THEN strftime(bts, '%Y-%m-%d %H:%M:%S.%f')
+             |            WHEN fts IS NOT NULL
+             |            THEN strftime(fts, '%Y-%m-%d %H:%M:%S.%f') END AS err_ts,
+             |       CASE WHEN bts IS NOT NULL AND (fts IS NULL OR (c.ts - bts) <= (fts - c.ts))
+             |            THEN bval
+             |            WHEN fts IS NOT NULL THEN fval END AS err_value
+             |FROM c JOIN b USING (event_id) JOIN f USING (event_id)
+             |ORDER BY c.event_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

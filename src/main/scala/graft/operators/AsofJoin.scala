@@ -3,36 +3,60 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
 
-/** As-of join: for every left row, attach the most recent right row with
-  * `right.time <= left.time` within the same key group — DuckDB `ASOF
-  * JOIN` semantics (the reference exposes DuckDB's dialect, so its users
-  * have this; SURVEY §2B row "Joins: as-of / range").
+/** As-of join: for every left row, attach the nearest right row in the
+  * same key group — DuckDB `ASOF JOIN` semantics (the reference exposes
+  * DuckDB's dialect, so its users have this; SURVEY §2B row "Joins:
+  * as-of / range"), extended with pandas-`merge_asof` direction and
+  * tolerance:
   *
-  * Spark-first plan: NOT a range join (quadratic blow-up on hot keys) but
-  * the union + ordered-window shape:
+  *  - `backward` (default): most recent right row with `r.t <= l.t`
+  *    (DuckDB `ON l.t >= r.t`);
+  *  - `forward`: earliest right row with `r.t >= l.t`
+  *    (DuckDB `ON l.t <= r.t`);
+  *  - `nearest`: the closer of the two, ties to backward (pandas
+  *    semantics).
+  *
+  * `toleranceMicros` nulls the match when |l.t - r.t| exceeds it. The
+  * DIRECTIONAL nearest match is also the nearest row overall on that
+  * side, so a post-match check is exact — no second lookup needed.
+  *
+  * Spark-first plan: NOT a range join (quadratic blow-up on hot keys)
+  * but the union + ordered-window shape:
   *
   *   1. tag right rows 0 / left rows 1, union by name;
-  *   2. one shuffle: window partitioned by key, ordered by (time, tag) —
-  *      a right row at the same timestamp sorts BEFORE the left row, so
-  *      `<=` matches;
+  *   2. one shuffle: window partitioned by key, ordered by (time, tag)
+  *      — a right row at the same timestamp sorts BEFORE the left row,
+  *      so ties match;
   *   3. `last(payload, ignoreNulls)` carries the latest right payload
   *      forward; keep only left rows.
   *
   * One hash shuffle on the key, linear in |L|+|R|, skew-bounded by the
-  * per-key row count (same bound any keyed window has). Left rows with no
-  * prior right row keep NULL payload (ASOF LEFT JOIN).
+  * per-key row count (same bound any keyed window has). `nearest` adds
+  * a second Sort over the SAME partitioning (descending traversal) —
+  * still one exchange. Left rows with no in-tolerance right row keep
+  * NULL payload (ASOF LEFT JOIN).
   */
 object AsofJoin {
 
-  /** @param keys      equi-join key columns (same names both sides)
-    * @param leftTime  left ordering column name
-    * @param rightTime right ordering column name
-    * @param prefix    prefix for the right payload columns in the output
-    *                  (right time arrives as `<prefix><rightTime>`) */
+  /** @param keys            equi-join key columns (same names both sides)
+    * @param leftTime        left ordering column name
+    * @param rightTime       right ordering column name
+    * @param prefix          prefix for the right payload columns in the
+    *                        output (right time arrives as `<prefix><rightTime>`)
+    * @param direction       "backward" | "forward" | "nearest"
+    * @param toleranceMicros max |l.t - r.t| for a match — MICROSECONDS
+    *                        for timestamp/date columns, the column's own
+    *                        units for numeric time columns */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
-           leftTime: String, rightTime: String, prefix: String = "asof_"): DataFrame = {
+           leftTime: String, rightTime: String, prefix: String = "asof_",
+           direction: String = "backward",
+           toleranceMicros: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "asof join needs at least one key column")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward/forward/nearest, got $direction")
+    toleranceMicros.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
     val payloadCols: Seq[String] = right.columns.toSeq.filterNot(keys.contains)
     val payload = struct(payloadCols.map(c => col(s"`$c`").as(c)): _*)
 
@@ -42,18 +66,57 @@ object AsofJoin {
       .withColumn("__asof_side", lit(1))
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // epoch-micros twin of the time column, for tolerance/nearest deltas
+    val tMicros: Column = unioned.schema("__asof_t").dataType match {
+      case TimestampType    => unix_micros(col("__asof_t"))
+      case TimestampNTZType => unix_micros(col("__asof_t").cast(TimestampType))
+      case DateType         => datediff(col("__asof_t"), lit("1970-01-01")).cast("long") * 86400000000L
+      case _: NumericType   => col("__asof_t").cast("long")
+      case dt => throw new IllegalArgumentException(s"unsupported asof time type $dt")
+    }
+
     // right-before-left at equal time => right rows at t == left.t match;
     // among right duplicates at one (key, time) the greatest payload wins
-    // (deterministic; engines differ on this unspecified tie).
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__asof_t").asc, col("__asof_side").asc, col("__asof_p").asc_nulls_last)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = unioned.withColumn("__asof_m", last(col("__asof_p"), ignoreNulls = true).over(w))
-      .filter(col("__asof_side") === 1)
+    // (deterministic; engines differ on this unspecified tie). The
+    // descending traversal keeps the same tie rule via payload desc.
+    def pass(asc: Boolean): (Column, Column) = {
+      // payload stays ASC in both traversals: `last` then lands on the
+      // greatest payload among right duplicates at one (key, time) in
+      // either direction — one deterministic tie rule everywhere
+      val order =
+        if (asc) Seq(col("__asof_t").asc, col("__asof_side").asc, col("__asof_p").asc_nulls_last)
+        else Seq(col("__asof_t").desc, col("__asof_side").asc, col("__asof_p").asc_nulls_last)
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      (last(col("__asof_p"), ignoreNulls = true).over(w),
+       last(when(col("__asof_side") === 0, tMicros), ignoreNulls = true).over(w))
+    }
+
+    def withinTol(delta: Column): Column =
+      toleranceMicros.map(t => delta <= t).getOrElse(lit(true))
+
+    val lt = tMicros
+    val matched = direction match {
+      case "backward" =>
+        val (p, mt) = pass(asc = true)
+        unioned.withColumn("__asof_m", when(mt.isNotNull && withinTol(lt - mt), p))
+      case "forward" =>
+        val (p, mt) = pass(asc = false)
+        unioned.withColumn("__asof_m", when(mt.isNotNull && withinTol(mt - lt), p))
+      case "nearest" =>
+        val (bp, bt) = pass(asc = true)
+        val (fp, ft) = pass(asc = false)
+        val bOk = bt.isNotNull && withinTol(lt - bt)
+        val fOk = ft.isNotNull && withinTol(ft - lt)
+        unioned
+          .withColumn("__asof_m",
+            when(bOk && (!fOk || (lt - bt) <= (ft - lt)), bp) // tie -> backward
+              .otherwise(when(fOk, fp)))
+    }
 
     val outCols =
       left.columns.toSeq.map(c => col(s"`$c`")) ++
         payloadCols.map(c => col(s"__asof_m.`$c`").as(s"$prefix$c"))
-    matched.select(outCols: _*)
+    matched.filter(col("__asof_side") === 1).select(outCols: _*)
   }
 }

@@ -130,6 +130,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("A", 99L, 9L, 12.0), ("B", 3L, -1L, -1.0), ("C", 9L, -1L, -1.0)))
   }
 
+  test("asof direction forward/nearest and tolerance: boundaries inclusive, ties to backward") {
+    import spark.implicits._
+    val quotes = Seq(("A", 1L, 10.0), ("A", 5L, 11.0), ("A", 9L, 12.0)).toDF("sym", "qt", "px")
+    val trades = Seq(("A", 0L), ("A", 5L), ("A", 7L), ("A", 99L)).toDF("sym", "tt")
+    def run(dir: String, tol: Option[Long] = None) =
+      graft.operators.AsofJoin.asof(trades, quotes, Seq("sym"), "tt", "qt",
+          prefix = "q_", direction = dir, toleranceMicros = tol)
+        .orderBy("tt").select("tt", "q_qt")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+
+    // forward: earliest quote at-or-after; t=5 matches itself; 99 -> none
+    assert(run("forward") == Seq((0L, 1L), (5L, 5L), (7L, 9L), (99L, -1L)))
+    // nearest: 0 -> 1 (only forward); 7 -> between 5 and 9, deltas 2 = 2,
+    // tie goes BACKWARD -> 5; 99 -> 9 (only backward)
+    assert(run("nearest") == Seq((0L, 1L), (5L, 5L), (7L, 5L), (99L, 9L)))
+    // tolerance (numeric time units): backward within 2 — the t=99 match
+    // at delta 90 nulls out; delta == tolerance stays (inclusive)
+    assert(run("backward", tol = Some(2L)) ==
+      Seq((0L, -1L), (5L, 5L), (7L, 5L), (99L, -1L)))
+    assert(run("nearest", tol = Some(1L)) ==
+      Seq((0L, 1L), (5L, 5L), (7L, -1L), (99L, -1L)))
+  }
+
   test("bucketed ANN layout: probe filter becomes a partition filter and finds the planted neighbor") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

@@ -1832,7 +1832,7 @@ object ExtQueries {
              |)
              |SELECT user_id, n,
              |       CAST(n AS DOUBLE) / total AS share,
-             |       CAST(n * nk AS DOUBLE) / total AS skew
+             |       CAST(n AS DOUBLE) * CAST(nk AS DOUBLE) / CAST(total AS DOUBLE) AS skew
              |FROM c, t
              |ORDER BY n DESC, user_id LIMIT 20""".stripMargin))),
 

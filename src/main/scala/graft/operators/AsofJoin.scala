@@ -48,7 +48,11 @@ object AsofJoin {
     * @param direction       "backward" | "forward" | "nearest"
     * @param toleranceMicros max |l.t - r.t| for a match — MICROSECONDS
     *                        for timestamp/date columns, the column's own
-    *                        units for numeric time columns */
+    *                        units for numeric time columns (fractional
+    *                        numerics keep their fraction — no long
+    *                        truncation). Plain backward/forward without
+    *                        tolerance accept ANY orderable time type;
+    *                        tolerance/nearest need timestamp/date/numeric */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String, prefix: String = "asof_",
            direction: String = "backward",
@@ -66,19 +70,33 @@ object AsofJoin {
       .withColumn("__asof_side", lit(1))
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    // epoch-micros twin of the time column, for tolerance/nearest deltas
-    val tMicros: Column = unioned.schema("__asof_t").dataType match {
+    // Numeric twin of the time column for tolerance/nearest deltas —
+    // computed LAZILY so plain backward/forward joins keep working on
+    // any orderable time type (strings included). Fractional numeric
+    // times keep their own type (no long truncation — a 0.4 delta must
+    // not compare as 0); NTZ goes through an explicit UTC round trip so
+    // deltas are wall-clock-exact regardless of the session zone (a
+    // bare cast would DST-warp them under zones with transitions).
+    lazy val tMicros: Column = unioned.schema("__asof_t").dataType match {
       case TimestampType    => unix_micros(col("__asof_t"))
-      case TimestampNTZType => unix_micros(col("__asof_t").cast(TimestampType))
+      case TimestampNTZType =>
+        val sessionTz = left.sparkSession.sessionState.conf.sessionLocalTimeZone
+        unix_micros(convert_timezone(lit("UTC"), lit(sessionTz), col("__asof_t"))
+          .cast(TimestampType))
       case DateType         => datediff(col("__asof_t"), lit("1970-01-01")).cast("long") * 86400000000L
-      case _: NumericType   => col("__asof_t").cast("long")
-      case dt => throw new IllegalArgumentException(s"unsupported asof time type $dt")
+      case _: NumericType   => col("__asof_t")
+      case dt => throw new IllegalArgumentException(
+        s"asof tolerance/nearest needs a timestamp/date/numeric time column, got $dt")
     }
 
     // right-before-left at equal time => right rows at t == left.t match;
     // among right duplicates at one (key, time) the greatest payload wins
     // (deterministic; engines differ on this unspecified tie). The
     // descending traversal keeps the same tie rule via payload desc.
+    // needsDelta: only tolerance and nearest do time ARITHMETIC; plain
+    // backward/forward never touch tMicros, so they keep working on any
+    // orderable time type (the pre-direction behavior)
+    val needsDelta = toleranceMicros.isDefined || direction == "nearest"
     def pass(asc: Boolean): (Column, Column) = {
       // payload stays ASC in both traversals: `last` then lands on the
       // greatest payload among right duplicates at one (key, time) in
@@ -88,21 +106,26 @@ object AsofJoin {
         else Seq(col("__asof_t").desc, col("__asof_side").asc, col("__asof_p").asc_nulls_last)
       val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val matchedTime = if (needsDelta) tMicros else col("__asof_t")
       (last(col("__asof_p"), ignoreNulls = true).over(w),
-       last(when(col("__asof_side") === 0, tMicros), ignoreNulls = true).over(w))
+       last(when(col("__asof_side") === 0, matchedTime), ignoreNulls = true).over(w))
     }
 
     def withinTol(delta: Column): Column =
       toleranceMicros.map(t => delta <= t).getOrElse(lit(true))
 
-    val lt = tMicros
+    lazy val lt = tMicros
     val matched = direction match {
       case "backward" =>
         val (p, mt) = pass(asc = true)
-        unioned.withColumn("__asof_m", when(mt.isNotNull && withinTol(lt - mt), p))
+        unioned.withColumn("__asof_m",
+          if (needsDelta) when(mt.isNotNull && withinTol(lt - mt), p)
+          else when(mt.isNotNull, p))
       case "forward" =>
         val (p, mt) = pass(asc = false)
-        unioned.withColumn("__asof_m", when(mt.isNotNull && withinTol(mt - lt), p))
+        unioned.withColumn("__asof_m",
+          if (needsDelta) when(mt.isNotNull && withinTol(mt - lt), p)
+          else when(mt.isNotNull, p))
       case "nearest" =>
         val (bp, bt) = pass(asc = true)
         val (fp, ft) = pass(asc = false)

@@ -688,11 +688,22 @@ object Dedup {
   def writeFingerprintStore(df: DataFrame, textCol: String, path: String,
                             nBuckets: Int = 64, mode: String = "overwrite"): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = df.sparkSession
+    // an append with a DIFFERENT bucketing than the store's would put
+    // new fingerprints where probes never look — silent missed dupes;
+    // fail loudly instead of corrupting
+    if (mode.equalsIgnoreCase("append")) {
+      val metaPath = new java.io.File(s"$path/meta")
+      if (metaPath.exists()) {
+        val existing = spark.read.parquet(s"$path/meta").head().getInt(0)
+        require(existing == nBuckets,
+          s"fingerprint store at $path has nBuckets=$existing, append used $nBuckets")
+      }
+    }
     df.select(md5(col(textCol)).as("fp")).distinct()
       .withColumn("bucket", pmod(xxhash64(col("fp")), lit(nBuckets.toLong)).cast("int"))
       .repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(s"$path/fps")
-    val spark = df.sparkSession
     import spark.implicits._
     Seq(nBuckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -712,8 +723,13 @@ object Dedup {
   def dedupAgainstStore(df: DataFrame, textCol: String, path: String): DataFrame = {
     val spark = df.sparkSession
     val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    // persisted: the probe lineage (md5 + xxhash64 over the batch text)
+    // feeds BOTH the driver-side distinct-bucket collect and the anti
+    // join — without the persist the whole batch is scanned and hashed
+    // twice
     val probe = df.withColumn("__fp", md5(col(textCol)))
       .withColumn("__bucket", pmod(xxhash64(col("__fp")), lit(nBuckets.toLong)).cast("int"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val buckets = probe.select("__bucket").distinct()
       .collect().map(_.getInt(0)).sorted // driver-bounded: <= nBuckets values
     val store = spark.read.parquet(s"$path/fps")

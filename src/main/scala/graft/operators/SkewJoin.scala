@@ -55,8 +55,10 @@ object SkewJoin {
     val totals = counts.agg(sum(col("n")).as("__total"), count(lit(1)).as("__nk"))
     counts.crossJoin(broadcast(totals))
       .withColumn("share", col("n").cast("double") / col("__total").cast("double"))
-      .withColumn("skew",
-        (col("n") * col("__nk")).cast("double") / col("__total").cast("double"))
+      .withColumn("skew", // double-first: n * nk in long arithmetic
+        // overflows exactly for the giant tables this diagnostic targets
+        col("n").cast("double") * col("__nk").cast("double") /
+          col("__total").cast("double"))
       .drop("__total", "__nk")
       .orderBy(col("n").desc +: keyCols: _*)
       .limit(k)

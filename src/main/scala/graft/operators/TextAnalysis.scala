@@ -58,17 +58,24 @@ object TextAnalysis {
     * `transform` lambda, re-splitting the document per bigram index:
     * O(words^2) per doc, 26 s for q65 at sf0.1 vs ~0.5 s for this
     * shape. Still a pure codegen'd map stage, no shuffle. */
+  /** Adjacent-token bigrams ("a b") of an ALREADY-MATERIALIZED token
+    * array column — pass an attribute (e.g. a `withColumn("__toks",
+    * tokens(...))` alias), not a fresh `tokens(text)` expression: this
+    * references `toks` five times, and an inlined tokenizer would
+    * re-split the document per reference. */
+  def wordBigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    .otherwise(array().cast("array<string>"))
+
   def repetitionMetrics(df: DataFrame, textCol: String): DataFrame = {
     val toks = col("__toks"); val bg = col("__bigrams")
     val nW = size(toks); val nB = size(bg)
     df.withColumn("__toks", tokens(col(textCol)))
-      .withColumn("__bigrams",
-        when(size(col("__toks")) >= 2,
-          zip_with(
-            slice(col("__toks"), lit(1), size(col("__toks")) - 1),
-            slice(col("__toks"), lit(2), size(col("__toks")) - 1),
-            (a, b) => concat(a, lit(" "), b)))
-        .otherwise(array().cast("array<string>")))
+      .withColumn("__bigrams", wordBigrams(col("__toks")))
       .withColumn("n_words", nW.cast("long"))
       .withColumn("dup_word_frac",
         (nW - size(array_distinct(toks))).cast("double") / greatest(nW, lit(1)).cast("double"))
@@ -659,14 +666,10 @@ object TextAnalysis {
     * because it caps the operator's generality at low `rareMax`. */
   def rareBigramFraction(df: DataFrame, idCol: String, textCol: String,
                          rareMax: Long = 2L): DataFrame = {
-    val toksC = tokens(col(textCol))
-    val bigrams = when(size(toksC) >= 2,
-        zip_with(
-          slice(toksC, lit(1), size(toksC) - 1),
-          slice(toksC, lit(2), size(toksC) - 1),
-          (a, b) => concat(a, lit(" "), b)))
-      .otherwise(array().cast("array<string>"))
-    val exploded = df.select(col(idCol).as("id"), explode(bigrams).as("gram"))
+    val exploded = df
+      .withColumn("__toks", tokens(col(textCol))) // materialized once —
+      // wordBigrams references it 5x and would otherwise re-tokenize
+      .select(col(idCol).as("id"), explode(wordBigrams(col("__toks"))).as("gram"))
     val freqs = exploded.groupBy("gram").agg(count(lit(1)).as("__freq"))
     val perDoc = exploded.join(freqs, "gram")
       .groupBy("id")

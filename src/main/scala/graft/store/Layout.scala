@@ -76,9 +76,12 @@ object Layout {
     val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val asDouble = zCols.map(c => col(c).cast("double").as(s"__zd_$c"))
     val forQuantiles = df.select(asDouble: _*)
-    val ranks: Seq[org.apache.spark.sql.Column] = zCols.map { c =>
-      val bnds = forQuantiles.stat.approxQuantile(s"__zd_$c", probes, 0.001)
-        .distinct.sorted // ties in skewed data collapse to fewer cuts
+    // ONE multi-column sketch pass for every dimension's boundaries —
+    // the per-column overload would re-execute the input lineage per dim
+    val allBnds = forQuantiles.stat.approxQuantile(
+      zCols.map(c => s"__zd_$c").toArray, probes, 0.001)
+    val ranks: Seq[org.apache.spark.sql.Column] = zCols.zip(allBnds).map { case (c, raw) =>
+      val bnds = raw.distinct.sorted // ties in skewed data collapse to fewer cuts
       // rank = number of boundaries <= value (codegen'd fold over a
       // literal array; O(2^bitsPerDim) comparisons per row)
       aggregate(

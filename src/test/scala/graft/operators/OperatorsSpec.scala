@@ -151,6 +151,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((0L, -1L), (5L, 5L), (7L, 5L), (99L, -1L)))
     assert(run("nearest", tol = Some(1L)) ==
       Seq((0L, 1L), (5L, 5L), (7L, -1L), (99L, -1L)))
+
+    // plain backward/forward never do time arithmetic, so ANY orderable
+    // time type works — ISO string dates included (regression: the
+    // micros twin must stay lazy)
+    val sq = Seq(("A", "2024-01-01", 1.0), ("A", "2024-01-05", 2.0)).toDF("sym", "qt", "px")
+    val st = Seq(("A", "2024-01-03")).toDF("sym", "tt")
+    val sOut = graft.operators.AsofJoin.asof(st, sq, Seq("sym"), "tt", "qt", "q_")
+      .select("q_px").head()
+    assert(sOut.getDouble(0) == 1.0)
+
+    // fractional numeric times keep their fraction (no long truncation):
+    // 5.9 vs backward 5.5 has delta 0.4, which must FAIL tolerance 0 —
+    // and nearest must prefer 6.1 (delta 0.2) over 5.5 (delta 0.4)
+    val fq = Seq(("A", 5.5, 1L), ("A", 6.1, 2L)).toDF("sym", "qt", "pay")
+    val ft = Seq(("A", 5.9)).toDF("sym", "tt")
+    def fRun(dir: String, tol: Option[Long]) =
+      graft.operators.AsofJoin.asof(ft, fq, Seq("sym"), "tt", "qt", "q_", dir, tol)
+        .select("q_pay").head()
+    assert(fRun("backward", Some(0L)).isNullAt(0), "0.4 delta must fail tolerance 0")
+    assert(fRun("nearest", None).getLong(0) == 2L, "nearest must pick the 0.2-delta side")
   }
 
   test("bucketed ANN layout: probe filter becomes a partition filter and finds the planted neighbor") {
@@ -411,6 +431,12 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val storeScan = scans.find(_.contains("fps"))
     assert(storeScan.exists(s => s.contains("PartitionFilters") && s.contains("bucket")),
       s"store scan not bucket-pruned:\n${scans.mkString("\n").take(1200)}")
+
+    // an append with mismatched bucketing would scatter fingerprints
+    // where probes never look — must fail loudly, not corrupt
+    intercept[IllegalArgumentException] {
+      Dedup.writeFingerprintStore(out1, "text", path, nBuckets = 16, mode = "append")
+    }
 
     // append maintenance: accepted batch's fingerprints join the store,
     // so a replay of the same content is now a dupe

@@ -110,6 +110,33 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming maintenance of a [[graft.store.SketchStore]]: each
+    * micro-batch reduces to per-(part, group) HLL sketches appended to
+    * the store — the live distinct-count dashboard pattern (readers
+    * union a few KB of sketches, never the stream's history).
+    *
+    * Delivery semantics come for FREE from the sketch algebra: HLL
+    * union is a register-wise max, so a replayed epoch re-appending
+    * identical sketches cannot move any estimate — at-least-once
+    * delivery IS effectively-once here, with no epoch bookkeeping
+    * (spec-pinned: a full re-run of the stream against the same store
+    * leaves every estimate unchanged). */
+  def maintainDistinctSketches(events: DataFrame, groupCols: Seq[String], valueCol: String,
+                               storePath: String, partExpr: org.apache.spark.sql.Column,
+                               checkpointDir: String,
+                               trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val _ = epochId // delivery tracking unnecessary: union is idempotent
+        if (!batch.isEmpty)
+          graft.store.SketchStore.writeDistinctSketches(
+            batch, groupCols, valueCol, storePath, partExpr)
+      }
+      .start()
+
   /** Gap-based sessions (`session_window`): consecutive events of one key
     * within `gap` merge into one session — streaming q32. */
   def sessionCounts(events: DataFrame, timeCol: String, keyCol: String,

@@ -126,6 +126,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(catalog.listTables("1").contains("mv"))
   }
 
+  test("maintainDistinctSketches: stream feeds the sketch store; replay moves no estimate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("graft-sksink").toString
+    val store = s"$base/store"
+    val mem = MemoryStream[(String, String, Long)]
+    val events = mem.toDF().toDF("day", "g", "user")
+    val data = (0 until 3000).map(i => (s"day${i % 3}", s"g${i % 2}", (i * 13L) % 500L))
+
+    val q = StreamingIngest.maintainDistinctSketches(events, Seq("g"), "user",
+      store, org.apache.spark.sql.functions.col("day"), s"$base/ckpt")
+    try { mem.addData(data); q.processAllAvailable() } finally q.stop()
+
+    def estimates(): Map[String, Long] =
+      graft.store.SketchStore.estimateDistinct(spark, store, Seq("g"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val first = estimates()
+    // estimates equal a from-scratch sketch over the same rows
+    val direct = data.toDF("day", "g", "user").groupBy("g")
+      .agg(org.apache.spark.sql.functions.hll_sketch_estimate(
+        org.apache.spark.sql.functions.hll_sketch_agg(
+          org.apache.spark.sql.functions.col("user"),
+          org.apache.spark.sql.functions.lit(12))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(first == direct, s"stream-built store diverged: $first vs $direct")
+
+    // at-least-once replay: a fresh stream over the SAME data appends
+    // duplicate sketches — union is a register-wise max, estimates stay
+    val mem2 = MemoryStream[(String, String, Long)]
+    val q2 = StreamingIngest.maintainDistinctSketches(mem2.toDF().toDF("day", "g", "user"),
+      Seq("g"), "user", store, org.apache.spark.sql.functions.col("day"), s"$base/ckpt2")
+    try { mem2.addData(data); q2.processAllAvailable() } finally q2.stop()
+    assert(estimates() == first, "replayed appends moved an estimate")
+  }
+
   test("firstOccurrenceDedup: custom mapGroupsWithState drops repeat keys across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

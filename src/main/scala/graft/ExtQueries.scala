@@ -1981,7 +1981,39 @@ object ExtQueries {
              |            THEN bval
              |            WHEN fts IS NOT NULL THEN fval END AS err_value
              |FROM c JOIN b USING (event_id) JOIN f USING (event_id)
-             |ORDER BY c.event_id""".stripMargin)))
+             |ORDER BY c.event_id""".stripMargin))),
+
+    // ANALYZE-style per-column table stats — the CBO inputs (broadcast
+    // thresholds, salting bucket counts, layout keys) as one catalog
+    // row per column from ONE scan (multi-distinct goes through
+    // Catalyst's Expand, spec-pinned single FileScan). Long/string
+    // columns only in the battery: their string renderings are
+    // engine-stable (double/timestamp formatting is not).
+    "q115_table_stats" -> ((
+      (s: SparkSession, d: String) =>
+        graft.store.TableStats.analyze(
+            events(s, d).select("event_id", "user_id", "event_type"),
+            Seq("event_id", "user_id", "event_type"))
+          .orderBy("col_name"),
+      Some("""SELECT 'event_id' AS col_name, count(*) AS n_rows,
+             |       CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+             |       CAST(count(DISTINCT event_id) AS BIGINT) AS ndv,
+             |       CAST(min(event_id) AS VARCHAR) AS min_str,
+             |       CAST(max(event_id) AS VARCHAR) AS max_str
+             |FROM events
+             |UNION ALL
+             |SELECT 'user_id', count(*),
+             |       CAST(count(*) - count(user_id) AS BIGINT),
+             |       CAST(count(DISTINCT user_id) AS BIGINT),
+             |       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+             |FROM events
+             |UNION ALL
+             |SELECT 'event_type', count(*),
+             |       CAST(count(*) - count(event_type) AS BIGINT),
+             |       CAST(count(DISTINCT event_type) AS BIGINT),
+             |       CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+             |FROM events
+             |ORDER BY col_name""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

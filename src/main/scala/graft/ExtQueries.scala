@@ -2013,7 +2013,41 @@ object ExtQueries {
              |       CAST(count(DISTINCT event_type) AS BIGINT),
              |       CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
              |FROM events
-             |ORDER BY col_name""".stripMargin)))
+             |ORDER BY col_name""".stripMargin))),
+
+    // Bucketed CO-LOCATED join: events and a per-user dim both written
+    // hash-bucketed on user_id (Bucketed.writeBucketed), then joined
+    // through the session catalog — the recurring-join layout whose
+    // shuffle is paid ONCE at write (the join itself plans with zero
+    // exchanges, pinned in BucketedSpec with broadcast off). Oracle
+    // replays the plain join: the hash proves bucket routing loses and
+    // duplicates nothing.
+    "q116_bucketed_join" -> ((
+      (s: SparkSession, d: String) => {
+        val sfTag = new java.io.File(d).getName.replace(".", "_")
+        val base = s"/tmp/graft_bucketed_$sfTag"
+        val ev = events(s, d).select("event_id", "user_id", "event_type")
+        val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_events"))
+        graft.store.Bucketed.writeBucketed(ev, s"graft_ev_$sfTag", s"$base/ev",
+          Seq("user_id"), numBuckets = 8)
+        graft.store.Bucketed.writeBucketed(dim, s"graft_udim_$sfTag", s"$base/dim",
+          Seq("user_id"), numBuckets = 8)
+        graft.store.Bucketed.readBucketed(s, s"graft_ev_$sfTag")
+          .join(graft.store.Bucketed.readBucketed(s, s"graft_udim_$sfTag"), "user_id")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               sum(col("user_events")).cast("long").as("ue_sum"),
+               sum(col("event_id")).cast("long").as("id_sum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH dim AS (
+             |  SELECT user_id, count(*) AS user_events FROM events GROUP BY 1
+             |)
+             |SELECT e.event_type, count(*) AS n,
+             |       CAST(sum(d.user_events) AS BIGINT) AS ue_sum,
+             |       CAST(sum(e.event_id) AS BIGINT) AS id_sum
+             |FROM events e JOIN dim d USING (user_id)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

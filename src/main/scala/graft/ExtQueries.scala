@@ -2047,7 +2047,38 @@ object ExtQueries {
              |       CAST(sum(d.user_events) AS BIGINT) AS ue_sum,
              |       CAST(sum(e.event_id) AS BIGINT) AS id_sum
              |FROM events e JOIN dim d USING (user_id)
-             |GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Temperature mixture plan (alpha-sampling at alpha = 0.5): target
+    // fractions derived from per-language token mass, f_s ∝ sqrt(T_s)
+    // — upsample the tail languages, keep the head. sqrt is IEEE
+    // correctly-rounded, the normalizer is a stratum-ORDERED window
+    // sum, and every later step is a division chain replayed in the
+    // same operation order, so the oracle hash-matches bit-exact.
+    "q117_mixture_temperature" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.mixturePlanTemperature(docs(s, d), col("lang"), col("text"),
+            alpha = 0.5)
+          .orderBy("stratum"),
+      Some("""WITH t AS (
+             |  SELECT lang AS stratum, count(*) AS n_docs,
+             |    CAST(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             |                             x -> len(x) > 0))) AS BIGINT) AS total_tokens
+             |  FROM documents GROUP BY 1
+             |), w AS (
+             |  SELECT *, sqrt(CAST(total_tokens AS DOUBLE)) AS wt FROM t
+             |), x AS (
+             |  SELECT *, sum(wt) OVER (ORDER BY stratum
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tw
+             |  FROM w
+             |), y AS (
+             |  SELECT *, wt / tw AS target_frac FROM x
+             |), z AS (
+             |  SELECT *, min(CAST(total_tokens AS DOUBLE) / target_frac) OVER () AS k FROM y
+             |)
+             |SELECT stratum, n_docs, total_tokens, target_frac,
+             |       least(1.0, target_frac * k / CAST(total_tokens AS DOUBLE)) AS keep_rate
+             |FROM z ORDER BY stratum""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -683,6 +683,47 @@ object TextAnalysis {
           greatest(coalesce(col("__nb"), lit(0L)), lit(1L)).cast("double")).as("rare_frac"))
   }
 
+  /** Temperature-based mixture plan (alpha-sampling, the UniMax/mT5
+    * language-balancing scheme): unlike [[mixturePlan]], the target
+    * fractions are DERIVED from the data — `f_s ∝ T_s^alpha` over the
+    * per-stratum token masses. `alpha = 1` keeps the natural mixture,
+    * `alpha = 0` is uniform, the usual 0.2–0.7 range upsamples tails
+    * without letting the head starve them. The keep-rate math then
+    * matches [[mixturePlan]]: the binding stratum keeps 100%, others
+    * `f_s * K / T_s` with `K = min_s(T_s / f_s)`.
+    *
+    * Determinism: the weight normalizer `W = Σ w_s` is computed with a
+    * stratum-ORDERED window sum (an unordered aggregate would sum in
+    * partition order, and float addition is order-sensitive — the
+    * double would wobble across runs/engines). `alpha = 0.5` routes
+    * through `sqrt`, which IEEE-754 requires correctly rounded, so an
+    * SQL oracle replays it bit-exact; other alphas go through `pow`,
+    * where engines may differ in the last ulp (still deterministic
+    * within Spark). Scale shape: one partial-aggregated shuffle to
+    * O(strata) rows; the windows run over that tiny aggregate. */
+  def mixturePlanTemperature(df: DataFrame, stratumCol: Column, textCol: Column,
+                             alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val totals = df.groupBy(stratumCol.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(tokenCount(textCol)).cast("long").as("total_tokens"))
+    val t = col("total_tokens").cast("double")
+    val w = if (alpha == 0.5) sqrt(t) else pow(t, alpha)
+    // O(strata) rows — the single-partition window frames are fine
+    val frame = Window.orderBy("stratum")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // "__w"/"__W" would COLLIDE under Spark's default case-insensitive
+    // resolution (both resolve to the later column, silently) — names
+    // must differ beyond case
+    totals.withColumn("__wt", w)
+      .withColumn("__wsum", sum(col("__wt")).over(frame))
+      .withColumn("target_frac", col("__wt") / col("__wsum"))
+      .withColumn("__bind", min(t / col("target_frac")).over(frame))
+      .withColumn("keep_rate", least(lit(1.0), col("target_frac") * col("__bind") / t))
+      .drop("__wt", "__wsum", "__bind")
+  }
+
   /** Convenience: annotate a corpus with all text-analysis columns. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val base = qualityColumns(col(textCol)).foldLeft(df) { case (d, (name, c)) =>

@@ -446,6 +446,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(21L))
   }
 
+  test("mixturePlanTemperature: alpha=1 keeps natural mixture, alpha=0 equalizes to the tail") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // three strata with token masses 40 / 10 / 50 (one token per word)
+    val df = (Seq.fill(4)("a") ++ Seq.fill(1)("b") ++ Seq.fill(5)("c")).zipWithIndex
+      .map { case (g, i) => (i.toLong, g, Seq.fill(10)("w").mkString(" ")) }
+      .toDF("doc_id", "lang", "text")
+    def plan(alpha: Double): Map[String, (Long, Double, Double)] =
+      graft.operators.TextAnalysis.mixturePlanTemperature(df, col("lang"), col("text"), alpha)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+
+    // binding-stratum keeps are algebraically 1.0 but float division
+    // can land an ulp either side of the least(1.0, _) cap — compare
+    // within tolerance, not bit-exactly
+    def near1(x: Double): Boolean = math.abs(x - 1.0) < 1e-12
+
+    val natural = plan(1.0) // every stratum binding -> keep everything
+    assert(natural.values.forall(v => near1(v._3)), natural)
+    assert(math.abs(natural.values.map(_._2).sum - 1.0) < 1e-12)
+
+    val uniform = plan(0.0) // equalize: keep T_min / T_s of each stratum
+    assert(near1(uniform("b")._3)) // the tail stratum binds, kept whole
+    assert(math.abs(uniform("a")._3 - 10.0 / 40.0) < 1e-12)
+    assert(math.abs(uniform("c")._3 - 10.0 / 50.0) < 1e-12)
+
+    val mid = plan(0.5) // monotone: tail upsampled relative to natural
+    assert(near1(mid("b")._3) && mid("a")._3 < 0.9 && mid("c")._3 < 0.9)
+    assert(mid("a")._3 > uniform("a")._3 && mid("c")._3 > uniform("c")._3)
+  }
+
   test("hotKeys: counts/share/skew exact, deterministic ties, top-k never a full sort") {
     import spark.implicits._
     // key a: 6 rows, b: 3, c: 3, d: 1 -> mean 13/4

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Quantile-rank against a FIXED sorted boundary array: the number of
+  * boundaries `<= value` — the per-row half of quantile bucketing
+  * (boundaries come from one driver-side `approxQuantile` sketch; this
+  * expression ranks the corpus against them). Used by the Z-order
+  * layout writer, where every row is ranked per clustered dimension.
+  *
+  * Why native: the declarative forms (`size(filter(lit(bnds), _ <=
+  * v))` or an `aggregate` fold) are Catalyst higher-order functions —
+  * CodegenFallback, one interpreted lambda dispatch PER ARRAY ELEMENT
+  * per row (~5 µs/row at 256 boundaries, measured), and `filter` also
+  * allocates its result array per row. This expression is a codegen'd
+  * `Arrays.binarySearch` over a referenced static array: O(log n), no
+  * allocation, stays inside whole-stage codegen. Boundaries must be
+  * sorted and distinct (the writer dedups; duplicate entries would
+  * make "count <=" ambiguous under binary search). */
+case class QuantileRank(child: Expression, boundaries: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(boundaries.nonEmpty, "boundaries must be non-empty")
+  override def prettyName: String = "quantile_rank"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+
+  override def nullSafeEval(v: Any): Any =
+    QuantileRank.rank(boundaries, v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bndsRef = ctx.addReferenceObj("boundaries", boundaries, "double[]")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.QuantileRank.rank($bndsRef, $x);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object QuantileRank {
+  /** Shared by interpreted + generated code: count of boundaries <= v.
+    * binarySearch hit i -> i+1 boundaries are <=; miss -> the insertion
+    * point IS the count of strictly-smaller (== <=, entries distinct). */
+  def rank(bnds: Array[Double], v: Double): Long = {
+    val i = java.util.Arrays.binarySearch(bnds, v)
+    if (i >= 0) (i + 1).toLong else (-i - 1).toLong
+  }
+
+  import org.apache.spark.sql.graftbridge.Bridge.{column => C, expression => E}
+  def quantile_rank(value: Column, boundaries: Array[Double]): Column =
+    C(QuantileRank(E(value), boundaries))
+}

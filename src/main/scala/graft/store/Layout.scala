@@ -82,23 +82,30 @@ object Layout {
       zCols.map(c => s"__zd_$c").toArray, probes, 0.001)
     val ranks: Seq[org.apache.spark.sql.Column] = zCols.zip(allBnds).map { case (c, raw) =>
       val bnds = raw.distinct.sorted // ties in skewed data collapse to fewer cuts
-      // rank = number of boundaries <= value (codegen'd fold over a
-      // literal array; O(2^bitsPerDim) comparisons per row)
-      aggregate(
-        filter(lit(bnds), b => b <= col(c).cast("double")),
-        lit(0L), (acc, _) => acc + 1L)
+      // native codegen'd binary search (QuantileRank) — the HOF forms
+      // (filter/aggregate over a literal array) are CodegenFallback
+      // with one interpreted dispatch per boundary per row, ~100x more
+      // per-row work at 256 boundaries
+      graft.functions.QuantileRank.quantile_rank(col(c).cast("double"), bnds)
+    }
+    // ranks are MATERIALIZED as columns before interleaving: the Morton
+    // fold references each rank once per bit, and an inlined rank
+    // expression would re-run per reference
+    val withRanks = ranks.zipWithIndex.foldLeft(df) { case (acc, (r, i)) =>
+      acc.withColumn(s"__zrank_$i", r)
     }
     // Morton interleave: bit i of dim d lands at position i*D + d
     val d = zCols.size
     val z = (0 until bitsPerDim).foldLeft(lit(0L)) { (accBit, i) =>
-      ranks.zipWithIndex.foldLeft(accBit) { case (acc, (r, dim)) =>
-        acc + shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * d + dim).cast("long")
+      (0 until d).foldLeft(accBit) { (acc, dim) =>
+        acc + shiftleft(shiftright(col(s"__zrank_$dim"), i).bitwiseAND(lit(1L)), i * d + dim)
+          .cast("long")
       }
     }
-    df.withColumn("__z", z)
+    withRanks.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z")
+      .drop((zCols.indices.map(i => s"__zrank_$i") :+ "__z"): _*)
       .write.mode("overwrite").parquet(path)
   }
 }

@@ -91,6 +91,20 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.except(src).isEmpty && src.except(back).isEmpty)
   }
 
+  test("QuantileRank: binary search counts boundaries <= value, inclusive at cuts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val bnds = Array(10.0, 20.0, 30.0)
+    val got = Seq(5.0, 10.0, 15.0, 30.0, 99.0).toDF("v")
+      .select(graft.functions.QuantileRank.quantile_rank(col("v"), bnds).as("r"))
+      .collect().map(_.getLong(0)).toSeq
+    // below-all -> 0; == a cut counts it; above-all -> n
+    assert(got == Seq(0L, 1L, 1L, 3L, 3L))
+    // interpreted path agrees with codegen
+    assert(Seq(5.0, 10.0, 15.0, 30.0, 99.0).map(
+      graft.functions.QuantileRank.rank(bnds, _)) == Seq(0L, 1L, 1L, 3L, 3L))
+  }
+
   test("sort-key range predicate reaches the parquet scan as a pushed filter") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-layout2").toString + "/t"

@@ -137,6 +137,32 @@ object StreamingIngest {
       }
       .start()
 
+  /** Stream-stream INTERVAL join: pair each left event with right
+    * events of the same key whose time falls in `[left.t - before,
+    * left.t + after]` — the "click within an hour of the error" join,
+    * computed continuously. Both sides carry watermarks so Spark can
+    * BOUND the join state: a buffered left row can stop waiting once
+    * the right watermark passes `left.t + after` (and vice versa) —
+    * without the time bounds the state grows forever and the job dies
+    * at stream scale; with them, state is O(events inside the
+    * watermark+interval horizon). Inner join: late rows beyond the
+    * watermark are dropped, exactly like the windowed aggregations.
+    *
+    * Returns the joined (unaggregated) stream; compose with
+    * `groupBy`/`writeStream` downstream. Column names of the two
+    * sides must be disjoint except the join key. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTime: String, rightTime: String,
+                   watermark: String, before: String, after: String): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark)
+    val r = right.withWatermark(rightTime, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(s"`$rightTime`") >= l(s"`$leftTime`") - expr(s"INTERVAL $before") &&
+        r(s"`$rightTime`") <= l(s"`$leftTime`") + expr(s"INTERVAL $after"))
+      .drop(r(key))
+  }
+
   /** Gap-based sessions (`session_window`): consecutive events of one key
     * within `gap` merge into one session — streaming q32. */
   def sessionCounts(events: DataFrame, timeCol: String, keyCol: String,

@@ -126,6 +126,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(catalog.listTables("1").contains("mv"))
   }
 
+  test("intervalJoin: stream-stream join pairs within the time bounds, batch-equivalent") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lMem = MemoryStream[(Timestamp, String, Long)]
+    val rMem = MemoryStream[(Timestamp, String, Double)]
+    val joined = StreamingIngest.intervalJoin(
+      lMem.toDF().toDF("lts", "k", "click_id"),
+      rMem.toDF().toDF("rts", "k", "err_val"),
+      key = "k", leftTime = "lts", rightTime = "rts",
+      watermark = "10 minutes", before = "5 minutes", after = "5 minutes")
+    val q = joined.select("click_id", "err_val").writeStream
+      .format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      def t(m: String) = Timestamp.valueOf(s"2024-01-01 00:$m:00")
+      lMem.addData((t("10"), "a", 1L), (t("30"), "a", 2L), (t("10"), "b", 3L))
+      rMem.addData(
+        (t("12"), "a", 0.5),  // within 5m of click 1
+        (t("20"), "a", 0.7),  // matches neither (10m from both)
+        (t("28"), "a", 0.9),  // within 5m of click 2
+        (t("13"), "c", 1.1))  // key with no clicks
+      q.processAllAvailable()
+      val got = spark.table("ij_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((1L, 0.5), (2L, 0.9)), got)
+    } finally q.stop()
+  }
+
   test("maintainDistinctSketches: stream feeds the sketch store; replay moves no estimate") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -2024,7 +2024,11 @@ object ExtQueries {
     // duplicates nothing.
     "q116_bucketed_join" -> ((
       (s: SparkSession, d: String) => {
-        val sfTag = new java.io.File(d).getName.replace(".", "_")
+        // pid-suffixed path + table names: a concurrent Verify/Bench
+        // pair at the same SF would otherwise overwrite each other's
+        // live table files mid-read
+        val sfTag = new java.io.File(d).getName.replace(".", "_") +
+          "_p" + ProcessHandle.current().pid()
         val base = s"/tmp/graft_bucketed_$sfTag"
         val ev = events(s, d).select("event_id", "user_id", "event_type")
         val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_events"))

@@ -22,7 +22,9 @@ import org.apache.spark.sql.types._
   * make "count <=" ambiguous under binary search). */
 case class QuantileRank(child: Expression, boundaries: Array[Double])
     extends UnaryExpression with ExpectsInputTypes {
-  require(boundaries.nonEmpty, "boundaries must be non-empty")
+  // empty boundaries are legal and rank everything 0 — approxQuantile
+  // returns an empty array for an empty/all-null input column, and the
+  // layout writer must still complete (degenerate single-cell dim)
   override def prettyName: String = "quantile_rank"
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable

@@ -715,12 +715,21 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // "__w"/"__W" would COLLIDE under Spark's default case-insensitive
     // resolution (both resolve to the later column, silently) — names
-    // must differ beyond case
-    totals.withColumn("__wt", w)
+    // must differ beyond case. Zero-token strata get weight 0 at EVERY
+    // alpha (pow(0,0)=1 would hand an empty stratum a real target,
+    // whose T/f = 0 then zeroes K and with it every keep_rate) and an
+    // explicit keep_rate 0 (the f=0 branch divides 0/0 -> NaN, which
+    // least() would resolve to 1.0 — NaN sorts greatest); both match
+    // mixturePlan's treatment of unsampled strata.
+    totals.withColumn("__wt", when(t > 0, w).otherwise(lit(0.0)))
       .withColumn("__wsum", sum(col("__wt")).over(frame))
       .withColumn("target_frac", col("__wt") / col("__wsum"))
-      .withColumn("__bind", min(t / col("target_frac")).over(frame))
-      .withColumn("keep_rate", least(lit(1.0), col("target_frac") * col("__bind") / t))
+      .withColumn("__bind",
+        min(when(col("target_frac") > 0, t / col("target_frac"))).over(frame))
+      .withColumn("keep_rate",
+        when(col("target_frac") > 0,
+          least(lit(1.0), col("target_frac") * col("__bind") / t))
+        .otherwise(lit(0.0)))
       .drop("__wt", "__wsum", "__bind")
   }
 

@@ -85,8 +85,12 @@ object Layout {
       // native codegen'd binary search (QuantileRank) — the HOF forms
       // (filter/aggregate over a literal array) are CodegenFallback
       // with one interpreted dispatch per boundary per row, ~100x more
-      // per-row work at 256 boundaries
-      graft.functions.QuantileRank.quantile_rank(col(c).cast("double"), bnds)
+      // per-row work at 256 boundaries. Null values rank 0 (coalesce):
+      // a null in one dimension must not null the whole z-value — the
+      // row still clusters by its OTHER dimensions' bits instead of
+      // collapsing every partially-null row into one range partition
+      coalesce(graft.functions.QuantileRank.quantile_rank(col(c).cast("double"), bnds),
+        lit(0L))
     }
     // ranks are MATERIALIZED as columns before interleaving: the Morton
     // fold references each rank once per bit, and an inlined rank

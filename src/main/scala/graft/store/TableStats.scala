@@ -29,10 +29,11 @@ object TableStats {
 
   def analyze(df: DataFrame, cols: Seq[String], approxNdv: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "analyze needs at least one column")
-    val aggs = cols.flatMap { c =>
+    // ONE shared row count — a per-column count(1) would carry
+    // cols.size identical aggregate buffers through the exchange
+    val aggs = count(lit(1)).as("__n_rows") +: cols.flatMap { c =>
       val qc = col(s"`$c`")
       Seq(
-        count(lit(1)).as(s"__n_$c"),
         count(when(qc.isNull, 1)).as(s"__nulls_$c"),
         (if (approxNdv) approx_count_distinct(qc) else countDistinct(qc)).as(s"__ndv_$c"),
         min(qc).cast("string").as(s"__min_$c"),
@@ -42,7 +43,7 @@ object TableStats {
     // pivot the single wide row into one catalog row per column
     val rows = cols.map { c =>
       struct(lit(c).as("col_name"),
-        col(s"`__n_$c`").cast("long").as("n_rows"),
+        col("__n_rows").cast("long").as("n_rows"),
         col(s"`__nulls_$c`").cast("long").as("n_nulls"),
         col(s"`__ndv_$c`").cast("long").as("ndv"),
         col(s"`__min_$c`").as("min_str"),

@@ -157,10 +157,10 @@ object StreamingIngest {
     val l = left.withWatermark(leftTime, watermark)
     val r = right.withWatermark(rightTime, watermark)
     l.join(r,
-      l(key) === r(key) &&
+      l(s"`$key`") === r(s"`$key`") &&
         r(s"`$rightTime`") >= l(s"`$leftTime`") - expr(s"INTERVAL $before") &&
         r(s"`$rightTime`") <= l(s"`$leftTime`") + expr(s"INTERVAL $after"))
-      .drop(r(key))
+      .drop(r(s"`$key`"))
   }
 
   /** Gap-based sessions (`session_window`): consecutive events of one key

@@ -475,6 +475,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mid = plan(0.5) // monotone: tail upsampled relative to natural
     assert(near1(mid("b")._3) && mid("a")._3 < 0.9 && mid("c")._3 < 0.9)
     assert(mid("a")._3 > uniform("a")._3 && mid("c")._3 > uniform("c")._3)
+
+    // a ZERO-token stratum must get target 0 / keep 0 at every alpha —
+    // pow(0,0)=1 would hand it a real target and zero everyone's K at
+    // alpha=0, and the f=0 branch divides 0/0 -> NaN which least()
+    // would resolve to keep-everything
+    val withEmpty = df.union(Seq((99L, "z", "")).toDF("doc_id", "lang", "text"))
+    for (alpha <- Seq(0.0, 0.5, 1.0)) {
+      val p = graft.operators.TextAnalysis
+        .mixturePlanTemperature(withEmpty, col("lang"), col("text"), alpha)
+        .collect().map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+      assert(p("z") == ((0.0, 0.0)), s"alpha=$alpha empty stratum: ${p("z")}")
+      assert(p.filter(_._1 != "z").values.forall(_._2 > 0.0),
+        s"alpha=$alpha zeroed live strata: $p")
+    }
   }
 
   test("hotKeys: counts/share/skew exact, deterministic ties, top-k never a full sort") {

@@ -103,6 +103,36 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     // interpreted path agrees with codegen
     assert(Seq(5.0, 10.0, 15.0, 30.0, 99.0).map(
       graft.functions.QuantileRank.rank(bnds, _)) == Seq(0L, 1L, 1L, 3L, 3L))
+    // empty boundaries (approxQuantile of an empty/all-null column)
+    // rank everything 0 instead of refusing
+    assert(graft.functions.QuantileRank.rank(Array.empty[Double], 42.0) == 0L)
+  }
+
+  test("writeZOrdered tolerates null and empty dimensions (rank 0, other dims still cluster)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-znull").toString + "/t"
+    // y null for a third of rows; the write must complete and keep rows
+    val src = (1L to 3000L).map(i =>
+      (i % 50L, if (i % 3 == 0) None else Some(i / 50L), i)).toDF("x", "y", "p")
+    Layout.writeZOrdered(src, dir, Seq("x", "y"), numFiles = 4)
+    val back = Layout.readSorted(spark, dir)
+    assert(back.count() == 3000L)
+    assert(back.select("p").except(src.select("p")).isEmpty)
+    // null-y rows are NOT collapsed into one file: their x bits still
+    // spread them (multiple files contain null-y rows)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    val filesWithNullY = dirs.count { f =>
+      spark.read.parquet(f).filter(col("y").isNull).limit(1).count() > 0
+    }
+    assert(filesWithNullY >= 2, s"null-y rows collapsed into $filesWithNullY file(s)")
+
+    // an ENTIRELY null dimension degenerates to 1-D clustering, no crash
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-znull2").toString + "/t"
+    val allNull = (1L to 500L).map(i => (i, Option.empty[Long])).toDF("x", "y")
+    Layout.writeZOrdered(allNull, dir2, Seq("x", "y"), numFiles = 2)
+    assert(Layout.readSorted(spark, dir2).count() == 500L)
   }
 
   test("sort-key range predicate reaches the parquet scan as a pushed filter") {

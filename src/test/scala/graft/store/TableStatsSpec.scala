@@ -27,9 +27,12 @@ class TableStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("id") == ((5L, 0L, 4L, "1", "4")))
     assert(got("tag") == ((5L, 1L, 3L, "a", "c"))) // null not a distinct value
 
-    // one scan for the whole multi-distinct analyze (Expand, not N passes)
+    // one scan for the whole multi-distinct analyze (Expand, not N
+    // passes) — counted on the OPTIMIZED LOGICAL plan: the physical
+    // plan is one opaque AdaptiveSparkPlanExec leaf under AQE, so a
+    // physical collectLeaves() of 1 would be vacuously true
     val leaves = TableStats.analyze(df, Seq("id", "tag"))
-      .queryExecution.executedPlan.collectLeaves()
+      .queryExecution.optimizedPlan.collectLeaves()
     assert(leaves.size == 1, s"analyze should scan once, saw ${leaves.size} leaves")
 
     // approx mode: same shape, ndv within the HLL++ default budget

@@ -148,18 +148,26 @@ object StreamingIngest {
     * watermark+interval horizon). Inner join: late rows beyond the
     * watermark are dropped, exactly like the windowed aggregations.
     *
-    * Returns the joined (unaggregated) stream; compose with
-    * `groupBy`/`writeStream` downstream. Column names of the two
-    * sides must be disjoint except the join key. */
+    * `joinType` `inner` (default) or `left_outer`: outer emits an
+    * unmatched left row with null right columns — but only once the
+    * RIGHT watermark has passed the row's interval edge (no earlier
+    * moment can prove "no match will come"), so outer results trail
+    * the watermark by construction. Returns the joined (unaggregated)
+    * stream; compose with `groupBy`/`writeStream` downstream. Column
+    * names of the two sides must be disjoint except the join key. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTime: String, rightTime: String,
-                   watermark: String, before: String, after: String): DataFrame = {
+                   watermark: String, before: String, after: String,
+                   joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left_outer", "leftouter").contains(joinType.toLowerCase),
+      s"intervalJoin supports inner/left_outer, got $joinType")
     val l = left.withWatermark(leftTime, watermark)
     val r = right.withWatermark(rightTime, watermark)
     l.join(r,
       l(s"`$key`") === r(s"`$key`") &&
         r(s"`$rightTime`") >= l(s"`$leftTime`") - expr(s"INTERVAL $before") &&
-        r(s"`$rightTime`") <= l(s"`$leftTime`") + expr(s"INTERVAL $after"))
+        r(s"`$rightTime`") <= l(s"`$leftTime`") + expr(s"INTERVAL $after"),
+      joinType)
       .drop(r(s"`$key`"))
   }
 

@@ -153,6 +153,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("intervalJoin left_outer: unmatched clicks surface with nulls once the watermark proves it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lMem = MemoryStream[(Timestamp, String, Long)]
+    val rMem = MemoryStream[(Timestamp, String, Double)]
+    val joined = StreamingIngest.intervalJoin(
+      lMem.toDF().toDF("lts", "k", "click_id"),
+      rMem.toDF().toDF("rts", "k", "err_val"),
+      key = "k", leftTime = "lts", rightTime = "rts",
+      watermark = "1 minute", before = "5 minutes", after = "5 minutes",
+      joinType = "left_outer")
+    val q = joined.select("click_id", "err_val").writeStream
+      .format("memory").queryName("ij_outer").outputMode("append").start()
+    try {
+      def t(m: String) = Timestamp.valueOf(s"2024-01-01 00:$m:00")
+      lMem.addData((t("10"), "a", 1L), (t("11"), "b", 2L)) // b never matches
+      rMem.addData((t("12"), "a", 0.5))
+      q.processAllAvailable()
+      // push both watermarks far past every interval edge so the
+      // unmatched left row can be PROVEN matchless and emitted
+      lMem.addData((t("59"), "zz", 99L))
+      rMem.addData((t("59"), "zz", 9.9))
+      q.processAllAvailable()
+      lMem.addData((Timestamp.valueOf("2024-01-01 02:00:00"), "zz", 100L))
+      rMem.addData((Timestamp.valueOf("2024-01-01 02:00:00"), "zz", 10.0))
+      q.processAllAvailable()
+      val got = spark.table("ij_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+      assert(got.contains((1L, Some(0.5))), s"matched pair missing: $got")
+      assert(got.contains((2L, None)), s"unmatched left row never emitted: $got")
+    } finally q.stop()
+  }
+
   test("maintainDistinctSketches: stream feeds the sketch store; replay moves no estimate") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -28,6 +28,26 @@ object ExtQueries {
   private def events(s: SparkSession, d: String): DataFrame =
     Queries.normalizeEventTs(s.read.parquet(s"$d/events.parquet"))
 
+  /** Streaming twin of [[events]]: a file-source stream over the same
+    * parquet, staged (hard-linked, falling back to copy) into `dir`
+    * because the file source requires a DIRECTORY basePath. The schema
+    * (and, for the long-epoch shape, the unit probe) comes from a
+    * batch read of the same file — a streaming Dataset can do neither.
+    * Each call returns an INDEPENDENT source, so self-joins join two
+    * sources rather than one shared one. */
+  private def eventsStream(s: SparkSession, d: String, dir: java.io.File): DataFrame = {
+    dir.mkdirs()
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val dst = new java.io.File(dir, "events.parquet").toPath
+    if (!java.nio.file.Files.exists(dst))
+      try java.nio.file.Files.createLink(dst, src)
+      catch { case _: Exception => java.nio.file.Files.copy(src, dst); () }
+    val static = s.read.parquet(s"$d/events.parquet")
+    Queries.normalizeEventTs(
+      s.readStream.schema(static.schema).parquet(dir.toString),
+      probeFrom = static)
+  }
+
   /** First embedding vector of the corpus — deterministic ANN query. */
   private def queryVec(s: SparkSession, d: String): Array[Float] =
     embs(s, d).filter(col("vec_id") === 0).select("embedding")
@@ -2082,7 +2102,119 @@ object ExtQueries {
              |)
              |SELECT stratum, n_docs, total_tokens, target_frac,
              |       least(1.0, target_frac * k / CAST(total_tokens AS DOUBLE)) AS keep_rate
-             |FROM z ORDER BY stratum""".stripMargin)))
+             |FROM z ORDER BY stratum""".stripMargin))),
+
+    // Stream-stream interval join, end-to-end through the REAL
+    // streaming machinery (the r10 operator's first battery row):
+    // "clicks within an hour after each view, per user". Two
+    // independent file-source streams over the same events parquet,
+    // watermarked interval join, Trigger.AvailableNow into a memory
+    // sink. Everything arrives in the first micro-batch, so nothing is
+    // watermark-late and the inner join must equal the batch theta
+    // join DuckDB replays — any state-eviction or bound error in the
+    // streaming path hash-mismatches here.
+    "q118_interval_join_stream" -> ((
+      (s: SparkSession, d: String) => {
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+        val sink = s"g_q118_$tag"
+        val base = new java.io.File(s"/tmp/graft_q118_$tag")
+        val ckpt = new java.io.File(base, "ckpt")
+        val inDir = new java.io.File(base, "in")
+        val l = eventsStream(s, d, inDir).filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            col("ts").as("view_ts"))
+        val r = eventsStream(s, d, inDir).filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+        val j = graft.streaming.StreamingIngest.intervalJoin(
+          l, r, "user_id", "view_ts", "click_ts",
+          watermark = "1 hour", before = "0 seconds", after = "1 hour")
+        val q = j.writeStream.format("memory").queryName(sink)
+          .outputMode("append").option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        rm(base) // results live in the memory sink; staging+ckpt are spent
+        s.table(sink)
+          .groupBy("view_id")
+          .agg(count(lit(1)).as("n_clicks"),
+               sum(col("click_id")).cast("long").as("click_id_sum"))
+          .orderBy("view_id")
+      },
+      Some("""SELECT l.event_id AS view_id, count(*) AS n_clicks,
+             |       CAST(sum(r.event_id) AS BIGINT) AS click_id_sum
+             |FROM events l JOIN events r
+             |  ON l.user_id = r.user_id
+             | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+             |WHERE l.event_type = 'view' AND r.event_type = 'click'
+             |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Binned range join (RangeJoin.pointInInterval): every event inside
+    // every sampled 30-minute window, with NO equi key — the shape that
+    // naively plans as a nested-loop cross product. The operator's
+    // bin-replicate rewrite runs it as an equi join on the time bin
+    // (plan pinned in RangeJoinSpec: no NestedLoop/Cartesian); the
+    // oracle replays the naive theta join, so the hash proves the
+    // rewrite neither loses nor duplicates a single pair.
+    "q119_range_join_binned" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d).select("event_id", "ts")
+        val iv = events(s, d).filter(col("event_id") % 97 === 0)
+          .select(col("event_id").as("iv_id"), col("ts").as("t0"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("t1"))
+        graft.operators.RangeJoin.pointInInterval(ev, iv, "ts", "t0", "t1",
+            binWidthUs = 30L * 60 * 1000000)
+          .groupBy("iv_id")
+          .agg(count(lit(1)).as("n_events"),
+               sum(col("event_id")).cast("long").as("id_sum"))
+          .orderBy("iv_id")
+      },
+      Some("""WITH iv AS (
+             |  SELECT event_id AS iv_id, ts AS t0, ts + INTERVAL 30 MINUTE AS t1
+             |  FROM events WHERE event_id % 97 = 0
+             |)
+             |SELECT iv.iv_id, count(*) AS n_events,
+             |       CAST(sum(e.event_id) AS BIGINT) AS id_sum
+             |FROM events e JOIN iv ON e.ts >= iv.t0 AND e.ts < iv.t1
+             |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // First-order transition matrix (EventAnalytics.transitions):
+    // next-event counts over each user's time-ordered stream, ties
+    // broken by event_id on both engines.
+    "q120_transition_matrix" -> ((
+      (s: SparkSession, d: String) =>
+        EventAnalytics.transitions(events(s, d),
+            "user_id", "ts", "event_id", "event_type")
+          .orderBy("from_type", "to_type"),
+      Some("""WITH t AS (
+             |  SELECT user_id, event_type,
+             |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events
+             |)
+             |SELECT prev AS from_type, event_type AS to_type,
+             |       count(*) AS n_transitions
+             |FROM t WHERE prev IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    // Top common journeys (EventAnalytics.topPaths): each user's first
+    // 8 events joined into a path string, counted, top-10 with a total
+    // (count desc, path) order so the cut is deterministic on both
+    // engines.
+    "q121_top_paths" -> ((
+      (s: SparkSession, d: String) =>
+        EventAnalytics.topPaths(events(s, d),
+          "user_id", "ts", "event_id", "event_type", pathLen = 8, k = 10),
+      Some("""WITH p AS (
+             |  SELECT user_id,
+             |         array_to_string((list(event_type ORDER BY ts, event_id))[1:8], '>') AS path
+             |  FROM events GROUP BY 1
+             |)
+             |SELECT path, count(*) AS n_users FROM p GROUP BY 1
+             |ORDER BY n_users DESC, path LIMIT 10""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

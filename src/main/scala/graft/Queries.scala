@@ -52,9 +52,15 @@ object Queries {
     * micros. The r9 testdata regeneration broke three queries on
     * exactly this class of silent shape drift. */
   private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    normalizeEventTs(df, df)
+
+  /** `probeFrom` variant for STREAMING frames: the magnitude probe is a
+    * collect, illegal on a streaming Dataset — pass the batch-read twin
+    * of the same files as `probeFrom` (same schema, same unit). */
+  private[graft] def normalizeEventTs(df: DataFrame, probeFrom: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        val probe = df.select(abs(col("ts")).as("a"))
+        val probe = probeFrom.select(abs(col("ts")).as("a"))
           .filter(col("a").isNotNull).limit(1).collect()
         val m = if (probe.isEmpty) Long.MaxValue else probe(0).getLong(0)
         if (m > 1e16.toLong)      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

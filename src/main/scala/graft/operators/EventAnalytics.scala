@@ -159,4 +159,58 @@ object EventAnalytics {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("active_users"))
   }
+
+  /** First-order transition matrix over each user's ordered event
+    * stream: how often does `from_type` precede `to_type`? The Markov
+    * view behind "where do users go after an error" / next-event
+    * prediction features. Same single-shuffle shape as the funnels:
+    * one exchange on the user key, one in-partition sort, a `lag`
+    * window, then a tiny (|types|²-row) re-aggregation — partial
+    * (map-side) combine makes the second exchange carry at most
+    * |types|² rows per task regardless of event volume. Ordering ties
+    * on `tsCol` break deterministically by `tieCol`. */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    projected(events, userCol, tsCol, tieCol, typeCol)
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /** Top-k most common event PATHS: each user's first `pathLen` events
+    * (by time, ties broken by `tieCol`) joined into a `a>b>c` string,
+    * counted across users. The "common journeys" report.
+    *
+    * Scale shape: a `row_number` window keeps only the first `pathLen`
+    * events per user BEFORE any collection, so the per-user buffer in
+    * the subsequent `collect_list` is bounded by `pathLen` — never by
+    * the user's raw event count (a power user with 10⁹ events
+    * contributes `pathLen` rows past the filter, not a 10⁹-element
+    * array on one task). Both window and groupBy key on the user, so
+    * the exchange is reused; the final path count is a small
+    * re-aggregation with map-side combine, and top-k lowers to
+    * TakeOrderedAndProject (no global sort). Ties in count order
+    * deterministically by path string. */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               tieCol: String, typeCol: String, pathLen: Int, k: Int): DataFrame = {
+    require(pathLen >= 1, s"pathLen must be >= 1, got $pathLen")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    projected(events, userCol, tsCol, tieCol, typeCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= pathLen)
+      .groupBy(col(userCol))
+      // collect_list order is partition-arrival order (non-deterministic
+      // under retries); sorting the (rn, type) structs restores the
+      // deterministic event order before the join into a string.
+      .agg(sort_array(collect_list(struct(col("__rn").as("r"), col(typeCol).as("t"))))
+        .as("__evs"))
+      .select(concat_ws(">", transform(col("__evs"), e => e.getField("t"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -252,4 +252,47 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val empty = Seq.empty[Long].toDF("ts")
     assert(graft.Queries.normalizeEventTs(empty).count() == 0L)
   }
+
+  test("transitions: hand-computed matrix, ties broken by the tie column, firsts excluded") {
+    // u1: a -> b -> a; u2: two SAME-timestamp events ordered by id (b
+    // then a — the tie column decides), then c; u3: single event (no
+    // transition at all)
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "a"),
+      (1L, "2024-01-01 10:01:00", 2L, "b"),
+      (1L, "2024-01-01 10:02:00", 3L, "a"),
+      (2L, "2024-01-01 09:00:00", 5L, "b"),
+      (2L, "2024-01-01 09:00:00", 4L, "a"), // same ts as id=5, lower id: FIRST
+      (2L, "2024-01-01 09:10:00", 6L, "c"),
+      (3L, "2024-01-01 08:00:00", 7L, "z"))
+    val got = EventAnalytics.transitions(df, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(("a", "b") -> 2L, ("b", "a") -> 1L, ("b", "c") -> 1L))
+  }
+
+  test("topPaths: pathLen truncation, deterministic tie order, repartition invariance") {
+    // u1,u2: a>b (n=2); u3: a>c — truncated from a>c>d by pathLen=2;
+    // u4: lone c. At equal count, a>c precedes c by the path tiebreak.
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "a"),
+      (1L, "2024-01-01 10:01:00", 2L, "b"),
+      (2L, "2024-01-01 11:00:00", 3L, "a"),
+      (2L, "2024-01-01 11:01:00", 4L, "b"),
+      (3L, "2024-01-01 12:00:00", 5L, "a"),
+      (3L, "2024-01-01 12:01:00", 6L, "c"),
+      (3L, "2024-01-01 12:02:00", 7L, "d"), // beyond pathLen=2: dropped
+      (4L, "2024-01-01 13:00:00", 8L, "c"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      EventAnalytics.topPaths(d, "user_id", "ts", "event_id", "event_type",
+        pathLen = 2, k = 10).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = run(df)
+    assert(got == Seq(("a>b", 2L), ("a>c", 1L), ("c", 1L)))
+    // collect_list order is arrival order — the sort_array must make the
+    // result partition-layout-independent
+    assert(run(df.repartition(7)) == got)
+    // k cuts after the (count desc, path) order
+    val top1 = EventAnalytics.topPaths(df, "user_id", "ts", "event_id", "event_type",
+      pathLen = 2, k = 1).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top1 == Seq(("a>b", 2L)))
+  }
 }

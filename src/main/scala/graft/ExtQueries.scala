@@ -48,6 +48,16 @@ object ExtQueries {
       probeFrom = static)
   }
 
+  /** Recursive delete for the /tmp scratch dirs battery queries stage
+    * stores into. Paths are (sfName, pid)-keyed — parallel battery JVMs
+    * can't clobber each other — and deleted BEFORE reuse: append-mode
+    * stores would otherwise double-merge stale parts from a previous
+    * run in the same process. */
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(rmrf)
+    f.delete(); ()
+  }
+
   /** First embedding vector of the corpus — deterministic ANN query. */
   private def queryVec(s: SparkSession, d: String): Array[Float] =
     embs(s, d).filter(col("vec_id") === 0).select("embedding")
@@ -2214,7 +2224,87 @@ object ExtQueries {
              |  FROM events GROUP BY 1
              |)
              |SELECT path, count(*) AS n_users FROM p GROUP BY 1
-             |ORDER BY n_users DESC, path LIMIT 10""".stripMargin)))
+             |ORDER BY n_users DESC, path LIMIT 10""".stripMargin))),
+
+    // Latest-wins merge store (MergeStore — the ReplacingMergeTree
+    // analogue): part 1 is every event at version 1; part 2 re-emits
+    // the user_id%10=0 rows at version 2 with value+100 (the upsert).
+    // readLatest merges on read; the aggregate over the merged view
+    // hash-matches DuckDB replaying the same two logical parts with the
+    // same window rule — proving the append-only upsert path loses,
+    // duplicates and resurrects nothing.
+    "q122_latest_store" -> ((
+      (s: SparkSession, d: String) => {
+        val path = s"/tmp/graft_q122_${new java.io.File(d).getName}_" +
+          ProcessHandle.current().pid()
+        rmrf(new java.io.File(path))
+        val ev = events(s, d).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("value"))
+        graft.store.MergeStore.appendPart(ev.withColumn("version", lit(1L)), path)
+        graft.store.MergeStore.appendPart(
+          ev.filter(col("user_id") % 10 === 0)
+            .withColumn("value", (col("value") + lit(100)).cast(
+              org.apache.spark.sql.types.DecimalType(18, 2)))
+            .withColumn("version", lit(2L)),
+          path)
+        graft.store.MergeStore.readLatest(s, path, Seq("event_id"), "version")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               sum(col("version")).cast("long").as("version_sum"),
+               sum(col("value")).cast("double").as("value_sum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH parts AS (
+             |  SELECT event_id, user_id, event_type,
+             |         CAST(value AS DECIMAL(18,2)) AS value, 1 AS version FROM events
+             |  UNION ALL
+             |  SELECT event_id, user_id, event_type,
+             |         CAST(CAST(value AS DECIMAL(18,2)) + 100 AS DECIMAL(18,2)), 2
+             |  FROM events WHERE user_id % 10 = 0
+             |), merged AS (
+             |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY version DESC) AS rn
+             |  FROM parts
+             |)
+             |SELECT event_type, count(*) AS n,
+             |       CAST(sum(version) AS BIGINT) AS version_sum,
+             |       CAST(sum(value) AS DOUBLE) AS value_sum
+             |FROM merged WHERE rn = 1
+             |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Summing merge store (SummingMergeTree analogue): each half of the
+    // stream (split by event_id parity — any disjoint split must give
+    // the same answer) reduces to per-(day, type) partial sums appended
+    // as separate parts; readSummed re-aggregates across parts. The
+    // oracle replays a PLAIN group-by over all events, so the hash
+    // proves part-merge == from-scratch aggregate (DECIMAL sums make
+    // that exact, not approximately-float). Compaction invariance is
+    // spec-pinned in MergeStoreSpec.
+    "q123_summing_store" -> ((
+      (s: SparkSession, d: String) => {
+        val path = s"/tmp/graft_q123_${new java.io.File(d).getName}_" +
+          ProcessHandle.current().pid()
+        rmrf(new java.io.File(path))
+        val ev = events(s, d).select(
+          date_trunc("day", col("ts")).as("day"), col("event_type"),
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("value"),
+          col("event_id"))
+        def part(half: org.apache.spark.sql.Column) =
+          ev.filter(half).groupBy("day", "event_type")
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        graft.store.MergeStore.appendPart(part(col("event_id") % 2 === 0), path)
+        graft.store.MergeStore.appendPart(part(col("event_id") % 2 === 1), path)
+        graft.store.MergeStore.readSummed(s, path,
+            Seq("day", "event_type"), Seq("n", "total"))
+          .select(col("day"), col("event_type"), col("n").cast("long").as("n"),
+            col("total").cast("double").as("total"))
+          .orderBy("day", "event_type")
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM events
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -1,0 +1,108 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read part stores — the Spark-native analogues of
+  * ClickHouse's Replacing- and SummingMergeTree (the reference's
+  * ClickHouse destination creates plain `ENGINE = MergeTree` tables,
+  * `/root/reference/pkg/destinations/clickhouse/destination.go:16`;
+  * these two are the mutation- and rollup-shaped siblings every
+  * ClickHouse deployment reaches for next).
+  *
+  * The shared shape: writes only ever APPEND immutable part files —
+  * the mutation ("update this key", "add these counts") is encoded in
+  * the data, and the MERGE happens at read time:
+  *
+  *  - latest-wins (Replacing): each part carries (key, version, row);
+  *    `readLatest` keeps the highest-version row per key. An upsert is
+  *    an append with a larger version; a delete is an append with a
+  *    tombstone flag the caller filters after merge.
+  *  - summing (Summing): each part carries partial sums per key;
+  *    `readSummed` re-aggregates across parts. An ingest batch of any
+  *    size reduces to O(|keys|) rows before it ever hits storage.
+  *
+  * Why this is the 100 TB mutation path: updating parquet in place
+  * means rewriting files under readers; appending a delta part is one
+  * small write with no coordination, and the merge cost is paid by
+  * queries that read the key anyway — exactly one shuffle on the key,
+  * the same exchange the query's own GROUP BY would need. `compact*`
+  * folds accumulated parts back into one (the background merge): an
+  * idempotent rewrite that changes NOTHING a reader can observe
+  * (spec-pinned), so it can run per-partition, incrementally, on
+  * whatever schedule amortizes read cost.
+  *
+  * Determinism: ClickHouse's ReplacingMergeTree keeps an ARBITRARY row
+  * among equal versions; here equal versions tie-break by the row's
+  * remaining columns (descending struct order), so the merged view is
+  * a pure function of the part contents — replayable by any engine,
+  * which is what makes the battery's DuckDB oracle possible.
+  */
+object MergeStore {
+
+  /** Append one immutable part of (key, version, payload) rows. */
+  def appendPart(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** Latest-wins merge of `df`: the single row per key with the
+    * highest `versionCol`, ties broken by the remaining columns
+    * descending. One hash exchange on the key + an in-partition sort —
+    * no self-join, no global sort. */
+  def latestByKey(df: DataFrame, keyCols: Seq[String], versionCol: String): DataFrame = {
+    val rest = df.columns.filterNot(c => keyCols.contains(c) || c == versionCol)
+    val order = (col(s"`$versionCol`").desc +: rest.map(c => col(s"`$c`").desc)).toSeq
+    val w = Window.partitionBy(keyCols.map(c => col(s"`$c`")): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Merged latest-wins view over every part under `path`. */
+  def readLatest(spark: SparkSession, path: String,
+                 keyCols: Seq[String], versionCol: String): DataFrame =
+    latestByKey(spark.read.parquet(path), keyCols, versionCol)
+
+  /** Merged summing view over every part under `path`: `sumCols`
+    * re-aggregate across parts per key. DECIMAL/integer sum columns
+    * make the merge bit-equal to a from-scratch aggregate regardless
+    * of how rows were split into parts (double sums would wobble with
+    * the part boundaries); partial row counts are just another sum
+    * column. */
+  def readSummed(spark: SparkSession, path: String, keyCols: Seq[String],
+                 sumCols: Seq[String]): DataFrame = {
+    require(sumCols.nonEmpty, "readSummed needs at least one sum column")
+    spark.read.parquet(path)
+      .groupBy(keyCols.map(c => col(s"`$c`")): _*)
+      .agg(sum(col(s"`${sumCols.head}`")).as(sumCols.head),
+           sumCols.tail.map(c => sum(col(s"`$c`")).as(c)): _*)
+  }
+
+  /** Fold all latest-wins parts into ONE part holding the merged view.
+    * Observationally a no-op for readers (readLatest before == after;
+    * spec-pinned); physically it collapses N parts' key-overlap so
+    * future reads stop re-merging history. The swap is
+    * write-tmp → delete-old → move: single-filesystem rename, the same
+    * non-transactional window every parquet overwrite has — run it
+    * from the single compactor role (the claim-queue machinery in this
+    * store layer exists for exactly that). */
+  def compactLatest(spark: SparkSession, path: String,
+                    keyCols: Seq[String], versionCol: String): Unit =
+    swapIn(spark, path)(readLatest(spark, path, keyCols, versionCol))
+
+  /** Summing sibling of [[compactLatest]]: one part of merged sums. */
+  def compactSummed(spark: SparkSession, path: String, keyCols: Seq[String],
+                    sumCols: Seq[String]): Unit =
+    swapIn(spark, path)(readSummed(spark, path, keyCols, sumCols))
+
+  private def swapIn(spark: SparkSession, path: String)(merged: DataFrame): Unit = {
+    val tmp = path + ".compact_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+      throw new java.io.IOException(s"compaction rename failed: $tmp -> $path")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.store
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class MergeStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshDir(): String = {
+    val f = java.nio.file.Files.createTempDirectory("graft_mergestore").toFile
+    f.delete() // store writes want a non-existent path for the first part
+    f.toString
+  }
+
+  test("latestByKey: upserts win, tombstones surface, equal versions break by payload desc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, "a", false), // overwritten by v3
+      (1L, 3L, "c", false),
+      (2L, 1L, "x", false), // deleted at v2: tombstone row must win
+      (2L, 2L, "x", true),
+      (3L, 5L, "p", false), // equal version: "q" > "p" wins deterministically
+      (3L, 5L, "q", false))
+      .toDF("k", "version", "payload", "deleted")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      MergeStore.latestByKey(d, Seq("k"), "version")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+        .sortBy(_._1).toSeq
+    val got = run(df)
+    assert(got == Seq((1L, 3L, "c", false), (2L, 2L, "x", true), (3L, 5L, "q", false)))
+    // the delete pattern: callers filter tombstones AFTER the merge
+    assert(run(df).filter(!_._4).map(_._1) == Seq(1L, 3L))
+    // pure function of content, not of partition layout
+    assert(run(df.repartition(7)) == got)
+  }
+
+  test("append/readLatest roundtrip; compactLatest changes nothing a reader can see") {
+    import spark.implicits._
+    val path = freshDir()
+    MergeStore.appendPart(
+      Seq((1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 1L, 30.0)).toDF("k", "version", "v"), path)
+    MergeStore.appendPart(
+      Seq((2L, 2L, 25.0), (4L, 1L, 40.0)).toDF("k", "version", "v"), path)
+    def view() = MergeStore.readLatest(spark, path, Seq("k"), "version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val before = view()
+    assert(before == Seq((1L, 1L, 10.0), (2L, 2L, 25.0), (3L, 1L, 30.0), (4L, 1L, 40.0)))
+    MergeStore.compactLatest(spark, path, Seq("k"), "version")
+    assert(view() == before, "compaction must be observationally a no-op")
+    // idempotent: compacting a compacted store still changes nothing
+    MergeStore.compactLatest(spark, path, Seq("k"), "version")
+    assert(view() == before)
+    // and a post-compaction upsert still wins
+    MergeStore.appendPart(Seq((1L, 9L, 11.0)).toDF("k", "version", "v"), path)
+    assert(view().head == ((1L, 9L, 11.0)))
+  }
+
+  test("readSummed: any disjoint split of the rows merges to the same totals; compact invariant") {
+    import spark.implicits._
+    val rows = (1L to 100L).map(i => (s"g${i % 7}", i, java.math.BigDecimal.valueOf(i, 1)))
+    def stage(split: ((String, Long, java.math.BigDecimal)) => Int): String = {
+      val path = freshDir()
+      rows.groupBy(split).foreach { case (_, part) =>
+        val partial = part.toDF("g", "n", "x")
+          .withColumn("x", col("x").cast("decimal(18,2)"))
+          .groupBy("g").agg(count(lit(1)).as("n"), sum(col("x")).as("x"))
+        MergeStore.appendPart(partial, path)
+      }
+      path
+    }
+    def totals(path: String) =
+      MergeStore.readSummed(spark, path, Seq("g"), Seq("n", "x"))
+        .select(col("g"), col("n").cast("long"), col("x").cast("string"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+    val byParity = totals(stage(t => (t._2 % 2).toInt))
+    val byRange = totals(stage(t => if (t._2 <= 33) 0 else if (t._2 <= 80) 1 else 2))
+    assert(byParity == byRange, "part boundaries leaked into the merged sums")
+    val path = stage(t => (t._2 % 5).toInt)
+    val before = totals(path)
+    assert(before == byParity)
+    MergeStore.compactSummed(spark, path, Seq("g"), Seq("n", "x"))
+    assert(totals(path) == before, "summing compaction must be observationally a no-op")
+  }
+}

@@ -2304,6 +2304,58 @@ object ExtQueries {
              |       count(*) AS n,
              |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM events
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    // Stats-driven join (StatsJoin.autoJoin): the dim side is an
+    // AGGREGATE of events — exactly where Catalyst's size estimate
+    // degrades and its own broadcast decision gives up — so the
+    // broadcast choice here comes from ANALYZE row counts instead.
+    // The oracle replays a plain join: the hash proves the ladder
+    // only moves the physical shape (strategy branches are pinned in
+    // StatsJoinSpec).
+    "q124_stats_join" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d).select("event_id", "user_id", "event_type")
+        val dim = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("type_total"),
+               countDistinct(col("user_id")).as("type_users"))
+        val dimStats = graft.operators.StatsJoin.fromAnalyze(
+          graft.store.TableStats.analyze(dim, Seq("event_type")),
+          "event_type", avgRowBytes = 40)
+        val evStats = graft.operators.StatsJoin.fromAnalyze(
+          graft.store.TableStats.analyze(ev, Seq("event_type")),
+          "event_type", avgRowBytes = 30)
+        graft.operators.StatsJoin.autoJoin(ev, evStats, dim, dimStats,
+            Seq("event_type"))
+          .groupBy("event_type", "type_total", "type_users")
+          .agg(count(lit(1)).as("n"),
+               sum(col("user_id")).cast("long").as("uid_sum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH dim AS (
+             |  SELECT event_type, count(*) AS type_total,
+             |         count(DISTINCT user_id) AS type_users
+             |  FROM events GROUP BY 1
+             |)
+             |SELECT e.event_type, d.type_total, d.type_users, count(*) AS n,
+             |       CAST(sum(e.user_id) AS BIGINT) AS uid_sum
+             |FROM events e JOIN dim d USING (event_type)
+             |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin))),
+
+    // OHLC downsampling (EventAnalytics.downsampleOhlc): hourly
+    // open/high/low/close per event type. open/close order by the
+    // composite (epoch micros, event_id) key, replayed byte-identically
+    // by DuckDB's arg_min/arg_max over the same zero-padded string.
+    "q125_ohlc_downsample" -> ((
+      (s: SparkSession, d: String) =>
+        EventAnalytics.downsampleOhlc(events(s, d),
+            "ts", "event_id", "event_type", "value", bucket = "hour")
+          .orderBy("bucket", "event_type"),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+             |       arg_min(value, printf('%020d%020d', epoch_us(ts), event_id)) AS open,
+             |       arg_max(value, printf('%020d%020d', epoch_us(ts), event_id)) AS close,
+             |       min(value) AS low, max(value) AS high, count(*) AS n
+             |FROM events
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
   )
 

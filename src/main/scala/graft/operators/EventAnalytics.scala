@@ -213,4 +213,32 @@ object EventAnalytics {
       .orderBy(col("n_users").desc, col("path"))
       .limit(k)
   }
+
+  /** Time-bucket downsampling with OHLC semantics (open / high / low /
+    * close per bucket and key) — the resample step that turns a raw
+    * event stream into a dashboard-sized series. ONE aggregate with
+    * map-side partial combine: `min_by`/`max_by` carry a single
+    * (ordering, value) candidate through the exchange, so the shuffle
+    * is O(buckets × keys) however many raw events feed it.
+    *
+    * Determinism: open/close pick by a composite ordering key —
+    * zero-padded `(epoch micros, tieCol)` — so equal timestamps break
+    * by the tie column instead of partition arrival order; the string
+    * form is byte-comparable identically on every engine (which is
+    * what lets DuckDB's `arg_min` replay it bit-for-bit). `bucket` is
+    * any `date_trunc` unit ("hour", "day", …). */
+  def downsampleOhlc(events: DataFrame, tsCol: String, tieCol: String,
+                     keyCol: String, valueCol: String, bucket: String): DataFrame = {
+    val ord = concat(
+      lpad(unix_micros(col(tsCol)).cast("string"), 20, "0"),
+      lpad(col(tieCol).cast("string"), 20, "0"))
+    projected(events, tsCol, tieCol, keyCol, valueCol)
+      .groupBy(date_trunc(bucket, col(tsCol)).as("bucket"), col(keyCol))
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max_by(col(valueCol), ord).as("close"),
+        min(col(valueCol)).as("low"),
+        max(col(valueCol)).as("high"),
+        count(lit(1)).as("n"))
+  }
 }

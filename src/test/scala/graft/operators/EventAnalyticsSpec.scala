@@ -295,4 +295,33 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       pathLen = 2, k = 1).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(top1 == Seq(("a>b", 2L)))
   }
+
+  test("downsampleOhlc: hand-computed buckets, equal-timestamp open/close break by the tie column") {
+    import spark.implicits._
+    // key columns reuse the events() fixture shape: (user→key, ts, id, type→value bucket key)
+    val df = Seq(
+      // hour 10, key "k": open=5.0 (earliest), close=1.0 (latest), low=1.0, high=9.0
+      ("k", ts("2024-01-01 10:00:00"), 1L, 5.0),
+      ("k", ts("2024-01-01 10:30:00"), 2L, 9.0),
+      ("k", ts("2024-01-01 10:59:00"), 3L, 1.0),
+      // hour 11, key "k": ALL at the same timestamp — id order decides:
+      // open = id1's 7.0, close = id3's 2.0
+      ("k", ts("2024-01-01 11:00:00"), 1L, 7.0),
+      ("k", ts("2024-01-01 11:00:00"), 2L, 8.0),
+      ("k", ts("2024-01-01 11:00:00"), 3L, 2.0),
+      // hour 10, key "z": single event — open=close=low=high
+      ("z", ts("2024-01-01 10:15:00"), 9L, 4.0))
+      .toDF("key", "ts", "event_id", "value")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      EventAnalytics.downsampleOhlc(d, "ts", "event_id", "key", "value", "hour")
+        .orderBy("bucket", "key").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSeq
+    val got = run(df)
+    assert(got == Seq(
+      ("2024-01-01 10:00:00.0", "k", 5.0, 1.0, 1.0, 9.0, 3L),
+      ("2024-01-01 10:00:00.0", "z", 4.0, 4.0, 4.0, 4.0, 1L),
+      ("2024-01-01 11:00:00.0", "k", 7.0, 2.0, 2.0, 8.0, 3L)))
+    assert(run(df.repartition(5)) == got, "open/close depend on partition layout")
+  }
 }

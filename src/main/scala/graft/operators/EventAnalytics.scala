@@ -225,8 +225,10 @@ object EventAnalytics {
     * zero-padded `(epoch micros, tieCol)` — so equal timestamps break
     * by the tie column instead of partition arrival order; the string
     * form is byte-comparable identically on every engine (which is
-    * what lets DuckDB's `arg_min` replay it bit-for-bit). `bucket` is
-    * any `date_trunc` unit ("hour", "day", …). */
+    * what lets DuckDB's `arg_min` replay it bit-for-bit); the padding
+    * assumes post-1970 timestamps and a non-negative `tieCol` (a minus
+    * sign would break byte order). `bucket` is any `date_trunc` unit
+    * ("hour", "day", …). */
   def downsampleOhlc(events: DataFrame, tsCol: String, tieCol: String,
                      keyCol: String, valueCol: String, bucket: String): DataFrame = {
     val ord = concat(

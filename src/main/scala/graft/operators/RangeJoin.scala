@@ -55,6 +55,8 @@ object RangeJoin {
                       pointTime: String, startCol: String, endCol: String,
                       binWidthUs: Long): DataFrame = {
     require(binWidthUs > 0, s"binWidthUs must be positive, got $binWidthUs")
+    require(!(points.columns ++ intervals.columns).contains("__bin"),
+      "column name __bin is reserved by pointInInterval")
     val w = lit(binWidthUs)
     val pt = col(s"`$pointTime`")
     val lo = col(s"`$startCol`")

@@ -110,6 +110,47 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming maintenance of a SUMMING [[graft.store.MergeStore]]:
+    * each micro-batch reduces to per-key partial sums written as the
+    * epoch's part — the live rollup-MV pattern (readers `readSummed` a
+    * handful of partial-sum parts, never the stream's history).
+    *
+    * Unlike the sketch store, summing has NO idempotent algebra — a
+    * re-appended epoch would double-count — so delivery semantics come
+    * from ADDRESSING instead: the part path is a pure function of the
+    * epoch id (`epoch=<id>/`) and the write is mode=overwrite, so a
+    * replayed micro-batch (crash between write and checkpoint commit)
+    * overwrites ITS OWN output rather than adding to it. At-least-once
+    * re-execution of an epoch is exactly-once in the store —
+    * spec-pinned by re-applying a committed epoch and watching the
+    * totals stay put. The `epoch` directory column surfaces on read
+    * and is simply not a group key, so readers never see it. */
+  def maintainSummingParts(events: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
+                           storePath: String, checkpointDir: String,
+                           trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        writeSummingPart(batch, groupCols, sumCols, storePath, epochId)
+      }
+      .start()
+
+  /** One epoch's partial-sum part — package-visible so the replay
+    * contract ("re-applying a committed epoch changes nothing") is
+    * directly testable without staging a mid-stream crash. */
+  private[graft] def writeSummingPart(batch: DataFrame, groupCols: Seq[String],
+                                      sumCols: Seq[String], storePath: String,
+                                      epochId: Long): Unit =
+    if (!batch.isEmpty) {
+      val partial = batch
+        .groupBy(groupCols.map(c => col(s"`$c`")): _*)
+        .agg(sum(col(s"`${sumCols.head}`")).as(sumCols.head),
+             sumCols.tail.map(c => sum(col(s"`$c`")).as(c)): _*)
+      partial.write.mode("overwrite").parquet(s"$storePath/epoch=$epochId")
+    }
+
   /** Streaming maintenance of a [[graft.store.SketchStore]]: each
     * micro-batch reduces to per-(part, group) HLL sketches appended to
     * the store — the live distinct-count dashboard pattern (readers

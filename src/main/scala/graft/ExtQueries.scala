@@ -2356,7 +2356,57 @@ object ExtQueries {
              |       arg_max(value, printf('%020d%020d', epoch_us(ts), event_id)) AS close,
              |       min(value) AS low, max(value) AS high, count(*) AS n
              |FROM events
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    // Data-quality expectations (Expectations.check): the validation
+    // gate over a landed batch — six rules across all four execution
+    // shapes (fused row-local aggregate, uniqueness shuffle, anti-join
+    // FK probe). The synthetic data genuinely fails three of them
+    // (range, satisfies, uniqueness), so the report discriminates;
+    // DuckDB replays every count as plain SQL.
+    "q126_expectations" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.operators.Expectations._
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val ord = s.read.parquet(s"$d/orders.parquet")
+        check(li, Seq(
+          NotNull("l_orderkey"),
+          InRange("l_quantity", 1, 25),
+          Matches("l_returnflag", "^[ANR]$"),
+          Satisfies("discount_le_tax", col("l_discount") <= col("l_tax")),
+          Unique(Seq("l_orderkey", "l_linenumber")),
+          ForeignKey("l_orderkey", ord, "o_orderkey")))
+      },
+      Some("""SELECT rule, violations, violations = 0 AS passed FROM (
+             |SELECT 'not_null:l_orderkey' AS rule,
+             |       CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS violations
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'in_range:l_quantity',
+             |       CAST(count(*) FILTER (WHERE l_quantity IS NOT NULL
+             |             AND NOT (l_quantity >= 1 AND l_quantity <= 25)) AS BIGINT)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'matches:l_returnflag',
+             |       CAST(count(*) FILTER (WHERE l_returnflag IS NOT NULL
+             |             AND NOT regexp_matches(l_returnflag, '^[ANR]$')) AS BIGINT)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'satisfies:discount_le_tax',
+             |       CAST(count(*) FILTER (WHERE NOT coalesce(l_discount <= l_tax, FALSE)) AS BIGINT)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'unique:l_orderkey,l_linenumber',
+             |       CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+             |FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+             |WHERE c > 1
+             |UNION ALL
+             |SELECT 'foreign_key:l_orderkey',
+             |       CAST(count(*) AS BIGINT)
+             |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             |  ON l.l_orderkey = o.o_orderkey
+             |WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+             |) ORDER BY rule""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -2406,7 +2406,41 @@ object ExtQueries {
              |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
              |  ON l.l_orderkey = o.o_orderkey
              |WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
-             |) ORDER BY rule""".stripMargin)))
+             |) ORDER BY rule""".stripMargin))),
+
+    // Volume-anomaly detection (EventAnalytics.anomalies): hourly
+    // per-type buckets whose count sits >= 2 sigma from the trailing
+    // 24-bucket baseline. The z-score hash-matches because both sides
+    // build it from the same correctly-rounded op chain over exact
+    // integer window sums (scaladoc spells out the argument).
+    "q127_anomalies" -> ((
+      (s: SparkSession, d: String) =>
+        EventAnalytics.anomalies(events(s, d), "ts", "event_type",
+            bucket = "hour", trailing = 24, zThreshold = 2.0)
+          .orderBy("event_type", "bucket"),
+      Some("""WITH b AS (
+             |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             |         count(*) AS n
+             |  FROM events GROUP BY 1, 2
+             |), w AS (
+             |  SELECT *,
+             |    sum(n)   OVER tw AS s,
+             |    sum(n*n) OVER tw AS ss,
+             |    count(n) OVER tw AS c
+             |  FROM b
+             |  WINDOW tw AS (PARTITION BY event_type ORDER BY bucket
+             |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+             |), m AS (
+             |  SELECT *, CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/c AS m2
+             |  FROM w WHERE c = 24
+             |), z AS (
+             |  SELECT event_type, bucket, n,
+             |    (CAST(n AS DOUBLE) - CAST(s AS DOUBLE)/c) / sqrt(m2/(c-1)) AS zscore
+             |  FROM m WHERE m2 > 0
+             |)
+             |SELECT event_type, bucket, n, zscore FROM z
+             |WHERE abs(zscore) >= 2.0
+             |ORDER BY 1, 2""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -243,4 +243,48 @@ object EventAnalytics {
         max(col(valueCol)).as("high"),
         count(lit(1)).as("n"))
   }
+
+  /** Volume-anomaly detection: buckets whose event count deviates more
+    * than `zThreshold` standard deviations from the TRAILING
+    * `trailing`-bucket baseline (current bucket excluded — it must not
+    * vouch for itself). The "error spike at 3am" alert, as a query.
+    *
+    * Two bounded shuffles: (key, bucket) counts first — O(keys ×
+    * buckets) rows ever after, whatever the raw volume — then a
+    * key-partitioned window for the trailing sums. Buckets with fewer
+    * than `trailing` predecessors are withheld (no baseline, no
+    * verdict), as are zero-variance baselines (a constant series has
+    * no unit to measure deviation in).
+    *
+    * The z-score is built ONLY from correctly-rounded IEEE-754 ops
+    * over exact integer window sums — n, Σn, Σn² are integers; the
+    * divisions, one subtraction and `sqrt` are each exact-operand
+    * correctly-rounded — so any engine replaying the same formula
+    * produces the same BITS, which is what lets the battery
+    * hash-check a floating-point anomaly score at all. The trailing
+    * window is row-based: gaps in the series mean "last `trailing`
+    * OBSERVED buckets", identically on both engines. */
+  def anomalies(events: DataFrame, tsCol: String, keyCol: String,
+                bucket: String, trailing: Int, zThreshold: Double): DataFrame = {
+    require(trailing >= 2, s"trailing must be >= 2 (variance needs it), got $trailing")
+    val counts = projected(events, tsCol, keyCol)
+      .groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val tw = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(-trailing, -1)
+    val sD = col("__s").cast("double")
+    val ssD = col("__ss").cast("double")
+    counts
+      .withColumn("__s", sum(col("n")).over(tw))
+      .withColumn("__ss", sum(col("n") * col("n")).over(tw))
+      .withColumn("__c", count(col("n")).over(tw))
+      .filter(col("__c") === trailing)
+      .withColumn("__m2", ssD - sD * sD / col("__c"))
+      .filter(col("__m2") > 0)
+      .withColumn("zscore",
+        (col("n").cast("double") - sD / col("__c")) /
+          sqrt(col("__m2") / (col("__c") - 1)))
+      .filter(abs(col("zscore")) >= zThreshold)
+      .select(col(keyCol), col("bucket"), col("n"), col("zscore"))
+  }
 }

@@ -324,4 +324,25 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("2024-01-01 11:00:00.0", "k", 7.0, 2.0, 2.0, 8.0, 3L)))
     assert(run(df.repartition(5)) == got, "open/close depend on partition layout")
   }
+
+  test("anomalies: spike flagged against trailing baseline; flat, short and mild series withheld") {
+    // hourly counts per key — k: 2,4,10 (spike); f: 3,3,3 (flat: zero
+    // variance, no verdict); m: 2,4,5 (z=sqrt(2) < 2, not flagged)
+    def burst(key: String, hour: Int, n: Int, idBase: Long) =
+      (1 to n).map(i => (1L, f"2024-01-01 $hour%02d:10:00", idBase + i, key))
+    val df = events(
+      (burst("k", 10, 2, 100) ++ burst("k", 11, 4, 200) ++ burst("k", 12, 10, 300) ++
+       burst("f", 10, 3, 400) ++ burst("f", 11, 3, 500) ++ burst("f", 12, 3, 600) ++
+       burst("m", 10, 2, 700) ++ burst("m", 11, 4, 800) ++ burst("m", 12, 5, 900)): _*)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      EventAnalytics.anomalies(d, "ts", "event_type", "hour",
+          trailing = 2, zThreshold = 2.0)
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getDouble(3))).toSeq
+    val got = run(df)
+    assert(got.map(t => (t._1, t._2, t._3)) == Seq(("k", "2024-01-01 12:00:00.0", 10L)))
+    // z = (10 - 3) / sqrt(((4+16) - 36/2) / 1) = 7/sqrt(2)
+    assert(math.abs(got.head._4 - 7.0 / math.sqrt(2.0)) < 1e-12)
+    assert(run(df.repartition(6)) == got)
+  }
 }

@@ -2440,7 +2440,61 @@ object ExtQueries {
              |)
              |SELECT event_type, bucket, n, zscore FROM z
              |WHERE abs(zscore) >= 2.0
-             |ORDER BY 1, 2""".stripMargin)))
+             |ORDER BY 1, 2""".stripMargin))),
+
+    // Gap filling (EventAnalytics.fillGaps): a sparse hourly series
+    // (sampled events) densified to the full per-type hour grid with
+    // forward fill. The oracle rebuilds the grid with generate_series
+    // and replays the running last_value — hole positions, fill values
+    // and the filled flags all hash-checked.
+    "q128_gap_fill" -> ((
+      (s: SparkSession, d: String) => {
+        val sparse = events(s, d).filter(col("event_id") % 37 === 0)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+        EventAnalytics.fillGaps(sparse, "event_type", "bucket", "n",
+            stepUs = 3600L * 1000000)
+          .orderBy("event_type", "bucket")
+      },
+      Some("""WITH sparse AS (
+             |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             |         count(*) AS n
+             |  FROM events WHERE event_id % 37 = 0 GROUP BY 1, 2
+             |), spans AS (
+             |  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+             |  FROM sparse GROUP BY 1
+             |), grid AS (
+             |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+             |  FROM spans
+             |), j AS (
+             |  SELECT g.event_type, g.bucket, s.n FROM grid g
+             |  LEFT JOIN sparse s ON g.event_type = s.event_type AND g.bucket = s.bucket
+             |)
+             |SELECT event_type, bucket,
+             |       last_value(n IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+             |       n IS NULL AS filled
+             |FROM j ORDER BY 1, 2""".stripMargin))),
+
+    // SCD2 history build (MergeStore.scd2): a sampled event changelog
+    // per user becomes validity intervals — valid_from/valid_to half-
+    // open, last change flagged current. The oracle replays the lead
+    // window with the same (ts, event_id) ordering.
+    "q129_scd2" -> ((
+      (s: SparkSession, d: String) =>
+        graft.store.MergeStore.scd2(
+            events(s, d).filter(col("event_id") % 23 === 0)
+              .select("user_id", "ts", "event_id", "event_type"),
+            Seq("user_id"), "ts", "event_id")
+          .select(col("user_id"), col("event_id").as("change_id"),
+            col("event_type"), col("valid_from"), col("valid_to"),
+            col("is_current"))
+          .orderBy("user_id", "valid_from", "change_id"),
+      Some("""SELECT user_id, event_id AS change_id, event_type, ts AS valid_from,
+             |       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             |       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+             |FROM events WHERE event_id % 23 = 0
+             |ORDER BY user_id, valid_from, change_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

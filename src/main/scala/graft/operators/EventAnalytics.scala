@@ -287,4 +287,36 @@ object EventAnalytics {
       .filter(abs(col("zscore")) >= zThreshold)
       .select(col(keyCol), col("bucket"), col("n"), col("zscore"))
   }
+
+  /** Gap filling for a bucketed series: densify each key's series to a
+    * regular `stepUs` grid between its first and last observation and
+    * forward-fill `valueCol` across the introduced holes (`filled`
+    * marks them). Downstream windows — the trailing baseline in
+    * [[anomalies]], OHLC charts — silently assume regular spacing;
+    * this is the operator that makes that true.
+    *
+    * Shape: per-key span aggregate (tiny), `sequence` + `explode` to
+    * the grid — O(span/step) rows PER KEY, generated distributed, so a
+    * key's grid never materializes on the driver — left join back on
+    * (key, bucket), then a key-partitioned running `last(ignoreNulls)`.
+    * Pick `stepUs` to match the bucketing that produced the series;
+    * the grid size is span/step — a caller densifying years at
+    * 1-second steps gets the row count they asked for. */
+  def fillGaps(series: DataFrame, keyCol: String, bucketCol: String,
+               valueCol: String, stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    val spans = projected(series, keyCol, bucketCol, valueCol)
+      .groupBy(col(keyCol))
+      .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
+    val grid = spans.select(col(keyCol),
+        explode(sequence(unix_micros(col("__lo")), unix_micros(col("__hi")),
+          lit(stepUs))).as("__b"))
+      .select(col(keyCol), timestamp_micros(col("__b")).as(bucketCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(projected(series, keyCol, bucketCol, valueCol),
+        Seq(keyCol, bucketCol), "left")
+      .withColumn("filled", col(valueCol).isNull)
+      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
 }

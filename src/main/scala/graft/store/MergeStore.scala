@@ -95,6 +95,30 @@ object MergeStore {
                     sumCols: Seq[String]): Unit =
     swapIn(spark, path)(readSummed(spark, path, keyCols, sumCols))
 
+  /** Slowly-changing-dimension type 2: turn an append-only CHANGELOG
+    * (key, change time, attributes) into validity intervals — each row
+    * becomes `[valid_from, valid_to)` where `valid_to` is the key's
+    * next change (null = still current, flagged `is_current`). The
+    * dimension-modeling twin of [[latestByKey]]: latest-wins keeps only
+    * the present, SCD2 keeps the whole history queryable by as-of time
+    * (join facts with `fact.ts >= valid_from AND (valid_to IS NULL OR
+    * fact.ts < valid_to)` — or [[graft.operators.AsofJoin]]).
+    *
+    * One exchange on the key + an in-partition sort + a `lead` window —
+    * the same single-shuffle shape as every ordered-history operator
+    * here. Equal `tsCol` ties order by `tieCol` (a changelog sequence
+    * id), so earlier ties become zero-length intervals and the LAST
+    * tie carries forward — deterministic, replayable. */
+  def scd2(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+           tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(c => col(s"`$c`")): _*)
+      .orderBy(col(s"`$tsCol`"), col(s"`$tieCol`"))
+    changes
+      .withColumn("valid_from", col(s"`$tsCol`"))
+      .withColumn("valid_to", lead(col(s"`$tsCol`"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   private def swapIn(spark: SparkSession, path: String)(merged: DataFrame): Unit = {
     val tmp = path + ".compact_tmp"
     merged.write.mode("overwrite").parquet(tmp)

@@ -345,4 +345,30 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got.head._4 - 7.0 / math.sqrt(2.0)) < 1e-12)
     assert(run(df.repartition(6)) == got)
   }
+
+  test("fillGaps: holes appear on the step grid, forward-filled and flagged; dense keys untouched") {
+    import spark.implicits._
+    // key "k": observations at 10:00 (5) and 13:00 (9) — two holes;
+    // key "d": dense 10:00, 11:00 — nothing to fill
+    val series = Seq(
+      ("k", ts("2024-01-01 10:00:00"), 5L),
+      ("k", ts("2024-01-01 13:00:00"), 9L),
+      ("d", ts("2024-01-01 10:00:00"), 1L),
+      ("d", ts("2024-01-01 11:00:00"), 2L))
+      .toDF("key", "bucket", "n")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      EventAnalytics.fillGaps(d, "key", "bucket", "n", stepUs = 3600L * 1000000)
+        .orderBy("key", "bucket")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getBoolean(3))).toSeq
+    val got = run(series)
+    assert(got == Seq(
+      ("d", "2024-01-01 10:00:00.0", 1L, false),
+      ("d", "2024-01-01 11:00:00.0", 2L, false),
+      ("k", "2024-01-01 10:00:00.0", 5L, false),
+      ("k", "2024-01-01 11:00:00.0", 5L, true),
+      ("k", "2024-01-01 12:00:00.0", 5L, true),
+      ("k", "2024-01-01 13:00:00.0", 9L, false)))
+    assert(run(series.repartition(3)) == got)
+  }
 }

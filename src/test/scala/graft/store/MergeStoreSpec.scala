@@ -90,4 +90,38 @@ class MergeStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     MergeStore.compactSummed(spark, path, Seq("g"), Seq("n", "x"))
     assert(totals(path) == before, "summing compaction must be observationally a no-op")
   }
+
+  test("scd2: changelog becomes half-open validity intervals; ties collapse to zero length") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val changes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 12:00:00"), 2L, "b"),
+      (1L, ts("2024-01-01 12:00:00"), 3L, "c"), // same ts: seq decides
+      (1L, ts("2024-01-01 15:00:00"), 4L, "d"),
+      (2L, ts("2024-01-01 09:00:00"), 5L, "x")) // single change: current
+      .toDF("k", "ts", "seq", "attr")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      MergeStore.scd2(d, Seq("k"), "ts", "seq")
+        .orderBy("k", "valid_from", "seq")
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("attr"),
+          r.getAs[java.sql.Timestamp]("valid_from").toString,
+          Option(r.getAs[java.sql.Timestamp]("valid_to")).map(_.toString),
+          r.getAs[Boolean]("is_current"))).toSeq
+    val got = run(changes)
+    assert(got == Seq(
+      (1L, "a", "2024-01-01 10:00:00.0", Some("2024-01-01 12:00:00.0"), false),
+      // the earlier tie is a zero-length interval; the later one carries
+      (1L, "b", "2024-01-01 12:00:00.0", Some("2024-01-01 12:00:00.0"), false),
+      (1L, "c", "2024-01-01 12:00:00.0", Some("2024-01-01 15:00:00.0"), false),
+      (1L, "d", "2024-01-01 15:00:00.0", None, true),
+      (2L, "x", "2024-01-01 09:00:00.0", None, true)))
+    assert(run(changes.repartition(5)) == got)
+    // as-of probe: the interval containing 13:00 is "c"
+    val asOf = MergeStore.scd2(changes, Seq("k"), "ts", "seq")
+      .filter(col("k") === 1L && col("valid_from") <= ts("2024-01-01 13:00:00") &&
+        (col("valid_to").isNull || col("valid_to") > ts("2024-01-01 13:00:00")))
+      .select("attr").collect().map(_.getString(0)).toSeq
+    assert(asOf == Seq("c"))
+  }
 }

@@ -2494,7 +2494,46 @@ object ExtQueries {
              |       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
              |       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
              |FROM events WHERE event_id % 23 = 0
-             |ORDER BY user_id, valid_from, change_id""".stripMargin)))
+             |ORDER BY user_id, valid_from, change_id""".stripMargin))),
+
+    // Distinctive vocabulary per language (TextAnalysis
+    // .distinctiveTokens): top-10 tokens over-indexing in each lang vs
+    // the rest of the corpus, add-one-smoothed frequency ratio. The
+    // ratio is three correctly-rounded IEEE ops over exact integer
+    // counts, so the double (and the ordering built on it)
+    // hash-matches DuckDB's replay.
+    "q130_distinctive_tokens" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.distinctiveTokens(docs(s, d), "lang", "text",
+            minCount = 5, k = 10)
+          .orderBy("stratum", "rank"),
+      Some("""WITH tok AS (
+             |  SELECT lang AS stratum,
+             |         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                            t -> len(t) > 0)) AS token
+             |  FROM documents
+             |), counts AS (
+             |  SELECT stratum, token, count(*) AS cnt FROM tok GROUP BY 1, 2
+             |), totals AS (SELECT stratum, sum(cnt) AS total FROM counts GROUP BY 1
+             |), tokt AS (SELECT token, sum(cnt) AS tok_total FROM counts GROUP BY 1
+             |), grand AS (SELECT sum(cnt) AS g FROM counts
+             |), r AS (
+             |  SELECT c.stratum, c.token, c.cnt,
+             |    (CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)) /
+             |      ((CAST(tt.tok_total - c.cnt AS DOUBLE) + 1.0) /
+             |       (CAST(g.g - t.total AS DOUBLE) + 1.0)) AS ratio
+             |  FROM counts c JOIN totals t USING (stratum)
+             |       JOIN tokt tt USING (token) CROSS JOIN grand g
+             |  WHERE c.cnt >= 5
+             |), ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY stratum
+             |            ORDER BY ratio DESC, token) AS rank
+             |  FROM r
+             |)
+             |SELECT stratum, token, CAST(cnt AS BIGINT) AS cnt, ratio,
+             |       CAST(rank AS BIGINT) AS rank
+             |FROM ranked WHERE rank <= 10
+             |ORDER BY stratum, rank""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

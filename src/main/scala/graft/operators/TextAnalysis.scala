@@ -246,6 +246,52 @@ object TextAnalysis {
            countDistinct(col("__doc")).as("n_docs"))
       .filter(col("n_occurrences") >= minCount)
 
+  /** Distinctive vocabulary per stratum: the top-k tokens whose
+    * within-stratum relative frequency most over-indexes against the
+    * REST of the corpus — the "what is language/source X actually full
+    * of" corpus-QA report (the counting core of log-odds keyness
+    * analysis, kept in plain ratios so it stays engine-replayable).
+    *
+    * `ratio = (cnt/total) / ((rest_cnt+1)/(rest_total+1))` — add-one
+    * smoothing keeps stratum-exclusive tokens finite (and still
+    * maximally ranked) instead of dividing by zero. All four inputs
+    * are exact integer counts; the ratio chain is three
+    * correctly-rounded IEEE ops, so the double hash-checks across
+    * engines. Ties rank by token, deterministic.
+    *
+    * Scale shape: one (stratum, token) shuffle with map-side combine —
+    * O(vocab × strata) rows ever after — then token totals (second
+    * small shuffle), one broadcast single-row grand total, and a
+    * per-stratum window over the counts table. Raw text volume only
+    * touches the first exchange's map side. */
+  def distinctiveTokens(df: DataFrame, stratumCol: String, textCol: String,
+                        minCount: Long, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tok = df.select(col(s"`$stratumCol`").as("stratum"),
+      explode(tokens(col(s"`$textCol`"))).as("token"))
+    val counts = tok.groupBy("stratum", "token").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("stratum").agg(sum(col("cnt")).as("__total"))
+    val tokTotals = counts.groupBy("token").agg(sum(col("cnt")).as("__tok_total"))
+    val grand = counts.agg(sum(col("cnt")).as("__grand"))
+    val ratio =
+      (col("cnt").cast("double") / col("__total").cast("double")) /
+        ((col("__rest_cnt").cast("double") + 1.0) /
+          (col("__rest_total").cast("double") + 1.0))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
+      .orderBy(col("ratio").desc, col("token"))
+    counts
+      .filter(col("cnt") >= minCount)
+      .join(totals, "stratum")
+      .join(tokTotals, "token")
+      .crossJoin(broadcast(grand))
+      .withColumn("__rest_cnt", col("__tok_total") - col("cnt"))
+      .withColumn("__rest_total", col("__grand") - col("__total"))
+      .withColumn("ratio", ratio)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("stratum"), col("token"), col("cnt"), col("ratio"), col("rank"))
+  }
+
   /** Approximate heavy-hitter tokens via the space-saving sketch
     * ([[graft.functions.TopKTokens]], a native TypedImperativeAggregate):
     * the 100 TB answer when only the top of the token distribution

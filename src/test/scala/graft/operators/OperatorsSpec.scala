@@ -1631,4 +1631,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(10L, 11L, 12L)) // 3-row cell exceeds the cap: untouched
   }
+
+  test("distinctiveTokens: hand-computed smoothed ratios; exclusive tokens finite; ties by token") {
+    import spark.implicits._
+    val df = Seq(("A", "aa aa cc"), ("B", "bb cc cc")).toDF("lang", "text")
+    val got = TextAnalysis.distinctiveTokens(df, "lang", "text", minCount = 1, k = 10)
+      .orderBy("stratum", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSeq
+    // grand=6, totals A=3 B=3, tok_totals aa=2 bb=1 cc=3
+    // A/aa: (2/3)/((0+1)/(3+1)) = 8/3 — stratum-exclusive, finite via smoothing
+    // A/cc: (1/3)/((2+1)/4)     = 4/9
+    // B/bb: (1/3)/((0+1)/4)     = 4/3;  B/cc: (2/3)/((1+1)/4) = 4/3 — tie,
+    // token order ranks bb first
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(got.map(t => (t._1, t._2, t._3, t._5)) == Seq(
+      ("A", "aa", 2L, 1L), ("A", "cc", 1L, 2L),
+      ("B", "bb", 1L, 1L), ("B", "cc", 2L, 2L)))
+    assert(close(got(0)._4, 8.0 / 3) && close(got(1)._4, 4.0 / 9) &&
+      close(got(2)._4, 4.0 / 3) && close(got(3)._4, 4.0 / 3))
+    // minCount prunes the noise floor before ranking
+    val pruned = TextAnalysis.distinctiveTokens(df, "lang", "text", minCount = 2, k = 10)
+      .select("stratum", "token").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pruned == Set(("A", "aa"), ("B", "cc")))
+  }
 }

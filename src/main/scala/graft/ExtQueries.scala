@@ -2533,7 +2533,26 @@ object ExtQueries {
              |SELECT stratum, token, CAST(cnt AS BIGINT) AS cnt, ratio,
              |       CAST(rank AS BIGINT) AS rank
              |FROM ranked WHERE rank <= 10
-             |ORDER BY stratum, rank""".stripMargin)))
+             |ORDER BY stratum, rank""".stripMargin))),
+
+    // Incremental MinHash LSH store (Dedup.writeMinhashStore /
+    // minhashCandidatesAgainstStore): the near-dup sibling of q108's
+    // fingerprint store. Probing the store with its own corpus must
+    // reproduce the in-memory q74 candidate set exactly — same bands,
+    // caps and scoring through the persisted, part-pruned index — so
+    // the SAME SQL replay hash-checks it (the q99-vs-q90 pattern).
+    "q131_minhash_store" -> ((
+      (s: SparkSession, d: String) => {
+        val path = s"/tmp/graft_q131_${new java.io.File(d).getName}_" +
+          ProcessHandle.current().pid()
+        rmrf(new java.io.File(path))
+        Dedup.writeMinhashStore(docs(s, d), "doc_id", "text", path)
+        Dedup.minhashCandidatesAgainstStore(docs(s, d), "doc_id", "text", path)
+          .filter(col("est_jaccard") >= 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(OracleSql.minhashCandidatesSql(
+        numHashes = 32, bands = 8, w = 3, maxBucketSize = 500, threshold = 0.5))))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

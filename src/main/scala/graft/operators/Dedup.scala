@@ -85,27 +85,43 @@ object Dedup {
     * -> distinct pairs -> two id-equi joins back to the signature table
     * for scoring. Buckets above the cap are dropped (boilerplate guard).
     */
-  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 32, bands: Int = 8,
-                        shingleWidth: Int = 3, maxBucketSize: Int = 500): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
+  /** (id, sig) signature table for `df` — the shared first stage of
+    * every minhash path (in-memory candidates and the persisted
+    * store), so banding/scoring can never drift between them. */
+  private def minhashSigs(df: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int, shingleWidth: Int): DataFrame =
+    df.select(col(idCol).as("id"),
         TextFunctions.minhash_signature(shingleHashes(col(textCol), shingleWidth), numHashes).as("sig"))
       .filter(col("sig").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // band value = hash of its signature slice; ids only past this point
-    val banded = sigs.select(col("id"),
+
+  /** (id, band, bucket) banding of a signature table: band value =
+    * hash of its signature slice; ids only past this point. */
+  private def bandedOf(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
         .as(Seq("band", "bucket")))
+  }
+
+  /** Unbiased Jaccard estimate: fraction of agreeing signature rows. */
+  private def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 32, bands: Int = 8,
+                        shingleWidth: Int = 3, maxBucketSize: Int = 500): DataFrame = {
+    val sigs = minhashSigs(df, idCol, textCol, numHashes, shingleWidth)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedOf(sigs, numHashes, bands)
     val pairs = blockPairs(banded, "id", Seq("band", "bucket"), maxBucketSize)
     val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
     pairs.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
+        estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
   }
 
   /** MinHash dedup: candidates above `threshold` collapse; every doc that
@@ -738,5 +754,119 @@ object Dedup {
         probe("__fp") === store("fp") && probe("__bucket") === store("bucket"),
         "left_anti")
       .drop("__fp", "__bucket")
+  }
+
+  /** Persist the MinHash LSH index of a corpus: the NEAR-dup sibling of
+    * [[writeFingerprintStore]]. Two tables under `path`: `bands/`
+    * ((band, bucket, id), hive-partitioned by `part =
+    * pmod(xxhash64(band, bucket), nParts)` — the probe's pruning key)
+    * and `sigs/` ((id, sig), partitioned by `pmod(xxhash64(id),
+    * nParts)` — scoring joins prune the same way). The store is ids +
+    * signatures only: ≈ numHashes longs per doc, orders smaller than
+    * the corpus text it indexes. `meta` pins every parameter that
+    * shapes the index; `mode=append` is the post-batch maintenance
+    * path and refuses a parameter mismatch (an append banded
+    * differently would land where probes never look — silent missed
+    * dupes). */
+  def writeMinhashStore(df: DataFrame, idCol: String, textCol: String, path: String,
+                        numHashes: Int = 32, bands: Int = 8, shingleWidth: Int = 3,
+                        nParts: Int = 64, mode: String = "overwrite"): Unit = {
+    require(nParts >= 1, s"nParts must be >= 1, got $nParts")
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = df.sparkSession
+    if (mode.equalsIgnoreCase("append")) {
+      val metaPath = new java.io.File(s"$path/meta")
+      if (metaPath.exists()) {
+        val m = spark.read.parquet(s"$path/meta").head()
+        require(m.getInt(0) == numHashes && m.getInt(1) == bands &&
+          m.getInt(2) == shingleWidth && m.getInt(3) == nParts,
+          s"minhash store at $path was built with (numHashes, bands, shingleWidth, nParts) = " +
+            s"(${m.getInt(0)}, ${m.getInt(1)}, ${m.getInt(2)}, ${m.getInt(3)}); " +
+            s"append used ($numHashes, $bands, $shingleWidth, $nParts)")
+      }
+    }
+    val sigs = minhashSigs(df, idCol, textCol, numHashes, shingleWidth)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bandedOf(sigs, numHashes, bands)
+      .withColumn("part", pmod(xxhash64(col("band"), col("bucket")), lit(nParts.toLong)).cast("int"))
+      .repartition(col("part"))
+      .write.mode(mode).partitionBy("part").parquet(s"$path/bands")
+    sigs.withColumn("part", pmod(xxhash64(col("id")), lit(nParts.toLong)).cast("int"))
+      .repartition(col("part"))
+      .write.mode(mode).partitionBy("part").parquet(s"$path/sigs")
+    sigs.unpersist()
+    import spark.implicits._
+    Seq((numHashes, bands, shingleWidth, nParts))
+      .toDF("num_hashes", "bands", "shingle_width", "n_parts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Near-dup candidates of a new batch AGAINST the store — incremental
+    * MinHash dedup without re-scanning (or even re-signing) the corpus
+    * history. Returns `(id_a, id_b, est_jaccard)` pairs, `id_a < id_b`,
+    * for every (batch doc, stored doc) sharing a band bucket —
+    * batch-INTERNAL pairs are not this operator's job (compose with
+    * [[minHashCandidates]] over the batch for those).
+    *
+    * Scale shape mirrors [[dedupAgainstStore]]: the batch's distinct
+    * band-bucket parts (≤ nParts, driver-bounded) become a LITERAL
+    * partition filter on the `bands/` scan, and the candidate store
+    * ids' parts prune `sigs/` the same way — history cost is O(index
+    * rows in probed partitions), independent of corpus size. Bucket
+    * capping matches the in-memory operator on the UNION of store and
+    * batch members, so probing a store with its own corpus reproduces
+    * [[minHashCandidates]] exactly (the battery's hash-equality
+    * receipt). */
+  def minhashCandidatesAgainstStore(batch: DataFrame, idCol: String, textCol: String,
+                                    path: String, maxBucketSize: Int = 500): DataFrame = {
+    val spark = batch.sparkSession
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (numHashes, bands, shingleWidth, nParts) =
+      (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))
+    val sigs = minhashSigs(batch, idCol, textCol, numHashes, shingleWidth)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedOf(sigs, numHashes, bands)
+      .withColumn("part", pmod(xxhash64(col("band"), col("bucket")), lit(nParts.toLong)).cast("int"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val parts = banded.select("part").distinct()
+      .collect().map(_.getInt(0)).sorted // driver-bounded: <= nParts values
+    val storeBands = spark.read.parquet(s"$path/bands")
+      .filter(col("part").isin(parts.map(Int.box): _*))
+      .select(col("band"), col("bucket"), col("id"))
+    // cap on the JOINT bucket membership (store ∪ batch, distinct ids):
+    // identical to blockPairs' cap when the batch is already stored,
+    // and the honest "what the bucket will hold" size when it is new
+    val members = storeBands
+      .unionByName(banded.select(col("band"), col("bucket"), col("id")))
+      .distinct()
+    val okBuckets = members.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz").between(2, maxBucketSize))
+      .select("band", "bucket")
+    val rawPairs = storeBands
+      .join(okBuckets, Seq("band", "bucket"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("__bid")),
+        Seq("band", "bucket"))
+      .filter(col("id") =!= col("__bid"))
+      .select(least(col("id"), col("__bid")).as("id_a"),
+        greatest(col("id"), col("__bid")).as("id_b"))
+      .distinct()
+    val sigParts = rawPairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .select(pmod(xxhash64(col("id")), lit(nParts.toLong)).cast("int").as("part"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val storeSigs = spark.read.parquet(s"$path/sigs")
+      .filter(col("part").isin(sigParts.map(Int.box): _*))
+      .select(col("id"), col("sig"))
+    // either side of a pair may live in the store, the batch, or both
+    // (re-probing stored docs); same id ⇒ same text ⇒ same signature,
+    // so an arbitrary survivor per id is exact
+    val allSigs = storeSigs.unionByName(sigs.select(col("id"), col("sig")))
+      .dropDuplicates("id")
+    rawPairs
+      .join(allSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(allSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
   }
 }

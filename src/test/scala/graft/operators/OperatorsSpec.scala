@@ -1632,6 +1632,55 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(10L, 11L, 12L)) // 3-row cell exceeds the cap: untouched
   }
 
+  test("minhash store: self-probe equals the in-memory operator; cross-probe finds history dupes; parts prune") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graft-mhstore").toString + "/store"
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "pack my box with five dozen liquor jugs right now",
+      4L -> "completely unrelated words about nothing in particular here")
+    Dedup.writeMinhashStore(corpus, "doc_id", "text", path, nParts = 8)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // probing the store with its own corpus must reproduce the
+    // in-memory candidate set bit-for-bit (same caps, same scoring)
+    val direct = rows(Dedup.minHashCandidates(corpus, "doc_id", "text"))
+    assert(direct.nonEmpty)
+    assert(rows(Dedup.minhashCandidatesAgainstStore(corpus, "doc_id", "text", path)) == direct)
+
+    // incremental probe: a new batch pairs with stored history only
+    val batch = docs(10L -> "the quick brown fox jumps over the lazy dog soon",
+                     11L -> "fresh text sharing no shingles with anything stored")
+    val cross = Dedup.minhashCandidatesAgainstStore(batch, "doc_id", "text", path)
+    val got = rows(cross)
+    assert(got.forall { case (a, b, _) => a <= 4L && b >= 10L },
+      s"expected only (history, batch) pairs, got $got")
+    assert(got.exists { case (a, b, e) => Set(1L, 2L).contains(a) && b == 10L && e > 0.3 },
+      s"near-dup of stored docs not found: $got")
+    assert(!got.exists(_._2 == 11L), s"unrelated batch doc paired: $got")
+
+    // the bands scan is pruned to the probe's parts by literal filter
+    val scans = cross.queryExecution.executedPlan.collectLeaves().map(_.treeString)
+    val bandScan = scans.find(_.contains("bands"))
+    assert(bandScan.exists(s => s.contains("PartitionFilters") && s.contains("part")),
+      s"bands scan not part-pruned:\n${scans.mkString("\n").take(1200)}")
+
+    // parameter-mismatched append must fail loudly, not corrupt
+    intercept[IllegalArgumentException] {
+      Dedup.writeMinhashStore(batch, "doc_id", "text", path, bands = 4, mode = "append")
+    }
+    // a legit append (same parameters as the store) then surfaces the
+    // new doc to future probes
+    Dedup.writeMinhashStore(batch, "doc_id", "text", path, nParts = 8, mode = "append")
+    val after = rows(Dedup.minhashCandidatesAgainstStore(
+      docs(20L -> "the quick brown fox jumps over the lazy dog soon"),
+      "doc_id", "text", path))
+    assert(after.exists { case (a, b, _) => a == 10L && b == 20L }, s"appended doc invisible: $after")
+  }
+
   test("distinctiveTokens: hand-computed smoothed ratios; exclusive tokens finite; ties by token") {
     import spark.implicits._
     val df = Seq(("A", "aa aa cc"), ("B", "bb cc cc")).toDF("lang", "text")

@@ -2552,7 +2552,27 @@ object ExtQueries {
           .orderBy("id_a", "id_b")
       },
       Some(OracleSql.minhashCandidatesSql(
-        numHashes = 32, bands = 8, w = 3, maxBucketSize = 500, threshold = 0.5))))
+        numHashes = 32, bands = 8, w = 3, maxBucketSize = 500, threshold = 0.5)))),
+
+    // Leakage-safe split (Dedup.leakageSafeSplit): near-dup families
+    // land in ONE split — the split key is the cluster representative,
+    // not the doc. The oracle replays the whole chain (minhash
+    // candidates → transitive closure → salted FNV of the
+    // representative → cut points), so cluster assignment AND hash
+    // placement are both pinned.
+    "q132_leakage_safe_split" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.leakageSafeSplit(docs(s, d), "doc_id", "text",
+            splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            salt = "q132", threshold = 0.5)
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct(col("cluster")).as("n_clusters"),
+               sum(col("doc_id")).cast("long").as("id_sum"))
+          .orderBy("split"),
+      Some(OracleSql.leakageSafeSplitSql(
+        numHashes = 32, bands = 8, w = 3, maxBucketSize = 500, threshold = 0.5,
+        salt = "q132", splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -801,6 +801,64 @@ object OracleSql {
        |SELECT CAST(csize AS BIGINT) AS size, count(*) AS n_clusters
        |FROM cs GROUP BY csize ORDER BY size""".stripMargin
 
+  /** q132 oracle: leakage-safe split report (Dedup.leakageSafeSplit) —
+    * the minhash candidate set thresholded, closed transitively
+    * (min-reachable-id, as q61/q70), every doc keyed by its cluster
+    * representative, the representative FNV-1a-hashed with the salt
+    * prefix onto the 10k ring (q66's machinery over the cluster id
+    * string), labels by cumulative cut points, then per-split doc /
+    * cluster / id-sum counts. */
+  def leakageSafeSplitSql(numHashes: Int, bands: Int, w: Int, maxBucketSize: Int,
+                          threshold: Double, salt: String,
+                          splits: Seq[(String, Double)]): String = {
+    require(!salt.contains("'"), "salt must not contain quotes")
+    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * 10000)).dropRight(1)
+    val caseExpr =
+      if (cuts.isEmpty) s"'${splits.head._1}'"
+      else splits.map(_._1).zip(cuts)
+        .map { case (n, c) => s"WHEN bucket < $c THEN '$n'" }
+        .mkString("CASE ", " ", s" ELSE '${splits.last._1}' END")
+    val fnvFold = s"(${mul(xorm("h", "y"), FnvPrime)})"
+    s"""WITH RECURSIVE ${candidateCtes(numHashes, bands, w, maxBucketSize)},
+       |cand AS (
+       |  SELECT id_a, id_b FROM scored WHERE est_jaccard >= $threshold
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM cand
+       |  UNION SELECT id_b, id_a FROM cand
+       |), reach AS (
+       |  SELECT src AS id, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+       |), memb AS (
+       |  SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
+       |), asg AS (
+       |  SELECT d.doc_id, coalesce(m.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN memb m ON d.doc_id = m.id
+       |), hxc AS (
+       |  SELECT doc_id, cluster, hex(encode('$salt' || CAST(cluster AS VARCHAR))) AS hx
+       |  FROM asg
+       |), fpc AS (
+       |  SELECT doc_id, cluster, list_reduce(
+       |    list_prepend($FnvBasis,
+       |      list_transform(range(1, len(hx) // 2 + 1), i ->
+       |        CAST((strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+       |           + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1) AS HUGEINT))),
+       |    (h, y) -> $fnvFold) AS u
+       |  FROM hxc
+       |), sgn AS (
+       |  SELECT doc_id, cluster, ${signed("u")} AS fp FROM fpc
+       |), rng AS (
+       |  SELECT doc_id, cluster, ((fp % 10000) + 10000) % 10000 AS bucket FROM sgn
+       |), lbl AS (
+       |  SELECT doc_id, cluster, $caseExpr AS split FROM rng
+       |)
+       |SELECT split, count(*) AS n_docs,
+       |       CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Shared MinHash LSH candidate CTEs: documents -> `scored(id_a,
     * id_b, est_jaccard)` (UNthresholded — callers filter). */
   private def candidateCtes(numHashes: Int, bands: Int, w: Int,

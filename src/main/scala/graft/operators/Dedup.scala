@@ -869,4 +869,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
   }
+
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * NEVER straddle a split boundary — a test doc with a near-copy in
+    * train is benchmark contamination by construction, and a plain
+    * per-doc hash split scatters every duplicate family across all
+    * three splits. Here the split key is the near-dup CLUSTER
+    * representative (MinHash candidates ≥ `threshold`, closed
+    * transitively), hashed with the same deterministic FNV machinery
+    * as [[graft.operators.TextAnalysis.hashSampleCond]]: the whole
+    * family lands in one split, singleton docs are their own cluster,
+    * and membership is a pure function of (corpus, salt) — same rows
+    * on any cluster, any partitioning, any day.
+    *
+    * `splits` are (label, fraction) in order, fractions summing to 1
+    * (±1e-9); cut points are cumulative on the 10k-bucket hash ring,
+    * the last split absorbing the rounding tail. Output = input
+    * columns + `cluster` + `split`.
+    *
+    * Cost = the candidate pass (capped LSH buckets, ids-only shuffles)
+    * + O(log n) star-contraction rounds + one hash — the same
+    * machinery q47/q61 already run at corpus scale; nothing here is
+    * quadratic. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       splits: Seq[(String, Double)], salt: String = "",
+                       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
+                       shingleWidth: Int = 3, maxBucketSize: Int = 500): DataFrame = {
+    require(splits.nonEmpty, "leakageSafeSplit needs at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    require(splits.map(_._1).distinct.size == splits.size, "duplicate split labels")
+    val pairs = minHashCandidates(df, idCol, textCol, numHashes, bands,
+        shingleWidth, maxBucketSize)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("cluster").as("__cc"))
+    val bucket = pmod(
+      TextFunctions.fingerprint64(concat(lit(salt), col("cluster").cast("string"))),
+      lit(10000L))
+    // cumulative cut points; the last is pinned to 10000 so rounding
+    // can never orphan a bucket
+    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * 10000))
+      .dropRight(1) :+ 10000L
+    val label = splits.map(_._1).zip(cuts).reverse
+      .foldLeft(lit(null: String)) { case (acc, (name, cut)) =>
+        when(bucket < cut, name).otherwise(acc)
+      }
+    df.join(comps, df(s"`$idCol`") === comps("__cc_id"), "left")
+      .withColumn("cluster", coalesce(col("__cc"), col(s"`$idCol`")))
+      .drop("__cc_id", "__cc")
+      .withColumn("split", label)
+  }
 }

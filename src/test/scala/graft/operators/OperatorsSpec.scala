@@ -1681,6 +1681,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.exists { case (a, b, _) => a == 10L && b == 20L }, s"appended doc invisible: $after")
   }
 
+  test("leakageSafeSplit: near-dup families never straddle a split, at any salt; fractions sane") {
+    import org.apache.spark.sql.functions.col
+    // two near-dup families + unrelated singletons
+    val corpus = docs(
+      (Seq(
+        1L -> "the quick brown fox jumps over the lazy dog tonight",
+        2L -> "the quick brown fox jumps over the lazy dog today",
+        3L -> "pack my box with five dozen liquor jugs right now",
+        4L -> "pack my box with five dozen liquor jugs right here") ++
+        (100L until 300L).map(i => i -> s"unique document number $i with its own words w$i x${i * 7} y${i * 13}")): _*)
+    for (salt <- Seq("a", "b", "c")) {
+      val out = Dedup.leakageSafeSplit(corpus, "doc_id", "text",
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        salt = salt, threshold = 0.5)
+      val bySplit = out.select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(bySplit.size == corpus.count())
+      // family members share a split — the whole point
+      assert(bySplit(1L) == bySplit(2L), s"salt=$salt split family {1,2}")
+      assert(bySplit(3L) == bySplit(4L), s"salt=$salt split family {3,4}")
+      // cut points honored loosely on ~200 singletons (hash ring is
+      // uniform-ish, not exact)
+      val n = bySplit.size.toDouble
+      val trainFrac = bySplit.values.count(_ == "train") / n
+      assert(trainFrac > 0.6 && trainFrac < 0.95, s"salt=$salt trainFrac=$trainFrac")
+      assert(bySplit.values.toSet.size >= 2, s"salt=$salt produced a single split")
+    }
+    // every row labeled; fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      Dedup.leakageSafeSplit(corpus, "doc_id", "text",
+        splits = Seq("train" -> 0.8, "val" -> 0.1), salt = "x")
+    }
+  }
+
   test("distinctiveTokens: hand-computed smoothed ratios; exclusive tokens finite; ties by token") {
     import spark.implicits._
     val df = Seq(("A", "aa aa cc"), ("B", "bb cc cc")).toDF("lang", "text")

@@ -2572,7 +2572,71 @@ object ExtQueries {
           .orderBy("split"),
       Some(OracleSql.leakageSafeSplitSql(
         numHashes = 32, bands = 8, w = 3, maxBucketSize = 500, threshold = 0.5,
-        salt = "q132", splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))))
+        salt = "q132", splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))))),
+
+    // Compaction through the hash gate: q122's latest-wins store,
+    // COMPACTED before reading. Same oracle as q122 — compaction is
+    // observationally invisible (MergeStoreSpec pins it on small data;
+    // this row pins it at battery scale, through the physical rewrite
+    // + swap).
+    "q133_compacted_latest" -> ((
+      (s: SparkSession, d: String) => {
+        val path = s"/tmp/graft_q133_${new java.io.File(d).getName}_" +
+          ProcessHandle.current().pid()
+        rmrf(new java.io.File(path))
+        val ev = events(s, d).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("value"))
+        graft.store.MergeStore.appendPart(ev.withColumn("version", lit(1L)), path)
+        graft.store.MergeStore.appendPart(
+          ev.filter(col("user_id") % 10 === 0)
+            .withColumn("value", (col("value") + lit(100)).cast(
+              org.apache.spark.sql.types.DecimalType(18, 2)))
+            .withColumn("version", lit(2L)),
+          path)
+        graft.store.MergeStore.compactLatest(s, path, Seq("event_id"), "version")
+        graft.store.MergeStore.readLatest(s, path, Seq("event_id"), "version")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               sum(col("version")).cast("long").as("version_sum"),
+               sum(col("value")).cast("double").as("value_sum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH parts AS (
+             |  SELECT event_id, user_id, event_type,
+             |         CAST(value AS DECIMAL(18,2)) AS value, 1 AS version FROM events
+             |  UNION ALL
+             |  SELECT event_id, user_id, event_type,
+             |         CAST(CAST(value AS DECIMAL(18,2)) + 100 AS DECIMAL(18,2)), 2
+             |  FROM events WHERE user_id % 10 = 0
+             |), merged AS (
+             |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY version DESC) AS rn
+             |  FROM parts
+             |)
+             |SELECT event_type, count(*) AS n,
+             |       CAST(sum(version) AS BIGINT) AS version_sum,
+             |       CAST(sum(value) AS DOUBLE) AS value_sum
+             |FROM merged WHERE rn = 1
+             |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Percentile bands over time buckets: hourly p50/p95 of value per
+    // type — the latency-dashboard shape. Exact `percentile` with
+    // linear interpolation on both engines (the q34 parity, per
+    // bucket).
+    "q134_percentile_bands" -> ((
+      (s: SparkSession, d: String) =>
+        events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+          .agg(expr("percentile(value, 0.5)").as("p50"),
+               expr("percentile(value, 0.95)").as("p95"),
+               count(lit(1)).as("n"))
+          .orderBy("bucket", "event_type"),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+             |       quantile_cont(value, 0.5) AS p50,
+             |       quantile_cont(value, 0.95) AS p95,
+             |       count(*) AS n
+             |FROM events
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -2636,7 +2636,44 @@ object ExtQueries {
              |       quantile_cont(value, 0.95) AS p95,
              |       count(*) AS n
              |FROM events
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    // Containment pairs (Dedup.containmentPairs): the asymmetric
+    // overlap detector — quote-style dupes with tiny Jaccard but
+    // near-1 containment of the smaller side. Oracle replays q70's
+    // shared-shingle machinery with the containment ratios.
+    "q135_containment_pairs" -> ((
+      (s: SparkSession, d: String) =>
+        Dedup.containmentPairs(docs(s, d), "doc_id", "text",
+            shingleWidth = 3, threshold = 0.6)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(t) >= 3
+             |      THEN list_distinct(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))
+             |      ELSE [array_to_string(t, ' ')] END AS s
+             |  FROM tk
+             |), ex AS (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
+             |), cp AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+             |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), cand AS (
+             |  SELECT id_a, id_b, shared, len(sa.s) AS na, len(sb.s) AS nb
+             |  FROM cp JOIN sh sa ON cp.id_a = sa.doc_id JOIN sh sb ON cp.id_b = sb.doc_id
+             |  WHERE shared >= 2
+             |)
+             |SELECT id_a, id_b,
+             |       CAST(shared AS DOUBLE) / na AS containment_a,
+             |       CAST(shared AS DOUBLE) / nb AS containment_b,
+             |       greatest(CAST(shared AS DOUBLE) / na, CAST(shared AS DOUBLE) / nb) AS containment
+             |FROM cand
+             |WHERE greatest(CAST(shared AS DOUBLE) / na, CAST(shared AS DOUBLE) / nb) >= 0.6
+             |ORDER BY 1, 2""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

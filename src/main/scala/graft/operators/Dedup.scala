@@ -662,9 +662,14 @@ object Dedup {
     *    that common under-count `shared`; set `maxDf` above the corpus's
     *    true near-dup cluster size to keep the result exact.
     * `minShared` prunes single-collision pairs before the jaccard math. */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleWidth: Int = 3, threshold: Double = 0.5,
-                        minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
+  /** Shared-shingle pair counting — the common core of the exact
+    * overlap family: `(id_a, id_b, n_a, n_b, shared)` for every pair
+    * co-occurring in ≥ `minShared` shingle postings (inverted index,
+    * `maxDf`-capped). Jaccard and containment are just different
+    * ratios over these five columns. */
+  private def sharedShinglePairs(df: DataFrame, idCol: String, textCol: String,
+                                 shingleWidth: Int, minShared: Int,
+                                 maxDf: Int): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleWidth).as("shingles"))
       .withColumn("n_sh", size(col("shingles")).cast("long"))
     val inv = sh.select(explode(col("shingles")).as("shingle"),
@@ -683,11 +688,36 @@ object Dedup {
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+  }
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleWidth: Int = 3, threshold: Double = 0.5,
+                        minShared: Int = 2, maxDf: Int = 1000): DataFrame =
+    sharedShinglePairs(df, idCol, textCol, shingleWidth, minShared, maxDf)
       .withColumn("jaccard",
         col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
+
+  /** Containment pairs — ASYMMETRIC near-dup detection: a short doc
+    * quoted wholesale inside a much larger one has a tiny Jaccard
+    * (the union is dominated by the big doc) but containment
+    * `|A∩B| / |A|` ≈ 1. This is the detector for quote/aggregation
+    * dupes that every symmetric measure structurally misses — the
+    * standard companion to Jaccard in exact-overlap dedup (Broder's
+    * containment). Emits both directions plus their max; filter on
+    * `containment` (the max) to catch either orientation. Same
+    * DF-capped inverted-index machinery and cost as
+    * [[ngramJaccardPairs]]. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleWidth: Int = 3, threshold: Double = 0.8,
+                       minShared: Int = 2, maxDf: Int = 1000): DataFrame =
+    sharedShinglePairs(df, idCol, textCol, shingleWidth, minShared, maxDf)
+      .withColumn("containment_a", col("shared").cast("double") / col("n_a").cast("double"))
+      .withColumn("containment_b", col("shared").cast("double") / col("n_b").cast("double"))
+      .withColumn("containment", greatest(col("containment_a"), col("containment_b")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment_a", "containment_b", "containment")
 
   /** Persisted content-fingerprint store for INCREMENTAL dedup: dedup
     * each day's batch against the full corpus history without ever

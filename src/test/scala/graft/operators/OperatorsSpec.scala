@@ -1681,6 +1681,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.exists { case (a, b, _) => a == 10L && b == 20L }, s"appended doc invisible: $after")
   }
 
+  test("containmentPairs: quote-style dupes invisible to Jaccard, both directions reported") {
+    import org.apache.spark.sql.functions.col
+    val quote = "the five boxing wizards jump quickly tonight"
+    val big = ("filler opening words here to start with " * 8) + quote +
+      (" and then much more unrelated trailing content follows " * 8)
+    val corpus = docs(
+      1L -> quote,                                     // fully contained in 2
+      2L -> big,
+      3L -> "completely different text about other things entirely")
+    val pairs = Dedup.containmentPairs(corpus, "doc_id", "text",
+        shingleWidth = 3, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(pairs.contains((1L, 2L)), s"contained quote not detected: $pairs")
+    val (ca, cb, cMax) = pairs((1L, 2L))
+    assert(ca == 1.0, s"doc 1 is fully inside doc 2: containment_a=$ca")
+    assert(cb < 0.5 && cMax == 1.0)
+    // and Jaccard at the same threshold misses it — the reason the
+    // operator exists
+    val jac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        shingleWidth = 3, threshold = 0.8)
+      .collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "fixture flaw: Jaccard also fires, containment adds nothing")
+  }
+
   test("leakageSafeSplit: near-dup families never straddle a split, at any salt; fractions sane") {
     import org.apache.spark.sql.functions.col
     // two near-dup families + unrelated singletons

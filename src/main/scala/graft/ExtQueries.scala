@@ -2673,7 +2673,51 @@ object ExtQueries {
              |       greatest(CAST(shared AS DOUBLE) / na, CAST(shared AS DOUBLE) / nb) AS containment
              |FROM cand
              |WHERE greatest(CAST(shared AS DOUBLE) / na, CAST(shared AS DOUBLE) / nb) >= 0.6
-             |ORDER BY 1, 2""".stripMargin)))
+             |ORDER BY 1, 2""".stripMargin))),
+
+    // Cross-corpus boilerplate removal (TextAnalysis
+    // .removeBoilerplateLines): a shared two-line header is stamped
+    // onto every doc INSIDE the query (the synthetic corpus has no
+    // natural boilerplate — every line is distinct), then removed by
+    // the global line-df filter; body lines (df = near-dup family
+    // size) survive in position. The oracle replays the stamping and
+    // the removal, so a kept header, a dropped body line or a
+    // scrambled reassembly all hash-mismatch.
+    "q136_boilerplate_lines" -> ((
+      (s: SparkSession, d: String) => {
+        val stamped = docs(s, d).withColumn("text",
+          concat(lit("HOME | ABOUT | CONTACT\ncookie notice: we use cookies\n"),
+            col("text")))
+        TextAnalysis.removeBoilerplateLines(stamped, "doc_id", "text", maxDf = 100)
+          .select(col("doc_id"), col("text_clean"), col("n_lines_kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH stamped AS (
+             |  SELECT doc_id,
+             |         'HOME | ABOUT | CONTACT' || chr(10) ||
+             |         'cookie notice: we use cookies' || chr(10) || text AS text
+             |  FROM documents
+             |), l AS (
+             |  SELECT doc_id,
+             |         unnest(string_split(text, chr(10))) AS line,
+             |         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+             |  FROM stamped
+             |), keepable AS (
+             |  SELECT line FROM l GROUP BY line
+             |  HAVING count(DISTINCT doc_id) <= 100
+             |), kept AS (
+             |  SELECT l.doc_id, l.pos, l.line FROM l JOIN keepable USING (line)
+             |), rebuilt AS (
+             |  SELECT doc_id,
+             |         array_to_string(list(line ORDER BY pos), chr(10)) AS text_clean,
+             |         count(*) AS n_lines_kept
+             |  FROM kept GROUP BY doc_id
+             |)
+             |SELECT d.doc_id,
+             |       coalesce(r.text_clean, '') AS text_clean,
+             |       CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
+             |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

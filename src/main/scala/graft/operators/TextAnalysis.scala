@@ -246,6 +246,44 @@ object TextAnalysis {
            countDistinct(col("__doc")).as("n_docs"))
       .filter(col("n_occurrences") >= minCount)
 
+  /** Cross-corpus boilerplate line removal (the C4-family global line
+    * filter): drop every line that appears in more than `maxDf`
+    * DISTINCT documents — navigation menus, cookie banners, footers —
+    * keeping each surviving line in its original position. Per-doc
+    * cleaning ([[cleanLines]]) can't see this class: a header is a
+    * perfectly fine line that is merely EVERYWHERE.
+    *
+    * Shape: posexplode lines → line-keyed distinct-doc counts (one
+    * partial-agg shuffle, O(distinct lines)) → inner join keeps
+    * below-cap lines → per-doc reassembly via sort_array over
+    * (pos, line) structs (deterministic under any partitioning; the
+    * per-doc buffer is the doc's own line count, the same bound the
+    * raw row already paid). Docs whose every line is boilerplate come
+    * back as empty text, not dropped rows. Matching is EXACT bytes —
+    * normalize upstream if you want case/whitespace-insensitive
+    * boilerplate identity. */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             maxDf: Int): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val lines = df.select(col(s"`$idCol`").as("__id"),
+      posexplode(split(col(s"`$textCol`"), "\n")).as(Seq("__pos", "__line")))
+    val keepable = lines.groupBy("__line")
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select("__line")
+    val rebuilt = lines.join(keepable, Seq("__line"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__pos").as("p"), col("__line").as("l"))))
+        .as("__kept"))
+      .select(col("__id"),
+        concat_ws("\n", transform(col("__kept"), e => e.getField("l"))).as("__clean"),
+        size(col("__kept")).cast("long").as("n_lines_kept"))
+    df.join(rebuilt, df(s"`$idCol`") === rebuilt("__id"), "left")
+      .withColumn("text_clean", coalesce(col("__clean"), lit("")))
+      .withColumn("n_lines_kept", coalesce(col("n_lines_kept"), lit(0L)))
+      .drop("__id", "__clean")
+  }
+
   /** Distinctive vocabulary per stratum: the top-k tokens whose
     * within-stratum relative frequency most over-indexes against the
     * REST of the corpus — the "what is language/source X actually full

@@ -1681,6 +1681,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.exists { case (a, b, _) => a == 10L && b == 20L }, s"appended doc invisible: $after")
   }
 
+  test("removeBoilerplateLines: global header dropped, order kept, exact-byte identity, empty docs survive") {
+    import org.apache.spark.sql.functions.col
+    val hdr = "SITE NAV | HOME"
+    val corpus = docs(
+      1L -> s"$hdr\nfirst real line\nsecond real line",
+      2L -> s"$hdr\nother content here",
+      3L -> s"$hdr\nSITE NAV | home\nmore text", // case differs: the lowercase twin is NOT boilerplate
+      4L -> hdr)                                  // nothing but boilerplate
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.removeBoilerplateLines(d, "doc_id", "text", maxDf = 2)
+        .select("doc_id", "text_clean", "n_lines_kept")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val got = run(corpus)
+    assert(got == Seq(
+      (1L, "first real line\nsecond real line", 2L),
+      (2L, "other content here", 1L),
+      (3L, "SITE NAV | home\nmore text", 2L),
+      (4L, "", 0L)))
+    assert(run(corpus.repartition(5)) == got, "reassembly depends on partition layout")
+  }
+
   test("containmentPairs: quote-style dupes invisible to Jaccard, both directions reported") {
     import org.apache.spark.sql.functions.col
     val quote = "the five boxing wizards jump quickly tonight"

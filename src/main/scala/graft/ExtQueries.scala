@@ -2717,7 +2717,167 @@ object ExtQueries {
              |       coalesce(r.text_clean, '') AS text_clean,
              |       CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
              |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin)))
+             |ORDER BY d.doc_id""".stripMargin))),
+
+    // True unigram-LM cross-entropy scoring (TextAnalysis
+    // .unigramSurprisal): the CCNet perplexity family, hash-checkable
+    // because each ln is quantized to integer 1e-4 nats BEFORE the
+    // distributed sum — per-doc accumulation is exact integer math,
+    // the one float division is fixed-order, and the oracle replays
+    // the identical quantization (ln agreement verified: DuckDB ==
+    // libm bit-for-bit on this box; JVM's rare 1-ulp drift cannot
+    // cross a rounding boundary at this scale).
+    "q137_lm_surprisal" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.unigramSurprisal(docs(s, d), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+             |  FROM documents
+             |), tok AS (
+             |  SELECT doc_id, unnest(t) AS token FROM tk
+             |), pairs AS (
+             |  SELECT doc_id, token, count(*) AS m FROM tok GROUP BY 1, 2
+             |), cnt AS (
+             |  SELECT token, sum(m) AS c FROM pairs GROUP BY 1
+             |), tot AS (
+             |  SELECT sum(c) AS N, count(*) AS V FROM cnt
+             |), u AS (
+             |  SELECT token, CAST(round(ln(CAST(c + 1 AS DOUBLE)) * 10000) AS BIGINT) AS u FROM cnt
+             |), per AS (
+             |  SELECT pairs.doc_id, sum(pairs.m * u.u) AS s, sum(pairs.m) AS n
+             |  FROM pairs JOIN u USING (token) GROUP BY 1
+             |)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
+             |       CASE WHEN per.n IS NULL THEN 0.0
+             |            ELSE CAST(per.n * CAST(round(ln(CAST(tot.N + tot.V AS DOUBLE)) * 10000) AS BIGINT)
+             |                      - per.s AS DOUBLE)
+             |                 / CAST(per.n * 10000 AS DOUBLE) END AS xent
+             |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+             |CROSS JOIN tot
+             |ORDER BY d.doc_id""".stripMargin))),
+
+    // Per-source volume cap (TextAnalysis.capPerGroup): every source
+    // above 10 docs downsampled to ~10 by the integer FNV membership
+    // test bucket·n < cap·10000 (cap chosen under this corpus's
+    // uniform 25-250 docs/source so the filter actually bites at both
+    // SFs); the oracle replays the q66/q102 HUGEINT fingerprint
+    // machinery plus the group counts, so a wrong count, bucket, or
+    // comparison direction all hash-mismatch.
+    "q138_source_caps" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.capPerGroup(docs(s, d), col("doc_id"), col("source"),
+            cap = 10L, salt = "q138")
+          .select("doc_id", "source")
+          .orderBy("doc_id"),
+      Some("""WITH hx AS (
+             |  SELECT doc_id, source, hex(encode('q138' || CAST(doc_id AS VARCHAR))) AS hx FROM documents
+             |), fp AS (
+             |  SELECT doc_id, source, list_reduce(
+             |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |      list_transform(range(1, len(hx) // 2 + 1), i ->
+             |        CAST((strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+             |           + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1) AS HUGEINT))),
+             |    (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT) * 1099511628211)
+             |              % CAST('18446744073709551616' AS HUGEINT)
+             |  ) AS f
+             |  FROM hx
+             |), signed AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN f >= CAST('9223372036854775808' AS HUGEINT)
+             |         THEN CAST(f - CAST('18446744073709551616' AS HUGEINT) AS BIGINT)
+             |         ELSE CAST(f AS BIGINT) END AS fp
+             |  FROM fp
+             |), b AS (
+             |  SELECT doc_id, source, ((fp % 10000) + 10000) % 10000 AS bucket FROM signed
+             |), c AS (
+             |  SELECT source, count(*) AS n FROM documents GROUP BY 1
+             |)
+             |SELECT b.doc_id, b.source
+             |FROM b JOIN c USING (source)
+             |WHERE b.bucket * c.n < 10 * 10000
+             |ORDER BY doc_id""".stripMargin))),
+
+    // Streaming gap-sessions through the REAL streaming machinery
+    // (StreamingIngest.sessionCounts / `session_window`), hash-checked
+    // against the batch answer: events staged as a two-file stream
+    // split at the median timestamp (so sessions straddle the
+    // micro-batch boundary and the cross-batch session-state merge is
+    // actually exercised), watermark-finalized in append mode under
+    // Trigger.AvailableNow, with a far-future sentinel pushing the
+    // final watermark past every real session (the sentinel's own
+    // session can never finalize, and is key-filtered besides). The
+    // oracle replays `session_window`'s STRICT merge rule — a new
+    // event joins a session iff it lands before last+gap, so a gap of
+    // exactly 30 minutes splits (q32's lag-based variant merges it:
+    // the two session definitions differ at the boundary by design).
+    "q139_streaming_sessions" -> ((
+      (s: SparkSession, d: String) => {
+        val sfName = new java.io.File(d).getName
+        val base = new java.io.File(s"/tmp/graft_stream_sessions_$sfName")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        rm(base)
+        val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+        val ev = Queries.normalizeEventTs(s.read.parquet(s"$d/events.parquet"))
+          .select(col("ts"), col("user_id"))
+        val bounds = ev.agg(max(col("ts")).as("mx"),
+          expr("percentile_approx(unix_micros(ts), 0.5, 100000)").as("med")).head()
+        val maxTs = bounds.getTimestamp(0); val medUs = bounds.getLong(1)
+        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = new java.io.File(base, s"stage_$name")
+          df.coalesce(1).write.parquet(tmp.toString)
+          val part = tmp.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+          val dest = new java.io.File(inDir, name)
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(mtime); ()
+        }
+        val now = System.currentTimeMillis()
+        stage(ev.filter(unix_micros(col("ts")) <= medUs), "000_early.parquet", now - 120000)
+        val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 40L * 24 * 3600 * 1000)
+        stage(ev.filter(unix_micros(col("ts")) > medUs).unionByName(
+            s.createDataFrame(
+              java.util.List.of(org.apache.spark.sql.Row(sentinelTs, -1L)), ev.schema)),
+          "001_late.parquet", now - 60000)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        val sessions = graft.streaming.StreamingIngest.sessionCounts(
+          stream, "ts", "user_id", "30 minutes", "1 minute")
+        val outDir = new java.io.File(base, "out").toString
+        val q = sessions.writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+          .filter(col("user_id") =!= -1L)
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+             |), g AS (
+             |  SELECT user_id, ts,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |                   ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM d
+             |)
+             |SELECT user_id,
+             |       min(ts) AS session_start,
+             |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |       count(*) AS n_events
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -301,7 +301,13 @@ object EventAnalytics {
     * (key, bucket), then a key-partitioned running `last(ignoreNulls)`.
     * Pick `stepUs` to match the bucketing that produced the series;
     * the grid size is span/step — a caller densifying years at
-    * 1-second steps gets the row count they asked for. */
+    * 1-second steps gets the row count they asked for.
+    *
+    * Preconditions: `series` is an aggregated series — at most one row
+    * per (key, bucket), buckets ON the step grid (off-grid
+    * observations miss the equi join and are dropped), and observed
+    * values non-null (a null observation is indistinguishable from a
+    * hole and will be forward-filled over). */
   def fillGaps(series: DataFrame, keyCol: String, bucketCol: String,
                valueCol: String, stepUs: Long): DataFrame = {
     require(stepUs > 0, s"stepUs must be positive, got $stepUs")

@@ -65,6 +65,10 @@ object Expectations {
     * per rule, in the order given. */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "check needs at least one rule")
+    // duplicate names would alias two identical agg buffers and make
+    // the per-rule column lookups ambiguous — reject loudly
+    require(rules.map(_.name).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.map(_.name).diff(rules.map(_.name).distinct).mkString(", ")}")
     val rowLocal = rules.collect {
       case r: NotNull => r.name -> col(s"`${r.col}`").isNull
       case r: InRange => r.name ->

@@ -188,6 +188,41 @@ object TextAnalysis {
       .drop(rk)
   }
 
+  /** Per-group volume cap — "no domain contributes more than `cap`
+    * documents": downsample each over-represented group to an expected
+    * `cap` rows with the deterministic FNV membership test; groups at
+    * or under the cap keep every row. The web-scale failure this
+    * guards: a few giant domains (mirror farms, patent dumps, crawler
+    * traps) silently dominating the training mixture.
+    *
+    * Membership is `bucket(id) · n_g < cap · 10000` with
+    * `bucket ∈ [0, 10000)` — pure integer arithmetic, no float rate
+    * and no rounding policy to document, and `n_g ≤ cap` keeps the
+    * whole group since `bucket · n_g < 10000 · n_g ≤ 10000 · cap`.
+    * Kept counts are binomial around `cap · (1 ± ε)` (the price of a
+    * single-membership-test scan; [[sampleExactPerStratum]] pins
+    * counts exactly when that matters more than its extra sort).
+    * Membership is a pure function of (salt, id, group counts): the
+    * same rows survive on any cluster and any partitioning.
+    *
+    * Shape: one partial-aggregated exchange reduces the corpus to
+    * O(groups) count rows, which broadcast back onto the scan as a
+    * filter — the 100 TB side never shuffles. The broadcast holds one
+    * (group, count) row per group: fine for up to low-millions of
+    * domains; beyond that drop the hint and let AQE pick the join. */
+  def capPerGroup(df: DataFrame, idCol: Column, groupCol: Column, cap: Long,
+                  salt: String = ""): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val cnt = Iterator.from(0).map(i => s"__gcnt$i").find(n => !df.columns.contains(n)).get
+    val g = Iterator.from(0).map(i => s"__gkey$i").find(n => !df.columns.contains(n)).get
+    val counts = df.groupBy(groupCol.as(g)).agg(count(lit(1)).as(cnt))
+    val bucket =
+      pmod(TextFunctions.fingerprint64(concat(lit(salt), idCol.cast("string"))), lit(10000L))
+    df.join(broadcast(counts), groupCol <=> col(s"`$g`"), "left")
+      .filter(bucket * col(s"`$cnt`") < lit(cap * 10000L))
+      .drop(g, cnt)
+  }
+
   /** Chunk documents into fixed-size token windows with overlap — the
     * standard pre-training step that turns variable-length documents
     * into training sequences (context-window packing's simpler sibling).
@@ -645,6 +680,65 @@ object TextAnalysis {
         when(col("__n").isNull, lit(0.0))
           .otherwise((col("__s").cast("double") / col("__n").cast("double")) /
             col("__corpus_total").cast("double")).as("score"))
+  }
+
+  /** Add-one-smoothed unigram LM cross-entropy per document — the true
+    * perplexity-family quality score of the CCNet pipeline (documents
+    * the model of "ordinary text" finds surprising are gibberish, code
+    * dumps, or off-language; head/middle/tail splits cut on it), made
+    * oracle-replayable by quantizing each token surprisal to an
+    * integer BEFORE the distributed sum. [[tokenFrequencyScore]]
+    * dodges transcendentals entirely at the cost of scoring on raw
+    * frequency; this operator keeps the log but moves every
+    * non-associative float op out of the aggregation:
+    *
+    *  - per-token `u(t) = round(ln(c(t)+1) · scale)` is a pure
+    *    function of the corpus count — a long;
+    *  - per-doc accumulation `Σ m_t · u(t)` is an exact integer sum,
+    *    order-free and safe under partial aggregation on any
+    *    partitioning;
+    *  - the score divides once, in a fixed order:
+    *    `xent = (n · round(ln(N+V) · scale) − Σ m_t·u(t)) / (n · scale)`
+    *    — the add-one-smoothed cross-entropy `−Σ ln((c+1)/(N+V)) / n`
+    *    in nats, with each log quantized to `1/scale` nats
+    *    (scale=10000 → 1e-4 nats, far below any filter threshold's
+    *    sensitivity). Perplexity, if wanted, is `exp(xent)` downstream.
+    *
+    * Cross-engine bit-exactness needs `round(ln(k)·scale)` to agree
+    * for the integer k that occur (token counts + 1, and N+V). JVM
+    * `Math.log` and libm `ln` disagree on ~54 of the first 2M
+    * integers, each by one ulp (~1e-16 relative); a 1-ulp slip flips
+    * the rounding only when `ln(k)·scale` lands within ~1e-11 of a
+    * half-integer — measured-vanishing odds, and the battery's hash
+    * gate detects the event if it ever occurs (remedy: a different
+    * `scale` shifts every boundary).
+    *
+    * Shape: identical to [[tokenFrequencyScore]] — (id, token)
+    * pre-aggregation bounds everything downstream of the explode at
+    * one row per distinct (doc, token) pair; the counts join moves
+    * O(pairs) rows; (N, V) reduce the O(vocab) counts table to one
+    * broadcast row (same subtree as the join side — Spark's
+    * ReuseExchange serves both from one shuffle). At 100 TB: the
+    * token stream shuffles once, the vocab-sized counts once, and
+    * the corpus itself never does. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+                       scale: Int = 10000): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val pairs = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("__m"))
+    val counts = pairs.groupBy("token").agg(sum(col("__m")).as("__c"))
+    val u = round(log((col("__c") + 1L).cast("double")) * scale).cast("long")
+    val per = pairs.join(counts, "token")
+      .groupBy("id").agg(sum(col("__m") * u).as("__s"), sum(col("__m")).as("__n"))
+    val totals = counts.agg(sum(col("__c")).as("__tok_total"), count(lit(1)).as("__vocab"))
+    val lnNV = round(log((col("__tok_total") + col("__vocab")).cast("double")) * scale).cast("long")
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id").as(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_tokens"),
+        when(col("__n").isNull, lit(0.0))
+          .otherwise((col("__n") * lnNV - col("__s")).cast("double") /
+            (col("__n") * scale.toLong).cast("double")).as("xent"))
   }
 
   /** Corpus-mixture rebalancing plan: given target fractions per

@@ -80,6 +80,16 @@ class ExpectationsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep.collect().forall(_.getBoolean(2)))
   }
 
+  test("duplicate rule names are rejected before any job runs") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Expectations.check(df, Seq(NotNull("id"), InRange("v", 0, 1),
+        NotNull("id")))
+    }
+    assert(e.getMessage.contains("not_null:id"))
+  }
+
   test("empty input: counts are zero, not null") {
     import spark.implicits._
     val df = Seq.empty[(Long, Double)].toDF("id", "v")

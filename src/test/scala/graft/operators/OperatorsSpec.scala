@@ -1786,4 +1786,49 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("stratum", "token").collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pruned == Set(("A", "aa"), ("B", "cc")))
   }
+
+  test("unigramSurprisal: hand-computed quantized cross-entropy; repartition-invariant") {
+    val df = docs(1L -> "a a b", 2L -> "a c", 3L -> "")
+    // counts: a=3 b=1 c=1; N=5, V=3; quantized lns (scale 1e4):
+    // u(a)=round(ln 4 *1e4)=13863, u(b)=u(c)=round(ln 2 *1e4)=6931,
+    // lnNV=round(ln 8 *1e4)=20794
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.unigramSurprisal(d, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val got = run(df)
+    assert(got(1L) == ((3L, (3L * 20794 - (2L * 13863 + 6931)).toDouble / 30000.0)))
+    assert(got(2L) == ((2L, (2L * 20794 - (13863 + 6931)).toDouble / 20000.0)))
+    assert(got(3L) == ((0L, 0.0)))
+    // the all-same-token doc is the LEAST surprising, gibberish the most
+    val ranked = run(docs(1L -> "a a a a", 2L -> "a a zq zz", 3L -> "zq zz yx wv"))
+    assert(ranked(1L)._2 < ranked(2L)._2 && ranked(2L)._2 < ranked(3L)._2)
+    // integer-quantized sums are order-free: exact equality under repartition
+    assert(run(df.repartition(7)) == got)
+  }
+
+  test("capPerGroup: big groups downsample to ~cap, small kept whole, pure-function membership") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = ((1L to 1000L).map(i => (i, "big")) ++ (2001L to 2050L).map(i => (i, "small")))
+      .toDF("id", "grp")
+    def kept(d: org.apache.spark.sql.DataFrame, salt: String) =
+      TextAnalysis.capPerGroup(d, col("id"), col("grp"), cap = 100L, salt = salt)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val k1 = kept(df, "s1")
+    val byGrp = k1.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byGrp("small") == 50, s"under-cap group must be kept whole, got $byGrp")
+    // binomial(1000, 0.1): 3-sigma band around 100
+    assert(byGrp("big") > 70 && byGrp("big") < 130, s"big kept ${byGrp("big")}")
+    assert(k1.subsetOf(df.collect().map(r => (r.getLong(0), r.getString(1))).toSet))
+    // membership is a pure function of (salt, id, counts)
+    assert(kept(df.repartition(13), "s1") == k1, "membership changed under repartition")
+    assert(kept(df, "s2") != k1, "distinct salts must draw distinct samples")
+    // cap >= group size keeps everything; original columns preserved
+    val all = TextAnalysis.capPerGroup(df, col("id"), col("grp"), cap = 1000L, salt = "s1")
+    assert(all.count() == 1050L && all.columns.toSeq == Seq("id", "grp"))
+    // a null group is a group: counted and capped like any other
+    val withNull = df.union(Seq((3001L, null.asInstanceOf[String])).toDF("id", "grp"))
+    val kn = kept(withNull, "s1")
+    assert(kn.contains((3001L, null)), "singleton null group must survive the cap")
+  }
 }

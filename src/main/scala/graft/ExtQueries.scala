@@ -2877,7 +2877,50 @@ object ExtQueries {
              |       max(ts) + INTERVAL 30 MINUTE AS session_end,
              |       count(*) AS n_events
              |FROM g GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin)))
+             |ORDER BY user_id, session_start""".stripMargin))),
+
+    // TRUE BM25 top-k (SimilaritySearch.bm25TopK): the retrieval
+    // scoring q91's lexicalTopK explicitly ruled out as un-oracle-able
+    // (transcendental idf), unlocked by the q137 quantization trick —
+    // idf and each (doc, term) contribution round to integer
+    // micro-units before the per-doc sum, so accumulation is exact and
+    // the oracle replays every IEEE op in the same fixed order. Query
+    // mixes common (df~390/3900) and rare ("dup", df~25/250) tokens so
+    // the idf weighting actually orders the result.
+    "q140_bm25_topk" -> ((
+      (s: SparkSession, d: String) =>
+        SimilaritySearch.bm25TopK(docs(s, d), "doc_id", "text",
+            Seq("hash", "join", "dup", "scan"), k = 20)
+          .orderBy(col("bm25").desc, col("doc_id")),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+             |  FROM documents
+             |), base AS (
+             |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+             |         list_filter(t, x -> list_contains(['hash', 'join', 'dup', 'scan'], x)) AS m
+             |  FROM tk
+             |), stats AS (
+             |  SELECT sum(dl) AS sumdl, count(*) AS ndocs FROM base
+             |), tf AS (
+             |  SELECT doc_id, dl, token, count(*) AS tf
+             |  FROM (SELECT doc_id, dl, unnest(m) AS token FROM base)
+             |  GROUP BY 1, 2, 3
+             |), dfc AS (
+             |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+             |), scored AS (
+             |  SELECT tf.doc_id,
+             |    CAST(round(
+             |      CAST(CAST(round(ln((ndocs - df + 0.5) / (df + 0.5) + 1) * 1000000) AS BIGINT) AS DOUBLE)
+             |      * ((CAST(tf AS DOUBLE) * 2.25)
+             |         / (CAST(tf AS DOUBLE)
+             |            + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+             |                                     / (CAST(sumdl AS DOUBLE) / CAST(ndocs AS DOUBLE))))))
+             |    ) AS BIGINT) AS cu
+             |  FROM tf JOIN dfc USING (token) CROSS JOIN stats
+             |)
+             |SELECT doc_id, CAST(sum(cu) AS DOUBLE) / 1000000.0 AS bm25
+             |FROM scored GROUP BY doc_id
+             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -584,6 +584,66 @@ object SimilaritySearch {
         Window.orderBy(col("overlap").desc, col("tf").desc, col(idCol))).cast("long"))
   }
 
+  /** TRUE BM25 top-k (Robertson/Spärck Jones; the Lucene `+1` idf
+    * variant, always positive), made bit-exact across engines by the
+    * surprisal-quantization trick (TextAnalysis.unigramSurprisal):
+    * [[lexicalTopK]]'s scaladoc rules BM25 out because log-idf differs
+    * in the last ulp across math libraries — quantizing fixes that.
+    * Every per-(doc, term) contribution is computed as correctly-
+    * rounded IEEE ops in one FIXED order, then rounded to an integer
+    * micro-unit; per-doc accumulation is an exact integer sum
+    * (order-free under partial aggregation), and the final score is
+    * one fixed division:
+    *
+    *   idf_u(t) = round(ln((N − df + 0.5)/(df + 0.5) + 1) · 1e6)
+    *   contrib_u = round(idf_u · (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl)))
+    *   bm25 = Σ_t contrib_u / 1e6
+    *
+    * `k1`/`b` default to 1.25/0.75 — exactly representable binary
+    * fractions, so `k1+1`, `1−b` and `b` are literal-identical in any
+    * engine (1.2 would smuggle a decimal-rounding divergence into the
+    * constant itself). The ln input is a float, but a 1-ulp library
+    * disagreement only flips `round` within ~1e-12 of a half-integer,
+    * across ≤|query| distinct df values — the q137 argument, pinned by
+    * the battery's hash gate.
+    *
+    * Shape: one corpus scan computes dl and the query-token matches
+    * (the query rides as an array literal — no inverted index for a
+    * single query); tf pairs are O(docs-containing-a-query-token); df
+    * is a ≤|query|-row aggregate broadcast back; (N, Σdl) broadcast as
+    * one row. No corpus shuffle, one TakeOrderedAndProject. */
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+               queryTokens: Seq[String], k: Int,
+               k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(queryTokens.nonEmpty, "bm25TopK needs at least one query token")
+    val qlit = typedlit(queryTokens.map(_.toLowerCase).distinct)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = corpus.select(col(idCol).as("id"),
+      size(toks).cast("long").as("__dl"),
+      filter(toks, t => array_contains(qlit, t)).as("__m"))
+    val totals = base.agg(sum(col("__dl")).as("__sumdl"), count(lit(1)).as("__ndocs"))
+    val tf = base.select(col("id"), col("__dl"), explode(col("__m")).as("token"))
+      .groupBy("id", "__dl", "token").agg(count(lit(1)).as("__tf"))
+    val dfc = tf.groupBy("token").agg(count(lit(1)).as("__df"))
+    val idfU = round(log(
+        (col("__ndocs") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1)) *
+      lit(1000000)).cast("long")
+    val avgdl = col("__sumdl").cast("double") / col("__ndocs").cast("double")
+    val contribU = round(idfU.cast("double") *
+      ((col("__tf").cast("double") * lit(k1 + 1)) /
+        (col("__tf").cast("double") +
+          lit(k1) * (lit(1 - b) + lit(b) * (col("__dl").cast("double") / avgdl))))
+    ).cast("long")
+    tf.join(broadcast(dfc), "token")
+      .crossJoin(broadcast(totals))
+      .select(col("id"), contribU.as("__cu"))
+      .groupBy("id").agg(sum(col("__cu")).as("__su"))
+      .select(col("id").as(idCol),
+        (col("__su").cast("double") / lit(1000000.0)).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion: the standard way a
     * curation pipeline combines keyword and embedding evidence (triage
     * for decontamination, targeted dedup, topic pulls).

@@ -1806,6 +1806,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(df.repartition(7)) == got)
   }
 
+  test("bm25TopK: idf weights rare terms up, tf saturates, repartition-invariant") {
+    val df = docs(
+      1L -> "rare common common filler filler",   // the one rare-term doc
+      2L -> "common common common filler filler", // common x3, same dl
+      3L -> "common filler filler filler filler", // common x1
+      4L -> "filler filler filler filler filler") // no query tokens
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.bm25TopK(d, "doc_id", "text", Seq("rare", "common"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = run(df)
+    // non-matching docs never appear; the rare-term doc wins despite
+    // fewer query-token occurrences than doc2 (idf at work)
+    assert(got.map(_._1) == Seq(1L, 2L, 3L), s"got $got")
+    // tf monotonicity at equal dl; scores strictly ordered
+    assert(got(0)._2 > got(1)._2 && got(1)._2 > got(2)._2)
+    // integer-quantized accumulation: exact equality under repartition
+    assert(run(df.repartition(5)) == got)
+  }
+
   test("capPerGroup: big groups downsample to ~cap, small kept whole, pure-function membership") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

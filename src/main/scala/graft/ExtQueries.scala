@@ -2920,7 +2920,49 @@ object ExtQueries {
              |)
              |SELECT doc_id, CAST(sum(cu) AS DOUBLE) / 1000000.0 AS bm25
              |FROM scored GROUP BY doc_id
-             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)))
+             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin))),
+
+    // CCNet head/middle/tail split (TextAnalysis.surprisalBuckets):
+    // per-language ntile(3) over the q137 cross-entropy — the exact
+    // composition the paper applies before keeping "head" data. The
+    // oracle replays q137's quantized scoring verbatim plus the same
+    // total-ordered ntile, so both the score and the bucket boundary
+    // assignment are pinned.
+    "q141_surprisal_buckets" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.surprisalBuckets(docs(s, d), "doc_id", "text", col("lang"),
+            nBuckets = 3)
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+             |  FROM documents
+             |), tok AS (
+             |  SELECT doc_id, unnest(t) AS token FROM tk
+             |), pairs AS (
+             |  SELECT doc_id, token, count(*) AS m FROM tok GROUP BY 1, 2
+             |), cnt AS (
+             |  SELECT token, sum(m) AS c FROM pairs GROUP BY 1
+             |), tot AS (
+             |  SELECT sum(c) AS N, count(*) AS V FROM cnt
+             |), u AS (
+             |  SELECT token, CAST(round(ln(CAST(c + 1 AS DOUBLE)) * 10000) AS BIGINT) AS u FROM cnt
+             |), per AS (
+             |  SELECT pairs.doc_id, sum(pairs.m * u.u) AS s, sum(pairs.m) AS n
+             |  FROM pairs JOIN u USING (token) GROUP BY 1
+             |), sc AS (
+             |  SELECT d.doc_id, d.lang AS stratum,
+             |       CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
+             |       CASE WHEN per.n IS NULL THEN 0.0
+             |            ELSE CAST(per.n * CAST(round(ln(CAST(tot.N + tot.V AS DOUBLE)) * 10000) AS BIGINT)
+             |                      - per.s AS DOUBLE)
+             |                 / CAST(per.n * 10000 AS DOUBLE) END AS xent
+             |  FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+             |  CROSS JOIN tot
+             |)
+             |SELECT doc_id, stratum, n_tokens, xent,
+             |       CAST(ntile(3) OVER (PARTITION BY stratum ORDER BY xent, doc_id) AS BIGINT) AS bucket
+             |FROM sc
+             |ORDER BY doc_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -607,11 +607,17 @@ object SimilaritySearch {
     * across ≤|query| distinct df values — the q137 argument, pinned by
     * the battery's hash gate.
     *
-    * Shape: one corpus scan computes dl and the query-token matches
-    * (the query rides as an array literal — no inverted index for a
-    * single query); tf pairs are O(docs-containing-a-query-token); df
-    * is a ≤|query|-row aggregate broadcast back; (N, Σdl) broadcast as
-    * one row. No corpus shuffle, one TakeOrderedAndProject. */
+    * Shape: TWO corpus scans total — one computes dl and the
+    * query-token matches (the query rides as an array literal — no
+    * inverted index for a single query), one reduces to the (N, Σdl)
+    * broadcast row. Everything after the match filter is
+    * O(docs-containing-a-query-token): df comes from a count window
+    * over the tiny tf-pair set rather than a second aggregate of the
+    * same subtree (which would re-scan the corpus — self-referential
+    * aggregates defeat exchange reuse), so the three shuffles
+    * ((id, token) pre-agg, token window, final per-doc sum) all move
+    * pair-sized data. One TakeOrderedAndProject; the corpus never
+    * shuffles. */
   def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
                queryTokens: Seq[String], k: Int,
                k1: Double = 1.25, b: Double = 0.75): DataFrame = {
@@ -624,7 +630,7 @@ object SimilaritySearch {
     val totals = base.agg(sum(col("__dl")).as("__sumdl"), count(lit(1)).as("__ndocs"))
     val tf = base.select(col("id"), col("__dl"), explode(col("__m")).as("token"))
       .groupBy("id", "__dl", "token").agg(count(lit(1)).as("__tf"))
-    val dfc = tf.groupBy("token").agg(count(lit(1)).as("__df"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("token"))))
     val idfU = round(log(
         (col("__ndocs") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1)) *
       lit(1000000)).cast("long")
@@ -634,8 +640,7 @@ object SimilaritySearch {
         (col("__tf").cast("double") +
           lit(k1) * (lit(1 - b) + lit(b) * (col("__dl").cast("double") / avgdl))))
     ).cast("long")
-    tf.join(broadcast(dfc), "token")
-      .crossJoin(broadcast(totals))
+    tf.crossJoin(broadcast(totals))
       .select(col("id"), contribU.as("__cu"))
       .groupBy("id").agg(sum(col("__cu")).as("__su"))
       .select(col("id").as(idCol),

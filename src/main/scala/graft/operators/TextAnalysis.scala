@@ -741,6 +741,32 @@ object TextAnalysis {
             (col("__n") * scale.toLong).cast("double")).as("xent"))
   }
 
+  /** CCNet's head/middle/tail split: bucket documents within each
+    * stratum (language, in the paper) by [[unigramSurprisal]] rank —
+    * bucket 1 is the least-surprising "head" a curation pipeline keeps
+    * outright, the top bucket is the tail it drops or re-filters.
+    * `ntile` gives exact equal-count buckets off a total order
+    * (xent, then id as tie-break), so assignment is deterministic and
+    * SQL-replayable.
+    *
+    * Scale note: exact ntile needs a per-stratum sort — right for
+    * few-and-large strata (languages). At a scale where even that sort
+    * hurts, take cutpoints from [[qualityPercentileFilterApprox]]'s
+    * machinery instead and assign buckets by comparison; this operator
+    * is the exact-rank variant. */
+  def surprisalBuckets(df: DataFrame, idCol: String, textCol: String,
+                       stratumCol: Column, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramSurprisal(df, idCol, textCol).withColumnRenamed(idCol, "id")
+    df.select(col(idCol).as("id"), stratumCol.as("stratum"))
+      .join(scored, "id")
+      .withColumn("bucket", ntile(nBuckets).over(
+        Window.partitionBy(col("stratum")).orderBy(col("xent"), col("id"))).cast("long"))
+      .select(col("id").as(idCol), col("stratum"), col("n_tokens"), col("xent"),
+        col("bucket"))
+  }
+
   /** Corpus-mixture rebalancing plan: given target fractions per
     * stratum (language / source / domain), compute the per-stratum
     * DOWNSAMPLING rates that achieve the target mixture while keeping

@@ -1806,6 +1806,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(df.repartition(7)) == got)
   }
 
+  test("surprisalBuckets: ntile balance within stratum, head = least surprising, repartition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // stratum A: 6 docs from "all common" to "all gibberish"; B: 2 docs
+    val df = Seq(
+      (1L, "A", "a a a a"), (2L, "A", "a a a b"), (3L, "A", "a a b b"),
+      (4L, "A", "a b zq zz"), (5L, "A", "zq zz yx a"), (6L, "A", "zq zz yx wv"),
+      (10L, "B", "a a a"), (11L, "B", "zq zz yx"))
+      .toDF("doc_id", "lang", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.surprisalBuckets(d, "doc_id", "text", col("lang"), nBuckets = 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getLong(4)))
+    val got = run(df)
+    val byDoc = got.map(t => t._1 -> t._4).toMap
+    // stratum A: 6 docs over 3 buckets -> exactly 2 each, rank-ordered
+    assert(got.filter(_._2 == "A").groupBy(_._4).view.mapValues(_.size).toMap ==
+      Map(1L -> 2, 2L -> 2, 3L -> 2))
+    assert(byDoc(1L) == 1L && byDoc(6L) == 3L, s"head/tail misassigned: $byDoc")
+    // xent must be monotone w.r.t. bucket within each stratum
+    val aSorted = got.filter(_._2 == "A").sortBy(_._3)
+    assert(aSorted.map(_._4).toSeq == aSorted.map(_._4).toSeq.sorted)
+    // stratum B splits 2 docs into buckets 1 and 2 (ntile leaves 3 empty)
+    assert(got.filter(_._2 == "B").map(_._4).toSet == Set(1L, 2L))
+    assert(run(df.repartition(5)).toSet == got.toSet)
+  }
+
   test("bm25TopK: idf weights rare terms up, tf saturates, repartition-invariant") {
     val df = docs(
       1L -> "rare common common filler filler",   // the one rare-term doc

@@ -2962,7 +2962,65 @@ object ExtQueries {
              |SELECT doc_id, stratum, n_tokens, xent,
              |       CAST(ntile(3) OVER (PARTITION BY stratum ORDER BY xent, doc_id) AS BIGINT) AS bucket
              |FROM sc
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin))),
+
+    // Streaming summing-MV maintenance end-to-end
+    // (StreamingIngest.maintainSummingParts): the live rollup pattern
+    // — each micro-batch writes epoch-addressed per-key partial sums,
+    // readers merge a handful of parts. Events staged as a two-file
+    // stream split by event_id parity (both epochs touch every key,
+    // so the cross-part merge does real work), one epoch part per
+    // micro-batch under AvailableNow. DECIMAL sums + integer counts
+    // make the merged view bit-equal to a from-scratch aggregate
+    // regardless of the epoch boundaries — which is exactly what the
+    // batch GROUP BY oracle replays. StreamingSpec separately pins the
+    // exactly-once epoch-overwrite contract; this row pins the
+    // arithmetic at battery scale through the real machinery.
+    "q142_streaming_summing_mv" -> ((
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types.DecimalType
+        val sfName = new java.io.File(d).getName
+        val base = new java.io.File(s"/tmp/graft_stream_summv_$sfName")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        rm(base)
+        val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+        val ev = s.read.parquet(s"$d/events.parquet")
+          .select(col("event_id"), col("event_type"),
+            col("value").cast(DecimalType(18, 2)).as("value"), lit(1L).as("n"))
+        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = new java.io.File(base, s"stage_$name")
+          df.coalesce(1).write.parquet(tmp.toString)
+          val part = tmp.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+          val dest = new java.io.File(inDir, name)
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(mtime); ()
+        }
+        val now = System.currentTimeMillis()
+        stage(ev.filter(col("event_id") % 2 === 0), "000_even.parquet", now - 120000)
+        stage(ev.filter(col("event_id") % 2 === 1), "001_odd.parquet", now - 60000)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .drop("event_id")
+        val store = new java.io.File(base, "store").toString
+        val q = graft.streaming.StreamingIngest.maintainSummingParts(
+          stream, Seq("event_type"), Seq("value", "n"), store,
+          new java.io.File(base, "ckpt").toString,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        graft.store.MergeStore.readSummed(s, store, Seq("event_type"), Seq("value", "n"))
+          .select(col("event_type"), col("value").cast("double").as("total"),
+            col("n").cast("long").as("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |       count(*) AS n
+             |FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -3020,7 +3020,24 @@ object ExtQueries {
              |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
              |       count(*) AS n
              |FROM events
-             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))),
+
+    // Hybrid retrieval with the TRUE-BM25 lexical arm
+    // (SimilaritySearch.hybridBm25TopK): q91's twin with overlap+tf
+    // replaced by q140's quantized BM25 — the "BM25+vector RRF" shape
+    // production retrieval actually runs, previously ruled out as
+    // un-oracle-able. Query mixes a rare term ("dup") with common ones
+    // so the two lexical arms genuinely rank differently; fusion and
+    // the vector arm are byte-identical to q91's.
+    "q143_hybrid_bm25" -> ((
+      (s: SparkSession, d: String) =>
+        SimilaritySearch.hybridBm25TopK(
+          docs(s, d), "doc_id", "text",
+          embs(s, d), "vec_id", "embedding",
+          queryText = "dup merge window", queryVec = queryVec(s, d),
+          k = 20, nPerList = 50, rrfK = 60),
+      Some(OracleSql.hybridBm25TopKSql(Seq("dup", "merge", "window"),
+        k = 20, nPerList = 50, rrfK = 60))))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -468,6 +468,71 @@ object OracleSql {
        |ORDER BY rrf_score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** q143 oracle: hybrid RRF with the TRUE-BM25 lexical arm (the
+    * mixing this file's q91 comment once ruled out — the q137/q140
+    * quantization made the idf replayable). Lexical branch = q140's
+    * quantized BM25 CTE ranked (bm25 DESC, id); vector branch and
+    * fusion identical to [[hybridTopKSql]]. k1=1.25 / b=0.75 appear as
+    * the exact binary literals 2.25 / 1.25 / 0.25 / 0.75. */
+  def hybridBm25TopKSql(queryTokens: Seq[String], k: Int, nPerList: Int, rrfK: Int): String = {
+    val qlist = queryTokens.map(_.toLowerCase).distinct
+      .map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS t
+       |  FROM documents
+       |), base AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+       |         list_filter(t, x -> list_contains($qlist, x)) AS m
+       |  FROM tk
+       |), stats AS (
+       |  SELECT sum(dl) AS sumdl, count(*) AS ndocs FROM base
+       |), tf AS (
+       |  SELECT doc_id, dl, token, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(m) AS token FROM base)
+       |  GROUP BY 1, 2, 3
+       |), dfc AS (
+       |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+       |), scored AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(
+       |      CAST(CAST(round(ln((ndocs - df + 0.5) / (df + 0.5) + 1) * 1000000) AS BIGINT) AS DOUBLE)
+       |      * ((CAST(tf AS DOUBLE) * 2.25)
+       |         / (CAST(tf AS DOUBLE)
+       |            + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+       |                                     / (CAST(sumdl AS DOUBLE) / CAST(ndocs AS DOUBLE))))))
+       |    ) AS BIGINT) AS cu
+       |  FROM tf JOIN dfc USING (token) CROSS JOIN stats
+       |), bm AS (
+       |  SELECT doc_id AS id, CAST(sum(cu) AS DOUBLE) / 1000000.0 AS bm25
+       |  FROM scored GROUP BY doc_id
+       |), lex AS (
+       |  SELECT id, CAST(row_number() OVER (ORDER BY bm25 DESC, id) AS BIGINT) AS lex_rank
+       |  FROM bm ORDER BY bm25 DESC, id LIMIT $nPerList
+       |), q AS (
+       |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+       |), sims AS (
+       |  SELECT e.vec_id,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS dot,
+       |    list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+       |    list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+       |  FROM embeddings e, q
+       |), vec AS (
+       |  SELECT vec_id AS id,
+       |    CAST(row_number() OVER (ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS BIGINT) AS vec_rank
+       |  FROM sims WHERE na <> 0 AND nb <> 0
+       |  ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT $nPerList
+       |), fused AS (
+       |  SELECT COALESCE(lex.id, vec.id) AS id,
+       |    COALESCE(CAST(1 AS DOUBLE) / ($rrfK + lex_rank), 0) +
+       |    COALESCE(CAST(1 AS DOUBLE) / ($rrfK + vec_rank), 0) AS rrf_score,
+       |    lex_rank, vec_rank
+       |  FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+       |)
+       |SELECT id, rrf_score, lex_rank, vec_rank FROM fused
+       |ORDER BY rrf_score DESC, id LIMIT $k""".stripMargin
+  }
+
   /** q54 oracle: the multimodal decode aggregate replayed. The corpus
     * payloads are document text — none parse as image/audio/video — so
     * every asset takes the DETERMINISTIC STUB path, whose metadata is

@@ -672,6 +672,12 @@ object SimilaritySearch {
       .withColumn("vec_rank", row_number().over(
         Window.orderBy(col("cosine").desc, col(vecIdCol))).cast("long"))
       .select(col(vecIdCol).as("id"), col("vec_rank"))
+    rrfFuse(lex, vec, rrfK, k)
+  }
+
+  /** RRF fusion of two ranked id lists (`(id, lex_rank)` ⋈ `(id,
+    * vec_rank)`): the shared tail of every hybrid variant. */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame, rrfK: Int, k: Int): DataFrame =
     lex.join(vec, Seq("id"), "full_outer")
       .select(col("id"),
         (coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
@@ -679,6 +685,26 @@ object SimilaritySearch {
         col("lex_rank"), col("vec_rank"))
       .orderBy(col("rrf_score").desc, col("id"))
       .limit(k)
+
+  /** [[hybridTopK]] with the lexical arm upgraded from overlap+tf to
+    * TRUE BM25 ([[bm25TopK]]) — possible since the quantization trick
+    * made BM25 bit-deterministic; the RRF fusion is unchanged (and
+    * still rank-based, so the two arms' score scales never mix). */
+  def hybridBm25TopK(textCorpus: DataFrame, textIdCol: String, textCol: String,
+                     vecCorpus: DataFrame, vecIdCol: String, vecCol: String,
+                     queryText: String, queryVec: Array[Float], k: Int,
+                     nPerList: Int = 100, rrfK: Int = 60,
+                     k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val qTokens = queryText.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val lex = bm25TopK(textCorpus, textIdCol, textCol, qTokens, nPerList, k1, b)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col(textIdCol))).cast("long"))
+      .select(col(textIdCol).as("id"), col("lex_rank"))
+    val vec = bruteForceTopK(vecCorpus, vecIdCol, vecCol, queryVec, nPerList)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col(vecIdCol))).cast("long"))
+      .select(col(vecIdCol).as("id"), col("vec_rank"))
+    rrfFuse(lex, vec, rrfK, k)
   }
 
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String, query: Array[Float],

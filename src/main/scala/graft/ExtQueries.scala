@@ -3037,7 +3037,21 @@ object ExtQueries {
           queryText = "dup merge window", queryVec = queryVec(s, d),
           k = 20, nPerList = 50, rrfK = 60),
       Some(OracleSql.hybridBm25TopKSql(Seq("dup", "merge", "window"),
-        k = 20, nPerList = 50, rrfK = 60))))
+        k = 20, nPerList = 50, rrfK = 60)))),
+
+    // Deterministic JL random projection (SimilaritySearch
+    // .randomProjection): 64-float embeddings -> 8 doubles through a
+    // salt-derived FNV matrix — the cheap-ANN/dedup pre-filter
+    // compression. The oracle RE-DERIVES the matrix from the HUGEINT
+    // FNV machinery (not embedded literals) and replays the fixed
+    // left-fold, so matrix generation AND projection arithmetic are
+    // both pinned bit-for-bit.
+    "q144_random_projection" -> ((
+      (s: SparkSession, d: String) =>
+        SimilaritySearch.randomProjection(embs(s, d), "vec_id", "embedding",
+            outDim = 8, inDim = 64, salt = "q144")
+          .orderBy("vec_id"),
+      Some(OracleSql.randomProjectionSql(outDim = 8, inDim = 64, salt = "q144"))))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -533,6 +533,45 @@ object OracleSql {
        |ORDER BY rrf_score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** q144 oracle: deterministic JL random projection replayed — the
+    * coefficient matrix is RE-DERIVED from the HUGEINT FNV machinery
+    * over the same `salt:j:i` strings (no trusted literals), and each
+    * output dimension folds `v_i · c(j,i)` left-to-right with a 0.0
+    * init, matching Spark's `aggregate` bracketing exactly. */
+  def randomProjectionSql(outDim: Int, inDim: Int, salt: String): String = {
+    val fnvFold = s"(${mul(xorm("h", "y"), FnvPrime)})"
+    val rCols = (0 until outDim)
+      .map(j => s"max(CASE WHEN j = $j THEN r END) AS r$j")
+      .mkString(",\n       ")
+    s"""WITH grid AS (
+       |  SELECT t1.j, t2.i,
+       |         '$salt:' || CAST(t1.j AS VARCHAR) || ':' || CAST(t2.i AS VARCHAR) AS s
+       |  FROM range(0, $outDim) t1(j) CROSS JOIN range(0, $inDim) t2(i)
+       |), fp AS (
+       |  SELECT j, i, list_reduce(list_prepend($FnvBasis,
+       |    list_transform(range(1, octet_length(encode(s)) + 1), k ->
+       |      CAST((strpos('0123456789ABCDEF', substr(hex(encode(s)), 2 * k - 1, 1)) - 1) * 16
+       |         + (strpos('0123456789ABCDEF', substr(hex(encode(s)), 2 * k, 1)) - 1) AS HUGEINT))),
+       |    (h, y) -> $fnvFold) AS u
+       |  FROM grid
+       |), coef AS (
+       |  SELECT j, i,
+       |    CAST(((${signed("u")}) % 2001 + 2001) % 2001 - 1000 AS DOUBLE) / 1000.0 AS c
+       |  FROM fp
+       |), cl AS (
+       |  SELECT j, list(c ORDER BY i) AS cl FROM coef GROUP BY j
+       |), proj AS (
+       |  SELECT e.vec_id, cl.j,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, $inDim + 1), i -> CAST(e.embedding[i] AS DOUBLE) * cl.cl[i])),
+       |      (a, b) -> a + b) AS r
+       |  FROM embeddings e CROSS JOIN cl
+       |)
+       |SELECT vec_id,
+       |       $rCols
+       |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   /** q54 oracle: the multimodal decode aggregate replayed. The corpus
     * payloads are document text — none parse as image/audio/video — so
     * every asset takes the DETERMINISTIC STUB path, whose metadata is

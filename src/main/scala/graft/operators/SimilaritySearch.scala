@@ -556,6 +556,45 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  // ------------------------------------- dimensionality reduction (JL)
+
+  /** Deterministic Johnson–Lindenstrauss random projection: compress a
+    * `inDim`-float embedding column to `outDim` doubles through a
+    * pseudo-random matrix derived ENTIRELY from `salt` —
+    * `c(j,i) = ((fnv64("salt:j:i") mod 2001) + 2001 mod 2001 − 1000) / 1000`
+    * — so any worker on any cluster materializes the identical matrix
+    * with no side-channel (no broadcast of trained state, no file).
+    * JL: pairwise distances survive within 1±ε for
+    * `outDim = O(log n / ε²)`, which is what makes 4-16× cheaper
+    * ANN/dedup pre-filters sound.
+    *
+    * Bit-exact replay: each output is a LEFT FOLD with 0.0 init over
+    * `v_i · c(j,i)` in ascending i — one fixed bracketing, no
+    * distributed sum (a row's fold is local), so an engine replaying
+    * the same fold order reproduces it bit-for-bit; the oracle
+    * re-derives the matrix from the HUGEINT FNV machinery rather than
+    * trusting embedded literals.
+    *
+    * Shape: a pure map stage — zero shuffles, `outDim × inDim`
+    * multiply-adds per row inside whole-stage codegen; at 100 TB this
+    * is scan-bound. Rows whose vector length ≠ `inDim` project to
+    * null (zip_with pads), surfacing bad data instead of mis-dotting. */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       outDim: Int, inDim: Int, salt: String = ""): DataFrame = {
+    require(outDim > 0 && inDim > 0, s"dims must be positive, got $outDim x $inDim")
+    def coef(j: Int, i: Int): Double = {
+      val h = graft.functions.Fingerprint64.hash(s"$salt:$j:$i".getBytes("UTF-8"))
+      (((h % 2001L) + 2001L) % 2001L - 1000L).toDouble / 1000.0
+    }
+    val outs = (0 until outDim).map { j =>
+      val cs = (0 until inDim).map(i => coef(j, i))
+      aggregate(
+        zip_with(col(vecCol), typedlit(cs), (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, x) => acc + x).as(s"r$j")
+    }
+    df.select(col(idCol) +: outs: _*)
+  }
+
   // --------------------------------------------- hybrid retrieval (RRF)
 
   /** Lexical top-k for a tokenized query: rank docs by (distinct query

@@ -1806,6 +1806,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(df.repartition(7)) == got)
   }
 
+  test("randomProjection: salt-determined matrix, exact linearity, repartition-invariant") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f, -1.0f)),
+      (2L, Array(2.0f, 0.0f, 4.0f, -2.0f)),   // = 2 * v1 (powers of two: exact)
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.randomProjection(d, "vec_id", "embedding",
+          outDim = 3, inDim = 4, salt = "t")
+        .collect().map(r => r.getLong(0) -> (1 to 3).map(r.getDouble).toSeq).toMap
+    val got = run(vecs)
+    // hand-derived first coefficient: FNV-1a("t:0:0") -> bucket -> [-1, 1]
+    val h = graft.functions.Fingerprint64.hash("t:0:0".getBytes("UTF-8"))
+    val c00 = (((h % 2001L) + 2001L) % 2001L - 1000L).toDouble / 1000.0
+    val single = run(Seq((9L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    assert(single(9L).head == c00, "unit vector must read off the raw coefficient")
+    // doubling the input exactly doubles every output (×2 is exact in IEEE)
+    assert(got(2L) == got(1L).map(_ * 2.0))
+    assert(got(3L) == Seq(0.0, 0.0, 0.0))
+    // a pure map stage: same bits on any partitioning
+    assert(run(vecs.repartition(3)) == got)
+  }
+
   test("surprisalBuckets: ntile balance within stratum, head = least surprising, repartition-invariant") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

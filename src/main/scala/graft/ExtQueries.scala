@@ -3051,7 +3051,51 @@ object ExtQueries {
         SimilaritySearch.randomProjection(embs(s, d), "vec_id", "embedding",
             outDim = 8, inDim = 64, salt = "q144")
           .orderBy("vec_id"),
-      Some(OracleSql.randomProjectionSql(outDim = 8, inDim = 64, salt = "q144"))))
+      Some(OracleSql.randomProjectionSql(outDim = 8, inDim = 64, salt = "q144")))),
+
+    // Bigram-LM cross-entropy (TextAnalysis.bigramSurprisal): the q137
+    // pattern extended to conditional probabilities — scrambled-order
+    // text now scores differently from prose with the same bag of
+    // words. Context counts and V derive from the bigram counts alone;
+    // both logs quantized to integer 1e-4 nats before the exact
+    // per-doc integer sum, replayed identically by the oracle.
+    "q145_bigram_surprisal" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.bigramSurprisal(docs(s, d), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             |    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+             |  FROM tk
+             |), pairs AS (
+             |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS m
+             |  FROM tr GROUP BY 1, 2, 3
+             |), big AS (
+             |  SELECT w1, w2, sum(m) AS c12 FROM pairs GROUP BY 1, 2
+             |), ctx AS (
+             |  SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1
+             |), tot AS (
+             |  SELECT count(DISTINCT w2) AS v FROM big
+             |), per AS (
+             |  SELECT pairs.doc_id,
+             |    sum(pairs.m * (CAST(round(ln(CAST(ctx.c1 + tot.v AS DOUBLE)) * 10000) AS BIGINT)
+             |                 - CAST(round(ln(CAST(big.c12 + 1 AS DOUBLE)) * 10000) AS BIGINT))) AS s,
+             |    sum(pairs.m) AS n
+             |  FROM pairs
+             |  JOIN big USING (w1, w2)
+             |  JOIN ctx USING (w1)
+             |  CROSS JOIN tot
+             |  GROUP BY 1
+             |)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(per.n, 0) AS BIGINT) AS n_transitions,
+             |       CASE WHEN per.n IS NULL THEN 0.0
+             |            ELSE CAST(per.s AS DOUBLE) / CAST(per.n * 10000 AS DOUBLE) END AS xent2
+             |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+             |ORDER BY d.doc_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -741,6 +741,58 @@ object TextAnalysis {
             (col("__n") * scale.toLong).cast("double")).as("xent"))
   }
 
+  /** Bigram-LM cross-entropy per document — [[unigramSurprisal]]'s
+    * sequel: score each token TRANSITION under an add-one-smoothed
+    * conditional model `p(w₂|w₁) = (c(w₁,w₂)+1) / (c₁(w₁)+V)`, where
+    * `c₁(w₁) = Σ_w c(w₁,w)` counts w₁ as a CONTEXT and `V` is the
+    * number of distinct second-position words (the outcome space being
+    * smoothed) — both derivable from the bigram counts alone, so the
+    * whole model is one statistic. Bigram surprisal separates
+    * plausible-vocabulary-in-scrambled-order from real prose, which
+    * unigram scoring cannot (same bag of words ⇒ same unigram score).
+    *
+    * Same exactness discipline as [[unigramSurprisal]]: both logs are
+    * functions of integers, each quantized to `1/scale` nats before
+    * the exact integer per-doc sum
+    * `Σ m·(round(ln(c₁+V)·scale) − round(ln(c₁₂+1)·scale))`, one
+    * fixed-order division at the end. Docs with < 2 tokens have no
+    * transitions and score 0 with `n_transitions = 0`.
+    *
+    * Shape: (id, w₁, w₂) pre-aggregation caps everything downstream of
+    * the explode at distinct per-doc bigrams; corpus bigram counts are
+    * one further partial-agg reduction; context counts and V reduce
+    * the O(bigram-vocab) table, never the corpus. Two pair-keyed joins
+    * (bigram counts, context counts), totals broadcast. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+                      scale: Int = 10000): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val t = tokens(col(textCol))
+    val trArr = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pairs = df.select(col(idCol).as("id"), explode(trArr).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("id", "w1", "w2").agg(count(lit(1)).as("__m"))
+    val big = pairs.groupBy("w1", "w2").agg(sum(col("__m")).as("__c12"))
+    val ctx = big.groupBy("w1").agg(sum(col("__c12")).as("__c1"))
+    val totals = big.agg(countDistinct(col("w2")).as("__v"))
+    val uCtx = round(log((col("__c1") + col("__v")).cast("double")) * scale).cast("long")
+    val uBig = round(log((col("__c12") + 1L).cast("double")) * scale).cast("long")
+    val per = pairs
+      .join(big, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(totals))
+      .select(col("id"), (col("__m") * (uCtx - uBig)).as("__su"), col("__m"))
+      .groupBy("id").agg(sum(col("__su")).as("__s"), sum(col("__m")).as("__n"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_transitions"),
+        when(col("__n").isNull, lit(0.0))
+          .otherwise(col("__s").cast("double") /
+            (col("__n") * scale.toLong).cast("double")).as("xent2"))
+  }
+
   /** CCNet's head/middle/tail split: bucket documents within each
     * stratum (language, in the paper) by [[unigramSurprisal]] rank —
     * bucket 1 is the least-surprising "head" a curation pipeline keeps

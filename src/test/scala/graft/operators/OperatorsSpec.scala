@@ -1806,6 +1806,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(df.repartition(7)) == got)
   }
 
+  test("bigramSurprisal: hand-computed quantized transition entropy; order sensitivity") {
+    val df = docs(1L -> "a b a b", 2L -> "b a", 3L -> "a")
+    // transitions: d1 {(a,b)x2,(b,a)x1}, d2 {(b,a)x1}; big: (a,b)=2,(b,a)=2
+    // ctx: a=2,b=2; V=2; uCtx=round(ln4*1e4)=13863, uBig=round(ln3*1e4)=10986
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bigramSurprisal(d, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val got = run(df)
+    assert(got(1L) == ((3L, (3L * (13863 - 10986)).toDouble / 30000.0)))
+    assert(got(2L) == ((1L, (13863 - 10986).toDouble / 10000.0)))
+    assert(got(3L) == ((0L, 0.0)))
+    assert(run(df.repartition(7)) == got)
+    // same bag of words, different order -> different transition score
+    // (unigramSurprisal is blind to this by construction)
+    val bag = run(docs(1L -> "a b a b a b", 2L -> "a a a b b b", 3L -> "a b b a a b"))
+    assert(bag(1L)._2 != bag(2L)._2, "scrambled order must move the bigram score")
+    val uni = TextAnalysis.unigramSurprisal(
+        docs(1L -> "a b a b a b", 2L -> "a a a b b b", 3L -> "a b b a a b"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(1L) == uni(2L), "unigram score must be order-blind (same bag)")
+  }
+
   test("randomProjection: salt-determined matrix, exact linearity, repartition-invariant") {
     import spark.implicits._
     val vecs = Seq(

@@ -2892,35 +2892,7 @@ object ExtQueries {
         SimilaritySearch.bm25TopK(docs(s, d), "doc_id", "text",
             Seq("hash", "join", "dup", "scan"), k = 20)
           .orderBy(col("bm25").desc, col("doc_id")),
-      Some("""WITH tk AS (
-             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
-             |  FROM documents
-             |), base AS (
-             |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
-             |         list_filter(t, x -> list_contains(['hash', 'join', 'dup', 'scan'], x)) AS m
-             |  FROM tk
-             |), stats AS (
-             |  SELECT sum(dl) AS sumdl, count(*) AS ndocs FROM base
-             |), tf AS (
-             |  SELECT doc_id, dl, token, count(*) AS tf
-             |  FROM (SELECT doc_id, dl, unnest(m) AS token FROM base)
-             |  GROUP BY 1, 2, 3
-             |), dfc AS (
-             |  SELECT token, count(*) AS df FROM tf GROUP BY 1
-             |), scored AS (
-             |  SELECT tf.doc_id,
-             |    CAST(round(
-             |      CAST(CAST(round(ln((ndocs - df + 0.5) / (df + 0.5) + 1) * 1000000) AS BIGINT) AS DOUBLE)
-             |      * ((CAST(tf AS DOUBLE) * 2.25)
-             |         / (CAST(tf AS DOUBLE)
-             |            + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
-             |                                     / (CAST(sumdl AS DOUBLE) / CAST(ndocs AS DOUBLE))))))
-             |    ) AS BIGINT) AS cu
-             |  FROM tf JOIN dfc USING (token) CROSS JOIN stats
-             |)
-             |SELECT doc_id, CAST(sum(cu) AS DOUBLE) / 1000000.0 AS bm25
-             |FROM scored GROUP BY doc_id
-             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin))),
+      Some(OracleSql.bm25TopKSql(Seq("hash", "join", "dup", "scan"), k = 20)))),
 
     // CCNet head/middle/tail split (TextAnalysis.surprisalBuckets):
     // per-language ntile(3) over the q137 cross-entropy — the exact
@@ -3095,7 +3067,28 @@ object ExtQueries {
              |       CASE WHEN per.n IS NULL THEN 0.0
              |            ELSE CAST(per.s AS DOUBLE) / CAST(per.n * 10000 AS DOUBLE) END AS xent2
              |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-             |ORDER BY d.doc_id""".stripMargin)))
+             |ORDER BY d.doc_id""".stripMargin))),
+
+    // BM25 against the persisted inverted index (SimilaritySearch
+    // .writeLexicalIndex / bm25TopKIndexed): the 100 TB retrieval path
+    // — postings hive-partitioned by fnv(token) mod 64, a probe prunes
+    // to the query tokens' directories (PartitionFilters spec-pinned)
+    // and reads postings, never the corpus. Scoring is the SAME
+    // bm25ContribU expression as q140, and the oracle is q140's SQL
+    // verbatim at the same query — a hash match proves the
+    // build → prune → probe round trip returns the scan path's answer.
+    "q146_bm25_indexed" -> ((
+      (s: SparkSession, d: String) => {
+        val sfName = new java.io.File(d).getName
+        val path = s"/tmp/graft_lexidx_$sfName"
+        SimilaritySearch.writeLexicalIndex(docs(s, d), "doc_id", "text", path,
+          nParts = 64)
+        SimilaritySearch.bm25TopKIndexed(s, path,
+            Seq("hash", "join", "dup", "scan"), k = 20)
+          .select(col("id").as("doc_id"), col("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+      },
+      Some(OracleSql.bm25TopKSql(Seq("hash", "join", "dup", "scan"), k = 20))))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -670,21 +670,92 @@ object SimilaritySearch {
     val tf = base.select(col("id"), col("__dl"), explode(col("__m")).as("token"))
       .groupBy("id", "__dl", "token").agg(count(lit(1)).as("__tf"))
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("token"))))
-    val idfU = round(log(
-        (col("__ndocs") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1)) *
-      lit(1000000)).cast("long")
-    val avgdl = col("__sumdl").cast("double") / col("__ndocs").cast("double")
-    val contribU = round(idfU.cast("double") *
-      ((col("__tf").cast("double") * lit(k1 + 1)) /
-        (col("__tf").cast("double") +
-          lit(k1) * (lit(1 - b) + lit(b) * (col("__dl").cast("double") / avgdl))))
-    ).cast("long")
+    val contribU = bm25ContribU(col("__tf"), col("__dl"), col("__df"),
+      col("__ndocs"), col("__sumdl"), k1, b)
     tf.crossJoin(broadcast(totals))
       .select(col("id"), contribU.as("__cu"))
       .groupBy("id").agg(sum(col("__cu")).as("__su"))
       .select(col("id").as(idCol),
         (col("__su").cast("double") / lit(1000000.0)).as("bm25"))
       .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The quantized BM25 per-(doc, term) contribution in integer
+    * micro-units — ONE definition shared by [[bm25TopK]] and
+    * [[bm25TopKIndexed]], so the scan path and the index path cannot
+    * drift by an op-ordering hair. */
+  private def bm25ContribU(tf: Column, dl: Column, dfq: Column,
+                           ndocs: Column, sumdl: Column,
+                           k1: Double, b: Double): Column = {
+    val idfU = round(log(
+        (ndocs - dfq + lit(0.5)) / (dfq + lit(0.5)) + lit(1)) * lit(1000000)).cast("long")
+    val avgdl = sumdl.cast("double") / ndocs.cast("double")
+    round(idfU.cast("double") *
+      ((tf.cast("double") * lit(k1 + 1)) /
+        (tf.cast("double") + lit(k1) * (lit(1 - b) + lit(b) * (dl.cast("double") / avgdl))))
+    ).cast("long")
+  }
+
+  /** Persist an INVERTED INDEX for BM25 retrieval: postings
+    * `(token, id, tf, dl, df)` hive-partitioned by
+    * `part = fnv64(token) mod nParts`, plus a one-row stats table
+    * `(sumdl, ndocs, n_parts)`. Postings are denormalized (dl and df
+    * ride every row) so a probe needs NO join against a doc table —
+    * the static-index trade: df/stats are frozen at build time, like
+    * [[writeIvfPq]]'s centroids (rebuild or re-shard to refresh).
+    *
+    * At 100 TB the index is the difference between "scan the corpus
+    * per query" ([[bm25TopK]]) and "read the postings of the query's
+    * tokens": partition pruning cuts the scan to ≤|query| of the
+    * nParts directories before any row is read (PartitionFilters
+    * spec-pinned), and postings volume is corpus-token-frequency
+    * bound, not corpus-size bound. */
+  def writeLexicalIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        path: String, nParts: Int = 64): Unit = {
+    require(nParts > 0, s"nParts must be positive, got $nParts")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = corpus.select(col(idCol).as("id"),
+      size(toks).cast("long").as("dl"), toks.as("__t"))
+    base.select(col("id"), col("dl"), explode(col("__t")).as("token"))
+      .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .withColumn("part",
+        pmod(graft.functions.TextFunctions.fingerprint64(col("token")), lit(nParts.toLong)))
+      .write.partitionBy("part").mode("overwrite").parquet(s"$path/postings")
+    base.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("ndocs"),
+        lit(nParts.toLong).as("n_parts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k against a [[writeLexicalIndex]] store: score ONLY the
+    * postings of the query's tokens, reached through hive-partition
+    * pruning on `part = fnv64(token) mod n_parts` — identical scoring
+    * expression to [[bm25TopK]] ([[bm25ContribU]]), so
+    * indexed == in-memory exactly (spec-pinned, the q99-vs-q90
+    * pattern). Global stats come from the store's one-row table. */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queryTokens: Seq[String], k: Int,
+                      k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(queryTokens.nonEmpty, "bm25TopKIndexed needs at least one query token")
+    val statsRow = spark.read.parquet(s"$path/stats").head()
+    val nParts = statsRow.getAs[Long]("n_parts")
+    val qts = queryTokens.map(_.toLowerCase).distinct
+    val parts = qts.map(t => math.floorMod(
+      graft.functions.Fingerprint64.hash(t.getBytes("UTF-8")), nParts)).distinct
+    val stats = spark.read.parquet(s"$path/stats")
+      .select(col("sumdl").as("__sumdl"), col("ndocs").as("__ndocs"))
+    val contribU = bm25ContribU(col("tf"), col("dl"), col("df"),
+      col("__ndocs"), col("__sumdl"), k1, b)
+    spark.read.parquet(s"$path/postings")
+      .filter(col("part").isin(parts: _*))
+      .filter(col("token").isin(qts: _*))
+      .crossJoin(broadcast(stats))
+      .select(col("id"), contribU.as("__cu"))
+      .groupBy("id").agg(sum(col("__cu")).as("__su"))
+      .select(col("id"),
+        (col("__su").cast("double") / lit(1000000.0)).as("bm25"))
+      .orderBy(col("bm25").desc, col("id"))
       .limit(k)
   }
 

@@ -1806,6 +1806,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(df.repartition(7)) == got)
   }
 
+  test("bm25TopKIndexed == bm25TopK exactly; probe prunes to the query tokens' partitions") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "omega", "rare")
+    val rnd = new scala.util.Random(77)
+    val df = docs((1L to 40L).map { i =>
+      val body = (0 until 10 + rnd.nextInt(20)).map(_ => words(rnd.nextInt(5))).mkString(" ")
+      i -> (if (i % 13 == 0) s"rare $body" else body)
+    }: _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lexidx").toString
+    SimilaritySearch.writeLexicalIndex(df, "doc_id", "text", dir, nParts = 16)
+    val q = Seq("alpha", "rare")
+    val mem = SimilaritySearch.bm25TopK(df, "doc_id", "text", q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val idx = SimilaritySearch.bm25TopKIndexed(spark, dir, q, k = 10)
+    val got = idx.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // bit-exact equality: same contributions, same order, same scores
+    assert(got == mem, s"indexed=$got scan=$mem")
+    assert(got.head._1 % 13 == 0, "the rare-term doc must outrank the commons")
+    // the postings scan is partition-pruned before any row is read
+    val scan = idx.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("postings")).mkString("\n")
+    assert(scan.contains("PartitionFilters: [part#") || scan.contains("PartitionFilters: [isnotnull(part"),
+      s"postings scan not partition-pruned:\n$scan")
+  }
+
   test("bigramSurprisal: hand-computed quantized transition entropy; order sensitivity") {
     val df = docs(1L -> "a b a b", 2L -> "b a", 3L -> "a")
     // transitions: d1 {(a,b)x2,(b,a)x1}, d2 {(b,a)x1}; big: (a,b)=2,(b,a)=2

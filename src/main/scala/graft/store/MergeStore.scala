@@ -95,6 +95,60 @@ object MergeStore {
                     sumCols: Seq[String]): Unit =
     swapIn(spark, path)(readSummed(spark, path, keyCols, sumCols))
 
+  /** Mergeable QUANTILE store — percentile dashboards over append-only
+    * parts. The sufficient statistic is exact and summable: per-key
+    * counts of the value QUANTIZED to `1/scale` units
+    * (`vb = round(v · scale)`) — an equi-width histogram with bin
+    * width `1/scale`, which is just a summing store on (key, vb):
+    * parts merge by addition, [[compactSummed]] applies unchanged, and
+    * replayed epochs are handled by the same epoch-addressing as any
+    * summing part. Where a GK/KLL sketch trades RANK accuracy for
+    * bounded state, this trades VALUE resolution: quantiles are
+    * rank-exact over the quantized data and within `1/(2·scale)` of
+    * the raw-value quantile by construction — a documented, tunable
+    * error bar, and state is O(keys × occupied bins) (bounded by the
+    * value range · scale, independent of row count).
+    *
+    * A batch reduces to the bin table before it ever hits storage;
+    * reads shuffle the bin table once on the key and answer every
+    * requested quantile from one cumulative window. */
+  def writeQuantilePart(batch: DataFrame, keyCols: Seq[String], valueCol: String,
+                        path: String, scale: Int = 100): Unit = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val groups = keyCols.map(c => col(s"`$c`")) :+
+      round(col(s"`$valueCol`") * scale).cast("long").as("__vb")
+    batch.groupBy(groups: _*).agg(count(lit(1)).as("__cnt"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Lower (type-1) sample quantiles per key off the merged histogram:
+    * for each q, the smallest bin whose cumulative count reaches
+    * `ceil(q · n)`, reported as `bin / scale` (a value the data
+    * actually quantized to). Output columns `p50`-style per requested
+    * q. */
+  def readQuantiles(spark: SparkSession, path: String, keyCols: Seq[String],
+                    qs: Seq[Double], scale: Int = 100): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1], got $qs")
+    def label(q: Double): String = {
+      val c = q * 100
+      if ((c - c.round).abs < 1e-9) s"p${c.round}" else s"p$c".replace('.', '_')
+    }
+    val merged = readSummed(spark, path, keyCols :+ "__vb", Seq("__cnt"))
+    val kc = keyCols.map(c => col(s"`$c`"))
+    val withCum = merged
+      .withColumn("__cum", sum(col("__cnt")).over(
+        Window.partitionBy(kc: _*).orderBy(col("__vb"))))
+      .withColumn("__tot", sum(col("__cnt")).over(Window.partitionBy(kc: _*)))
+    val qAggs = qs.map { q =>
+      min(when(col("__cum") >= ceil(lit(q) * col("__tot")), col("__vb"))).as(label(q))
+    }
+    withCum.groupBy(kc: _*)
+      .agg(qAggs.head, qAggs.tail: _*)
+      .select(kc ++ qs.map(q =>
+        (col(s"`${label(q)}`").cast("double") / scale).as(label(q))): _*)
+  }
+
   /** Slowly-changing-dimension type 2: turn an append-only CHANGELOG
     * (key, change time, attributes) into validity intervals — each row
     * becomes `[valid_from, valid_to)` where `valid_to` is the key's

@@ -91,6 +91,38 @@ class MergeStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totals(path) == before, "summing compaction must be observationally a no-op")
   }
 
+  test("quantile store: hand-computed type-1 quantiles; part splits and compaction are invisible") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // key A: values 0.10 .. 1.00 in steps of 0.10 (10 rows) -> p50 = 0.50
+    // (5th of 10 at cum>=5), p95 = 1.00 (ceil(9.5)=10th); key B: constant
+    val rows = (1 to 10).map(i => ("A", i / 10.0)) ++ Seq(("B", 0.42), ("B", 0.42))
+    def quantiles(path: String) =
+      MergeStore.readQuantiles(spark, path, Seq("k"), Seq(0.5, 0.95), scale = 100)
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // one part holding everything
+    val p1 = freshDir()
+    MergeStore.writeQuantilePart(rows.toDF("k", "v"), Seq("k"), "v", p1)
+    val whole = quantiles(p1)
+    assert(whole("A") == ((0.5, 1.0)), s"got ${whole("A")}")
+    assert(whole("B") == ((0.42, 0.42)))
+    // any split into parts merges to the same answer
+    val p2 = freshDir()
+    val (left, right) = rows.zipWithIndex.partition(_._2 % 2 == 0)
+    MergeStore.writeQuantilePart(left.map(_._1).toDF("k", "v"), Seq("k"), "v", p2)
+    MergeStore.writeQuantilePart(right.map(_._1).toDF("k", "v"), Seq("k"), "v", p2)
+    assert(quantiles(p2) == whole, "two-part store must answer like the one-part store")
+    // compaction is observationally invisible
+    MergeStore.compactSummed(spark, p2, Seq("k", "__vb"), Seq("__cnt"))
+    assert(quantiles(p2) == whole, "compaction moved a quantile")
+    // the documented error bar: quantization lands within 1/(2*scale)
+    val p3 = freshDir()
+    MergeStore.writeQuantilePart(Seq(("C", 0.123), ("C", 0.127)).toDF("k", "v"),
+      Seq("k"), "v", p3)
+    val c = quantiles(p3)("C")
+    assert(math.abs(c._1 - 0.123) <= 0.005 && math.abs(c._2 - 0.127) <= 0.005)
+  }
+
   test("scd2: changelog becomes half-open validity intervals; ties collapse to zero length") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

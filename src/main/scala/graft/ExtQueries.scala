@@ -3133,6 +3133,64 @@ object ExtQueries {
              |SELECT event_type,
              |  CAST(min(CASE WHEN cum >= ceil(0.5 * tot) THEN vb END) AS DOUBLE) / 100 AS p50,
              |  CAST(min(CASE WHEN cum >= ceil(0.95 * tot) THEN vb END) AS DOUBLE) / 100 AS p95
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Streaming quantile-MV maintenance (StreamingIngest
+    // .maintainQuantileParts): q148's store fed by the real streaming
+    // machinery — one epoch-addressed bin part per micro-batch, read
+    // back through the same merged cumulative window. Same two-file
+    // id-parity staging as q142 (both epochs hit every key and most
+    // bins), same whole-table oracle as q148: a hash match proves the
+    // streamed epochs merge to the from-scratch percentiles.
+    "q149_streaming_quantile_mv" -> ((
+      (s: SparkSession, d: String) => {
+        val sfName = new java.io.File(d).getName
+        val base = new java.io.File(s"/tmp/graft_stream_qmv_$sfName")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        rm(base)
+        val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+        val ev = s.read.parquet(s"$d/events.parquet")
+          .select(col("event_id"), col("event_type"), col("value"))
+        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = new java.io.File(base, s"stage_$name")
+          df.coalesce(1).write.parquet(tmp.toString)
+          val part = tmp.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+          val dest = new java.io.File(inDir, name)
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(mtime); ()
+        }
+        val now = System.currentTimeMillis()
+        stage(ev.filter(col("event_id") % 2 === 0), "000_even.parquet", now - 120000)
+        stage(ev.filter(col("event_id") % 2 === 1), "001_odd.parquet", now - 60000)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .drop("event_id")
+        val store = new java.io.File(base, "store").toString
+        val q = graft.streaming.StreamingIngest.maintainQuantileParts(
+          stream, Seq("event_type"), "value", store,
+          new java.io.File(base, "ckpt").toString, scale = 100,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        graft.store.MergeStore.readQuantiles(s, store, Seq("event_type"),
+            Seq(0.5, 0.95), scale = 100)
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vb, count(*) AS cnt
+             |  FROM events GROUP BY 1, 2
+             |), c AS (
+             |  SELECT event_type, vb,
+             |         sum(cnt) OVER (PARTITION BY event_type ORDER BY vb) AS cum,
+             |         sum(cnt) OVER (PARTITION BY event_type) AS tot
+             |  FROM b
+             |)
+             |SELECT event_type,
+             |  CAST(min(CASE WHEN cum >= ceil(0.5 * tot) THEN vb END) AS DOUBLE) / 100 AS p50,
+             |  CAST(min(CASE WHEN cum >= ceil(0.95 * tot) THEN vb END) AS DOUBLE) / 100 AS p95
              |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)))
   )
 

@@ -112,14 +112,31 @@ object MergeStore {
     * A batch reduces to the bin table before it ever hits storage;
     * reads shuffle the bin table once on the key and answer every
     * requested quantile from one cumulative window. */
-  def writeQuantilePart(batch: DataFrame, keyCols: Seq[String], valueCol: String,
-                        path: String, scale: Int = 100): Unit = {
+  private def quantileBins(batch: DataFrame, keyCols: Seq[String], valueCol: String,
+                           scale: Int): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
     val groups = keyCols.map(c => col(s"`$c`")) :+
       round(col(s"`$valueCol`") * scale).cast("long").as("__vb")
     batch.groupBy(groups: _*).agg(count(lit(1)).as("__cnt"))
-      .write.mode("append").parquet(path)
   }
+
+  def writeQuantilePart(batch: DataFrame, keyCols: Seq[String], valueCol: String,
+                        path: String, scale: Int = 100): Unit =
+    quantileBins(batch, keyCols, valueCol, scale).write.mode("append").parquet(path)
+
+  /** Epoch-addressed quantile part — the streaming writer's unit: the
+    * part path is a pure function of the epoch id and the write is an
+    * overwrite, so a replayed micro-batch (crash between write and
+    * checkpoint commit) overwrites ITS OWN bins instead of adding to
+    * them — bin counts have no idempotent algebra, so exactly-once
+    * comes from addressing, exactly like
+    * [[graft.streaming.StreamingIngest.maintainSummingParts]]. */
+  private[graft] def writeQuantileEpoch(batch: DataFrame, keyCols: Seq[String],
+                                        valueCol: String, path: String, scale: Int,
+                                        epochId: Long): Unit =
+    if (!batch.isEmpty)
+      quantileBins(batch, keyCols, valueCol, scale)
+        .write.mode("overwrite").parquet(s"$path/epoch=$epochId")
 
   /** Lower (type-1) sample quantiles per key off the merged histogram:
     * for each q, the smallest bin whose cumulative count reaches

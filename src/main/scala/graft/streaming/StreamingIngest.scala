@@ -151,6 +151,28 @@ object StreamingIngest {
       partial.write.mode("overwrite").parquet(s"$storePath/epoch=$epochId")
     }
 
+  /** Streaming maintenance of the QUANTILE store
+    * ([[graft.store.MergeStore.readQuantiles]]): each micro-batch
+    * reduces to its (key, quantized-value) bin counts written as the
+    * epoch's part — live percentile dashboards with the same
+    * exactly-once-by-addressing contract as [[maintainSummingParts]]
+    * (bin counts, like sums, have no idempotent algebra; the epoch
+    * path is the delivery guarantee). The `epoch` directory column
+    * surfaces on read and is not a group key, so readers never see
+    * it. */
+  def maintainQuantileParts(events: DataFrame, keyCols: Seq[String], valueCol: String,
+                            storePath: String, checkpointDir: String, scale: Int = 100,
+                            trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.store.MergeStore.writeQuantileEpoch(
+          batch, keyCols, valueCol, storePath, scale, epochId)
+      }
+      .start()
+
   /** Streaming maintenance of a [[graft.store.SketchStore]]: each
     * micro-batch reduces to per-(part, group) HLL sketches appended to
     * the store — the live distinct-count dashboard pattern (readers

@@ -255,6 +255,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totals() == first, "re-applied epoch double-counted")
   }
 
+  test("maintainQuantileParts: live percentile MV; re-applying a committed epoch is exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("graft-qsink").toString
+    val store = s"$base/store"
+    val mem = MemoryStream[(String, Double)]
+    val batch1 = (1 to 6).map(i => ("g", i / 10.0))
+    val batch2 = (7 to 10).map(i => ("g", i / 10.0))
+
+    val q = StreamingIngest.maintainQuantileParts(mem.toDF().toDF("g", "v"),
+      Seq("g"), "v", store, s"$base/ckpt")
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+
+    def p(): (Double, Double) =
+      graft.store.MergeStore.readQuantiles(spark, store, Seq("g"), Seq(0.5, 0.95))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2))).head
+    // values 0.1..1.0: p50 = 0.5 (5th of 10), p95 = 1.0 (10th)
+    val first = p()
+    assert(first == ((0.5, 1.0)), s"streamed percentiles wrong: $first")
+    assert(new java.io.File(store).listFiles.count(_.getName.startsWith("epoch=")) >= 2)
+    // crash-replay with the same epoch id: overwrite addressing keeps it
+    // exactly-once (a plain append would shift every rank)
+    graft.store.MergeStore.writeQuantileEpoch(batch1.toDF("g", "v"),
+      Seq("g"), "v", store, scale = 100, epochId = 0L)
+    assert(p() == first, "re-applied epoch moved a percentile")
+  }
+
   test("firstOccurrenceDedup: custom mapGroupsWithState drops repeat keys across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

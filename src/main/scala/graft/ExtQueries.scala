@@ -3191,7 +3191,68 @@ object ExtQueries {
              |SELECT event_type,
              |  CAST(min(CASE WHEN cum >= ceil(0.5 * tot) THEN vb END) AS DOUBLE) / 100 AS p50,
              |  CAST(min(CASE WHEN cum >= ceil(0.95 * tot) THEN vb END) AS DOUBLE) / 100 AS p95
-             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Tombstone deletion through the latest-wins store (the
+    // privacy-erasure flow a training-data pipeline must support):
+    // base part + upsert part + a TOMBSTONE part deleting every event
+    // of user_id % 7 == 3, compacted mid-path (which physically purges
+    // the superseded payloads — spec-pinned), read back with the
+    // reader's NOT-deleted filter. The oracle replays all three parts
+    // and the filter, so a resurrected row, a lost tombstone, or a
+    // compaction that changed anything observable all hash-mismatch.
+    "q150_tombstone_delete" -> ((
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.types.DecimalType
+        val path = s"/tmp/graft_q150_${new java.io.File(d).getName}_" +
+          ProcessHandle.current().pid()
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(path))
+        val ev = events(s, d).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          col("value").cast(DecimalType(18, 2)).as("value"))
+        graft.store.MergeStore.appendPart(
+          ev.select(col("event_id"), col("event_type"), col("value"),
+            lit(false).as("deleted"), lit(1L).as("version")), path)
+        graft.store.MergeStore.appendPart(
+          ev.filter(col("user_id") % 10 === 0)
+            .select(col("event_id"), col("event_type"),
+              (col("value") + lit(100)).cast(DecimalType(18, 2)).as("value"),
+              lit(false).as("deleted"), lit(2L).as("version")), path)
+        graft.store.MergeStore.appendPart(
+          ev.filter(col("user_id") % 7 === 3)
+            .select(col("event_id"), col("event_type"),
+              lit(null).cast(DecimalType(18, 2)).as("value"),
+              lit(true).as("deleted"), lit(3L).as("version")), path)
+        graft.store.MergeStore.compactLatest(s, path, Seq("event_id"), "version")
+        graft.store.MergeStore.readLatest(s, path, Seq("event_id"), "version")
+          .filter(!col("deleted"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("value")).cast("double").as("value_sum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH parts AS (
+             |  SELECT event_id, user_id, event_type,
+             |         CAST(value AS DECIMAL(18,2)) AS value, FALSE AS deleted, 1 AS version
+             |  FROM events
+             |  UNION ALL
+             |  SELECT event_id, user_id, event_type,
+             |         CAST(CAST(value AS DECIMAL(18,2)) + 100 AS DECIMAL(18,2)), FALSE, 2
+             |  FROM events WHERE user_id % 10 = 0
+             |  UNION ALL
+             |  SELECT event_id, user_id, event_type,
+             |         CAST(NULL AS DECIMAL(18,2)), TRUE, 3
+             |  FROM events WHERE user_id % 7 = 3
+             |), merged AS (
+             |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY version DESC) AS rn
+             |  FROM parts
+             |)
+             |SELECT event_type, count(*) AS n, CAST(sum(value) AS DOUBLE) AS value_sum
+             |FROM merged WHERE rn = 1 AND NOT deleted
+             |GROUP BY 1 ORDER BY 1""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -91,6 +91,31 @@ class MergeStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totals(path) == before, "summing compaction must be observationally a no-op")
   }
 
+  test("tombstone delete + compact: readers never see deleted keys; compaction physically purges them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = freshDir()
+    MergeStore.appendPart(Seq((1L, "a", false, 1L), (2L, "b", false, 1L), (3L, "c", false, 1L))
+      .toDF("k", "payload", "deleted", "version"), path)
+    // GDPR-style erasure of k=2: a tombstone append, no rewrite
+    MergeStore.appendPart(Seq((2L, null.asInstanceOf[String], true, 2L))
+      .toDF("k", "payload", "deleted", "version"), path)
+    def visible() = MergeStore.readLatest(spark, path, Seq("k"), "version")
+      .filter(!col("deleted")).select("k", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(visible() == Set((1L, "a"), (3L, "c")))
+    // before compaction the superseded payload still exists on disk...
+    val rawBefore = spark.read.parquet(path).filter(col("k") === 2L).collect()
+    assert(rawBefore.length == 2, "expected payload + tombstone before compaction")
+    // ...compaction purges it: only the tombstone survives physically
+    MergeStore.compactLatest(spark, path, Seq("k"), "version")
+    val rawAfter = spark.read.parquet(path).filter(col("k") === 2L)
+      .collect().map(r => (r.getAs[String]("payload"), r.getAs[Boolean]("deleted")))
+    assert(rawAfter.toSeq == Seq((null, true)),
+      s"superseded payload must be physically gone after compaction, got ${rawAfter.toSeq}")
+    assert(visible() == Set((1L, "a"), (3L, "c")), "compaction changed the reader's view")
+  }
+
   test("quantile store: hand-computed type-1 quantiles; part splits and compaction are invisible") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

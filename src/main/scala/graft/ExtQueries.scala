@@ -3252,7 +3252,32 @@ object ExtQueries {
              |)
              |SELECT event_type, count(*) AS n, CAST(sum(value) AS DOUBLE) AS value_sum
              |FROM merged WHERE rn = 1 AND NOT deleted
-             |GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Unicode NFC normalization (native codegen NfcNormalize): the
+    // canonical-composition pass that keeps decomposed look-alikes from
+    // slipping past exact-hash dedup. The ASCII corpus gets decomposed
+    // sequences INJECTED deterministically (combining acute/diaeresis
+    // from chr()), both engines normalize, and the full normalized
+    // text plus before/after codepoint counts hash-check — JDK
+    // Normalizer vs DuckDB's utf8proc, byte-for-byte.
+    "q151_nfc_normalize" -> ((
+      (s: SparkSession, d: String) => {
+        val raw = concat(lit("cafe\u0301 nai\u0308ve "), col("text"))
+        docs(s, d).select(col("doc_id"),
+            graft.functions.TextFunctions.nfc_normalize(raw).as("norm_text"),
+            length(raw).cast("long").as("n_raw"),
+            length(graft.functions.TextFunctions.nfc_normalize(raw)).cast("long").as("n_norm"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  nfc_normalize(raw) AS norm_text,
+             |  CAST(length(raw) AS BIGINT) AS n_raw,
+             |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_norm
+             |FROM (SELECT doc_id,
+             |        'cafe' || chr(769) || ' nai' || chr(776) || 've ' || text AS raw
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

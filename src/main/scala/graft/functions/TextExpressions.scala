@@ -497,9 +497,36 @@ case class BloomMightContainLong(child: Expression, bits: Array[Byte])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Unicode NFC normalization — the canonical-composition pass every
+  * text pipeline needs before hashing, dedup, or token counting:
+  * "é" as one codepoint and "e"+U+0301 are the SAME text to a reader
+  * but different bytes to every fingerprint above, so un-normalized
+  * corpora leak duplicates past exact-hash dedup. Wraps the JDK's
+  * `java.text.Normalizer` (Unicode-standard NFC; engines on the same
+  * Unicode version agree byte-for-byte — DuckDB's `nfc_normalize`
+  * replays it, which is how the battery hash-checks this). Codegen'd:
+  * a normalize stays inside whole-stage codegen on the scan. */
+case class NfcNormalize(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "nfc_normalize"
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      v.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.Bridge.{column => C, expression => E}
   def fingerprint64(c: Column): Column = C(Fingerprint64(E(c)))
+  def nfc_normalize(c: Column): Column = C(NfcNormalize(E(c)))
   def bloom_might_contain_long(c: Column, bits: Array[Byte]): Column =
     C(BloomMightContainLong(E(c), bits))
   def minhash_signature(c: Column, k: Int): Column = C(MinHashSignature(E(c), k))

@@ -1806,6 +1806,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(df.repartition(7)) == got)
   }
 
+  test("nfc_normalize: composes decomposed sequences, idempotent, null-safe, codegen == eval") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions.nfc_normalize
+    val df = Seq(
+      (1L, "café"),          // e + combining acute -> é
+      (2L, "café"),           // already composed
+      (3L, "naïve plain"),   // i + combining diaeresis mid-word
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val got = df.select(col("id"), nfc_normalize(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "café" && got(1L) == got(2L),
+      "decomposed and composed inputs must normalize to the same bytes")
+    assert(got(3L) == "naïve plain")
+    assert(got(4L) == null)
+    // idempotence: normalizing the normalized output changes nothing
+    val twice = df.filter(col("s").isNotNull)
+      .select(col("id"), nfc_normalize(nfc_normalize(col("s"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice == got.filter(_._2 != null))
+    // the dedup motivation: fingerprints agree only after normalization
+    val fp = df.filter(col("id") <= 2)
+      .select(graft.functions.TextFunctions.fingerprint64(col("s")).as("raw"),
+        graft.functions.TextFunctions.fingerprint64(nfc_normalize(col("s"))).as("norm"))
+      .collect()
+    assert(fp.map(_.getLong(0)).distinct.length == 2, "raw fingerprints should differ")
+    assert(fp.map(_.getLong(1)).distinct.length == 1, "normalized fingerprints must agree")
+  }
+
   test("bm25TopKIndexed == bm25TopK exactly; probe prunes to the query tokens' partitions") {
     val words = Seq("alpha", "beta", "gamma", "delta", "omega", "rare")
     val rnd = new scala.util.Random(77)

@@ -58,6 +58,66 @@ object ExtQueries {
     f.delete(); ()
   }
 
+  /** Stage a DataFrame as ONE parquet file in `inDir` with a controlled
+    * mtime — the staging unit of every file-source streaming battery
+    * row (mtime order is what makes `maxFilesPerTrigger = 1` batch
+    * boundaries deterministic). */
+  private def stageFile(df: DataFrame, inDir: java.io.File, name: String,
+                        mtime: Long): Unit = {
+    val tmp = new java.io.File(inDir.getParentFile, s"stage_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(inDir, name)
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    dest.setLastModified(mtime); ()
+  }
+
+  /** Shared by q137 (score) and q141 (buckets): the quantized
+    * unigram-LM CTE chain — one definition, so a change to the scoring
+    * replay cannot silently leave the bucket oracle on the old
+    * formula. Interpolated with `s`-strings; `$` does not otherwise
+    * occur in the chain. */
+  private val unigramSurprisalCtes: String =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
+      |  FROM documents
+      |), tok AS (
+      |  SELECT doc_id, unnest(t) AS token FROM tk
+      |), pairs AS (
+      |  SELECT doc_id, token, count(*) AS m FROM tok GROUP BY 1, 2
+      |), cnt AS (
+      |  SELECT token, sum(m) AS c FROM pairs GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(c) AS N, count(*) AS V FROM cnt
+      |), u AS (
+      |  SELECT token, CAST(round(ln(CAST(c + 1 AS DOUBLE)) * 10000) AS BIGINT) AS u FROM cnt
+      |), per AS (
+      |  SELECT pairs.doc_id, sum(pairs.m * u.u) AS s, sum(pairs.m) AS n
+      |  FROM pairs JOIN u USING (token) GROUP BY 1
+      |)""".stripMargin
+
+  /** Shared by q148 (batch parts) and q149 (streamed epochs): both
+    * stores must merge to the same whole-table percentiles, so both
+    * hash-check against one replay. Mirrors `readQuantiles` exactly:
+    * nulls excluded before binning, rank test in integer micro-units
+    * (`cum·10⁶ ≥ round(q·10⁶)·n` — a float `ceil(q·n)` can overshoot
+    * a rank boundary). */
+  private val quantileStoreSql: String =
+    """WITH b AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vb, count(*) AS cnt
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+      |), c AS (
+      |  SELECT event_type, vb,
+      |         sum(cnt) OVER (PARTITION BY event_type ORDER BY vb) AS cum,
+      |         sum(cnt) OVER (PARTITION BY event_type) AS tot
+      |  FROM b
+      |)
+      |SELECT event_type,
+      |  CAST(min(CASE WHEN cum * 1000000 >= 500000 * tot THEN vb END) AS DOUBLE) / 100 AS p50,
+      |  CAST(min(CASE WHEN cum * 1000000 >= 950000 * tot THEN vb END) AS DOUBLE) / 100 AS p95
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** First embedding vector of the corpus — deterministic ANN query. */
   private def queryVec(s: SparkSession, d: String): Array[Float] =
     embs(s, d).filter(col("vec_id") === 0).select("embedding")
@@ -2731,23 +2791,7 @@ object ExtQueries {
       (s: SparkSession, d: String) =>
         TextAnalysis.unigramSurprisal(docs(s, d), "doc_id", "text")
           .orderBy("doc_id"),
-      Some("""WITH tk AS (
-             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
-             |  FROM documents
-             |), tok AS (
-             |  SELECT doc_id, unnest(t) AS token FROM tk
-             |), pairs AS (
-             |  SELECT doc_id, token, count(*) AS m FROM tok GROUP BY 1, 2
-             |), cnt AS (
-             |  SELECT token, sum(m) AS c FROM pairs GROUP BY 1
-             |), tot AS (
-             |  SELECT sum(c) AS N, count(*) AS V FROM cnt
-             |), u AS (
-             |  SELECT token, CAST(round(ln(CAST(c + 1 AS DOUBLE)) * 10000) AS BIGINT) AS u FROM cnt
-             |), per AS (
-             |  SELECT pairs.doc_id, sum(pairs.m * u.u) AS s, sum(pairs.m) AS n
-             |  FROM pairs JOIN u USING (token) GROUP BY 1
-             |)
+      Some(s"""$unigramSurprisalCtes
              |SELECT d.doc_id,
              |       CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
              |       CASE WHEN per.n IS NULL THEN 0.0
@@ -2814,35 +2858,23 @@ object ExtQueries {
     // the two session definitions differ at the boundary by design).
     "q139_streaming_sessions" -> ((
       (s: SparkSession, d: String) => {
-        val sfName = new java.io.File(d).getName
-        val base = new java.io.File(s"/tmp/graft_stream_sessions_$sfName")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(); ()
-        }
-        rm(base)
+        val base = new java.io.File(s"/tmp/graft_stream_sessions_" +
+          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}")
+        rmrf(base)
         val inDir = new java.io.File(base, "in"); inDir.mkdirs()
         val ev = Queries.normalizeEventTs(s.read.parquet(s"$d/events.parquet"))
           .select(col("ts"), col("user_id"))
         val bounds = ev.agg(max(col("ts")).as("mx"),
           expr("percentile_approx(unix_micros(ts), 0.5, 100000)").as("med")).head()
         val maxTs = bounds.getTimestamp(0); val medUs = bounds.getLong(1)
-        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-          val tmp = new java.io.File(base, s"stage_$name")
-          df.coalesce(1).write.parquet(tmp.toString)
-          val part = tmp.listFiles()
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-          val dest = new java.io.File(inDir, name)
-          java.nio.file.Files.move(part.toPath, dest.toPath)
-          dest.setLastModified(mtime); ()
-        }
         val now = System.currentTimeMillis()
-        stage(ev.filter(unix_micros(col("ts")) <= medUs), "000_early.parquet", now - 120000)
+        stageFile(ev.filter(unix_micros(col("ts")) <= medUs), inDir,
+          "000_early.parquet", now - 120000)
         val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 40L * 24 * 3600 * 1000)
-        stage(ev.filter(unix_micros(col("ts")) > medUs).unionByName(
+        stageFile(ev.filter(unix_micros(col("ts")) > medUs).unionByName(
             s.createDataFrame(
               java.util.List.of(org.apache.spark.sql.Row(sentinelTs, -1L)), ev.schema)),
-          "001_late.parquet", now - 60000)
+          inDir, "001_late.parquet", now - 60000)
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
         val sessions = graft.streaming.StreamingIngest.sessionCounts(
@@ -2905,23 +2937,7 @@ object ExtQueries {
         TextAnalysis.surprisalBuckets(docs(s, d), "doc_id", "text", col("lang"),
             nBuckets = 3)
           .orderBy("doc_id"),
-      Some("""WITH tk AS (
-             |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS t
-             |  FROM documents
-             |), tok AS (
-             |  SELECT doc_id, unnest(t) AS token FROM tk
-             |), pairs AS (
-             |  SELECT doc_id, token, count(*) AS m FROM tok GROUP BY 1, 2
-             |), cnt AS (
-             |  SELECT token, sum(m) AS c FROM pairs GROUP BY 1
-             |), tot AS (
-             |  SELECT sum(c) AS N, count(*) AS V FROM cnt
-             |), u AS (
-             |  SELECT token, CAST(round(ln(CAST(c + 1 AS DOUBLE)) * 10000) AS BIGINT) AS u FROM cnt
-             |), per AS (
-             |  SELECT pairs.doc_id, sum(pairs.m * u.u) AS s, sum(pairs.m) AS n
-             |  FROM pairs JOIN u USING (token) GROUP BY 1
-             |), sc AS (
+      Some(s"""$unigramSurprisalCtes, sc AS (
              |  SELECT d.doc_id, d.lang AS stratum,
              |       CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
              |       CASE WHEN per.n IS NULL THEN 0.0
@@ -2951,29 +2967,18 @@ object ExtQueries {
     "q142_streaming_summing_mv" -> ((
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.types.DecimalType
-        val sfName = new java.io.File(d).getName
-        val base = new java.io.File(s"/tmp/graft_stream_summv_$sfName")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(); ()
-        }
-        rm(base)
+        val base = new java.io.File(s"/tmp/graft_stream_summv_" +
+          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}")
+        rmrf(base)
         val inDir = new java.io.File(base, "in"); inDir.mkdirs()
         val ev = s.read.parquet(s"$d/events.parquet")
           .select(col("event_id"), col("event_type"),
             col("value").cast(DecimalType(18, 2)).as("value"), lit(1L).as("n"))
-        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-          val tmp = new java.io.File(base, s"stage_$name")
-          df.coalesce(1).write.parquet(tmp.toString)
-          val part = tmp.listFiles()
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-          val dest = new java.io.File(inDir, name)
-          java.nio.file.Files.move(part.toPath, dest.toPath)
-          dest.setLastModified(mtime); ()
-        }
         val now = System.currentTimeMillis()
-        stage(ev.filter(col("event_id") % 2 === 0), "000_even.parquet", now - 120000)
-        stage(ev.filter(col("event_id") % 2 === 1), "001_odd.parquet", now - 60000)
+        stageFile(ev.filter(col("event_id") % 2 === 0), inDir, "000_even.parquet",
+          now - 120000)
+        stageFile(ev.filter(col("event_id") % 2 === 1), inDir, "001_odd.parquet",
+          now - 60000)
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
           .drop("event_id")
@@ -3079,8 +3084,8 @@ object ExtQueries {
     // build → prune → probe round trip returns the scan path's answer.
     "q146_bm25_indexed" -> ((
       (s: SparkSession, d: String) => {
-        val sfName = new java.io.File(d).getName
-        val path = s"/tmp/graft_lexidx_$sfName"
+        val path = s"/tmp/graft_lexidx_${new java.io.File(d).getName}_" +
+          ProcessHandle.current().pid()
         SimilaritySearch.writeLexicalIndex(docs(s, d), "doc_id", "text", path,
           nParts = 64)
         SimilaritySearch.bm25TopKIndexed(s, path,
@@ -3101,13 +3106,9 @@ object ExtQueries {
     // within 1/200 of the raw-value percentile.
     "q148_quantile_store" -> ((
       (s: SparkSession, d: String) => {
-        val sfName = new java.io.File(d).getName
-        val base = new java.io.File(s"/tmp/graft_qstore_$sfName")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(); ()
-        }
-        rm(base)
+        val base = new java.io.File(s"/tmp/graft_qstore_" +
+          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}")
+        rmrf(base)
         val store = base.toString
         val ev = s.read.parquet(s"$d/events.parquet")
           .select(col("event_id"), col("event_type"), col("value"))
@@ -3121,19 +3122,7 @@ object ExtQueries {
             Seq(0.5, 0.95), scale = 100)
           .orderBy("event_type")
       },
-      Some("""WITH b AS (
-             |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vb, count(*) AS cnt
-             |  FROM events GROUP BY 1, 2
-             |), c AS (
-             |  SELECT event_type, vb,
-             |         sum(cnt) OVER (PARTITION BY event_type ORDER BY vb) AS cum,
-             |         sum(cnt) OVER (PARTITION BY event_type) AS tot
-             |  FROM b
-             |)
-             |SELECT event_type,
-             |  CAST(min(CASE WHEN cum >= ceil(0.5 * tot) THEN vb END) AS DOUBLE) / 100 AS p50,
-             |  CAST(min(CASE WHEN cum >= ceil(0.95 * tot) THEN vb END) AS DOUBLE) / 100 AS p95
-             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))),
+      Some(quantileStoreSql))),
 
     // Streaming quantile-MV maintenance (StreamingIngest
     // .maintainQuantileParts): q148's store fed by the real streaming
@@ -3144,28 +3133,17 @@ object ExtQueries {
     // streamed epochs merge to the from-scratch percentiles.
     "q149_streaming_quantile_mv" -> ((
       (s: SparkSession, d: String) => {
-        val sfName = new java.io.File(d).getName
-        val base = new java.io.File(s"/tmp/graft_stream_qmv_$sfName")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(); ()
-        }
-        rm(base)
+        val base = new java.io.File(s"/tmp/graft_stream_qmv_" +
+          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}")
+        rmrf(base)
         val inDir = new java.io.File(base, "in"); inDir.mkdirs()
         val ev = s.read.parquet(s"$d/events.parquet")
           .select(col("event_id"), col("event_type"), col("value"))
-        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-          val tmp = new java.io.File(base, s"stage_$name")
-          df.coalesce(1).write.parquet(tmp.toString)
-          val part = tmp.listFiles()
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-          val dest = new java.io.File(inDir, name)
-          java.nio.file.Files.move(part.toPath, dest.toPath)
-          dest.setLastModified(mtime); ()
-        }
         val now = System.currentTimeMillis()
-        stage(ev.filter(col("event_id") % 2 === 0), "000_even.parquet", now - 120000)
-        stage(ev.filter(col("event_id") % 2 === 1), "001_odd.parquet", now - 60000)
+        stageFile(ev.filter(col("event_id") % 2 === 0), inDir, "000_even.parquet",
+          now - 120000)
+        stageFile(ev.filter(col("event_id") % 2 === 1), inDir, "001_odd.parquet",
+          now - 60000)
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
           .drop("event_id")
@@ -3179,19 +3157,7 @@ object ExtQueries {
             Seq(0.5, 0.95), scale = 100)
           .orderBy("event_type")
       },
-      Some("""WITH b AS (
-             |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vb, count(*) AS cnt
-             |  FROM events GROUP BY 1, 2
-             |), c AS (
-             |  SELECT event_type, vb,
-             |         sum(cnt) OVER (PARTITION BY event_type ORDER BY vb) AS cum,
-             |         sum(cnt) OVER (PARTITION BY event_type) AS tot
-             |  FROM b
-             |)
-             |SELECT event_type,
-             |  CAST(min(CASE WHEN cum >= ceil(0.5 * tot) THEN vb END) AS DOUBLE) / 100 AS p50,
-             |  CAST(min(CASE WHEN cum >= ceil(0.95 * tot) THEN vb END) AS DOUBLE) / 100 AS p95
-             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))),
+      Some(quantileStoreSql))),
 
     // Tombstone deletion through the latest-wins store (the
     // privacy-erasure flow a training-data pipeline must support):
@@ -3206,11 +3172,7 @@ object ExtQueries {
         import org.apache.spark.sql.types.DecimalType
         val path = s"/tmp/graft_q150_${new java.io.File(d).getName}_" +
           ProcessHandle.current().pid()
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(path))
+        rmrf(new java.io.File(path))
         val ev = events(s, d).select(
           col("event_id"), col("user_id"), col("event_type"),
           col("value").cast(DecimalType(18, 2)).as("value"))

@@ -473,10 +473,12 @@ object OracleSql {
     * — a hash match on q146 therefore proves the whole
     * write-index → prune → probe round trip returns exactly the
     * scan-path answer. */
-  def bm25TopKSql(queryTokens: Seq[String], k: Int): String = {
-    val qlist = queryTokens.map(_.toLowerCase).distinct
-      .map(t => s"'$t'").mkString("[", ", ", "]")
-    s"""WITH tk AS (
+  /** The quantized-BM25 scoring CTE chain (`tk`/`base`/`stats`/`tf`/
+    * `dfc`/`scored`) — ONE definition shared by q140/q146's top-k and
+    * q143's hybrid, mirroring the Scala side's shared `bm25ContribU`:
+    * the oracles can no more drift apart than the operators can. */
+  private def bm25ScoredCtes(qlist: String): String =
+    s"""tk AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS t
        |  FROM documents
        |), base AS (
@@ -501,11 +503,16 @@ object OracleSql {
        |                                     / (CAST(sumdl AS DOUBLE) / CAST(ndocs AS DOUBLE))))))
        |    ) AS BIGINT) AS cu
        |  FROM tf JOIN dfc USING (token) CROSS JOIN stats
-       |)
+       |)""".stripMargin
+
+  private def tokenList(queryTokens: Seq[String]): String =
+    queryTokens.map(_.toLowerCase).distinct.map(t => s"'$t'").mkString("[", ", ", "]")
+
+  def bm25TopKSql(queryTokens: Seq[String], k: Int): String =
+    s"""WITH ${bm25ScoredCtes(tokenList(queryTokens))}
        |SELECT doc_id, CAST(sum(cu) AS DOUBLE) / 1000000.0 AS bm25
        |FROM scored GROUP BY doc_id
        |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
-  }
 
   /** q143 oracle: hybrid RRF with the TRUE-BM25 lexical arm (the
     * mixing this file's q91 comment once ruled out — the q137/q140
@@ -514,34 +521,7 @@ object OracleSql {
     * fusion identical to [[hybridTopKSql]]. k1=1.25 / b=0.75 appear as
     * the exact binary literals 2.25 / 1.25 / 0.25 / 0.75. */
   def hybridBm25TopKSql(queryTokens: Seq[String], k: Int, nPerList: Int, rrfK: Int): String = {
-    val qlist = queryTokens.map(_.toLowerCase).distinct
-      .map(t => s"'$t'").mkString("[", ", ", "]")
-    s"""WITH tk AS (
-       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS t
-       |  FROM documents
-       |), base AS (
-       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
-       |         list_filter(t, x -> list_contains($qlist, x)) AS m
-       |  FROM tk
-       |), stats AS (
-       |  SELECT sum(dl) AS sumdl, count(*) AS ndocs FROM base
-       |), tf AS (
-       |  SELECT doc_id, dl, token, count(*) AS tf
-       |  FROM (SELECT doc_id, dl, unnest(m) AS token FROM base)
-       |  GROUP BY 1, 2, 3
-       |), dfc AS (
-       |  SELECT token, count(*) AS df FROM tf GROUP BY 1
-       |), scored AS (
-       |  SELECT tf.doc_id,
-       |    CAST(round(
-       |      CAST(CAST(round(ln((ndocs - df + 0.5) / (df + 0.5) + 1) * 1000000) AS BIGINT) AS DOUBLE)
-       |      * ((CAST(tf AS DOUBLE) * 2.25)
-       |         / (CAST(tf AS DOUBLE)
-       |            + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
-       |                                     / (CAST(sumdl AS DOUBLE) / CAST(ndocs AS DOUBLE))))))
-       |    ) AS BIGINT) AS cu
-       |  FROM tf JOIN dfc USING (token) CROSS JOIN stats
-       |), bm AS (
+    s"""WITH ${bm25ScoredCtes(tokenList(queryTokens))}, bm AS (
        |  SELECT doc_id AS id, CAST(sum(cu) AS DOUBLE) / 1000000.0 AS bm25
        |  FROM scored GROUP BY doc_id
        |), lex AS (

@@ -741,19 +741,18 @@ object SimilaritySearch {
                       queryTokens: Seq[String], k: Int,
                       k1: Double = 1.25, b: Double = 0.75): DataFrame = {
     require(queryTokens.nonEmpty, "bm25TopKIndexed needs at least one query token")
+    // the one-row stats table is already on the driver — ride its
+    // values as literals instead of a second scan + broadcast exchange
     val statsRow = spark.read.parquet(s"$path/stats").head()
     val nParts = statsRow.getAs[Long]("n_parts")
     val qts = queryTokens.map(_.toLowerCase).distinct
     val parts = qts.map(t => math.floorMod(
       graft.functions.Fingerprint64.hash(t.getBytes("UTF-8")), nParts)).distinct
-    val stats = spark.read.parquet(s"$path/stats")
-      .select(col("sumdl").as("__sumdl"), col("ndocs").as("__ndocs"))
     val contribU = bm25ContribU(col("tf"), col("dl"), col("df"),
-      col("__ndocs"), col("__sumdl"), k1, b)
+      lit(statsRow.getAs[Long]("ndocs")), lit(statsRow.getAs[Long]("sumdl")), k1, b)
     spark.read.parquet(s"$path/postings")
       .filter(col("part").isin(parts: _*))
       .filter(col("token").isin(qts: _*))
-      .crossJoin(broadcast(stats))
       .select(col("id"), contribU.as("__cu"))
       .groupBy("id").agg(sum(col("__cu")).as("__su"))
       .select(col("id"),

@@ -117,7 +117,11 @@ object MergeStore {
     require(scale > 0, s"scale must be positive, got $scale")
     val groups = keyCols.map(c => col(s"`$c`")) :+
       round(col(s"`$valueCol`") * scale).cast("long").as("__vb")
-    batch.groupBy(groups: _*).agg(count(lit(1)).as("__cnt"))
+    // standard percentile semantics (Spark percentile, DuckDB quantile)
+    // ignore nulls; binning them would also shift every cumulative rank
+    // (a NULL bin sorts first in Spark's window, last in DuckDB's)
+    batch.filter(col(s"`$valueCol`").isNotNull)
+      .groupBy(groups: _*).agg(count(lit(1)).as("__cnt"))
   }
 
   def writeQuantilePart(batch: DataFrame, keyCols: Seq[String], valueCol: String,
@@ -139,10 +143,14 @@ object MergeStore {
         .write.mode("overwrite").parquet(s"$path/epoch=$epochId")
 
   /** Lower (type-1) sample quantiles per key off the merged histogram:
-    * for each q, the smallest bin whose cumulative count reaches
-    * `ceil(q · n)`, reported as `bin / scale` (a value the data
-    * actually quantized to). Output columns `p50`-style per requested
-    * q. */
+    * for each q, the smallest bin whose cumulative count `c` satisfies
+    * `c ≥ q · n`, reported as `bin / scale` (a value the data actually
+    * quantized to). The rank test runs in EXACT integer arithmetic —
+    * q is taken at 1e-6 granularity (`c · 10⁶ ≥ round(q·10⁶) · n`), so
+    * no float product can overshoot a rank boundary (a naive
+    * `ceil(q · n)` returns the 8th-smallest of 100 rows for q = 0.07:
+    * 0.07·100 = 7.000000000000001 in IEEE). Output columns
+    * `p50`-style per requested q. */
   def readQuantiles(spark: SparkSession, path: String, keyCols: Seq[String],
                     qs: Seq[Double], scale: Int = 100): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
@@ -158,7 +166,9 @@ object MergeStore {
         Window.partitionBy(kc: _*).orderBy(col("__vb"))))
       .withColumn("__tot", sum(col("__cnt")).over(Window.partitionBy(kc: _*)))
     val qAggs = qs.map { q =>
-      min(when(col("__cum") >= ceil(lit(q) * col("__tot")), col("__vb"))).as(label(q))
+      val qMicro = math.round(q * 1000000L)
+      min(when(col("__cum") * 1000000L >= lit(qMicro) * col("__tot"), col("__vb")))
+        .as(label(q))
     }
     withCum.groupBy(kc: _*)
       .agg(qAggs.head, qAggs.tail: _*)

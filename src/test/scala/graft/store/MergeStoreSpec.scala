@@ -148,6 +148,27 @@ class MergeStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(c._1 - 0.123) <= 0.005 && math.abs(c._2 - 0.127) <= 0.005)
   }
 
+  test("quantile rank test is exact where float ceil overshoots; nulls are ignored") {
+    import spark.implicits._
+    // q=0.07 over 100 rows: 0.07*100 = 7.000000000000001 in IEEE, so a
+    // float ceil would demand rank 8; the type-1 quantile is the 7th
+    // smallest (ceil over the reals). Values 0.01..1.00 -> p7 = 0.07.
+    val p = freshDir()
+    MergeStore.writeQuantilePart((1 to 100).map(i => ("k", i / 100.0)).toDF("k", "v"),
+      Seq("k"), "v", p)
+    val got = MergeStore.readQuantiles(spark, p, Seq("k"), Seq(0.07))
+      .collect().map(_.getDouble(1)).head
+    assert(got == 0.07, s"float-ceil overshoot: expected the 7th value 0.07, got $got")
+    // nulls never bin: they neither shift ranks nor surface as results
+    val pn = freshDir()
+    MergeStore.writeQuantilePart(
+      Seq(("k", Some(1.0)), ("k", None), ("k", None)).toDF("k", "v"),
+      Seq("k"), "v", pn)
+    val gn = MergeStore.readQuantiles(spark, pn, Seq("k"), Seq(0.5))
+      .collect().map(_.getDouble(1)).head
+    assert(gn == 1.0, s"null values must be ignored, got $gn")
+  }
+
   test("scd2: changelog becomes half-open validity intervals; ties collapse to zero length") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -3239,7 +3239,53 @@ object ExtQueries {
              |FROM (SELECT doc_id,
              |        'cafe' || chr(769) || ' nai' || chr(776) || 've ' || text AS raw
              |      FROM documents)
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin))),
+
+    // Per-label embedding coherence (SimilaritySearch.labelCoherence):
+    // centroid per label from 1e-6-quantized component sums, then the
+    // mean member-to-centroid cosine — mislabeled / collapsed /
+    // heterogeneous classes read directly off the report. Both the
+    // centroid pass and the mean-cosine pass are quantize-then-
+    // integer-sum (q137's discipline), and each row's cosine is a
+    // fixed left fold, so the DOUBLE report columns hash-match.
+    "q152_label_coherence" -> ((
+      (s: SparkSession, d: String) =>
+        SimilaritySearch.labelCoherence(embs(s, d), "vec_id", "embedding", "label")
+          .orderBy("label"),
+      Some("""WITH comp AS (
+             |  SELECT label, i,
+             |         sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS su
+             |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+             |  GROUP BY 1, 2
+             |), cnt AS (
+             |  SELECT label, count(*) AS n FROM embeddings GROUP BY 1
+             |), cl AS (
+             |  SELECT comp.label, cnt.n,
+             |         list(CAST(su AS DOUBLE) / CAST(cnt.n * 1000000 AS DOUBLE) ORDER BY i) AS c
+             |  FROM comp JOIN cnt USING (label) GROUP BY 1, 2
+             |), scored AS (
+             |  SELECT e.label, cl.n,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * cl.c[i])),
+             |      (a, b) -> a + b) AS dot,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             |      (a, b) -> a + b) AS na,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(cl.c, x -> x * x)),
+             |      (a, b) -> a + b) AS nc
+             |  FROM embeddings e JOIN cl ON e.label = cl.label
+             |), q AS (
+             |  SELECT label, n,
+             |    CASE WHEN na = 0 OR nc = 0 THEN 0
+             |         ELSE CAST(round(dot / (sqrt(na) * sqrt(nc)) * 1000000) AS BIGINT)
+             |    END AS cq
+             |  FROM scored
+             |)
+             |SELECT label, n AS n_vectors,
+             |       CAST(sum(cq) AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS mean_cosine
+             |FROM q GROUP BY label, n
+             |ORDER BY label""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -595,6 +595,55 @@ object SimilaritySearch {
     df.select(col(idCol) +: outs: _*)
   }
 
+  /** Per-label embedding coherence report — the embedding-space sanity
+    * check a labeled corpus needs before anyone trusts the labels or
+    * the encoder: for each label, its centroid and the mean cosine of
+    * members to that centroid. Collapsed embeddings read as ~1.0
+    * everywhere; mislabeled or heterogeneous classes read low; one bad
+    * label among good ones is visible at a glance.
+    *
+    * Exactness discipline (the q137 pattern, twice): centroids come
+    * from per-component sums of values quantized to 1/scale units —
+    * exact longs, order-free under partial aggregation — divided once;
+    * each member's cosine to the centroid is row-LOCAL float math in
+    * one fixed op order, quantized to 1/scale, and the per-label mean
+    * is again an exact integer sum with one final division. So the
+    * whole report replays bit-for-bit in SQL.
+    *
+    * Shape: one (label, component) exchange of O(labels × dim) partial
+    * sums; centroids broadcast back (≤ labels rows); the cosine pass is
+    * a pure map over the corpus. Zero-norm vectors and degenerate
+    * centroids contribute cosine 0 (guarded identically in the
+    * oracle). */
+  def labelCoherence(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+                     scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val comp = df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("j", "v")))
+      .groupBy("label", "j")
+      .agg(sum(round(col("v").cast("double") * scale).cast("long")).as("su"))
+    val cnt = df.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("n"))
+    val cents = comp.join(cnt, "label")
+      .groupBy("label", "n")
+      .agg(array_sort(collect_list(struct(col("j"), col("su")))).as("__cs"))
+      .select(col("label"), col("n"),
+        transform(col("__cs"), x => x.getField("su").cast("double") /
+          (col("n") * scale).cast("double")).as("centroid"))
+    val joined = df.select(col(vecCol).as("v"), col(labelCol).as("label"))
+      .join(broadcast(cents), "label")
+    val dot = aggregate(zip_with(col("v"), col("centroid"),
+      (x, c) => x.cast("double") * c), lit(0.0), (a, x) => a + x)
+    val na = aggregate(transform(col("v"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)
+    val nc = aggregate(transform(col("centroid"), x => x * x), lit(0.0), (a, x) => a + x)
+    val cosQ = when(na === 0.0 || nc === 0.0, lit(0L))
+      .otherwise(round(dot / (sqrt(na) * sqrt(nc)) * scale).cast("long"))
+    joined.select(col("label"), col("n"), cosQ.as("__cq"))
+      .groupBy("label", "n")
+      .agg(sum(col("__cq")).as("__s"))
+      .select(col("label"), col("n").as("n_vectors"),
+        (col("__s").cast("double") / (col("n") * scale).cast("double")).as("mean_cosine"))
+  }
+
   // --------------------------------------------- hybrid retrieval (RRF)
 
   /** Lexical top-k for a tokenized query: rank docs by (distinct query

@@ -1806,6 +1806,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(df.repartition(7)) == got)
   }
 
+  test("labelCoherence: identical=1, antipodal=0, orthogonal pair hand-computed; repartition-invariant") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, 0.0f, 0.0f, 0.0f), 0),   // A: two identical members
+      (2L, Array(0.5f, 0.0f, 0.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),   // B: antipodal -> zero centroid
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (5L, Array(1.0f, 0.0f, 0.0f, 0.0f), 2),   // C: orthogonal pair
+      (6L, Array(0.0f, 1.0f, 0.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.labelCoherence(d, "vec_id", "embedding", "label")
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val got = run(df)
+    assert(got(0) == ((2L, 1.0)), s"identical members must cohere at 1.0, got ${got(0)}")
+    assert(got(1) == ((2L, 0.0)), "a degenerate (zero) centroid must report 0, not NaN")
+    // cos(e1, (0.5, 0.5)) = 1/sqrt(2), quantized to 1e-6
+    val expected = math.round(1.0 / math.sqrt(2.0) * 1000000L).toDouble / 1000000.0
+    assert(got(2) == ((2L, expected)), s"got ${got(2)}, want $expected")
+    assert(run(df.repartition(5)) == got)
+  }
+
   test("nfc_normalize: composes decomposed sequences, idempotent, null-safe, codegen == eval") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -3285,7 +3285,39 @@ object ExtQueries {
              |SELECT label, n AS n_vectors,
              |       CAST(sum(cq) AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS mean_cosine
              |FROM q GROUP BY label, n
-             |ORDER BY label""".stripMargin)))
+             |ORDER BY label""".stripMargin))),
+
+    // NFC-then-dedup composition: the corpus is unioned with decomposed
+    // look-alike copies of its first 10 docs (combining-mark accents,
+    // shifted ids) — raw exact dedup sees ZERO duplicates, dedup over
+    // nfc_normalize(text) sees exactly the 10 planted pairs. The row
+    // pins the integration q151's scaladoc promises: normalization
+    // upstream of the fingerprint makes look-alikes collapse, with the
+    // before/after counts hash-checked side by side.
+    "q153_dedup_normalized" -> ((
+      (s: SparkSession, d: String) => {
+        val base = docs(s, d)
+          .withColumn("text", concat(lit("café "), col("text")))
+        val lookalikes = docs(s, d).filter(col("doc_id") < 10)
+          .withColumn("text", concat(lit("café "), col("text")))
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        base.unionByName(lookalikes).agg(
+          count(lit(1)).as("n_docs"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("raw_dupes"),
+          (count(lit(1)) - countDistinct(
+            md5(graft.functions.TextFunctions.nfc_normalize(col("text")))))
+            .as("nfc_dupes"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, 'caf' || chr(233) || ' ' || text AS text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, 'cafe' || chr(769) || ' ' || text
+             |  FROM documents WHERE doc_id < 10
+             |)
+             |SELECT count(*) AS n_docs,
+             |       count(*) - count(DISTINCT md5(text)) AS raw_dupes,
+             |       count(*) - count(DISTINCT md5(nfc_normalize(text))) AS nfc_dupes
+             |FROM u""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

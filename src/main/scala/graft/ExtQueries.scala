@@ -3317,7 +3317,23 @@ object ExtQueries {
              |SELECT count(*) AS n_docs,
              |       count(*) - count(DISTINCT md5(text)) AS raw_dupes,
              |       count(*) - count(DISTINCT md5(nfc_normalize(text))) AS nfc_dupes
-             |FROM u""".stripMargin)))
+             |FROM u""".stripMargin))),
+
+    // Batch BM25 (SimilaritySearch.bm25MultiTopK): many probe queries
+    // scored against ONE corpus scan — the decontamination-triage
+    // workload where per-query scans don't amortize. Per-query results
+    // are bit-identical to bm25TopK (spec-pinned); the oracle runs the
+    // shared scoring chain over the union of query tokens and fans
+    // contributions out through the literal query-token table.
+    "q154_bm25_batch" -> ((
+      (s: SparkSession, d: String) =>
+        SimilaritySearch.bm25MultiTopK(docs(s, d), "doc_id", "text",
+            Seq(1L -> "hash join", 2L -> "dup scan", 3L -> "merge window batch"),
+            k = 10)
+          .select(col("qid"), col("id"), col("bm25"), col("rank"))
+          .orderBy("qid", "rank"),
+      Some(OracleSql.bm25MultiTopKSql(
+        Seq(1L -> "hash join", 2L -> "dup scan", 3L -> "merge window batch"), k = 10))))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

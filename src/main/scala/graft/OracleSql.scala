@@ -494,7 +494,7 @@ object OracleSql {
        |), dfc AS (
        |  SELECT token, count(*) AS df FROM tf GROUP BY 1
        |), scored AS (
-       |  SELECT tf.doc_id,
+       |  SELECT tf.doc_id, tf.token,
        |    CAST(round(
        |      CAST(CAST(round(ln((ndocs - df + 0.5) / (df + 0.5) + 1) * 1000000) AS BIGINT) AS DOUBLE)
        |      * ((CAST(tf AS DOUBLE) * 2.25)
@@ -513,6 +513,32 @@ object OracleSql {
        |SELECT doc_id, CAST(sum(cu) AS DOUBLE) / 1000000.0 AS bm25
        |FROM scored GROUP BY doc_id
        |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
+
+  /** q154 oracle: batch BM25 — the scoring chain runs once over the
+    * union of all query tokens (df is query-independent), contributions
+    * fan out to (qid, doc) through the literal query-token table, each
+    * query ranks its own top-k. */
+  def bm25MultiTopKSql(queries: Seq[(Long, String)], k: Int): String = {
+    val allTokens = queries.flatMap(_._2.toLowerCase.trim.split("\\s+"))
+      .filter(_.nonEmpty).distinct
+    val qvals = queries.flatMap { case (qid, text) =>
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""WITH ${bm25ScoredCtes(tokenList(allTokens))}, qt(qid, token) AS (
+       |  VALUES $qvals
+       |), per AS (
+       |  SELECT qt.qid, scored.doc_id, sum(cu) AS su
+       |  FROM scored JOIN qt USING (token) GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT qid, doc_id AS id, CAST(su AS DOUBLE) / 1000000.0 AS bm25,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |           ORDER BY CAST(su AS DOUBLE) / 1000000.0 DESC, doc_id) AS BIGINT) AS "rank"
+       |  FROM per
+       |)
+       |SELECT qid, id, bm25, "rank" FROM ranked WHERE "rank" <= $k
+       |ORDER BY qid, "rank"""".stripMargin
+  }
 
   /** q143 oracle: hybrid RRF with the TRUE-BM25 lexical arm (the
     * mixing this file's q91 comment once ruled out — the q137/q140

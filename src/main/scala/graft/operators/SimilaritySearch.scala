@@ -746,6 +746,52 @@ object SimilaritySearch {
     ).cast("long")
   }
 
+  /** Batch BM25 — top-k for MANY queries in one pass (the lexical
+    * sibling of [[knnJoin]]): decontamination triage and targeted-pull
+    * workloads score thousands of probe queries against the corpus,
+    * and running [[bm25TopK]] per query would re-scan it per query.
+    * Here the query set rides as one broadcast (qid, token) table;
+    * the corpus is scanned ONCE, matched tokens explode to
+    * (qid, doc, term) contributions, and a per-qid window takes each
+    * query's top-k. Scoring is [[bm25ContribU]] — identical integer-
+    * quantized math to the single-query paths, with df computed over
+    * the corpus (a token's df does not depend on which query asked).
+    *
+    * Shape: one corpus scan + one O(matched-pairs) shuffle for df +
+    * one (qid-keyed) rank window over ≤ queries × matched-docs rows.
+    * Output: (qid, id, bm25, rank ≤ k). */
+  def bm25MultiTopK(corpus: DataFrame, idCol: String, textCol: String,
+                    queries: Seq[(Long, String)], k: Int,
+                    k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25MultiTopK needs at least one query")
+    val allTokens = queries.flatMap(_._2.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
+      .distinct
+    val qlit = typedlit(allTokens)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = corpus.select(col(idCol).as("id"),
+      size(toks).cast("long").as("__dl"),
+      filter(toks, t => array_contains(qlit, t)).as("__m"))
+    val totals = base.agg(sum(col("__dl")).as("__sumdl"), count(lit(1)).as("__ndocs"))
+    val tf = base.select(col("id"), col("__dl"), explode(col("__m")).as("token"))
+      .groupBy("id", "__dl", "token").agg(count(lit(1)).as("__tf"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("token"))))
+    val qdf = corpus.sparkSession.createDataFrame(
+      queries.flatMap { case (qid, text) =>
+        text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t))
+      }).toDF("qid", "token")
+    val contribU = bm25ContribU(col("__tf"), col("__dl"), col("__df"),
+      col("__ndocs"), col("__sumdl"), k1, b)
+    tf.join(broadcast(qdf), "token")
+      .crossJoin(broadcast(totals))
+      .select(col("qid"), col("id"), contribU.as("__cu"))
+      .groupBy("qid", "id").agg(sum(col("__cu")).as("__su"))
+      .select(col("qid"), col("id"),
+        (col("__su").cast("double") / lit(1000000.0)).as("bm25"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("bm25").desc, col("id"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Persist an INVERTED INDEX for BM25 retrieval: postings
     * `(token, id, tf, dl, df)` hive-partitioned by
     * `part = fnv64(token) mod nParts`, plus a one-row stats table

@@ -1806,6 +1806,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(df.repartition(7)) == got)
   }
 
+  test("bm25MultiTopK: each query's slice is bit-identical to the single-query path") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "omega", "rare")
+    val rnd = new scala.util.Random(99)
+    val df = docs((1L to 40L).map { i =>
+      val body = (0 until 10 + rnd.nextInt(20)).map(_ => words(rnd.nextInt(5))).mkString(" ")
+      i -> (if (i % 11 == 0) s"rare $body" else body)
+    }: _*)
+    val queries = Seq(7L -> "alpha rare", 8L -> "beta gamma", 9L -> "omega")
+    val batch = SimilaritySearch.bm25MultiTopK(df, "doc_id", "text", queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    queries.foreach { case (qid, text) =>
+      val single = SimilaritySearch.bm25TopK(df, "doc_id", "text",
+          text.split(" ").toSeq, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val slice = batch(qid).sortBy(_._4).map(t => (t._2, t._3)).toSeq
+      assert(slice == single, s"qid=$qid: batch $slice != single $single")
+    }
+  }
+
   test("labelCoherence: identical=1, antipodal=0, orthogonal pair hand-computed; repartition-invariant") {
     import spark.implicits._
     val df = Seq(

@@ -148,6 +148,27 @@ class MergeStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(c._1 - 0.123) <= 0.005 && math.abs(c._2 - 0.127) <= 0.005)
   }
 
+  test("quantile store property: random part splits always answer like the whole") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val rows = (1 to 60).map(i => (s"k${i % 3}", rnd.nextInt(200) / 100.0))
+    def quantiles(path: String) =
+      MergeStore.readQuantiles(spark, path, Seq("k"), Seq(0.25, 0.5, 0.9))
+        .collect().map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val whole = {
+      val p = freshDir()
+      MergeStore.writeQuantilePart(rows.toDF("k", "v"), Seq("k"), "v", p)
+      quantiles(p)
+    }
+    (1 to 4).foreach { trial =>
+      val p = freshDir()
+      rows.groupBy(_ => rnd.nextInt(1 + rnd.nextInt(4))).values
+        .foreach(part => MergeStore.writeQuantilePart(part.toDF("k", "v"), Seq("k"), "v", p))
+      assert(quantiles(p) == whole, s"random split trial $trial diverged from the whole")
+    }
+  }
+
   test("quantile rank test is exact where float ceil overshoots; nulls are ignored") {
     import spark.implicits._
     // q=0.07 over 100 rows: 0.07*100 = 7.000000000000001 in IEEE, so a

@@ -97,6 +97,34 @@ object ExtQueries {
       |  FROM pairs JOIN u USING (token) GROUP BY 1
       |)""".stripMargin
 
+  /** Shared by q127 (batch scan) and q155 (streamed summing-MV feed):
+    * both series must yield the same anomaly verdicts, so both
+    * hash-check against one replay of counts -> trailing-24 z-score. */
+  private val hourlyAnomaliesSql: String =
+    """WITH b AS (
+      |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), w AS (
+      |  SELECT *,
+      |    sum(n)   OVER tw AS s,
+      |    sum(n*n) OVER tw AS ss,
+      |    count(n) OVER tw AS c
+      |  FROM b
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY bucket
+      |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+      |), m AS (
+      |  SELECT *, CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/c AS m2
+      |  FROM w WHERE c = 24
+      |), z AS (
+      |  SELECT event_type, bucket, n,
+      |    (CAST(n AS DOUBLE) - CAST(s AS DOUBLE)/c) / sqrt(m2/(c-1)) AS zscore
+      |  FROM m WHERE m2 > 0
+      |)
+      |SELECT event_type, bucket, n, zscore FROM z
+      |WHERE abs(zscore) >= 2.0
+      |ORDER BY 1, 2""".stripMargin
+
   /** Shared by q148 (batch parts) and q149 (streamed epochs): both
     * stores must merge to the same whole-table percentiles, so both
     * hash-check against one replay. Mirrors `readQuantiles` exactly:
@@ -2478,29 +2506,7 @@ object ExtQueries {
         EventAnalytics.anomalies(events(s, d), "ts", "event_type",
             bucket = "hour", trailing = 24, zThreshold = 2.0)
           .orderBy("event_type", "bucket"),
-      Some("""WITH b AS (
-             |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
-             |         count(*) AS n
-             |  FROM events GROUP BY 1, 2
-             |), w AS (
-             |  SELECT *,
-             |    sum(n)   OVER tw AS s,
-             |    sum(n*n) OVER tw AS ss,
-             |    count(n) OVER tw AS c
-             |  FROM b
-             |  WINDOW tw AS (PARTITION BY event_type ORDER BY bucket
-             |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
-             |), m AS (
-             |  SELECT *, CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/c AS m2
-             |  FROM w WHERE c = 24
-             |), z AS (
-             |  SELECT event_type, bucket, n,
-             |    (CAST(n AS DOUBLE) - CAST(s AS DOUBLE)/c) / sqrt(m2/(c-1)) AS zscore
-             |  FROM m WHERE m2 > 0
-             |)
-             |SELECT event_type, bucket, n, zscore FROM z
-             |WHERE abs(zscore) >= 2.0
-             |ORDER BY 1, 2""".stripMargin))),
+      Some(hourlyAnomaliesSql))),
 
     // Gap filling (EventAnalytics.fillGaps): a sparse hourly series
     // (sampled events) densified to the full per-type hour grid with
@@ -3333,7 +3339,45 @@ object ExtQueries {
           .select(col("qid"), col("id"), col("bm25"), col("rank"))
           .orderBy("qid", "rank"),
       Some(OracleSql.bm25MultiTopKSql(
-        Seq(1L -> "hash join", 2L -> "dup scan", 3L -> "merge window batch"), k = 10))))
+        Seq(1L -> "hash join", 2L -> "dup scan", 3L -> "merge window batch"), k = 10)))),
+
+    // Live anomaly dashboard end-to-end: a two-epoch stream maintains
+    // per-(type, hour) counts in the summing MergeStore
+    // (maintainSummingParts), and EventAnalytics.anomaliesFromCounts
+    // scores the MERGED store — the composition a monitoring stack
+    // actually runs (stream feeds rollup, detector reads rollup).
+    // Epochs split by id parity so every bucket's count is assembled
+    // from BOTH parts; the oracle is q127's whole-table replay, so the
+    // hash proves streamed-rollup-then-detect == scan-then-detect.
+    "q155_streaming_anomalies" -> ((
+      (s: SparkSession, d: String) => {
+        val base = new java.io.File(s"/tmp/graft_stream_anom_" +
+          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}")
+        rmrf(base)
+        val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+        val ev = events(s, d).select(col("event_id"), col("event_type"),
+          date_trunc("hour", col("ts")).as("bucket"), lit(1L).as("n"))
+        val now = System.currentTimeMillis()
+        stageFile(ev.filter(col("event_id") % 2 === 0), inDir, "000_even.parquet",
+          now - 120000)
+        stageFile(ev.filter(col("event_id") % 2 === 1), inDir, "001_odd.parquet",
+          now - 60000)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .drop("event_id")
+        val store = new java.io.File(base, "store").toString
+        val q = graft.streaming.StreamingIngest.maintainSummingParts(
+          stream, Seq("event_type", "bucket"), Seq("n"), store,
+          new java.io.File(base, "ckpt").toString,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        val counts = graft.store.MergeStore.readSummed(s, store,
+          Seq("event_type", "bucket"), Seq("n"))
+        graft.operators.EventAnalytics.anomaliesFromCounts(counts,
+            "event_type", "bucket", "n", trailing = 24, zThreshold = 2.0)
+          .orderBy("event_type", "bucket")
+      },
+      Some(hourlyAnomaliesSql)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

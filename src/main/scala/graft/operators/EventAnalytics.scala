@@ -265,27 +265,41 @@ object EventAnalytics {
     * window is row-based: gaps in the series mean "last `trailing`
     * OBSERVED buckets", identically on both engines. */
   def anomalies(events: DataFrame, tsCol: String, keyCol: String,
-                bucket: String, trailing: Int, zThreshold: Double): DataFrame = {
+                bucket: String, trailing: Int, zThreshold: Double): DataFrame =
+    anomaliesFromCounts(
+      projected(events, tsCol, keyCol)
+        .groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bucket"))
+        .agg(count(lit(1)).as("n")),
+      keyCol, "bucket", "n", trailing, zThreshold)
+
+  /** [[anomalies]]' scoring stage over PRE-AGGREGATED counts — the
+    * entry point when the (key, bucket, n) series comes from somewhere
+    * other than a raw event scan: a summing MergeStore a stream
+    * maintains (q155's live-dashboard path), a gap-filled series, a
+    * downsampled rollup. One row per (key, bucket) expected —
+    * duplicate buckets would each get their own baseline row rather
+    * than merging. */
+  def anomaliesFromCounts(counts: DataFrame, keyCol: String, bucketCol: String,
+                          nCol: String, trailing: Int, zThreshold: Double): DataFrame = {
     require(trailing >= 2, s"trailing must be >= 2 (variance needs it), got $trailing")
-    val counts = projected(events, tsCol, keyCol)
-      .groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bucket"))
-      .agg(count(lit(1)).as("n"))
-    val tw = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val n = col(s"`$nCol`")
+    val tw = Window.partitionBy(col(s"`$keyCol`")).orderBy(col(s"`$bucketCol`"))
       .rowsBetween(-trailing, -1)
     val sD = col("__s").cast("double")
     val ssD = col("__ss").cast("double")
     counts
-      .withColumn("__s", sum(col("n")).over(tw))
-      .withColumn("__ss", sum(col("n") * col("n")).over(tw))
-      .withColumn("__c", count(col("n")).over(tw))
+      .withColumn("__s", sum(n).over(tw))
+      .withColumn("__ss", sum(n * n).over(tw))
+      .withColumn("__c", count(n).over(tw))
       .filter(col("__c") === trailing)
       .withColumn("__m2", ssD - sD * sD / col("__c"))
       .filter(col("__m2") > 0)
       .withColumn("zscore",
-        (col("n").cast("double") - sD / col("__c")) /
+        (n.cast("double") - sD / col("__c")) /
           sqrt(col("__m2") / (col("__c") - 1)))
       .filter(abs(col("zscore")) >= zThreshold)
-      .select(col(keyCol), col("bucket"), col("n"), col("zscore"))
+      .select(col(s"`$keyCol`"), col(s"`$bucketCol`").as("bucket"),
+        n.as("n"), col("zscore"))
   }
 
   /** Gap filling for a bucketed series: densify each key's series to a

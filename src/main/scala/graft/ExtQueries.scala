@@ -3377,7 +3377,59 @@ object ExtQueries {
             "event_type", "bucket", "n", trailing = 24, zThreshold = 2.0)
           .orderBy("event_type", "bucket")
       },
-      Some(hourlyAnomaliesSql)))
+      Some(hourlyAnomaliesSql))),
+
+    // Outage detection: zero-fill THEN detect (EventAnalytics
+    // .fillGapsConstant → anomaliesFromCounts). A sampled sparse series
+    // has empty hours; forward fill (q128) would paper over them, and
+    // the raw trailing window (q127) never even sees them as rows —
+    // zero filling makes a silent hour a real observation with n = 0
+    // that scores as a large NEGATIVE z. The oracle replays grid,
+    // coalesce-to-zero, and the z window; q128's fill flags and q127's
+    // spike scores stay pinned by their own rows.
+    "q156_outage_anomalies" -> ((
+      (s: SparkSession, d: String) => {
+        val sparse = events(s, d).filter(col("event_id") % 37 === 0)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val dense = EventAnalytics.fillGapsConstant(sparse, "event_type", "bucket", "n",
+          stepUs = 3600L * 1000000, fillValue = lit(0L))
+        graft.operators.EventAnalytics.anomaliesFromCounts(dense,
+            "event_type", "bucket", "n", trailing = 24, zThreshold = 2.0)
+          .orderBy("event_type", "bucket")
+      },
+      Some("""WITH sparse AS (
+             |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             |         count(*) AS n
+             |  FROM events WHERE event_id % 37 = 0 GROUP BY 1, 2
+             |), spans AS (
+             |  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+             |  FROM sparse GROUP BY 1
+             |), grid AS (
+             |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+             |  FROM spans
+             |), dense AS (
+             |  SELECT g.event_type, g.bucket, coalesce(s.n, 0) AS n FROM grid g
+             |  LEFT JOIN sparse s ON g.event_type = s.event_type AND g.bucket = s.bucket
+             |), w AS (
+             |  SELECT *,
+             |    sum(n)   OVER tw AS s,
+             |    sum(n*n) OVER tw AS ss,
+             |    count(n) OVER tw AS c
+             |  FROM dense
+             |  WINDOW tw AS (PARTITION BY event_type ORDER BY bucket
+             |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+             |), m AS (
+             |  SELECT *, CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/c AS m2
+             |  FROM w WHERE c = 24
+             |), z AS (
+             |  SELECT event_type, bucket, n,
+             |    (CAST(n AS DOUBLE) - CAST(s AS DOUBLE)/c) / sqrt(m2/(c-1)) AS zscore
+             |  FROM m WHERE m2 > 0
+             |)
+             |SELECT event_type, bucket, n, zscore FROM z
+             |WHERE abs(zscore) >= 2.0
+             |ORDER BY 1, 2""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

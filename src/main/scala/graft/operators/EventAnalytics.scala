@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -338,5 +338,30 @@ object EventAnalytics {
         Seq(keyCol, bucketCol), "left")
       .withColumn("filled", col(valueCol).isNull)
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** [[fillGaps]]' constant-fill sibling — the right densifier for
+    * COUNT series: a missing bucket means "nothing happened" (n = 0),
+    * not "same as before" (forward fill would paper over the exact
+    * outages a volume detector exists to catch; zero-filled holes
+    * score as large negative z and SURFACE instead). No window at
+    * all: grid left-join + coalesce, so this is the cheaper of the
+    * two fills — one O(keys) span aggregate, the grid explode, one
+    * join. Same grid preconditions as [[fillGaps]]. */
+  def fillGapsConstant(series: DataFrame, keyCol: String, bucketCol: String,
+                       valueCol: String, stepUs: Long,
+                       fillValue: Column): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    val spans = projected(series, keyCol, bucketCol, valueCol)
+      .groupBy(col(keyCol))
+      .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
+    val grid = spans.select(col(keyCol),
+        explode(sequence(unix_micros(col("__lo")), unix_micros(col("__hi")),
+          lit(stepUs))).as("__b"))
+      .select(col(keyCol), timestamp_micros(col("__b")).as(bucketCol))
+    grid.join(projected(series, keyCol, bucketCol, valueCol),
+        Seq(keyCol, bucketCol), "left")
+      .withColumn("filled", col(valueCol).isNull)
+      .withColumn(valueCol, coalesce(col(valueCol), fillValue))
   }
 }

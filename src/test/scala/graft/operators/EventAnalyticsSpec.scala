@@ -346,6 +346,25 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(df.repartition(6)) == got)
   }
 
+  test("fillGapsConstant: holes become the fill value, flagged; observed rows untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val series = Seq(
+      ("k", ts("2024-01-01 10:00:00"), 5L),
+      ("k", ts("2024-01-01 13:00:00"), 9L))
+      .toDF("key", "bucket", "n")
+    val got = EventAnalytics.fillGapsConstant(series, "key", "bucket", "n",
+        stepUs = 3600L * 1000000, fillValue = lit(0L))
+      .orderBy("key", "bucket")
+      .collect().map(r => (r.getTimestamp(1).toString, r.getLong(2), r.getBoolean(3))).toSeq
+    // zero-filled holes at 11:00/12:00 — the outage rows forward fill hides
+    assert(got == Seq(
+      ("2024-01-01 10:00:00.0", 5L, false),
+      ("2024-01-01 11:00:00.0", 0L, true),
+      ("2024-01-01 12:00:00.0", 0L, true),
+      ("2024-01-01 13:00:00.0", 9L, false)))
+  }
+
   test("fillGaps: holes appear on the step grid, forward-filled and flagged; dense keys untouched") {
     import spark.implicits._
     // key "k": observations at 10:00 (5) and 13:00 (9) — two holes;

@@ -3429,7 +3429,47 @@ object ExtQueries {
              |)
              |SELECT event_type, bucket, n, zscore FROM z
              |WHERE abs(zscore) >= 2.0
-             |ORDER BY 1, 2""".stripMargin)))
+             |ORDER BY 1, 2""".stripMargin))),
+
+    // Weekly growth accounting (EventAnalytics.growthAccounting):
+    // new / retained / resurrected / churned per week — the lifecycle
+    // ledger behind q95's retention triangle. Classification by the
+    // user's previous ACTIVE week (integer epoch-micros adjacency);
+    // churn attributed only across adjacent calendar weeks. The oracle
+    // replays the distinct → lag → classify → lag chain, so a
+    // misclassified resurrection or an off-by-one churn week
+    // hash-mismatches.
+    "q157_growth_accounting" -> ((
+      (s: SparkSession, d: String) =>
+        EventAnalytics.growthAccounting(events(s, d), "user_id", "ts")
+          .orderBy("week"),
+      Some("""WITH uw AS (
+             |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+             |  FROM events
+             |), cl AS (
+             |  SELECT user_id, week,
+             |    lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev,
+             |    CASE
+             |      WHEN lag(week) OVER (PARTITION BY user_id ORDER BY week) IS NULL THEN 'new'
+             |      WHEN epoch_us(week) - epoch_us(lag(week) OVER (PARTITION BY user_id ORDER BY week))
+             |           = 604800000000 THEN 'retained'
+             |      ELSE 'resurrected' END AS status
+             |  FROM uw
+             |), weekly AS (
+             |  SELECT week, count(*) AS active,
+             |    sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS n_new,
+             |    sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+             |    sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS n_resurrected
+             |  FROM cl GROUP BY 1
+             |)
+             |SELECT week, active,
+             |       CAST(n_new AS BIGINT) AS n_new,
+             |       CAST(n_retained AS BIGINT) AS n_retained,
+             |       CAST(n_resurrected AS BIGINT) AS n_resurrected,
+             |       CASE WHEN epoch_us(week) - epoch_us(lag(week) OVER (ORDER BY week)) = 604800000000
+             |            THEN lag(active) OVER (ORDER BY week) - n_retained END AS n_churned
+             |FROM weekly
+             |ORDER BY week""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -340,6 +340,51 @@ object EventAnalytics {
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Weekly growth accounting — the classic user-lifecycle ledger
+    * (new / retained / resurrected / churned) behind every growth
+    * dashboard: each active (user, week) is classified by the user's
+    * PREVIOUS active week (none → new; exactly last week → retained;
+    * older → resurrected), and churned(w) = active(w−1) − retained(w)
+    * — the users who were there last week and aren't now. Churn is
+    * only attributed when w−1 actually exists as a row (a globally
+    * silent week breaks the adjacency and yields null, not a bogus
+    * count against an older week).
+    *
+    * Shape: distinct (user, week) first — everything after is
+    * O(users × active weeks), not O(events); one user-keyed window
+    * for the previous-active-week lag; the final churn lag runs over
+    * the O(weeks) weekly summary (a single-partition window over
+    * dozens of rows — bounded by calendar time, not data). All counts
+    * are exact integers; the classification compares integer
+    * epoch-micros — bit-replayable. */
+  def growthAccounting(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val weeks = projected(events, userCol, tsCol)
+      .select(col(userCol).as("__u"), date_trunc("week", col(tsCol)).as("week"))
+      .distinct()
+    val wu = Window.partitionBy(col("__u")).orderBy(col("week"))
+    val classified = weeks
+      .withColumn("__prev", lag(col("week"), 1).over(wu))
+      .withColumn("__status",
+        when(col("__prev").isNull, lit("new"))
+          .when(unix_micros(col("week")) - unix_micros(col("__prev")) === weekUs,
+            lit("retained"))
+          .otherwise(lit("resurrected")))
+    val weekly = classified.groupBy("week").agg(
+      count(lit(1)).as("active"),
+      sum(when(col("__status") === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("__status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("__status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val ww = Window.orderBy(col("week"))
+    weekly
+      .withColumn("__pw", lag(col("week"), 1).over(ww))
+      .withColumn("__pa", lag(col("active"), 1).over(ww))
+      .withColumn("n_churned",
+        when(unix_micros(col("week")) - unix_micros(col("__pw")) === weekUs,
+          col("__pa") - col("n_retained")))
+      .select("week", "active", "n_new", "n_retained", "n_resurrected", "n_churned")
+  }
+
   /** [[fillGaps]]' constant-fill sibling — the right densifier for
     * COUNT series: a missing bucket means "nothing happened" (n = 0),
     * not "same as before" (forward fill would paper over the exact

@@ -346,6 +346,30 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(df.repartition(6)) == got)
   }
 
+  test("growthAccounting: hand-traced lifecycle; churn only across adjacent weeks") {
+    import spark.implicits._
+    // weeks W1..W4 (Mondays); u1 active W1,W2,W4 (new, retained, resurrected)
+    // u2 active W1 only (new, churned at W2); u3 active W2,W3 (new, retained)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-08 10:00:00")),
+      (1L, ts("2024-01-22 10:00:00")),
+      (2L, ts("2024-01-02 10:00:00")),
+      (3L, ts("2024-01-09 10:00:00")), (3L, ts("2024-01-16 10:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.growthAccounting(events, "user_id", "ts")
+      .orderBy("week").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 2L, 2L, 0L, 0L, None),          // W1: u1,u2 new
+      ("2024-01-08", 2L, 1L, 1L, 0L, Some(1L)),      // W2: u3 new, u1 retained, u2 churned
+      ("2024-01-15", 1L, 0L, 1L, 0L, Some(1L)),      // W3: u3 retained, u1 churned
+      ("2024-01-22", 1L, 0L, 0L, 1L, Some(1L))),     // W4: u1 resurrected, u3 churned
+      s"got ${got.toSeq}")
+    // identity: active = new + retained + resurrected, every week
+    assert(got.forall { case (_, a, n, r, res, _) => a == n + r + res })
+  }
+
   test("fillGapsConstant: holes become the fill value, flagged; observed rows untouched") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit

@@ -3469,7 +3469,42 @@ object ExtQueries {
              |       CASE WHEN epoch_us(week) - epoch_us(lag(week) OVER (ORDER BY week)) = 604800000000
              |            THEN lag(active) OVER (ORDER BY week) - n_retained END AS n_churned
              |FROM weekly
-             |ORDER BY week""".stripMargin)))
+             |ORDER BY week""".stripMargin))),
+
+    // Engagement intensity: per-type exact percentiles of the
+    // PER-USER inter-event gap — how often users do a thing, as a
+    // distribution rather than a mean (means are dominated by the
+    // idle tail). One user-keyed window for the lag, integer-seconds
+    // gaps, then the q34 exact-interpolation percentile parity per
+    // type. The user-key partition means a user's first event of a
+    // type has no gap (excluded), identically on both engines.
+    "q158_interevent_gaps" -> ((
+      (s: SparkSession, d: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("gap_s",
+            ((unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))) / 1000000L)
+              .cast("long"))
+          .filter(col("gap_s").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            expr("percentile(gap_s, 0.5)").as("median_gap_s"),
+            expr("percentile(gap_s, 0.9)").as("p90_gap_s"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |    (epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id, event_type
+             |                                              ORDER BY ts, event_id))) // 1000000 AS gap_s
+             |  FROM events
+             |)
+             |SELECT event_type, count(*) AS n_gaps,
+             |       quantile_cont(gap_s, 0.5) AS median_gap_s,
+             |       quantile_cont(gap_s, 0.9) AS p90_gap_s
+             |FROM g WHERE gap_s IS NOT NULL
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

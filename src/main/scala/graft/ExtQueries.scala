@@ -3261,7 +3261,9 @@ object ExtQueries {
       Some("""WITH comp AS (
              |  SELECT label, i,
              |         sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS su
-             |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+             |  FROM (SELECT label, embedding,
+             |          unnest(range(1, len(embedding) + 1)) AS i
+             |        FROM embeddings)
              |  GROUP BY 1, 2
              |), cnt AS (
              |  SELECT label, count(*) AS n FROM embeddings GROUP BY 1
@@ -3272,7 +3274,7 @@ object ExtQueries {
              |), scored AS (
              |  SELECT e.label, cl.n,
              |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |      list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * cl.c[i])),
+             |      list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * cl.c[i])),
              |      (a, b) -> a + b) AS dot,
              |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              |      list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
@@ -3336,7 +3338,7 @@ object ExtQueries {
         SimilaritySearch.bm25MultiTopK(docs(s, d), "doc_id", "text",
             Seq(1L -> "hash join", 2L -> "dup scan", 3L -> "merge window batch"),
             k = 10)
-          .select(col("qid"), col("id"), col("bm25"), col("rank"))
+          .select(col("qid"), col("doc_id"), col("bm25"), col("rank"))
           .orderBy("qid", "rank"),
       Some(OracleSql.bm25MultiTopKSql(
         Seq(1L -> "hash join", 2L -> "dup scan", 3L -> "merge window batch"), k = 10)))),
@@ -3451,8 +3453,8 @@ object ExtQueries {
              |    lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev,
              |    CASE
              |      WHEN lag(week) OVER (PARTITION BY user_id ORDER BY week) IS NULL THEN 'new'
-             |      WHEN epoch_us(week) - epoch_us(lag(week) OVER (PARTITION BY user_id ORDER BY week))
-             |           = 604800000000 THEN 'retained'
+             |      WHEN lag(week) OVER (PARTITION BY user_id ORDER BY week)
+             |           = week - INTERVAL 7 DAY THEN 'retained'
              |      ELSE 'resurrected' END AS status
              |  FROM uw
              |), weekly AS (
@@ -3466,7 +3468,7 @@ object ExtQueries {
              |       CAST(n_new AS BIGINT) AS n_new,
              |       CAST(n_retained AS BIGINT) AS n_retained,
              |       CAST(n_resurrected AS BIGINT) AS n_resurrected,
-             |       CASE WHEN epoch_us(week) - epoch_us(lag(week) OVER (ORDER BY week)) = 604800000000
+             |       CASE WHEN lag(week) OVER (ORDER BY week) = week - INTERVAL 7 DAY
              |            THEN lag(active) OVER (ORDER BY week) - n_retained END AS n_churned
              |FROM weekly
              |ORDER BY week""".stripMargin))),

@@ -505,8 +505,10 @@ object OracleSql {
        |  FROM tf JOIN dfc USING (token) CROSS JOIN stats
        |)""".stripMargin
 
+  private def sq(t: String): String = t.replace("'", "''")
+
   private def tokenList(queryTokens: Seq[String]): String =
-    queryTokens.map(_.toLowerCase).distinct.map(t => s"'$t'").mkString("[", ", ", "]")
+    queryTokens.map(_.toLowerCase).distinct.map(t => s"'${sq(t)}'").mkString("[", ", ", "]")
 
   def bm25TopKSql(queryTokens: Seq[String], k: Int): String =
     s"""WITH ${bm25ScoredCtes(tokenList(queryTokens))}
@@ -523,7 +525,7 @@ object OracleSql {
       .filter(_.nonEmpty).distinct
     val qvals = queries.flatMap { case (qid, text) =>
       text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
-        .map(t => s"($qid, '$t')")
+        .map(t => s"($qid, '${sq(t)}')")
     }.mkString(", ")
     s"""WITH ${bm25ScoredCtes(tokenList(allTokens))}, qt(qid, token) AS (
        |  VALUES $qvals
@@ -531,12 +533,12 @@ object OracleSql {
        |  SELECT qt.qid, scored.doc_id, sum(cu) AS su
        |  FROM scored JOIN qt USING (token) GROUP BY 1, 2
        |), ranked AS (
-       |  SELECT qid, doc_id AS id, CAST(su AS DOUBLE) / 1000000.0 AS bm25,
+       |  SELECT qid, doc_id, CAST(su AS DOUBLE) / 1000000.0 AS bm25,
        |         CAST(row_number() OVER (PARTITION BY qid
        |           ORDER BY CAST(su AS DOUBLE) / 1000000.0 DESC, doc_id) AS BIGINT) AS "rank"
        |  FROM per
        |)
-       |SELECT qid, id, bm25, "rank" FROM ranked WHERE "rank" <= $k
+       |SELECT qid, doc_id, bm25, "rank" FROM ranked WHERE "rank" <= $k
        |ORDER BY qid, "rank"""".stripMargin
   }
 

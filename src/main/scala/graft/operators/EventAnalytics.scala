@@ -287,7 +287,9 @@ object EventAnalytics {
       .rowsBetween(-trailing, -1)
     val sD = col("__s").cast("double")
     val ssD = col("__ss").cast("double")
-    counts
+    // project first — the key exchange carries three columns, not
+    // whatever width the caller's rollup arrived with
+    projected(counts, keyCol, bucketCol, nCol)
       .withColumn("__s", sum(n).over(tw))
       .withColumn("__ss", sum(n * n).over(tw))
       .withColumn("__c", count(n).over(tw))
@@ -322,8 +324,12 @@ object EventAnalytics {
     * observations miss the equi join and are dropped), and observed
     * values non-null (a null observation is indistinguishable from a
     * hole and will be forward-filled over). */
-  def fillGaps(series: DataFrame, keyCol: String, bucketCol: String,
-               valueCol: String, stepUs: Long): DataFrame = {
+  /** Shared grid stage of both densifiers: per-key span → step grid →
+    * left-join of the observations, with holes flagged `filled` and
+    * `valueCol` still null on them — each sibling is one fill
+    * expression on top (the two cannot diverge on grid semantics). */
+  private def gridJoin(series: DataFrame, keyCol: String, bucketCol: String,
+                       valueCol: String, stepUs: Long): DataFrame = {
     require(stepUs > 0, s"stepUs must be positive, got $stepUs")
     val spans = projected(series, keyCol, bucketCol, valueCol)
       .groupBy(col(keyCol))
@@ -332,11 +338,16 @@ object EventAnalytics {
         explode(sequence(unix_micros(col("__lo")), unix_micros(col("__hi")),
           lit(stepUs))).as("__b"))
       .select(col(keyCol), timestamp_micros(col("__b")).as(bucketCol))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(projected(series, keyCol, bucketCol, valueCol),
         Seq(keyCol, bucketCol), "left")
       .withColumn("filled", col(valueCol).isNull)
+  }
+
+  def fillGaps(series: DataFrame, keyCol: String, bucketCol: String,
+               valueCol: String, stepUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gridJoin(series, keyCol, bucketCol, valueCol, stepUs)
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
@@ -355,20 +366,23 @@ object EventAnalytics {
     * for the previous-active-week lag; the final churn lag runs over
     * the O(weeks) weekly summary (a single-partition window over
     * dozens of rows — bounded by calendar time, not data). All counts
-    * are exact integers; the classification compares integer
-    * epoch-micros — bit-replayable. */
+    * are exact integers. Adjacency is CALENDAR arithmetic
+    * (`prev == week − INTERVAL 7 days`), not a fixed microsecond
+    * delta: in a non-UTC session, `date_trunc('week')` Mondays
+    * bracketing a DST switch sit 7d±1h apart in epoch time, and a
+    * fixed-delta test would misclassify a retained user as
+    * resurrected across every DST boundary. */
   def growthAccounting(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
-    val weekUs = 7L * 86400L * 1000000L
     val weeks = projected(events, userCol, tsCol)
       .select(col(userCol).as("__u"), date_trunc("week", col(tsCol)).as("week"))
       .distinct()
+    val priorWeek = col("week") - expr("INTERVAL 7 DAYS")
     val wu = Window.partitionBy(col("__u")).orderBy(col("week"))
     val classified = weeks
       .withColumn("__prev", lag(col("week"), 1).over(wu))
       .withColumn("__status",
         when(col("__prev").isNull, lit("new"))
-          .when(unix_micros(col("week")) - unix_micros(col("__prev")) === weekUs,
-            lit("retained"))
+          .when(col("__prev") === priorWeek, lit("retained"))
           .otherwise(lit("resurrected")))
     val weekly = classified.groupBy("week").agg(
       count(lit(1)).as("active"),
@@ -380,8 +394,7 @@ object EventAnalytics {
       .withColumn("__pw", lag(col("week"), 1).over(ww))
       .withColumn("__pa", lag(col("active"), 1).over(ww))
       .withColumn("n_churned",
-        when(unix_micros(col("week")) - unix_micros(col("__pw")) === weekUs,
-          col("__pa") - col("n_retained")))
+        when(col("__pw") === priorWeek, col("__pa") - col("n_retained")))
       .select("week", "active", "n_new", "n_retained", "n_resurrected", "n_churned")
   }
 
@@ -395,18 +408,7 @@ object EventAnalytics {
     * join. Same grid preconditions as [[fillGaps]]. */
   def fillGapsConstant(series: DataFrame, keyCol: String, bucketCol: String,
                        valueCol: String, stepUs: Long,
-                       fillValue: Column): DataFrame = {
-    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
-    val spans = projected(series, keyCol, bucketCol, valueCol)
-      .groupBy(col(keyCol))
-      .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
-    val grid = spans.select(col(keyCol),
-        explode(sequence(unix_micros(col("__lo")), unix_micros(col("__hi")),
-          lit(stepUs))).as("__b"))
-      .select(col(keyCol), timestamp_micros(col("__b")).as(bucketCol))
-    grid.join(projected(series, keyCol, bucketCol, valueCol),
-        Seq(keyCol, bucketCol), "left")
-      .withColumn("filled", col(valueCol).isNull)
+                       fillValue: Column): DataFrame =
+    gridJoin(series, keyCol, bucketCol, valueCol, stepUs)
       .withColumn(valueCol, coalesce(col(valueCol), fillValue))
-  }
 }

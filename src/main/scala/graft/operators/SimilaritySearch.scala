@@ -706,11 +706,14 @@ object SimilaritySearch {
     * ((id, token) pre-agg, token window, final per-doc sum) all move
     * pair-sized data. One TakeOrderedAndProject; the corpus never
     * shuffles. */
-  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
-               queryTokens: Seq[String], k: Int,
-               k1: Double = 1.25, b: Double = 0.75): DataFrame = {
-    require(queryTokens.nonEmpty, "bm25TopK needs at least one query token")
-    val qlit = typedlit(queryTokens.map(_.toLowerCase).distinct)
+  /** Shared tokenize/match/df stage of every BM25 scan path: one
+    * corpus pass to (id, dl, matched tokens), the (Σdl, N) totals row,
+    * and the tf table with df attached by a count window — so the
+    * single-query and batch paths cannot drift on tokenization or df
+    * any more than they can on scoring ([[bm25ContribU]]). */
+  private def bm25TfTable(corpus: DataFrame, idCol: String, textCol: String,
+                          tokens0: Seq[String]): (DataFrame, DataFrame) = {
+    val qlit = typedlit(tokens0)
     val toks = TextAnalysis.tokens(col(textCol))
     val base = corpus.select(col(idCol).as("id"),
       size(toks).cast("long").as("__dl"),
@@ -719,6 +722,15 @@ object SimilaritySearch {
     val tf = base.select(col("id"), col("__dl"), explode(col("__m")).as("token"))
       .groupBy("id", "__dl", "token").agg(count(lit(1)).as("__tf"))
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("token"))))
+    (tf, totals)
+  }
+
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+               queryTokens: Seq[String], k: Int,
+               k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(queryTokens.nonEmpty, "bm25TopK needs at least one query token")
+    val (tf, totals) =
+      bm25TfTable(corpus, idCol, textCol, queryTokens.map(_.toLowerCase).distinct)
     val contribU = bm25ContribU(col("__tf"), col("__dl"), col("__df"),
       col("__ndocs"), col("__sumdl"), k1, b)
     tf.crossJoin(broadcast(totals))
@@ -766,15 +778,7 @@ object SimilaritySearch {
     require(queries.nonEmpty, "bm25MultiTopK needs at least one query")
     val allTokens = queries.flatMap(_._2.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
       .distinct
-    val qlit = typedlit(allTokens)
-    val toks = TextAnalysis.tokens(col(textCol))
-    val base = corpus.select(col(idCol).as("id"),
-      size(toks).cast("long").as("__dl"),
-      filter(toks, t => array_contains(qlit, t)).as("__m"))
-    val totals = base.agg(sum(col("__dl")).as("__sumdl"), count(lit(1)).as("__ndocs"))
-    val tf = base.select(col("id"), col("__dl"), explode(col("__m")).as("token"))
-      .groupBy("id", "__dl", "token").agg(count(lit(1)).as("__tf"))
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("token"))))
+    val (tf, totals) = bm25TfTable(corpus, idCol, textCol, allTokens)
     val qdf = corpus.sparkSession.createDataFrame(
       queries.flatMap { case (qid, text) =>
         text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t))
@@ -785,10 +789,11 @@ object SimilaritySearch {
       .crossJoin(broadcast(totals))
       .select(col("qid"), col("id"), contribU.as("__cu"))
       .groupBy("qid", "id").agg(sum(col("__cu")).as("__su"))
-      .select(col("qid"), col("id"),
+      .select(col("qid"), col("id").as(idCol),
         (col("__su").cast("double") / lit(1000000.0)).as("bm25"))
       .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("bm25").desc, col("id"))).cast("long"))
+        Window.partitionBy(col("qid")).orderBy(col("bm25").desc, col(s"`$idCol`")))
+        .cast("long"))
       .filter(col("rank") <= k)
   }
 

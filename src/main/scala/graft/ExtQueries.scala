@@ -3506,7 +3506,52 @@ object ExtQueries {
              |       quantile_cont(gap_s, 0.5) AS median_gap_s,
              |       quantile_cont(gap_s, 0.9) AS p90_gap_s
              |FROM g WHERE gap_s IS NOT NULL
-             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))),
+
+    // As-of probe against SCD2 history — the dimensional-modeling flow
+    // q129's scaladoc names but nothing pinned: a sampled changelog
+    // becomes validity intervals (MergeStore.scd2), and FACT events
+    // join the historically-correct attribute by half-open interval
+    // containment (facts before a user's first change attribute to
+    // 'none'). Intervals partition time per user by construction, so
+    // each fact matches at most once — a double match, a fact landing
+    // in a zero-length tie interval, or an off-by-one boundary all
+    // hash-mismatch against the lead-window replay.
+    "q159_scd2_asof_probe" -> ((
+      (s: SparkSession, d: String) => {
+        val dim = graft.store.MergeStore.scd2(
+            events(s, d).filter(col("event_id") % 23 === 0)
+              .select("user_id", "ts", "event_id", "event_type"),
+            Seq("user_id"), "ts", "event_id")
+          .select(col("user_id").as("dim_user"), col("event_type").as("attr"),
+            col("valid_from"), col("valid_to"))
+        val facts = events(s, d)
+          .filter(col("event_id") % 23 =!= 0 && col("event_id") % 5 === 0)
+          .select(col("event_id"), col("user_id"), col("ts"))
+        facts.join(dim,
+            facts("user_id") === dim("dim_user") &&
+              dim("valid_from") <= facts("ts") &&
+              (dim("valid_to").isNull || facts("ts") < dim("valid_to")),
+            "left")
+          .select(col("event_id"), coalesce(col("attr"), lit("none")).as("attr"))
+          .groupBy("attr")
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).cast("long").as("id_sum"))
+          .orderBy("attr")
+      },
+      Some("""WITH dim AS (
+             |  SELECT user_id, event_type AS attr, ts AS valid_from,
+             |         lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+             |  FROM events WHERE event_id % 23 = 0
+             |), f AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_id % 23 <> 0 AND event_id % 5 = 0
+             |), j AS (
+             |  SELECT f.event_id, coalesce(d.attr, 'none') AS attr
+             |  FROM f LEFT JOIN dim d ON f.user_id = d.user_id
+             |    AND d.valid_from <= f.ts AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+             |)
+             |SELECT attr, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -3551,7 +3551,47 @@ object ExtQueries {
              |    AND d.valid_from <= f.ts AND (d.valid_to IS NULL OR f.ts < d.valid_to)
              |)
              |SELECT attr, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
-             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))),
+
+    // Composite-key quantile store: q148's machinery keyed by
+    // (event_type, day) — per-day latency bands off the same mergeable
+    // histogram parts (q134's dashboard shape, now served from the
+    // store instead of a raw scan). Pins what no other row exercises:
+    // multi-column store keys flowing through writeQuantilePart's
+    // grouping, readSummed's key list, and readQuantiles' per-key
+    // windows.
+    "q160_quantile_bands_daily" -> ((
+      (s: SparkSession, d: String) => {
+        val base = new java.io.File(s"/tmp/graft_qstore2_" +
+          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}")
+        rmrf(base)
+        val store = base.toString
+        val ev = events(s, d).select(col("event_id"), col("event_type"),
+          date_trunc("day", col("ts")).as("day"), col("value"))
+        graft.store.MergeStore.writeQuantilePart(
+          ev.filter(col("event_id") % 2 === 0).drop("event_id"),
+          Seq("event_type", "day"), "value", store, scale = 100)
+        graft.store.MergeStore.writeQuantilePart(
+          ev.filter(col("event_id") % 2 === 1).drop("event_id"),
+          Seq("event_type", "day"), "value", store, scale = 100)
+        graft.store.MergeStore.readQuantiles(s, store, Seq("event_type", "day"),
+            Seq(0.5, 0.95), scale = 100)
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             |         CAST(round(value * 100) AS BIGINT) AS vb, count(*) AS cnt
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+             |), c AS (
+             |  SELECT event_type, day, vb,
+             |         sum(cnt) OVER (PARTITION BY event_type, day ORDER BY vb) AS cum,
+             |         sum(cnt) OVER (PARTITION BY event_type, day) AS tot
+             |  FROM b
+             |)
+             |SELECT event_type, day,
+             |  CAST(min(CASE WHEN cum * 1000000 >= 500000 * tot THEN vb END) AS DOUBLE) / 100 AS p50,
+             |  CAST(min(CASE WHEN cum * 1000000 >= 950000 * tot THEN vb END) AS DOUBLE) / 100 AS p95
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

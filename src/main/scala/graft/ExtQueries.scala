@@ -2308,10 +2308,11 @@ object ExtQueries {
           "user_id", "ts", "event_id", "event_type", pathLen = 8, k = 10),
       Some("""WITH p AS (
              |  SELECT user_id,
-             |         array_to_string((list(event_type ORDER BY ts, event_id))[1:8], '>') AS path
+             |         array_to_string((list(event_type ORDER BY ts, event_id))[1:8], '>') AS path,
+             |         len((list(event_type ORDER BY ts, event_id))[1:8]) AS path_len
              |  FROM events GROUP BY 1
              |)
-             |SELECT path, count(*) AS n_users FROM p GROUP BY 1
+             |SELECT path, path_len, count(*) AS n_users FROM p GROUP BY 1, 2
              |ORDER BY n_users DESC, path LIMIT 10""".stripMargin))),
 
     // Latest-wins merge store (MergeStore — the ReplacingMergeTree
@@ -3273,6 +3274,7 @@ object ExtQueries {
              |  FROM comp JOIN cnt USING (label) GROUP BY 1, 2
              |), scored AS (
              |  SELECT e.label, cl.n,
+             |    len(e.embedding) AS dlen, len(cl.c) AS clen,
              |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              |      list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * cl.c[i])),
              |      (a, b) -> a + b) AS dot,
@@ -3285,13 +3287,16 @@ object ExtQueries {
              |  FROM embeddings e JOIN cl ON e.label = cl.label
              |), q AS (
              |  SELECT label, n,
-             |    CASE WHEN na = 0 OR nc = 0 THEN 0
+             |    CASE WHEN dlen <> clen THEN NULL
+             |         WHEN na = 0 OR nc = 0 THEN 0
              |         ELSE CAST(round(dot / (sqrt(na) * sqrt(nc)) * 1000000) AS BIGINT)
              |    END AS cq
              |  FROM scored
              |)
-             |SELECT label, n AS n_vectors,
-             |       CAST(sum(cq) AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS mean_cosine
+             |SELECT label, n AS n_vectors, count(cq) AS n_scored,
+             |       CASE WHEN count(cq) = 0 THEN NULL
+             |            ELSE CAST(sum(cq) AS DOUBLE) / CAST(count(cq) * 1000000 AS DOUBLE)
+             |       END AS mean_cosine
              |FROM q GROUP BY label, n
              |ORDER BY label""".stripMargin))),
 

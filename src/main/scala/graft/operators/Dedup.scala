@@ -731,6 +731,17 @@ object Dedup {
     * fingerprints with `mode = "append"` (same path, same nBuckets).
     * Appends create small files; re-cluster occasionally by rewriting
     * with `mode = "overwrite"` — exactly a ClickHouse part merge. */
+  /** Store `meta` existence via the Hadoop FileSystem of the path's
+    * scheme — `java.io.File` would silently answer false on hdfs:// or
+    * s3a:// stores, skipping the parameter-mismatch guard and letting a
+    * differently-bucketed append land where probes never look. */
+  private def metaExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val meta = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      meta.toUri, spark.sparkContext.hadoopConfiguration)
+    fs.exists(meta)
+  }
+
   def writeFingerprintStore(df: DataFrame, textCol: String, path: String,
                             nBuckets: Int = 64, mode: String = "overwrite"): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
@@ -738,13 +749,10 @@ object Dedup {
     // an append with a DIFFERENT bucketing than the store's would put
     // new fingerprints where probes never look — silent missed dupes;
     // fail loudly instead of corrupting
-    if (mode.equalsIgnoreCase("append")) {
-      val metaPath = new java.io.File(s"$path/meta")
-      if (metaPath.exists()) {
-        val existing = spark.read.parquet(s"$path/meta").head().getInt(0)
-        require(existing == nBuckets,
-          s"fingerprint store at $path has nBuckets=$existing, append used $nBuckets")
-      }
+    if (mode.equalsIgnoreCase("append") && metaExists(spark, path)) {
+      val existing = spark.read.parquet(s"$path/meta").head().getInt(0)
+      require(existing == nBuckets,
+        s"fingerprint store at $path has nBuckets=$existing, append used $nBuckets")
     }
     df.select(md5(col(textCol)).as("fp")).distinct()
       .withColumn("bucket", pmod(xxhash64(col("fp")), lit(nBuckets.toLong)).cast("int"))
@@ -804,16 +812,13 @@ object Dedup {
     require(nParts >= 1, s"nParts must be >= 1, got $nParts")
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = df.sparkSession
-    if (mode.equalsIgnoreCase("append")) {
-      val metaPath = new java.io.File(s"$path/meta")
-      if (metaPath.exists()) {
-        val m = spark.read.parquet(s"$path/meta").head()
-        require(m.getInt(0) == numHashes && m.getInt(1) == bands &&
-          m.getInt(2) == shingleWidth && m.getInt(3) == nParts,
-          s"minhash store at $path was built with (numHashes, bands, shingleWidth, nParts) = " +
-            s"(${m.getInt(0)}, ${m.getInt(1)}, ${m.getInt(2)}, ${m.getInt(3)}); " +
-            s"append used ($numHashes, $bands, $shingleWidth, $nParts)")
-      }
+    if (mode.equalsIgnoreCase("append") && metaExists(spark, path)) {
+      val m = spark.read.parquet(s"$path/meta").head()
+      require(m.getInt(0) == numHashes && m.getInt(1) == bands &&
+        m.getInt(2) == shingleWidth && m.getInt(3) == nParts,
+        s"minhash store at $path was built with (numHashes, bands, shingleWidth, nParts) = " +
+          s"(${m.getInt(0)}, ${m.getInt(1)}, ${m.getInt(2)}, ${m.getInt(3)}); " +
+          s"append used ($numHashes, $bands, $shingleWidth, $nParts)")
     }
     val sigs = minhashSigs(df, idCol, textCol, numHashes, shingleWidth)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -881,10 +886,19 @@ object Dedup {
       .select(least(col("id"), col("__bid")).as("id_a"),
         greatest(col("id"), col("__bid")).as("id_b"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sigParts = rawPairs
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .select(pmod(xxhash64(col("id")), lit(nParts.toLong)).cast("int").as("part"))
       .distinct().collect().map(_.getInt(0)).sorted
+    // the collect above materialized rawPairs, and banded feeds nothing
+    // else — release it here so repeated incremental probes in a
+    // long-lived session don't accumulate cached band partitions. `sigs`
+    // (and now rawPairs) stay cached deliberately: the RETURNED plan
+    // still scores pairs from them; callers running many probes should
+    // unpersist via sparkSession.catalog.clearCache() or consume the
+    // result eagerly.
+    banded.unpersist()
     val storeSigs = spark.read.parquet(s"$path/sigs")
       .filter(col("part").isin(sigParts.map(Int.box): _*))
       .select(col("id"), col("sig"))

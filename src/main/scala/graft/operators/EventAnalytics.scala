@@ -192,7 +192,13 @@ object EventAnalytics {
     * the exchange is reused; the final path count is a small
     * re-aggregation with map-side combine, and top-k lowers to
     * TakeOrderedAndProject (no global sort). Ties in count order
-    * deterministically by path string. */
+    * deterministically by path string.
+    *
+    * Users with FEWER than `pathLen` events count with their full
+    * (shorter) journey — `path_len` in the output distinguishes a
+    * complete short journey (`path_len < pathLen`) from a truncated
+    * prefix (`path_len == pathLen`, journey may continue past the
+    * cut); filter `path_len < pathLen` for ended-journeys-only. */
   def topPaths(events: DataFrame, userCol: String, tsCol: String,
                tieCol: String, typeCol: String, pathLen: Int, k: Int): DataFrame = {
     require(pathLen >= 1, s"pathLen must be >= 1, got $pathLen")
@@ -207,8 +213,14 @@ object EventAnalytics {
       // deterministic event order before the join into a string.
       .agg(sort_array(collect_list(struct(col("__rn").as("r"), col(typeCol).as("t"))))
         .as("__evs"))
-      .select(concat_ws(">", transform(col("__evs"), e => e.getField("t"))).as("path"))
-      .groupBy(col("path"))
+      .select(concat_ws(">", transform(col("__evs"), e => e.getField("t"))).as("path"),
+        size(col("__evs")).cast("long").as("path_len"))
+      // path_len is a pure function of path (its segment count), so
+      // adding it to the key changes no group — it exists so callers
+      // can tell a 2-event user's full journey from the pathLen-cut
+      // prefix of a longer one (path_len < pathLen ⇔ the journey ENDED
+      // there; filter on it for complete-paths-only semantics)
+      .groupBy(col("path"), col("path_len"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("path"))
       .limit(k)

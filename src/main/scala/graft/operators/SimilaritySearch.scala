@@ -614,7 +614,12 @@ object SimilaritySearch {
     * sums; centroids broadcast back (≤ labels rows); the cosine pass is
     * a pure map over the corpus. Zero-norm vectors and degenerate
     * centroids contribute cosine 0 (guarded identically in the
-    * oracle). */
+    * oracle). A member whose vector LENGTH differs from its centroid's
+    * is nulled out rather than silently deflating the mean: the report
+    * divides by the count of SCORED members and surfaces it as
+    * `n_scored` (< `n_vectors` flags dimension rot in the class).
+    * Rows with a NULL label are excluded entirely — null is "unlabeled",
+    * not a class, and no coherence claim is made about it. */
   def labelCoherence(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
                      scale: Long = 1000000L): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
@@ -635,13 +640,19 @@ object SimilaritySearch {
     val na = aggregate(transform(col("v"),
       x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)
     val nc = aggregate(transform(col("centroid"), x => x * x), lit(0.0), (a, x) => a + x)
-    val cosQ = when(na === 0.0 || nc === 0.0, lit(0L))
-      .otherwise(round(dot / (sqrt(na) * sqrt(nc)) * scale).cast("long"))
+    // a vector of the wrong length must NOT fold into the mean (zip_with
+    // null-pads, so its "cosine" would be meaningless); null it and let
+    // the n_scored divisor make the exclusion visible
+    val cosQ = when(size(col("v")) =!= size(col("centroid")), lit(null).cast("long"))
+      .otherwise(when(na === 0.0 || nc === 0.0, lit(0L))
+        .otherwise(round(dot / (sqrt(na) * sqrt(nc)) * scale).cast("long")))
     joined.select(col("label"), col("n"), cosQ.as("__cq"))
       .groupBy("label", "n")
-      .agg(sum(col("__cq")).as("__s"))
-      .select(col("label"), col("n").as("n_vectors"),
-        (col("__s").cast("double") / (col("n") * scale).cast("double")).as("mean_cosine"))
+      .agg(sum(col("__cq")).as("__s"), count(col("__cq")).as("__k"))
+      .select(col("label"), col("n").as("n_vectors"), col("__k").as("n_scored"),
+        when(col("__k") === 0L, lit(null).cast("double"))
+          .otherwise(col("__s").cast("double") / (col("__k") * scale).cast("double"))
+          .as("mean_cosine"))
   }
 
   // --------------------------------------------- hybrid retrieval (RRF)

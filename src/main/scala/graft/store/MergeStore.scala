@@ -90,19 +90,103 @@ object MergeStore {
                     keyCols: Seq[String], versionCol: String): Unit =
     swapIn(spark, path)(readLatest(spark, path, keyCols, versionCol))
 
-  /** Summing sibling of [[compactLatest]]: one part of merged sums. */
+  /** Summing sibling of [[compactLatest]]: one part of merged sums.
+    *
+    * NOT for epoch-addressed streaming stores ([[writeQuantileEpoch]],
+    * [[graft.streaming.StreamingIngest.maintainSummingParts]]): folding
+    * an epoch's part into flat root files would (a) leave mixed
+    * root-files + `epoch=` dirs that parquet partition discovery
+    * rejects, and (b) let a crash-replay of a folded epoch re-create
+    * `epoch=N` and double-count its rows. Those stores compact with
+    * [[compactEpochs]], which preserves the epoch layout and advances
+    * a replay watermark. */
   def compactSummed(spark: SparkSession, path: String, keyCols: Seq[String],
                     sumCols: Seq[String]): Unit =
     swapIn(spark, path)(readSummed(spark, path, keyCols, sumCols))
+
+  /** Epoch-layout-preserving compaction for EPOCH-ADDRESSED summing
+    * stores (the streaming writers' layout: one `epoch=<id>/` dir per
+    * committed micro-batch). Folds every epoch part into the single
+    * reserved dir `epoch=-1` — readers see the identical merged view
+    * (readSummed groups the epoch column away), future reads stop
+    * re-merging history, and the partition layout stays uniform (no
+    * root files, so parquet partition discovery never sees conflicting
+    * structures).
+    *
+    * Replay safety — the reason this is not [[compactSummed]]: a
+    * micro-batch whose part write succeeded but whose checkpoint
+    * commit didn't will be REPLAYED on restart. Before compaction the
+    * epoch-addressed overwrite makes that idempotent; after compaction
+    * the epoch's rows live in `epoch=-1`, so a replay re-creating
+    * `epoch=N` would double-count. Compaction therefore records the
+    * max folded epoch id in a `_compacted_watermark` marker (written
+    * BEFORE any folded dir is deleted), and the epoch writers
+    * ([[writeQuantileEpoch]], StreamingIngest.writeSummingPart) skip
+    * any epoch at or below the watermark — the replayed data is
+    * already inside the compacted part by construction.
+    *
+    * Crash windows: before the marker lands, state is untouched
+    * (the merged part builds under a dot-hidden tmp dir); between
+    * marker and the final rename, readers can briefly miss the folded
+    * rows — the same non-transactional swap window as [[compactLatest]],
+    * run it from the single compactor role. Re-running compaction at
+    * any point converges. */
+  def compactEpochs(spark: SparkSession, path: String, keyCols: Seq[String],
+                    sumCols: Seq[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      root.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val epochDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .map(_.getPath)
+    if (epochDirs.length < 2) return // nothing to fold
+    val foldedMax = epochDirs.map(_.getName.stripPrefix("epoch=").toLong).max
+    val newWatermark = math.max(foldedMax, compactedWatermark(spark, path))
+    val merged = readSummed(spark, path, keyCols, sumCols)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.compact_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    // marker FIRST: once it lands, replays of folded epochs are
+    // refused even if the process dies mid-delete below
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_compacted_watermark")
+    val mTmp = new org.apache.hadoop.fs.Path(s"$path/._compacted_watermark.tmp")
+    val out = fs.create(mTmp, true)
+    try out.write(newWatermark.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(marker, false)
+    if (!fs.rename(mTmp, marker))
+      throw new java.io.IOException(s"watermark rename failed: $mTmp -> $marker")
+    epochDirs.foreach(d => fs.delete(d, true))
+    val dst = new org.apache.hadoop.fs.Path(s"$path/epoch=-1")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"compaction rename failed: $tmp -> $dst")
+  }
+
+  /** Max real epoch id ever folded by [[compactEpochs]] at `path`
+    * (-1 if never compacted). Epoch writers skip epochs at or below
+    * this: such an epoch can only reach the writer as a crash-replay,
+    * and its rows already live in the compacted `epoch=-1` part. */
+  private[graft] def compactedWatermark(spark: SparkSession, path: String): Long = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_compacted_watermark")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      marker.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) -1L
+    else {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
+  }
 
   /** Mergeable QUANTILE store — percentile dashboards over append-only
     * parts. The sufficient statistic is exact and summable: per-key
     * counts of the value QUANTIZED to `1/scale` units
     * (`vb = round(v · scale)`) — an equi-width histogram with bin
     * width `1/scale`, which is just a summing store on (key, vb):
-    * parts merge by addition, [[compactSummed]] applies unchanged, and
-    * replayed epochs are handled by the same epoch-addressing as any
-    * summing part. Where a GK/KLL sketch trades RANK accuracy for
+    * parts merge by addition — batch-appended stores compact with
+    * [[compactSummed]], epoch-addressed streaming stores with
+    * [[compactEpochs]] (epoch layout preserved, replays fenced by the
+    * compaction watermark) — and replayed epochs are handled by
+    * epoch-addressing plus that watermark. Where a GK/KLL sketch trades RANK accuracy for
     * bounded state, this trades VALUE resolution: quantiles are
     * rank-exact over the quantized data and within `1/(2·scale)` of
     * the raw-value quantile by construction — a documented, tunable
@@ -138,7 +222,10 @@ object MergeStore {
   private[graft] def writeQuantileEpoch(batch: DataFrame, keyCols: Seq[String],
                                         valueCol: String, path: String, scale: Int,
                                         epochId: Long): Unit =
-    if (!batch.isEmpty)
+    // epochs at/below the compaction watermark are crash-replays of
+    // parts already folded into epoch=-1 — writing them again would
+    // double-count (see compactEpochs)
+    if (epochId > compactedWatermark(batch.sparkSession, path) && !batch.isEmpty)
       quantileBins(batch, keyCols, valueCol, scale)
         .write.mode("overwrite").parquet(s"$path/epoch=$epochId")
 

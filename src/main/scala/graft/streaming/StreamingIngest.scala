@@ -143,7 +143,11 @@ object StreamingIngest {
   private[graft] def writeSummingPart(batch: DataFrame, groupCols: Seq[String],
                                       sumCols: Seq[String], storePath: String,
                                       epochId: Long): Unit =
-    if (!batch.isEmpty) {
+    // epochs at/below the store's compaction watermark are
+    // crash-replays of parts already folded into epoch=-1; re-writing
+    // them would double-count (MergeStore.compactEpochs)
+    if (epochId > graft.store.MergeStore.compactedWatermark(batch.sparkSession, storePath)
+        && !batch.isEmpty) {
       val partial = batch
         .groupBy(groupCols.map(c => col(s"`$c`")): _*)
         .agg(sum(col(s"`${sumCols.head}`")).as(sumCols.head),

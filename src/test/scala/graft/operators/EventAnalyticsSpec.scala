@@ -284,16 +284,20 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, "2024-01-01 13:00:00", 8L, "c"))
     def run(d: org.apache.spark.sql.DataFrame) =
       EventAnalytics.topPaths(d, "user_id", "ts", "event_id", "event_type",
-        pathLen = 2, k = 10).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        pathLen = 2, k = 10).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     val got = run(df)
-    assert(got == Seq(("a>b", 2L), ("a>c", 1L), ("c", 1L)))
+    // path_len flags complete-vs-truncated: u4's lone "c" ended there
+    // (path_len 1 < pathLen), u3's "a>c" is a cut prefix (path_len 2)
+    assert(got == Seq(("a>b", 2L, 2L), ("a>c", 2L, 1L), ("c", 1L, 1L)))
     // collect_list order is arrival order — the sort_array must make the
     // result partition-layout-independent
     assert(run(df.repartition(7)) == got)
     // k cuts after the (count desc, path) order
     val top1 = EventAnalytics.topPaths(df, "user_id", "ts", "event_id", "event_type",
-      pathLen = 2, k = 1).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(top1 == Seq(("a>b", 2L)))
+      pathLen = 2, k = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(top1 == Seq(("a>b", 2L, 2L)))
   }
 
   test("downsampleOhlc: hand-computed buckets, equal-timestamp open/close break by the tie column") {

@@ -1838,14 +1838,43 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("vec_id", "embedding", "label")
     def run(d: org.apache.spark.sql.DataFrame) =
       SimilaritySearch.labelCoherence(d, "vec_id", "embedding", "label")
-        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     val got = run(df)
-    assert(got(0) == ((2L, 1.0)), s"identical members must cohere at 1.0, got ${got(0)}")
-    assert(got(1) == ((2L, 0.0)), "a degenerate (zero) centroid must report 0, not NaN")
+    assert(got(0) == ((2L, 2L, 1.0)), s"identical members must cohere at 1.0, got ${got(0)}")
+    assert(got(1) == ((2L, 2L, 0.0)), "a degenerate (zero) centroid must report 0, not NaN")
     // cos(e1, (0.5, 0.5)) = 1/sqrt(2), quantized to 1e-6
     val expected = math.round(1.0 / math.sqrt(2.0) * 1000000L).toDouble / 1000000.0
-    assert(got(2) == ((2L, expected)), s"got ${got(2)}, want $expected")
+    assert(got(2) == ((2L, 2L, expected)), s"got ${got(2)}, want $expected")
     assert(run(df.repartition(5)) == got)
+  }
+
+  test("labelCoherence: wrong-length member is excluded via n_scored, not silently deflated") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f, 0.0f), 0), // dimension rot: 3-dim in a 2-dim class
+      (4L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilaritySearch.labelCoherence(df, "vec_id", "embedding", "label")
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // class 0: the centroid spans the UNION of component indices
+    // (length 3 here), so the two 2-dim members are nulled out and only
+    // the length-matching member scores — cosine exactly 1 against the
+    // (1, 0, 0) direction, NOT a mean silently deflated by null-skipped
+    // sums over a divisor of 3
+    val (n0, k0, m0) = got(0)
+    assert(n0 == 3L && k0 == 1L, s"expect n_vectors=3, n_scored=1, got ($n0, $k0)")
+    assert(m0 == 1.0, s"mean over SCORED members must be 1.0, got $m0")
+    assert(got(1) == ((1L, 1L, 1.0)))
+    // null labels are excluded entirely (documented: null = unlabeled)
+    val withNull = df.unionByName(Seq((5L, Array(1.0f, 0.0f), null.asInstanceOf[Integer]))
+      .toDF("vec_id", "embedding", "label"))
+    val labels = SimilaritySearch.labelCoherence(withNull, "vec_id", "embedding", "label")
+      .collect().map(r => Option(r.get(0))).toSet
+    assert(!labels.contains(None), "null label must not appear as a class")
   }
 
   test("nfc_normalize: composes decomposed sequences, idempotent, null-safe, codegen == eval") {

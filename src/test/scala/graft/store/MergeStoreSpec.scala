@@ -223,4 +223,72 @@ class MergeStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("attr").collect().map(_.getString(0)).toSeq
     assert(asOf == Seq("c"))
   }
+
+  private def epochDirs(path: String): Set[String] =
+    new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .map(_.getName).toSet
+
+  test("compactEpochs: preserves the epoch layout, fences crash-replays of folded epochs") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    val path = freshDir()
+    def part(epoch: Long, rows: (String, Long)*): Unit =
+      StreamingIngest.writeSummingPart(rows.toDF("g", "n"), Seq("g"), Seq("n"), path, epoch)
+    part(0L, ("a", 1L), ("b", 2L))
+    part(1L, ("a", 10L))
+    part(2L, ("b", 20L), ("c", 30L))
+    def totals() = MergeStore.readSummed(spark, path, Seq("g"), Seq("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val before = totals()
+    assert(before == Seq(("a", 11L), ("b", 22L), ("c", 30L)))
+    MergeStore.compactEpochs(spark, path, Seq("g"), Seq("n"))
+    assert(totals() == before, "epoch compaction must be observationally a no-op")
+    assert(epochDirs(path) == Set("epoch=-1"),
+      s"folded parts must live under the reserved epoch, got ${epochDirs(path)}")
+    // the replayed-micro-batch crash scenario: epoch 1's write succeeded
+    // long ago, its checkpoint commit didn't, the store was compacted in
+    // between, and the restarted stream re-presents epoch 1 — the
+    // watermark must refuse the write or 'a' double-counts to 21
+    part(1L, ("a", 10L))
+    assert(totals() == before, "replay of a folded epoch double-counted")
+    assert(epochDirs(path) == Set("epoch=-1"), "replay must not resurrect its epoch dir")
+    // normal life continues: a NEW epoch past the watermark lands
+    part(3L, ("c", 5L))
+    assert(totals() == Seq(("a", 11L), ("b", 22L), ("c", 35L)))
+    // and a second compaction folds reserved + new epochs alike
+    MergeStore.compactEpochs(spark, path, Seq("g"), Seq("n"))
+    assert(totals() == Seq(("a", 11L), ("b", 22L), ("c", 35L)))
+    assert(epochDirs(path) == Set("epoch=-1"))
+    // replaying the post-compaction epoch is fenced by the advanced watermark
+    part(3L, ("c", 5L))
+    assert(totals() == Seq(("a", 11L), ("b", 22L), ("c", 35L)))
+    // single-part store: compaction is a cheap no-op, not a rewrite
+    MergeStore.compactEpochs(spark, path, Seq("g"), Seq("n"))
+    assert(totals() == Seq(("a", 11L), ("b", 22L), ("c", 35L)))
+  }
+
+  test("compactEpochs on the quantile store: quantiles invariant, replay fenced") {
+    import spark.implicits._
+    val path = freshDir()
+    def part(epoch: Long, rows: (String, Double)*): Unit =
+      MergeStore.writeQuantileEpoch(rows.toDF("k", "v"), Seq("k"), "v", path,
+        scale = 100, epochId = epoch)
+    part(0L, (1 to 5).map(i => ("A", i / 10.0)): _*)
+    part(1L, (6 to 10).map(i => ("A", i / 10.0)): _*)
+    def q() = MergeStore.readQuantiles(spark, path, Seq("k"), Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val before = q()
+    assert(before("A") == ((0.5, 1.0)))
+    MergeStore.compactEpochs(spark, path, Seq("k", "__vb"), Seq("__cnt"))
+    assert(q() == before, "quantile epoch compaction moved a quantile")
+    assert(epochDirs(path) == Set("epoch=-1"))
+    // replayed folded epoch: bin counts must not double
+    part(1L, (6 to 10).map(i => ("A", i / 10.0)): _*)
+    assert(q() == before, "replayed folded epoch doubled its bins")
+    // fresh epoch still lands and shifts the distribution: 13 values
+    // (0.1 x4, 0.2..1.0), p50 = 7th smallest = 0.4
+    part(2L, ("A", 0.1), ("A", 0.1), ("A", 0.1))
+    assert(q()("A")._1 == 0.4, s"post-compaction epoch ignored: ${q()}")
+  }
 }

@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // per-tenant scheduler pools (QueryExecutor) need FAIR mode on the
+  // shared context; with no pool property set, jobs use the default
+  // pool (FIFO within it), so non-API suites see no behavior change
+  "-Dspark.scheduler.mode=FAIR",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

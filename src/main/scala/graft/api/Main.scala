@@ -93,6 +93,10 @@ object Main {
       .appName("scratchdbspark")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // per-tenant scheduler pools (QueryExecutor sets
+      // spark.scheduler.pool per request thread) only share fairly
+      // under FAIR mode; pools are created on demand with equal weight
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

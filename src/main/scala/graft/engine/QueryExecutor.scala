@@ -55,6 +55,16 @@ final class QueryExecutor(spark: SparkSession, catalog: TableCatalog) {
 
   def execute(db: String, sql: String): DataFrame = {
     val s = sessionFor(db)
+    // Per-tenant FAIR pool: every job this thread submits (including the
+    // lazy toLocalIterator jobs while the response streams) lands in the
+    // tenant's pool, so one tenant's heavy query cannot monopolize the
+    // shared context — pools split task slots fairly while both are
+    // hungry. Needs spark.scheduler.mode=FAIR on the context (Main sets
+    // it); under the default FIFO mode the property is inert, so this is
+    // safe unconditionally. The reference gets the same isolation from
+    // per-destination DATABASES (destinations.go); one SparkContext
+    // shares compute, so fairness must come from the scheduler.
+    s.sparkContext.setLocalProperty("spark.scheduler.pool", s"tenant_$db")
     val version = catalog.version(db)
     val tables = registered.get(db) match {
       case Some((v, t)) if v == version => t

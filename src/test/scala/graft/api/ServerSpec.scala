@@ -11,8 +11,12 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.Files
 
 class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+  // FAIR mode is context-level and first-creator-wins across the shared
+  // test JVM; build.sbt also passes -Dspark.scheduler.mode=FAIR so the
+  // fairness test below holds regardless of which suite booted Spark
   lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.scheduler.mode", "FAIR")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
@@ -298,6 +302,47 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the SELECT-only gate still holds with functions registered
     val bad = get("/api/data/query?api_key=key1&query=" + enc("DROP TABLE fdocs"))
     assert(bad.statusCode() == 400)
+  }
+
+  test("FAIR pools: a light tenant's query overlaps a heavy tenant's run instead of queuing behind it") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    assert(spark.sparkContext.getSchedulingMode.toString == "FAIR",
+      "context must boot in FAIR mode (build.sbt -Dspark.scheduler.mode=FAIR)")
+    def enc(q: String) = java.net.URLEncoder.encode(q, "UTF-8")
+    // tenant 1: a table to fan the heavy query out over; tenant 2: a
+    // one-row table whose scan is the light query (a literal-only SELECT
+    // would collapse to a LocalTableScan and never hit the scheduler)
+    for (i <- 1 to 4) post("/api/data/insert/loadt?api_key=key1", s"""{"v": $i}""")
+    post("/api/data/insert/tiny2?api_key=key2", """{"w": 1}""")
+    def ask(key: String, sql: String): HttpResponse[String] =
+      get(s"/api/data/query?api_key=$key&query=${enc(sql)}")
+    eventually {
+      assert(ask("key1", "SELECT count(*) AS n FROM loadt").body() == """[{"n":4}]""")
+      assert(ask("key2", "SELECT count(*) AS n FROM tiny2").body() == """[{"n":1}]""")
+    }
+    // 16 post-repartition tasks x ~1M md5 rows each: several seconds of
+    // work that keeps all 4 cores busy in waves. Under FIFO the light
+    // scan queues behind ALL of it; under FAIR it gets the next free
+    // slot after one task completes.
+    val heavySql = "SELECT count(DISTINCT crc32(md5(concat(cast(v AS string), cast(x AS string))))) AS n " +
+      "FROM (SELECT /*+ REPARTITION(16) */ v FROM loadt) " +
+      "LATERAL VIEW explode(sequence(1, 250000)) t AS x"
+    val lightSql = "SELECT count(*) AS n FROM tiny2"
+    val attempts = (1 to 3).iterator.map { _ =>
+      @volatile var heavyEnd = 0L
+      val heavy = Future { val r = ask("key1", heavySql); heavyEnd = System.nanoTime(); r }
+      Thread.sleep(500) // let the heavy job occupy the scheduler
+      val r = ask("key2", lightSql)
+      val lightEnd = System.nanoTime()
+      val hr = Await.result(heavy, 120.seconds)
+      assert(hr.statusCode() == 200 && r.statusCode() == 200)
+      assert(r.body() == """[{"n":1}]""")
+      lightEnd < heavyEnd
+    }
+    assert(attempts.exists(identity),
+      "light tenant query never finished while the heavy tenant's query was still running")
   }
 
   test("metrics endpoint exposes request counters and latency histogram") {

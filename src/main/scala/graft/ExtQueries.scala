@@ -3596,7 +3596,89 @@ object ExtQueries {
              |SELECT event_type, day,
              |  CAST(min(CASE WHEN cum * 1000000 >= 500000 * tot THEN vb END) AS DOUBLE) / 100 AS p50,
              |  CAST(min(CASE WHEN cum * 1000000 >= 950000 * tot THEN vb END) AS DOUBLE) / 100 AS p95
-             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))),
+
+    // The HTTP analytics surface, replayed against the SQL oracle: boot
+    // the full server in-process, seed the tenant catalog with the sf
+    // events table, invoke POST /api/data/analytics/funnel as a tenant
+    // over real HTTP, and parse the streamed JSON body back into a
+    // DataFrame — hash-checked against the SAME DuckDB oracle as q94.
+    // Pins the endpoint's decode -> tenantTable -> operator -> JSON
+    // encoder path end-to-end: the network representation must be
+    // byte-faithful to the operator's result (longs stay longs, doubles
+    // round-trip via Jackson's shortest form).
+    "q161_http_funnel" -> ((
+      (s: SparkSession, d: String) => {
+        val base = s"/tmp/graft_q161_${new java.io.File(d).getName}_" +
+          ProcessHandle.current().pid()
+        rmrf(new java.io.File(base))
+        val catalog = new graft.store.TableCatalog(s"$base/tables")
+        catalog.append(s, "1", "events", events(s, d))
+        val srv = new graft.api.Server(
+          graft.api.ServerConfig(0, Map("k" -> "1"), None, s"$base/fail"),
+          catalog, new graft.store.IngestService(s, catalog),
+          new graft.store.Spool(s"$base/spool", graft.store.SpoolConfig(), _ => ()),
+          new graft.engine.QueryExecutor(s, catalog),
+          new graft.store.MetaStore(base, Set(1L)))
+        val port = srv.start()
+        val body =
+          try {
+            val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+                s"http://localhost:$port/api/data/analytics/funnel?api_key=k"))
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+                """{"table": "events", "user_col": "user_id", "ts_col": "ts",
+                  | "tie_col": "event_id", "type_col": "event_type",
+                  | "steps": ["view", "click", "purchase"]}""".stripMargin))
+              .build()
+            val resp = java.net.http.HttpClient.newHttpClient()
+              .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+            require(resp.statusCode() == 200,
+              s"analytics/funnel: HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+            resp.body()
+          } finally srv.stop()
+        import s.implicits._
+        s.read.schema("step_idx BIGINT, step STRING, users BIGINT, rate DOUBLE")
+          .json(s.createDataset(Seq(body)))
+          .orderBy("step_idx")
+      },
+      Some("""WITH w0 AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         CASE WHEN event_type = 'view' THEN ts END AS q0
+             |  FROM events
+             |), w1 AS (
+             |  SELECT *, CASE WHEN event_type = 'click'
+             |      AND min(q0) OVER pw IS NOT NULL THEN ts END AS q1
+             |  FROM w0
+             |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |), w2 AS (
+             |  SELECT *, CASE WHEN event_type = 'purchase'
+             |      AND min(q1) OVER pw IS NOT NULL THEN ts END AS q2
+             |  FROM w1
+             |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |), pu AS (
+             |  SELECT user_id,
+             |         max(CASE WHEN q0 IS NOT NULL THEN 1 ELSE 0 END) AS r0,
+             |         max(CASE WHEN q1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+             |         max(CASE WHEN q2 IS NOT NULL THEN 1 ELSE 0 END) AS r2
+             |  FROM w2 GROUP BY user_id
+             |), tot AS (
+             |  SELECT sum(r0) AS u0, sum(r1) AS u1, sum(r2) AS u2 FROM pu
+             |), st AS (
+             |  SELECT 0 AS step_idx, 'view' AS step, u0 AS users FROM tot
+             |  UNION ALL SELECT 1, 'click', u1 FROM tot
+             |  UNION ALL SELECT 2, 'purchase', u2 FROM tot
+             |)
+             |SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+             |       CAST(users AS BIGINT) AS users,
+             |       CASE WHEN first_value(users) OVER w = 0 THEN 0.0
+             |            ELSE CAST(users AS DOUBLE) /
+             |                 CAST(first_value(users) OVER w AS DOUBLE) END AS rate
+             |FROM st
+             |WINDOW w AS (ORDER BY step_idx
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY step_idx""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -5,6 +5,7 @@ import graft.core.Json
 import graft.engine.{QueryExecutor, QueryRejectedException, ResultEncoders}
 import graft.store.{IngestService, MetaStore, Spool, TableCatalog}
 import java.io.{File, OutputStream}
+import org.apache.spark.sql.DataFrame
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets
 import scala.util.control.NonFatal
@@ -193,6 +194,23 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
           case None    => respond(ex, 400, "Invalid request body")
         }
 
+      case ("POST", List("data", "analytics", op)) =>
+        // the operator library over HTTP: the reference's raw
+        // passthrough exposes its destination's full surface
+        // (data.go:29-56); table-shaped operators have no SQL spelling,
+        // so they get named endpoints planning the SAME Scala operators
+        ex.setAttribute("graft.route", "/api/data/analytics/{op}")
+        Json.parse(readBody(ex)) match {
+          case Some(n) if n.isObject =>
+            streamPlanned(ex, p.getOrElse("format", ""))(
+              Analytics.plan(t => executor.tenantTable(db, t), op, n))
+          case _ => respond(ex, 400, "Invalid request body")
+        }
+
+      case ("GET", List("analytics")) =>
+        ex.setAttribute("graft.route", "/api/analytics")
+        respond(ex, 200, Analytics.listJson, "application/json")
+
       case ("GET", List("tables")) =>
         ex.setAttribute("graft.route", "/api/tables")
         val names = catalog.listTables(db).map(t => "\"" + Json.escape(t) + "\"")
@@ -264,8 +282,15 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
     * untouched (an over-cap or failed response simply isn't cached). */
   private def runQuery(ex: HttpExchange, db: String, query: String, format: String,
                        cacheKey: Option[String] = None): Unit =
+    streamPlanned(ex, format, cacheKey)(executor.execute(db, query))
+
+  /** Plan (by-name, so planning errors surface as clean 400/500s before
+    * any byte is written) and stream a DataFrame — shared by the SQL
+    * endpoint and the analytics endpoints. */
+  private def streamPlanned(ex: HttpExchange, format: String,
+                            cacheKey: Option[String] = None)(plan: => DataFrame): Unit =
     try {
-      val df = executor.execute(db, query)
+      val df = plan
       val isCsv = format.equalsIgnoreCase("csv")
       ex.getResponseHeaders.set("Content-Type", if (isCsv) "text/csv" else "application/json")
       ex.setAttribute("graft.status", 200)

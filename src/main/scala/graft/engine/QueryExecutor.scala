@@ -53,17 +53,20 @@ final class QueryExecutor(spark: SparkSession, catalog: TableCatalog) {
       s
     })
 
-  def execute(db: String, sql: String): DataFrame = {
+  /** Tenant session with views registered at the current catalog
+    * version, plus the set of table names visible to the tenant. Tags
+    * the calling thread with the tenant's FAIR scheduler pool: every
+    * job this thread submits (including the lazy toLocalIterator jobs
+    * while the response streams) lands in the tenant's pool, so one
+    * tenant's heavy query cannot monopolize the shared context — pools
+    * split task slots fairly while both are hungry. Needs
+    * spark.scheduler.mode=FAIR on the context (Main sets it); under
+    * the default FIFO mode the property is inert, so this is safe
+    * unconditionally. The reference gets the same isolation from
+    * per-destination DATABASES (destinations.go); one SparkContext
+    * shares compute, so fairness must come from the scheduler. */
+  private def preparedSession(db: String): (SparkSession, Set[String]) = {
     val s = sessionFor(db)
-    // Per-tenant FAIR pool: every job this thread submits (including the
-    // lazy toLocalIterator jobs while the response streams) lands in the
-    // tenant's pool, so one tenant's heavy query cannot monopolize the
-    // shared context — pools split task slots fairly while both are
-    // hungry. Needs spark.scheduler.mode=FAIR on the context (Main sets
-    // it); under the default FIFO mode the property is inert, so this is
-    // safe unconditionally. The reference gets the same isolation from
-    // per-destination DATABASES (destinations.go); one SparkContext
-    // shares compute, so fairness must come from the scheduler.
     s.sparkContext.setLocalProperty("spark.scheduler.pool", s"tenant_$db")
     val version = catalog.version(db)
     val tables = registered.get(db) match {
@@ -74,10 +77,28 @@ final class QueryExecutor(spark: SparkSession, catalog: TableCatalog) {
         registered.put(db, (version, t))
         t
     }
+    (s, tables)
+  }
+
+  def execute(db: String, sql: String): DataFrame = {
+    val (s, tables) = preparedSession(db)
     val trimmed = SqlUtil.trimQuery(sql)
     val parsed = s.sessionState.sqlParser.parsePlan(trimmed)
     validate(parsed, tables)
     s.sql(trimmed)
+  }
+
+  /** One tenant table as a DataFrame — the entry point the analytics
+    * endpoints use to hand a tenant's data to the operator library.
+    * Same visibility rule as [[execute]]: only the tenant's own
+    * catalog tables resolve; anything else is a 400-shaped rejection,
+    * never a path or cross-tenant read. */
+  def tenantTable(db: String, table: String): DataFrame = {
+    val (s, tables) = preparedSession(db)
+    val name = table.toLowerCase
+    if (!tables.contains(name))
+      throw new QueryRejectedException(s"unknown table: $name")
+    s.table(name)
   }
 
   /** Walk the parsed tree INCLUDING subquery expressions (scalar / IN /

@@ -304,6 +304,103 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.statusCode() == 400)
   }
 
+  test("analytics endpoints: funnel, dedup, bm25, expectations, hot_keys over HTTP as a tenant") {
+    def analytics(op: String, body: String, key: String = "key1",
+                  format: String = ""): HttpResponse[String] = {
+      val fq = if (format.nonEmpty) s"&format=$format" else ""
+      post(s"/api/data/analytics/$op?api_key=$key$fq", body)
+    }
+    // discoverable like /api/functions
+    val listed = get("/api/analytics?api_key=key1")
+    assert(listed.statusCode() == 200 && listed.body().contains("\"name\":\"funnel\""))
+
+    // ---- funnel: 3 users, signup->activate->purchase; one drops out
+    val journeys = Seq(
+      (1, "signup", "2024-01-01 10:00:00"), (1, "activate", "2024-01-01 11:00:00"),
+      (1, "purchase", "2024-01-01 12:00:00"),
+      (2, "signup", "2024-01-02 10:00:00"), (2, "activate", "2024-01-02 10:30:00"),
+      (3, "signup", "2024-01-03 10:00:00"), (3, "purchase", "2024-01-03 10:05:00"))
+    for (((u, t, ts), i) <- journeys.zipWithIndex)
+      post("/api/data/insert/ajourneys?api_key=key1",
+        s"""{"uid": $u, "etype": "$t", "ets": "$ts", "seq": $i}""")
+    eventually {
+      assert(get("/api/data/query?api_key=key1&query=" +
+        java.net.URLEncoder.encode("SELECT count(*) AS n FROM ajourneys", "UTF-8"))
+        .body() == s"""[{"n":${journeys.size}}]""")
+    }
+    val funnel = analytics("funnel",
+      """{"table": "ajourneys", "user_col": "uid", "ts_col": "ets",
+        | "tie_col": "seq", "type_col": "etype",
+        | "steps": ["signup", "activate", "purchase"]}""".stripMargin)
+    assert(funnel.statusCode() == 200, funnel.body())
+    // user 3's purchase came before any activate: step 2 counts only user 1
+    assert(funnel.body() ==
+      """[{"step_idx":0,"step":"signup","users":3,"rate":1.0},""" +
+        """{"step_idx":1,"step":"activate","users":2,"rate":0.6666666666666666},""" +
+        """{"step_idx":2,"step":"purchase","users":1,"rate":0.3333333333333333}]""",
+      funnel.body())
+    // time-boxed variant: a 30-minute deadline drops user 1's slow chain
+    val boxed = analytics("funnel",
+      """{"table": "ajourneys", "user_col": "uid", "ts_col": "ets",
+        | "tie_col": "seq", "type_col": "etype",
+        | "steps": ["signup", "activate"], "within_seconds": 1800}""".stripMargin)
+    assert(boxed.statusCode() == 200 && boxed.body().contains("\"users\":1"), boxed.body())
+
+    // ---- dedup: exact + near candidates on planted duplicates
+    val texts = Seq(
+      (10, "the quick brown fox jumps over the lazy dog"),
+      (11, "the quick brown fox jumps over the lazy dog"),
+      (12, "the quick brown fox jumps over the lazy cat today"),
+      (13, "completely different content about spark engines"))
+    for ((id, t) <- texts)
+      post("/api/data/insert/adocs?api_key=key1", s"""{"did": $id, "body": "$t"}""")
+    eventually {
+      assert(get("/api/data/query?api_key=key1&query=" +
+        java.net.URLEncoder.encode("SELECT count(*) AS n FROM adocs", "UTF-8"))
+        .body() == """[{"n":4}]""")
+    }
+    val exact = analytics("dedup_exact", """{"table": "adocs", "id_col": "did", "text_col": "body"}""")
+    assert(exact.statusCode() == 200)
+    // 11 is an exact copy of 10 -> survivor is the lower id
+    val survivors = "\"did\":(\\d+)".r.findAllMatchIn(exact.body()).map(_.group(1).toInt).toSet
+    assert(survivors == Set(10, 12, 13), exact.body())
+    val near = analytics("dedup_near",
+      """{"table": "adocs", "id_col": "did", "text_col": "body", "min_jaccard": 0.3}""")
+    assert(near.statusCode() == 200)
+    assert(near.body().contains("\"id_a\":10") && near.body().contains("\"id_b\":11"),
+      s"exact copies must be near-candidates too: ${near.body()}")
+    assert(!near.body().contains("13"), s"unrelated doc must not pair: ${near.body()}")
+
+    // ---- bm25 retrieval (csv format exercises the encoder switch)
+    val bm = analytics("bm25",
+      """{"table": "adocs", "id_col": "did", "text_col": "body",
+        | "query": "spark engines", "k": 2}""".stripMargin, format = "csv")
+    assert(bm.statusCode() == 200 && bm.body().startsWith("did,bm25\n13,"), bm.body())
+
+    // ---- expectations: one row per rule, violations counted
+    val exp = analytics("expectations",
+      """{"table": "adocs", "rules": [
+        |  {"type": "not_null", "col": "body"},
+        |  {"type": "unique", "cols": ["body"]},
+        |  {"type": "in_range", "col": "did", "lo": 0, "hi": 11}
+        |]}""".stripMargin)
+    assert(exp.statusCode() == 200, exp.body())
+    assert(exp.body().contains("""{"rule":"not_null:body","violations":0,"passed":true}"""), exp.body())
+    assert(exp.body().contains(""""rule":"unique:body","violations":1"""), exp.body())
+    assert(exp.body().contains(""""rule":"in_range:did","violations":2"""), exp.body())
+
+    // ---- hot_keys
+    val hot = analytics("hot_keys", """{"table": "ajourneys", "keys": ["etype"], "k": 1}""")
+    assert(hot.statusCode() == 200 && hot.body().contains("\"etype\":\"signup\""), hot.body())
+
+    // ---- isolation + validation: clean 400s, never stack traces
+    assert(analytics("funnel", """{"table": "ajourneys"}""").statusCode() == 400)
+    assert(analytics("nope", """{"table": "adocs"}""").statusCode() == 400)
+    assert(analytics("hot_keys", """{"table": "adocs", "keys": ["did"]}""", key = "key2")
+      .statusCode() == 400, "tenant 2 must not see tenant 1's table")
+    assert(analytics("hot_keys", """not json""").statusCode() == 400)
+  }
+
   test("FAIR pools: a light tenant's query overlaps a heavy tenant's run instead of queuing behind it") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global

@@ -29,14 +29,25 @@ object IngestBench {
     // warm-up batch (session + codegen)
     ingest.ingestLines("1", "warm", (1 to 1000).map(line))
     val t0 = System.nanoTime()
-    (0 until batches).foreach { b =>
+    val batchSec = (0 until batches).map { b =>
       val lines = (0 until perBatch).map(i => line(b * perBatch + i))
+      val s0 = System.nanoTime()
       ingest.ingestLines("1", "bench", lines)
+      (System.nanoTime() - s0) / 1e9
     }
     val sec = (System.nanoTime() - t0) / 1e9
     val n = catalog.read(spark, "1", "bench").count()
     require(n == (perBatch.toLong * batches), s"row loss: $n")
-    println(f"""{"metric":"ingest_rows_per_sec","value":${n / sec}%.0f,"rows":$n,"sec":$sec%.2f,"batches":$batches}""")
+    // type-1 percentiles over the per-batch walls — the regression
+    // signal the total hides (one straggler batch vs uniform slowdown)
+    val sorted = batchSec.sorted
+    def p(q: Double) = sorted((q * batches).ceil.toInt.min(batches) - 1)
+    val json =
+      f"""{"metric":"ingest_rows_per_sec","value":${n / sec}%.0f,"rows":$n,"sec":$sec%.2f,"batches":$batches,"batch_p50_sec":${p(0.5)}%.3f,"batch_p95_sec":${p(0.95)}%.3f}"""
+    println(json)
+    sys.env.get("GRAFT_INGEST_OUT").foreach { f =>
+      Files.write(java.nio.file.Paths.get(f), json.getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

@@ -12,26 +12,31 @@ final class BenchListener extends SparkListener {
   val jvmGcTimeMs = new AtomicLong(0)
   val executorCpuTimeMs = new AtomicLong(0)
   val tasks = new AtomicLong(0)
+  val shuffleWriteBytes = new AtomicLong(0)
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
     val m = taskEnd.taskMetrics
     if (m != null) {
       executorRunTimeMs.addAndGet(m.executorRunTime)
       jvmGcTimeMs.addAndGet(m.jvmGCTime)
       executorCpuTimeMs.addAndGet(m.executorCpuTime / 1000000L)
+      // write side only: every shuffled byte is written exactly once
+      // (reads double-count local+remote and re-count AQE re-reads)
+      shuffleWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       tasks.incrementAndGet()
     }
   }
   /** Quiesce timeouts seen so far — nonzero means some query's metrics
     * may include a straggler's tail (reported in the bench JSON). */
   val quiesceTimeouts = new AtomicLong(0)
-  def snapshot: (Long, Long, Long, Long) =
-    (executorRunTimeMs.get, jvmGcTimeMs.get, executorCpuTimeMs.get, tasks.get)
+  def snapshot: (Long, Long, Long, Long, Long) =
+    (executorRunTimeMs.get, jvmGcTimeMs.get, executorCpuTimeMs.get, tasks.get,
+      shuffleWriteBytes.get)
   /** Listener events are posted asynchronously; poll until the counters
     * go quiet so each query's delta is attributed to that query.
     * Bounded: leaked async activity (a job still finishing after a
     * swallowed per-query failure) must not hang the whole battery — on
     * timeout return the latest snapshot and count it as approximate. */
-  def quiesce(maxWaitMs: Long = 3000): (Long, Long, Long, Long) = {
+  def quiesce(maxWaitMs: Long = 3000): (Long, Long, Long, Long, Long) = {
     val deadline = System.nanoTime() + maxWaitMs * 1000000L
     var prev = snapshot
     var stable = 0
@@ -91,7 +96,8 @@ object Bench {
       val after = listener.quiesce()
       val delta = name -> (wall,
         after._1 - baseline._1, after._2 - baseline._2,
-        after._3 - baseline._3, after._4 - baseline._4)
+        after._3 - baseline._3, after._4 - baseline._4,
+        after._5 - baseline._5)
       baseline = after
       delta
     }
@@ -100,8 +106,8 @@ object Bench {
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v._1))
     }.mkString("{", ",", "}")
-    val ms = results.map { case (k, (_, run, gc, cpu, n)) =>
-      s"\"$k\":{\"executorRunTimeMs\":$run,\"jvmGcTimeMs\":$gc,\"executorCpuTimeMs\":$cpu,\"tasks\":$n}"
+    val ms = results.map { case (k, (_, run, gc, cpu, n, shuf)) =>
+      s"\"$k\":{\"executorRunTimeMs\":$run,\"jvmGcTimeMs\":$gc,\"executorCpuTimeMs\":$cpu,\"tasks\":$n,\"shuffleWriteBytes\":$shuf}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // Compact short-key maps for the truncation-surviving tail: the
@@ -119,7 +125,7 @@ object Bench {
     // it eats the sub-second queries' entries first — the heavies (the
     // only ones perf disputes are ever about) sit at the very end
     val byWall = results.toSeq.sortBy(_._2._1)
-    def compact(sel: ((Double, Long, Long, Long, Long)) => Double,
+    def compact(sel: ((Double, Long, Long, Long, Long, Long)) => Double,
                 minWall: Double = 0.0): String =
       byWall.filter(_._2._1 >= minWall).map { case (k, v) =>
         "\"" + shortKey(k) + "\":" +
@@ -135,22 +141,44 @@ object Bench {
     val execS = compact(_._2 / 1000.0, minWall = 1.0)
     val cpuS = compact(_._4 / 1000.0, minWall = 1.0)
     val failedJson = failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
+    // EVERY query's wall in ~5 bytes each: a positional array ordered by
+    // the qNN number (the field name carries the range, so the mapping
+    // is self-describing). At 160+ queries even the short-key walls_s
+    // map (~11 B/query) outgrows the driver's ~1.7 KB surviving tail —
+    // r10's full walls were clipped away again; this array is the
+    // guaranteed-to-survive copy.
+    val numbered = results.toSeq
+      .flatMap { case (k, v) =>
+        shortKey(k).stripPrefix("q").toIntOption.map(n => (n, v._1))
+      }.sortBy(_._1)
+    val wallsArr =
+      if (numbered.isEmpty) "\"walls_all\":[]"
+      else {
+        val label = f"walls_q${numbered.head._1}%02d_to_q${numbered.last._1}%02d"
+        numbered.map { case (_, w) =>
+          String.format(java.util.Locale.ROOT, "%.1f", Double.box(w))
+        }.mkString("\"" + label + "\":[", ",", "]")
+      }
     // field order is load-bearing: the driver records the TAIL of the
     // output, so the big per-query maps go first; then walls_s (all
     // queries, ascending by wall so clipping eats sub-second entries
-    // first), then the heavies-only exec_s/cpu_s, the failed list, and
-    // the headline metric/value/unit LAST (r7's walls were truncated
-    // away because they led the line; r8's taskMetrics likewise)
-    val line = s"""{"taskMetrics":$ms,"queries":$qs,"walls_s":$wallsS,"exec_s":$execS,"cpu_s":$cpuS,"failed":$failedJson,"quiesceTimeouts":${listener.quiesceTimeouts.get},"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}"""
+    // first), the heavies-only exec_s/cpu_s, then the compact
+    // positional walls array (every query, must survive), the failed
+    // list, and the headline metric/value/unit LAST (r7's walls were
+    // truncated away because they led the line; r8's taskMetrics
+    // likewise)
+    val line = s"""{"taskMetrics":$ms,"queries":$qs,"walls_s":$wallsS,"exec_s":$execS,"cpu_s":$cpuS,$wallsArr,"failed":$failedJson,"quiesceTimeouts":${listener.quiesceTimeouts.get},"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}"""
     println(line)
-    // optional file copy: stdout passes through harnesses that keep only
-    // a bounded tail — the file preserves the full per-query receipts
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").filter(_.nonEmpty).foreach { p =>
-      // best-effort: a bad path must not fail a green battery post-hoc
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
-      catch { case e: java.io.IOException =>
-        System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
-    }
+    // file copy: stdout passes through harnesses that keep only a
+    // bounded tail — the file preserves the full per-query receipts.
+    // Defaults into the cwd so the driver's own run leaves a complete
+    // record next to the tail-derived BENCH_r*.json.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").filter(_.nonEmpty)
+      .getOrElse("BENCH_FULL_latest.json")
+    // best-effort: a bad path must not fail a green battery post-hoc
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

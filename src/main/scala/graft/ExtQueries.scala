@@ -3678,7 +3678,31 @@ object ExtQueries {
              |FROM st
              |WINDOW w AS (ORDER BY step_idx
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-             |ORDER BY step_idx""".stripMargin)))
+             |ORDER BY step_idx""".stripMargin))),
+
+    // KLL-sketch quantile store (MergeStore.writeKllPart /
+    // readKllQuantiles): the fixed-size RANK-error sibling of the
+    // equi-width histogram store (q148/q160) for wide-range keys where
+    // O(occupied bins) state breaks down. Two parts split by event_id
+    // parity merge by sketch union. Rows-only BY DESIGN (q35/q111
+    // discipline): KLL compaction is randomized, so byte-level replay
+    // is impossible — the spec pins the contracts instead (3% rank
+    // corridor, n EXACT across any part split, all-null keys absent).
+    "q162_kll_quantile_store" -> ((
+      (s: SparkSession, d: String) => {
+        val store = s"/tmp/graft_q162_${new java.io.File(d).getName}_" +
+          ProcessHandle.current().pid()
+        rmrf(new java.io.File(store))
+        val ev = events(s, d).select(col("event_id"), col("event_type"), col("value"))
+        graft.store.MergeStore.writeKllPart(
+          ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "value", store)
+        graft.store.MergeStore.writeKllPart(
+          ev.filter(col("event_id") % 2 === 1), Seq("event_type"), "value", store)
+        graft.store.MergeStore.readKllQuantiles(s, store, Seq("event_type"),
+            Seq(0.5, 0.95))
+          .orderBy("event_type")
+      },
+      None))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -149,8 +149,113 @@ object TopKTokens {
     StructField("err", LongType, nullable = false))), containsNull = false)
 }
 
+/** KLL quantile sketch aggregates (Karnin–Lang–Liberty, FOCS 2016;
+  * the Apache DataSketches implementation Spark already bundles for
+  * its own hll_* functions). Where the equi-width quantile store
+  * ([[graft.store.MergeStore.writeQuantilePart]]) trades VALUE
+  * resolution at O(occupied bins) state — unbounded when a key's value
+  * range is wide — KLL trades RANK accuracy at FIXED size: k = 200
+  * holds ~1.65% normalized rank error (99% confidence) in a few KB
+  * regardless of value range or row count. Two aggregates because the
+  * store needs both halves of the mergeable-summary contract:
+  * [[KllSketchAgg]] builds a sketch from raw DOUBLE values (the part
+  * writer), [[KllMergeAgg]] unions serialized sketches (the reader,
+  * merging across parts).
+  *
+  * Determinism caveat, pinned in the specs: KLL compaction flips a
+  * random coin per level, so serialized bytes and last-ulp quantile
+  * positions are NOT bit-replayable — the battery row is rows-only
+  * with spec-pinned rank-error bounds (the q35/q111 discipline), never
+  * hash-checked. */
+abstract class KllAggBase
+    extends TypedImperativeAggregate[org.apache.datasketches.kll.KllDoublesSketch] {
+  def k: Int
+  // NOTE: no require() in this (abstract) body — superclass init runs
+  // before the concrete case class assigns `k`, so a check here reads 0
+  // and breaks Java deserialization on executors; each case class
+  // checks in its own body instead
+  protected def checkK(): Unit =
+    require(k >= 8 && k <= 65535, s"KLL k must be in [8, 65535], got $k")
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): org.apache.datasketches.kll.KllDoublesSketch =
+    org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k)
+
+  override def merge(buf: org.apache.datasketches.kll.KllDoublesSketch,
+                     other: org.apache.datasketches.kll.KllDoublesSketch):
+      org.apache.datasketches.kll.KllDoublesSketch = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: org.apache.datasketches.kll.KllDoublesSketch): Any =
+    buf.toByteArray
+
+  override def serialize(buf: org.apache.datasketches.kll.KllDoublesSketch): Array[Byte] =
+    buf.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): org.apache.datasketches.kll.KllDoublesSketch =
+    org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(bytes))
+}
+
+/** Serialized KLL sketch of a DOUBLE column (nulls skipped, standard
+  * percentile semantics). */
+case class KllSketchAgg(child: Expression, k: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0) extends KllAggBase {
+  checkK()
+  override def prettyName: String = "kll_sketch"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def update(buf: org.apache.datasketches.kll.KllDoublesSketch,
+                      input: InternalRow): org.apache.datasketches.kll.KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** Union of serialized KLL sketches (a BINARY column of
+  * [[KllSketchAgg]] outputs) — the read-side merge across store
+  * parts. */
+case class KllMergeAgg(child: Expression, k: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0) extends KllAggBase {
+  checkK()
+  override def prettyName: String = "kll_merge"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def update(buf: org.apache.datasketches.kll.KllDoublesSketch,
+                      input: InternalRow): org.apache.datasketches.kll.KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
 object AggFunctions {
   import org.apache.spark.sql.graftbridge.Bridge.{column => C, expression => E}
   def top_k_tokens(c: Column, capacity: Int): Column =
     C(TopKTokens(E(c), capacity).toAggregateExpression())
+  def kll_sketch(c: Column, k: Int = 200): Column =
+    C(KllSketchAgg(E(c), k).toAggregateExpression())
+  def kll_merge(c: Column, k: Int = 200): Column =
+    C(KllMergeAgg(E(c), k).toAggregateExpression())
 }

@@ -116,7 +116,32 @@ object GraftFunctions {
         Pmod(Fingerprint64(Concat(Seq(Literal(salt), Cast(args.head, StringType)))),
           Literal(10000L)),
         Literal(math.round(fraction * 10000)))
-    }, "hash_sample(id, fraction[, salt]) - deterministic partition-invariant sample membership")))
+    }, "hash_sample(id, fraction[, salt]) - deterministic partition-invariant sample membership")),
+
+    // KLL mergeable quantile sketches (DataSketches; MergeStore's
+    // wide-range quantile store) — the analyzer wraps a returned
+    // AggregateFunction in its AggregateExpression automatically
+    "kll_sketch" -> (((args: Seq[Expression]) => {
+      requireArity("kll_sketch", args, 1, 2)
+      val k = if (args.size >= 2) intLit("kll_sketch", "k", args(1)) else 200
+      KllSketchAgg(Cast(args.head, DoubleType), k)
+    }, "kll_sketch(value[, k]) - mergeable KLL quantile sketch of a numeric column (agg)")),
+
+    "kll_merge" -> (((args: Seq[Expression]) => {
+      requireArity("kll_merge", args, 1, 2)
+      val k = if (args.size >= 2) intLit("kll_merge", "k", args(1)) else 200
+      KllMergeAgg(args.head, k)
+    }, "kll_merge(sketch[, k]) - union of serialized KLL sketches (agg)")),
+
+    "kll_quantile" -> (((args: Seq[Expression]) => {
+      requireArity("kll_quantile", args, 2, 2)
+      KllQuantile(args.head, doubleLit("kll_quantile", "q", args(1)))
+    }, "kll_quantile(sketch, q) - quantile estimate from a serialized KLL sketch")),
+
+    "kll_n" -> (((args: Seq[Expression]) => {
+      requireArity("kll_n", args, 1, 1)
+      KllN(args.head)
+    }, "kll_n(sketch) - exact row count carried by a serialized KLL sketch")))
 
   /** Register every extension function in `spark`'s session-local
     * FunctionRegistry (idempotent — createOrReplace). Call once per

@@ -55,3 +55,77 @@ object QuantileRank {
   def quantile_rank(value: Column, boundaries: Array[Double]): Column =
     C(QuantileRank(E(value), boundaries))
 }
+
+/** Quantile read off a serialized KLL sketch (the store's BINARY
+  * column) at a FIXED rank — one static-helper call per sketch row,
+  * codegen'd. INCLUSIVE search criteria (the DataSketches default):
+  * the returned value's inclusive rank is >= q, matching the type-1
+  * "smallest value with cum >= q·n" convention the histogram store's
+  * readQuantiles uses. Runs over O(keys) sketch rows, never the
+  * corpus. */
+case class KllQuantile(child: Expression, q: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(q > 0 && q <= 1, s"quantile must be in (0, 1], got $q")
+  override def prettyName: String = "kll_quantile"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+
+  override def nullSafeEval(v: Any): Any =
+    KllQuantile.quantile(v.asInstanceOf[Array[Byte]], q)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      // freshName: two quantile columns in one projection would
+      // otherwise redefine the same local and break codegen compile
+      val r = ctx.freshName("kllq")
+      s"""
+         |java.lang.Double $r = graft.functions.KllQuantile.quantile($x, $q);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object KllQuantile {
+  /** Shared by interpreted + generated code; null for an empty sketch
+    * (no rows ever updated it — there is no quantile to report). */
+  def quantile(bytes: Array[Byte], q: Double): java.lang.Double = {
+    val s = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(bytes))
+    if (s.isEmpty) null
+    else java.lang.Double.valueOf(s.getQuantile(q,
+      org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
+  }
+
+  import org.apache.spark.sql.graftbridge.Bridge.{column => C, expression => E}
+  def kll_quantile(sketch: Column, q: Double): Column = C(KllQuantile(E(sketch), q))
+}
+
+/** Row count carried by a serialized KLL sketch — n is exact (every
+  * update counts), only rank positions are approximate; the store spec
+  * pins exactness of n across part splits. */
+case class KllN(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "kll_n"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+
+  override def nullSafeEval(v: Any): Any =
+    KllN.n(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = graft.functions.KllN.n($x);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object KllN {
+  def n(bytes: Array[Byte]): Long =
+    org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(bytes)).getN
+
+  import org.apache.spark.sql.graftbridge.Bridge.{column => C, expression => E}
+  def kll_n(sketch: Column): Column = C(KllN(E(sketch)))
+}

@@ -263,6 +263,60 @@ object MergeStore {
         (col(s"`${label(q)}`").cast("double") / scale).as(label(q))): _*)
   }
 
+  /** KLL-sketch sibling of the quantile store ([[writeQuantilePart]])
+    * — same mergeable-summary contract, opposite error trade. The
+    * equi-width histogram is rank-EXACT over quantized values with a
+    * 1/(2·scale) value error, but its state is O(occupied bins):
+    * unbounded when a key's value RANGE is wide (a long-tailed
+    * latency/price column can occupy millions of bins). A KLL sketch
+    * (Karnin–Lang–Liberty 2016; the DataSketches implementation Spark
+    * already bundles) holds ~1.65% normalized RANK error (k = 200,
+    * 99% confidence) in a few KB per key regardless of range or row
+    * count — the store for wide-range keys where the histogram's state
+    * bound breaks down. Parts merge by sketch union
+    * ([[graft.functions.KllMergeAgg]]); `n` stays exact across any
+    * part split (every update counts; only rank positions are
+    * approximate).
+    *
+    * Determinism: KLL compaction is randomized, so this store is
+    * deliberately NOT hash-replayable — the battery row is rows-only
+    * and the spec pins rank-error bounds instead (q35/q111
+    * discipline). Use the histogram store when bit-replayability
+    * matters and the value range is bounded.
+    *
+    * Batch-append layout (flat parts). For streaming maintenance use
+    * epoch addressing like the histogram store: a replayed epoch
+    * merged TWICE double-weights its rows against other epochs. */
+  def writeKllPart(batch: DataFrame, keyCols: Seq[String], valueCol: String,
+                   path: String, k: Int = 200): Unit = {
+    val kc = keyCols.map(c => col(s"`$c`"))
+    batch.filter(col(s"`$valueCol`").isNotNull)
+      .groupBy(kc: _*)
+      .agg(graft.functions.AggFunctions.kll_sketch(
+        col(s"`$valueCol`").cast("double"), k).as("__kll"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Per-key quantiles off the merged sketches: one exchange of
+    * O(keys × parts) few-KB sketch rows, never the corpus. Output
+    * mirrors [[readQuantiles]] (`p50`-style columns) plus exact
+    * `n_rows`. */
+  def readKllQuantiles(spark: SparkSession, path: String, keyCols: Seq[String],
+                       qs: Seq[Double], k: Int = 200): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1], got $qs")
+    def label(q: Double): String = {
+      val c = q * 100
+      if ((c - c.round).abs < 1e-9) s"p${c.round}" else s"p$c".replace('.', '_')
+    }
+    val kc = keyCols.map(c => col(s"`$c`"))
+    spark.read.parquet(path)
+      .groupBy(kc: _*)
+      .agg(graft.functions.AggFunctions.kll_merge(col("__kll"), k).as("__m"))
+      .select(kc ++ (graft.functions.KllN.kll_n(col("__m")).as("n_rows") +:
+        qs.map(q => graft.functions.KllQuantile.kll_quantile(col("__m"), q).as(label(q)))): _*)
+  }
+
   /** Slowly-changing-dimension type 2: turn an append-only CHANGELOG
     * (key, change time, attributes) into validity intervals — each row
     * becomes `[valid_from, valid_to)` where `valid_to` is the key's

@@ -116,6 +116,27 @@ class RegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("expects 1 argument"))
   }
 
+  test("kll functions via SQL: sketch -> merge -> quantile pipeline, n exact") {
+    docs
+    import spark.implicits._
+    (1 to 1000).map(i => (i % 4, i.toDouble)).toDF("g", "v")
+      .createOrReplaceTempView("kvals")
+    // build per-group sketches, merge them globally, read quantiles —
+    // the store's whole read path expressed in tenant SQL
+    val row = spark.sql(
+      """SELECT kll_n(m) AS n, kll_quantile(m, 0.5) AS p50
+        |FROM (SELECT kll_merge(s) AS m
+        |      FROM (SELECT g, kll_sketch(v) AS s FROM kvals GROUP BY g))""".stripMargin)
+      .collect().head
+    assert(row.getLong(0) == 1000L, "n must be exact through sketch+merge")
+    assert(math.abs(row.getDouble(1) - 500.0) <= 30.0,
+      s"p50 ${row.getDouble(1)} beyond the 3% rank corridor around 500")
+    // shape args must be literals
+    intercept[AnalysisException] {
+      spark.sql("SELECT kll_sketch(v, g) FROM kvals GROUP BY g").collect()
+    }
+  }
+
   test("registration is session-scoped: a fresh child session has them only after registerAll") {
     docs
     val child = spark.newSession()

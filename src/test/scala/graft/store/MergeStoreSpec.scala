@@ -268,6 +268,48 @@ class MergeStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totals() == Seq(("a", 11L), ("b", 22L), ("c", 35L)))
   }
 
+  test("KLL store: rank-error bound holds, n exact across part splits, empty-sketch null") {
+    import spark.implicits._
+    // uniform 1..10000 for one key: every quantile's TRUE value is
+    // q*10000; KLL k=200 holds ~1.65% normalized rank error (99%
+    // conf), and for uniform data value error == rank error, so a ±3%
+    // corridor is a generous-but-meaningful pin
+    val n = 10000
+    val rows = (1 to n).map(i => ("A", i.toDouble))
+    def check(path: String): Unit = {
+      val got = MergeStore.readKllQuantiles(spark, path, Seq("k"), Seq(0.25, 0.5, 0.95))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4))).head
+      assert(got._1 == "A")
+      assert(got._2 == n.toLong, s"n must be EXACT across any part split, got ${got._2}")
+      for ((est, truth) <- Seq(got._3 -> 2500.0, got._4 -> 5000.0, got._5 -> 9500.0))
+        assert(math.abs(est - truth) <= 0.03 * n,
+          s"estimate $est strayed beyond the 3%% rank corridor around $truth")
+    }
+    val whole = freshDir()
+    MergeStore.writeKllPart(rows.toDF("k", "v"), Seq("k"), "v", whole)
+    check(whole)
+    // three unequal parts merge to the same contract (sketch union)
+    val split = freshDir()
+    rows.grouped(1700).foreach { part =>
+      MergeStore.writeKllPart(part.toDF("k", "v"), Seq("k"), "v", split)
+    }
+    check(split)
+    // nulls are filtered at write (standard percentile semantics): an
+    // all-null key writes no sketch row at all
+    val nulls = freshDir()
+    MergeStore.writeKllPart(
+      Seq(("B", Some(1.0)), ("C", None), ("C", None)).toDF("k", "v"),
+      Seq("k"), "v", nulls)
+    val keys = MergeStore.readKllQuantiles(spark, nulls, Seq("k"), Seq(0.5))
+      .collect().map(_.getString(0)).toSet
+    assert(keys == Set("B"), s"all-null key must not surface, got $keys")
+    // defensive reader contract: an empty sketch has no quantile
+    val empty = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(200)
+    assert(graft.functions.KllQuantile.quantile(empty.toByteArray, 0.5) == null)
+    assert(graft.functions.KllN.n(empty.toByteArray) == 0L)
+  }
+
   test("compactEpochs on the quantile store: quantiles invariant, replay fenced") {
     import spark.implicits._
     val path = freshDir()

@@ -49,7 +49,15 @@ object Analytics {
     "expectations" -> ("table, rules[] of {type: not_null|in_range|matches|" +
       "unique|foreign_key, ...} — data-quality checks, one row per rule"),
     "hot_keys" -> ("table, keys[], k? — top-k hottest key values with share " +
-      "and skew ratio (pre-join skew diagnosis)"))
+      "and skew ratio (pre-join skew diagnosis)"),
+    "ann" -> ("table, id_col, vec_col | vec_cols[], query_vector[], k, mode? " +
+      "(exact|lsh) — top-k nearest vectors by cosine (exact scan, or LSH-pruned); " +
+      "vec_cols assembles a vector from flattened scalar columns (JSON-array " +
+      "inserts land as col_0, col_1, ... via the horizontal flattener)"),
+    "top_paths" -> ("table, user_col, ts_col, tie_col, type_col, path_len, k — " +
+      "most common first-N event journeys (path_len column flags truncation)"),
+    "transitions" -> ("table, user_col, ts_col, tie_col, type_col — first-order " +
+      "event transition matrix (from_type, to_type, n_transitions)"))
 
   def plan(tableOf: String => DataFrame, op: String, body: JsonNode): DataFrame = {
     val p = new Params(op, body)
@@ -103,6 +111,36 @@ object Analytics {
         Expectations.check(df, rules)
       case "hot_keys" =>
         SkewJoin.hotKeys(df, p.strList("keys"), p.optInt("k").getOrElse(20))
+      case "ann" =>
+        val vec = p.doubleList("query_vector").map(_.toFloat).toArray
+        if (vec.isEmpty) p.bad("query_vector must be non-empty")
+        // the insert path's horizontal flattener spreads a JSON array
+        // into col_0..col_n scalar columns, so tenants name them via
+        // vec_cols; bulk-loaded array columns use vec_col directly (the
+        // vector expressions are array<float> — a no-op cast on floats)
+        val (vecCol, cast) = p.optStrList("vec_cols") match {
+          case Some(cols) =>
+            if (cols.isEmpty) p.bad("vec_cols must be non-empty")
+            ("__vec", df.withColumn("__vec",
+              org.apache.spark.sql.functions.array(
+                cols.map(c => col(s"`$c`")): _*).cast("array<float>")))
+          case None =>
+            val vc = p.str("vec_col")
+            (vc, df.withColumn(vc, col(s"`$vc`").cast("array<float>")))
+        }
+        p.optStr("mode").getOrElse("exact") match {
+          case "exact" =>
+            SimilaritySearch.bruteForceTopK(cast, p.str("id_col"), vecCol, vec, p.int("k"))
+          case "lsh" =>
+            SimilaritySearch.annTopK(cast, p.str("id_col"), vecCol, vec, p.int("k"))
+          case other => p.bad(s"unknown mode: $other (exact | lsh)")
+        }
+      case "top_paths" =>
+        EventAnalytics.topPaths(withTs(df), p.str("user_col"), p.str("ts_col"),
+          p.str("tie_col"), p.str("type_col"), p.int("path_len"), p.int("k"))
+      case "transitions" =>
+        EventAnalytics.transitions(withTs(df), p.str("user_col"), p.str("ts_col"),
+          p.str("tie_col"), p.str("type_col"))
       case other =>
         throw new QueryRejectedException(
           s"unknown analytics op: $other (available: ${descriptions.map(_._1).mkString(", ")})")
@@ -168,6 +206,15 @@ object Analytics {
     }
     def optStrList(k: String): Option[Seq[String]] =
       Option(body.get(k)).filterNot(_.isNull).map(_ => strList(k))
+    def optStr(k: String): Option[String] =
+      Option(body.get(k)).filterNot(_.isNull).map(_ => str(k))
+    def doubleList(k: String): Seq[Double] = {
+      val v = node(k)
+      if (!v.isArray) bad(s"'$k' must be an array of numbers")
+      val out = v.elements().asScala.toSeq
+      if (out.exists(e => !e.isNumber)) bad(s"'$k' must be an array of numbers")
+      out.map(_.asDouble)
+    }
     def optInt(k: String): Option[Int] =
       Option(body.get(k)).filterNot(_.isNull).map(_ => int(k))
     def optLong(k: String): Option[Long] =

@@ -393,6 +393,35 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hot = analytics("hot_keys", """{"table": "ajourneys", "keys": ["etype"], "k": 1}""")
     assert(hot.statusCode() == 200 && hot.body().contains("\"etype\":\"signup\""), hot.body())
 
+    // ---- ann: exact cosine top-k over JSON-ingested double vectors
+    for ((id, x, y) <- Seq((1, 3.0, 4.0), (2, 1.0, 0.0), (3, -3.0, -4.0)))
+      post("/api/data/insert/avecs?api_key=key1", s"""{"vid": $id, "emb": [$x, $y]}""")
+    eventually {
+      assert(get("/api/data/query?api_key=key1&query=" +
+        java.net.URLEncoder.encode("SELECT count(*) AS n FROM avecs", "UTF-8"))
+        .body() == """[{"n":3}]""")
+    }
+    // JSON-array inserts flatten to emb_0/emb_1; vec_cols reassembles
+    val ann = analytics("ann",
+      """{"table": "avecs", "id_col": "vid", "vec_cols": ["emb_0", "emb_1"],
+        | "query_vector": [3.0, 4.0], "k": 2}""".stripMargin)
+    assert(ann.statusCode() == 200, ann.body())
+    assert(ann.body() == """[{"vid":1,"cosine":1.0},{"vid":2,"cosine":0.6}]""", ann.body())
+
+    // ---- journeys: top_paths + transitions over the funnel fixture
+    val paths = analytics("top_paths",
+      """{"table": "ajourneys", "user_col": "uid", "ts_col": "ets",
+        | "tie_col": "seq", "type_col": "etype", "path_len": 2, "k": 1}""".stripMargin)
+    assert(paths.statusCode() == 200 &&
+      paths.body() == """[{"path":"signup>activate","path_len":2,"n_users":2}]""",
+      paths.body())
+    val trans = analytics("transitions",
+      """{"table": "ajourneys", "user_col": "uid", "ts_col": "ets",
+        | "tie_col": "seq", "type_col": "etype"}""".stripMargin)
+    assert(trans.statusCode() == 200 &&
+      trans.body().contains("""{"from_type":"signup","to_type":"activate","n_transitions":2}"""),
+      trans.body())
+
     // ---- isolation + validation: clean 400s, never stack traces
     assert(analytics("funnel", """{"table": "ajourneys"}""").statusCode() == 400)
     assert(analytics("nope", """{"table": "adocs"}""").statusCode() == 400)

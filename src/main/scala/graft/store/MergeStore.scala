@@ -132,7 +132,28 @@ object MergeStore {
     * run it from the single compactor role. Re-running compaction at
     * any point converges. */
   def compactEpochs(spark: SparkSession, path: String, keyCols: Seq[String],
-                    sumCols: Seq[String]): Unit = {
+                    sumCols: Seq[String]): Unit =
+    compactEpochsWith(spark, path)(readSummed(spark, path, keyCols, sumCols))
+
+  /** KLL sibling of [[compactEpochs]] for epoch-addressed sketch
+    * stores ([[writeKllEpoch]]): the merged part is the per-key sketch
+    * UNION instead of a sum — same layout preservation, same
+    * watermark-fenced replay contract. */
+  def compactKllEpochs(spark: SparkSession, path: String, keyCols: Seq[String],
+                       k: Int = 200): Unit =
+    compactEpochsWith(spark, path) {
+      val kc = keyCols.map(c => col(s"`$c`"))
+      spark.read.parquet(path)
+        .groupBy(kc: _*)
+        .agg(graft.functions.AggFunctions.kll_merge(col("__kll"), k).as("__kll"))
+    }
+
+  /** Shared fold machinery: `merged` (by-name — it reads `path`, which
+    * must happen before the fold mutates it) becomes the reserved
+    * `epoch=-1` part. See [[compactEpochs]] for the crash-window and
+    * watermark analysis. */
+  private def compactEpochsWith(spark: SparkSession, path: String)
+                               (merged: => DataFrame): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       root.toUri, spark.sparkContext.hadoopConfiguration)
@@ -143,7 +164,6 @@ object MergeStore {
     if (epochDirs.length < 2) return // nothing to fold
     val foldedMax = epochDirs.map(_.getName.stripPrefix("epoch=").toLong).max
     val newWatermark = math.max(foldedMax, compactedWatermark(spark, path))
-    val merged = readSummed(spark, path, keyCols, sumCols)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.compact_tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
     // marker FIRST: once it lands, replays of folded epochs are
@@ -297,10 +317,29 @@ object MergeStore {
       .write.mode("append").parquet(path)
   }
 
+  /** Epoch-addressed KLL part — the streaming writer's unit, mirroring
+    * [[writeQuantileEpoch]]: overwrite-by-epoch-path for exactly-once
+    * (merging the same sketch twice double-WEIGHTS its rows against
+    * other epochs — sketch union is not idempotent across a mixed
+    * store), plus the compaction-watermark fence for replays of folded
+    * epochs. */
+  private[graft] def writeKllEpoch(batch: DataFrame, keyCols: Seq[String],
+                                   valueCol: String, path: String, k: Int,
+                                   epochId: Long): Unit =
+    if (epochId > compactedWatermark(batch.sparkSession, path) && !batch.isEmpty) {
+      val kc = keyCols.map(c => col(s"`$c`"))
+      batch.filter(col(s"`$valueCol`").isNotNull)
+        .groupBy(kc: _*)
+        .agg(graft.functions.AggFunctions.kll_sketch(
+          col(s"`$valueCol`").cast("double"), k).as("__kll"))
+        .write.mode("overwrite").parquet(s"$path/epoch=$epochId")
+    }
+
   /** Per-key quantiles off the merged sketches: one exchange of
     * O(keys × parts) few-KB sketch rows, never the corpus. Output
     * mirrors [[readQuantiles]] (`p50`-style columns) plus exact
-    * `n_rows`. */
+    * `n_rows`. Reads both flat-part and epoch-addressed layouts (the
+    * epoch column surfaces and is not a group key). */
   def readKllQuantiles(spark: SparkSession, path: String, keyCols: Seq[String],
                        qs: Seq[Double], k: Int = 200): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),

@@ -177,6 +177,29 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming maintenance of the KLL quantile store
+    * ([[graft.store.MergeStore.readKllQuantiles]]): each micro-batch
+    * reduces to per-key KLL sketches written as the epoch's part —
+    * live percentile dashboards over WIDE-RANGE value columns where
+    * the histogram store's O(occupied bins) state breaks down
+    * ([[maintainQuantileParts]] is the rank-exact sibling for bounded
+    * ranges). Exactly-once by epoch-addressed overwrite: sketch union
+    * is NOT idempotent across a mixed store (a replayed epoch merged
+    * twice double-weights its rows), so delivery comes from
+    * addressing + the compaction watermark, like the summing MV. */
+  def maintainKllParts(events: DataFrame, keyCols: Seq[String], valueCol: String,
+                       storePath: String, checkpointDir: String, k: Int = 200,
+                       trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.store.MergeStore.writeKllEpoch(
+          batch, keyCols, valueCol, storePath, k, epochId)
+      }
+      .start()
+
   /** Streaming maintenance of a [[graft.store.SketchStore]]: each
     * micro-batch reduces to per-(part, group) HLL sketches appended to
     * the store — the live distinct-count dashboard pattern (readers

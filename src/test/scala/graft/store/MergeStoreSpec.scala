@@ -310,6 +310,36 @@ class MergeStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.functions.KllN.n(empty.toByteArray) == 0L)
   }
 
+  test("KLL epoch store: compactKllEpochs preserves n exactly, fences replays, admits fresh epochs") {
+    import spark.implicits._
+    val path = freshDir()
+    def part(epoch: Long, rows: (String, Double)*): Unit =
+      MergeStore.writeKllEpoch(rows.toDF("k", "v"), Seq("k"), "v", path,
+        k = 200, epochId = epoch)
+    part(0L, (1 to 500).map(i => ("A", i.toDouble)): _*)
+    part(1L, (501 to 1000).map(i => ("A", i.toDouble)): _*)
+    def read() = MergeStore.readKllQuantiles(spark, path, Seq("k"), Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).head
+    val before = read()
+    assert(before._2 == 1000L)
+    assert(math.abs(before._3 - 500.0) <= 30.0, s"p50 off: $before")
+    MergeStore.compactKllEpochs(spark, path, Seq("k"))
+    assert(epochDirs(path) == Set("epoch=-1"))
+    val after = read()
+    // n is EXACT through union; the p50 estimate may move within the
+    // rank corridor (compaction re-unions, and KLL compaction is
+    // randomized) — the contract is the bound, not the bytes
+    assert(after._2 == 1000L, "compaction must not change n")
+    assert(math.abs(after._3 - 500.0) <= 30.0, s"post-compaction p50 off: $after")
+    // replay of a folded epoch must not double-weight its rows
+    part(1L, (501 to 1000).map(i => ("A", i.toDouble)): _*)
+    assert(read()._2 == 1000L, "replayed folded epoch double-counted into the sketch")
+    assert(epochDirs(path) == Set("epoch=-1"))
+    // a fresh epoch past the watermark lands (n grows by its rows)
+    part(2L, (1 to 100).map(i => ("A", 0.5)): _*)
+    assert(read()._2 == 1100L, "post-compaction epoch ignored")
+  }
+
   test("compactEpochs on the quantile store: quantiles invariant, replay fenced") {
     import spark.implicits._
     val path = freshDir()

@@ -285,6 +285,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p() == first, "re-applied epoch moved a percentile")
   }
 
+  test("maintainKllParts: live sketch MV; n exact, replayed epoch exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("graft-kllsink").toString
+    val store = s"$base/store"
+    val mem = MemoryStream[(String, Double)]
+    val batch1 = (1 to 500).map(i => ("g", i.toDouble))
+    val batch2 = (501 to 1000).map(i => ("g", i.toDouble))
+
+    val q = StreamingIngest.maintainKllParts(mem.toDF().toDF("g", "v"),
+      Seq("g"), "v", store, s"$base/ckpt")
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+
+    def read(): (Long, Double) =
+      graft.store.MergeStore.readKllQuantiles(spark, store, Seq("g"), Seq(0.5))
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    val first = read()
+    assert(first._1 == 1000L, s"n must be exact through streamed sketch parts: $first")
+    assert(math.abs(first._2 - 500.0) <= 30.0, s"streamed p50 off the corridor: $first")
+    assert(new java.io.File(store).listFiles.count(_.getName.startsWith("epoch=")) >= 2)
+    // crash-replay: same epoch id + data — overwrite addressing keeps n
+    // exact (an append would double-weight the epoch's rows)
+    graft.store.MergeStore.writeKllEpoch(batch1.toDF("g", "v"),
+      Seq("g"), "v", store, k = 200, epochId = 0L)
+    assert(read()._1 == 1000L, "re-applied epoch double-weighted the sketch")
+  }
+
   test("firstOccurrenceDedup: custom mapGroupsWithState drops repeat keys across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -291,6 +291,7 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
                             cacheKey: Option[String] = None)(plan: => DataFrame): Unit =
     try {
       val df = plan
+      df.schema // force analysis NOW: resolution errors must 400 before headers
       val isCsv = format.equalsIgnoreCase("csv")
       ex.getResponseHeaders.set("Content-Type", if (isCsv) "text/csv" else "application/json")
       ex.setAttribute("graft.status", 200)
@@ -306,6 +307,17 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
     } catch {
       case e: QueryRejectedException =>
         try respond(ex, 400, e.getMessage) catch { case NonFatal(_) => ex.close() }
+      // user-shaped planning failures: unresolvable columns/types
+      // (AnalysisException) and operator parameter checks (the library's
+      // require()s throw IllegalArgumentException) are the CALLER's
+      // error — 400 with the message, not a 500 masquerading as an
+      // engine fault. Both are raised at plan/analysis time, before any
+      // response byte (the df.schema force above pins that).
+      case e: org.apache.spark.sql.AnalysisException =>
+        try respond(ex, 400, e.getMessage) catch { case NonFatal(_) => ex.close() }
+      case e: IllegalArgumentException =>
+        try respond(ex, 400, Option(e.getMessage).getOrElse("invalid parameters"))
+        catch { case NonFatal(_) => ex.close() }
       case NonFatal(e) =>
         try respond(ex, 500, Option(e.getMessage).getOrElse("query failed"))
         catch { case NonFatal(_) => ex.close() }

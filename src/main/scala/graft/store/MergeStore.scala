@@ -306,7 +306,13 @@ object MergeStore {
     *
     * Batch-append layout (flat parts). For streaming maintenance use
     * epoch addressing like the histogram store: a replayed epoch
-    * merged TWICE double-weights its rows against other epochs. */
+    * merged TWICE double-weights its rows against other epochs.
+    *
+    * `k` is not pinned in store metadata (unlike the minhash store's
+    * parameters): mixing k across parts is SAFE, not silent corruption
+    * — DataSketches merge downgrades the union to the smallest k seen,
+    * so the result is still correct, just at the coarsest accuracy any
+    * part chose. Keep k consistent for predictable error bars. */
   def writeKllPart(batch: DataFrame, keyCols: Seq[String], valueCol: String,
                    path: String, k: Int = 200): Unit = {
     val kc = keyCols.map(c => col(s"`$c`"))

@@ -428,6 +428,14 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(analytics("hot_keys", """{"table": "adocs", "keys": ["did"]}""", key = "key2")
       .statusCode() == 400, "tenant 2 must not see tenant 1's table")
     assert(analytics("hot_keys", """not json""").statusCode() == 400)
+    // user-shaped planning failures are 400s, not engine 500s: an
+    // unresolvable column (AnalysisException) and an operator parameter
+    // require() (bands must divide numHashes)
+    assert(analytics("hot_keys", """{"table": "adocs", "keys": ["no_such_col"]}""")
+      .statusCode() == 400)
+    assert(analytics("dedup_near",
+      """{"table": "adocs", "id_col": "did", "text_col": "body", "bands": 7}""")
+      .statusCode() == 400)
   }
 
   test("FAIR pools: a light tenant's query overlaps a heavy tenant's run instead of queuing behind it") {

@@ -3702,7 +3702,47 @@ object ExtQueries {
             Seq(0.5, 0.95))
           .orderBy("event_type")
       },
-      None))
+      None)),
+
+    // Theta-sketch audience overlap (ThetaSketchAgg + set-op
+    // estimates): the set-OPERATION side of approximate distinct
+    // counting that HLL (q35) cannot express — |A ∩ B|, |A \ B| of two
+    // user populations from two serialized sketches, no re-scan of
+    // either. EXACT REGIME on this data (distinct users ≤ 1,500 per
+    // side at sf0.1 < 2^12 nominal entries, so theta stays 1.0 and
+    // every estimate is the exact integer count — the q93
+    // space-saving discipline): the row hash-matches a DuckDB
+    // COUNT(DISTINCT) + set-join oracle; estimation mode is covered by
+    // bound specs instead. A = users with a purchase of value > 150,
+    // B = users with an error of value < 50.
+    "q163_theta_overlap" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.functions.{AggFunctions, ThetaEstimate, ThetaSetEstimate}
+        val ev = events(s, d)
+        val a = ev.filter(col("event_type") === "purchase" && col("value") > 150)
+          .agg(AggFunctions.theta_sketch(col("user_id")).as("sa"))
+        val b = ev.filter(col("event_type") === "error" && col("value") < 50)
+          .agg(AggFunctions.theta_sketch(col("user_id")).as("sb"))
+        a.crossJoin(b).select(
+          round(ThetaEstimate.theta_estimate(col("sa"))).cast("long").as("n_a"),
+          round(ThetaEstimate.theta_estimate(col("sb"))).cast("long").as("n_b"),
+          round(ThetaSetEstimate.theta_intersect(col("sa"), col("sb"))).cast("long").as("n_both"),
+          round(ThetaSetEstimate.theta_a_not_b(col("sa"), col("sb"))).cast("long").as("n_a_only"),
+          round(ThetaSetEstimate.theta_union_est(col("sa"), col("sb"))).cast("long").as("n_union"))
+      },
+      Some("""WITH a AS (
+             |  SELECT DISTINCT user_id FROM events
+             |  WHERE event_type = 'purchase' AND value > 150
+             |), b AS (
+             |  SELECT DISTINCT user_id FROM events
+             |  WHERE event_type = 'error' AND value < 50
+             |)
+             |SELECT
+             |  (SELECT count(*) FROM a) AS n_a,
+             |  (SELECT count(*) FROM b) AS n_b,
+             |  (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS n_both,
+             |  (SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_a_only,
+             |  (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS n_union""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

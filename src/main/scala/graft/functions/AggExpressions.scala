@@ -258,4 +258,119 @@ object AggFunctions {
     C(KllSketchAgg(E(c), k).toAggregateExpression())
   def kll_merge(c: Column, k: Int = 200): Column =
     C(KllMergeAgg(E(c), k).toAggregateExpression())
+  def theta_sketch(c: Column, lgK: Int = 12): Column =
+    C(ThetaSketchAgg(E(c), lgK).toAggregateExpression())
+  def theta_union(c: Column, lgK: Int = 12): Column =
+    C(ThetaUnionAgg(E(c), lgK).toAggregateExpression())
+}
+
+/** Theta sketch distinct-set aggregates (Dasgupta/Lang/Rhodes, the
+  * DataSketches theta family) — the set-OPERATION side of approximate
+  * distinct counting that HLL (q35/q111) cannot do: theta sketches
+  * keep a hash SAMPLE, so two sketches support intersection and
+  * difference estimates ("users who purchased AND hit an error",
+  * audience overlap) where HLL only unions. ClickHouse ships the same
+  * trade as `uniqTheta`.
+  *
+  * Exactness regime, pinned by the battery: below ~k retained entries
+  * (lgK=12 → 4096) the sketch holds EVERY distinct hash, theta stays
+  * 1.0, and every estimate — including intersections and differences —
+  * is the exact integer count, replayable against a COUNT(DISTINCT)
+  * oracle. Past k it degrades gracefully to ~1/sqrt(k) relative error
+  * (documented, spec-pinned direction only). Serialized form is the
+  * compact ordered sketch; [[ThetaUnionAgg]] re-merges stored sketches
+  * (the SketchStore pattern).
+  */
+abstract class ThetaAggBase
+    extends TypedImperativeAggregate[org.apache.datasketches.theta.Union] {
+  def lgK: Int
+  protected def checkLgK(): Unit =
+    require(lgK >= 4 && lgK <= 26, s"theta lgK must be in [4, 26], got $lgK")
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): org.apache.datasketches.theta.Union =
+    org.apache.datasketches.theta.SetOperation.builder()
+      .setLogNominalEntries(lgK).buildUnion()
+
+  override def merge(buf: org.apache.datasketches.theta.Union,
+                     other: org.apache.datasketches.theta.Union):
+      org.apache.datasketches.theta.Union = {
+    buf.union(other.getResult); buf
+  }
+
+  override def eval(buf: org.apache.datasketches.theta.Union): Any =
+    buf.getResult.toByteArray
+
+  override def serialize(buf: org.apache.datasketches.theta.Union): Array[Byte] =
+    buf.getResult.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): org.apache.datasketches.theta.Union = {
+    val u = createAggregationBuffer()
+    u.union(org.apache.datasketches.memory.Memory.wrap(bytes))
+    u
+  }
+}
+
+/** Theta sketch of a LONG or STRING column (nulls skipped). */
+case class ThetaSketchAgg(child: Expression, lgK: Int,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0) extends ThetaAggBase {
+  checkLgK()
+  override def prettyName: String = "theta_sketch"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"theta_sketch expects a BIGINT/INT/STRING column, got $other")
+    }
+
+  override def update(buf: org.apache.datasketches.theta.Union,
+                      input: InternalRow): org.apache.datasketches.theta.Union = {
+    val v = child.eval(input)
+    if (v != null) v match {
+      case l: java.lang.Long    => buf.update(l.longValue())
+      case i: java.lang.Integer => buf.update(i.longValue())
+      case s: UTF8String        => buf.update(s.toString)
+      case other => throw new IllegalStateException(
+        s"theta_sketch: unexpected runtime type ${other.getClass}")
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** Union of serialized theta sketches (read-side merge of stored
+  * sketch parts). */
+case class ThetaUnionAgg(child: Expression, lgK: Int,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0) extends ThetaAggBase {
+  checkLgK()
+  override def prettyName: String = "theta_union"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def update(buf: org.apache.datasketches.theta.Union,
+                      input: InternalRow): org.apache.datasketches.theta.Union = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.union(org.apache.datasketches.memory.Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
 }

@@ -141,7 +141,37 @@ object GraftFunctions {
     "kll_n" -> (((args: Seq[Expression]) => {
       requireArity("kll_n", args, 1, 1)
       KllN(args.head)
-    }, "kll_n(sketch) - exact row count carried by a serialized KLL sketch")))
+    }, "kll_n(sketch) - exact row count carried by a serialized KLL sketch")),
+
+    // theta sketches: distinct counting WITH set operations (the
+    // intersection/difference HLL cannot do); exact below ~2^lgK
+    // distinct values, ~1/sqrt(2^lgK) relative error past it
+    "theta_sketch" -> (((args: Seq[Expression]) => {
+      requireArity("theta_sketch", args, 1, 2)
+      val lgK = if (args.size >= 2) intLit("theta_sketch", "lg_k", args(1)) else 12
+      ThetaSketchAgg(args.head, lgK)
+    }, "theta_sketch(value[, lg_k]) - mergeable theta distinct sketch (agg; set-op capable)")),
+
+    "theta_union" -> (((args: Seq[Expression]) => {
+      requireArity("theta_union", args, 1, 2)
+      val lgK = if (args.size >= 2) intLit("theta_union", "lg_k", args(1)) else 12
+      ThetaUnionAgg(args.head, lgK)
+    }, "theta_union(sketch[, lg_k]) - union of serialized theta sketches (agg)")),
+
+    "theta_estimate" -> (((args: Seq[Expression]) => {
+      requireArity("theta_estimate", args, 1, 1)
+      ThetaEstimate(args.head)
+    }, "theta_estimate(sketch) - distinct estimate from a serialized theta sketch")),
+
+    "theta_intersect" -> (((args: Seq[Expression]) => {
+      requireArity("theta_intersect", args, 2, 2)
+      ThetaSetEstimate(args.head, args(1), "intersect")
+    }, "theta_intersect(a, b) - |A intersect B| estimate from two theta sketches")),
+
+    "theta_a_not_b" -> (((args: Seq[Expression]) => {
+      requireArity("theta_a_not_b", args, 2, 2)
+      ThetaSetEstimate(args.head, args(1), "a_not_b")
+    }, "theta_a_not_b(a, b) - |A minus B| estimate from two theta sketches")))
 
   /** Register every extension function in `spark`'s session-local
     * FunctionRegistry (idempotent — createOrReplace). Call once per

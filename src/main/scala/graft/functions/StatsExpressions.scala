@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
@@ -128,4 +128,83 @@ object KllN {
 
   import org.apache.spark.sql.graftbridge.Bridge.{column => C, expression => E}
   def kll_n(sketch: Column): Column = C(KllN(E(sketch)))
+}
+
+/** Distinct estimate off a serialized theta sketch. In the exact
+  * regime (retained < nominal k) the estimate is the exact integer
+  * count — the battery hash-checks that regime; estimation mode is
+  * covered by bound specs. */
+case class ThetaEstimate(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "theta_estimate"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+
+  override def nullSafeEval(v: Any): Any =
+    ThetaEstimate.estimate(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.ThetaEstimate.estimate($x);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ThetaEstimate {
+  def estimate(bytes: Array[Byte]): Double =
+    org.apache.datasketches.theta.Sketches.wrapCompactSketch(
+      org.apache.datasketches.memory.Memory.wrap(bytes)).getEstimate
+
+  import org.apache.spark.sql.graftbridge.Bridge.{column => C, expression => E}
+  def theta_estimate(sketch: Column): Column = C(ThetaEstimate(E(sketch)))
+}
+
+/** Set-operation estimate over two serialized theta sketches — the
+  * capability HLL lacks: `intersect` (|A ∩ B|, audience overlap),
+  * `a_not_b` (|A \ B|, churn/exclusive reach), `union` (|A ∪ B|).
+  * Exact in the exact regime like [[ThetaEstimate]]; in estimation
+  * mode intersection error compounds with the Jaccard similarity
+  * (small overlaps of big sets are the weak spot — documented). */
+case class ThetaSetEstimate(left: Expression, right: Expression, op: String)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(ThetaSetEstimate.Ops.contains(op),
+    s"theta set op must be one of ${ThetaSetEstimate.Ops.mkString(", ")}, got $op")
+  override def prettyName: String = s"theta_$op"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ThetaSetEstimate.estimate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], op)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.ThetaSetEstimate.estimate($a, $b, "$op");""")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object ThetaSetEstimate {
+  val Ops: Set[String] = Set("intersect", "a_not_b", "union")
+
+  def estimate(a: Array[Byte], b: Array[Byte], op: String): Double = {
+    val sa = org.apache.datasketches.theta.Sketches.wrapCompactSketch(
+      org.apache.datasketches.memory.Memory.wrap(a))
+    val sb = org.apache.datasketches.theta.Sketches.wrapCompactSketch(
+      org.apache.datasketches.memory.Memory.wrap(b))
+    val builder = org.apache.datasketches.theta.SetOperation.builder()
+    op match {
+      case "intersect" => builder.buildIntersection().intersect(sa, sb).getEstimate
+      case "a_not_b"   => builder.buildANotB().aNotB(sa, sb).getEstimate
+      case "union"     => builder.buildUnion().union(sa, sb).getEstimate
+      case other       => throw new IllegalArgumentException(s"unknown theta op: $other")
+    }
+  }
+
+  import org.apache.spark.sql.graftbridge.Bridge.{column => C, expression => E}
+  def theta_intersect(a: Column, b: Column): Column = C(ThetaSetEstimate(E(a), E(b), "intersect"))
+  def theta_a_not_b(a: Column, b: Column): Column = C(ThetaSetEstimate(E(a), E(b), "a_not_b"))
+  def theta_union_est(a: Column, b: Column): Column = C(ThetaSetEstimate(E(a), E(b), "union"))
 }

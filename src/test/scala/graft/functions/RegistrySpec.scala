@@ -137,6 +137,20 @@ class RegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("theta functions via SQL: sketch + set ops exact in the exact regime") {
+    docs
+    import spark.implicits._
+    (1L to 600L).toDF("id").createOrReplaceTempView("tvals")
+    val row = spark.sql(
+      """SELECT CAST(round(theta_estimate(a)) AS BIGINT) AS na,
+        |       CAST(round(theta_intersect(a, b)) AS BIGINT) AS nab,
+        |       CAST(round(theta_a_not_b(a, b)) AS BIGINT) AS anb
+        |FROM (SELECT theta_sketch(id) AS a FROM tvals WHERE id % 2 = 0),
+        |     (SELECT theta_sketch(id) AS b FROM tvals WHERE id % 3 = 0)""".stripMargin)
+      .collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((300L, 100L, 200L)))
+  }
+
   test("registration is session-scoped: a fresh child session has them only after registerAll") {
     docs
     val child = spark.newSession()

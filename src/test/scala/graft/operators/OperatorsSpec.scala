@@ -1332,6 +1332,59 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"merged summary lost a guaranteed heavy hitter: ${merged.map(_._1).toSeq}")
   }
 
+  test("theta sketches exact regime: estimates and set ops equal the true counts, any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, round}
+    import graft.functions.{AggFunctions, ThetaEstimate, ThetaSetEstimate}
+    // A = multiples of 2 in 1..1000 (500), B = multiples of 3 (333);
+    // |A ∩ B| = multiples of 6 = 166; |A \ B| = 334; |A ∪ B| = 667 —
+    // all below 2^12 nominal entries, so every estimate must be EXACT
+    val ids = (1L to 1000L).toDF("id")
+    for (parts <- Seq(1, 7)) {
+      val a = ids.repartition(parts).filter(col("id") % 2 === 0)
+        .agg(AggFunctions.theta_sketch(col("id")).as("sa"))
+      val b = ids.repartition(parts).filter(col("id") % 3 === 0)
+        .agg(AggFunctions.theta_sketch(col("id")).as("sb"))
+      val got = a.crossJoin(b).select(
+        round(ThetaEstimate.theta_estimate(col("sa"))).cast("long"),
+        round(ThetaEstimate.theta_estimate(col("sb"))).cast("long"),
+        round(ThetaSetEstimate.theta_intersect(col("sa"), col("sb"))).cast("long"),
+        round(ThetaSetEstimate.theta_a_not_b(col("sa"), col("sb"))).cast("long"),
+        round(ThetaSetEstimate.theta_union_est(col("sa"), col("sb"))).cast("long"))
+        .collect().map(r => (0 until 5).map(r.getLong)).head
+      assert(got == Seq(500L, 333L, 166L, 334L, 667L),
+        s"parts=$parts: exact-regime theta must be exact, got $got")
+    }
+    // string keys share the code path
+    val sGot = Seq("x", "y", "x", "z").toDF("s")
+      .agg(AggFunctions.theta_sketch(col("s")).as("sk"))
+      .select(round(ThetaEstimate.theta_estimate(col("sk"))).cast("long"))
+      .collect().head.getLong(0)
+    assert(sGot == 3L)
+  }
+
+  test("theta sketches estimation mode: relative error inside the 1/sqrt(k) family; union agg re-merges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, round}
+    import graft.functions.{AggFunctions, ThetaEstimate}
+    // 100k distinct >> 2^12 nominal entries: estimation mode. RSE for
+    // theta at k=4096 is ~1/sqrt(k) ≈ 1.6%; assert a generous 5 sigma
+    val n = 100000L
+    val est = (1L to n).toDF("id")
+      .agg(AggFunctions.theta_sketch(col("id")).as("sk"))
+      .select(ThetaEstimate.theta_estimate(col("sk")))
+      .collect().head.getDouble(0)
+    assert(math.abs(est - n) / n <= 0.08, s"estimate $est strayed >8% from $n")
+    // the union AGG over stored sketch halves estimates the same total
+    val parts = Seq((1L to 50000L), (50001L to 100000L)).map { r =>
+      r.toDF("id").agg(AggFunctions.theta_sketch(col("id")).as("sk"))
+    }.reduce(_ unionByName _)
+    val merged = parts.agg(AggFunctions.theta_union(col("sk")).as("u"))
+      .select(ThetaEstimate.theta_estimate(col("u")))
+      .collect().head.getDouble(0)
+    assert(math.abs(merged - n) / n <= 0.08, s"union-merged estimate $merged strayed >8%")
+  }
+
   test("contaminationReportBloom equals the exact report at fpp 1% and at a terrible 40%") {
     val train = docs(
       1L -> "the quick brown fox jumps over the lazy dog",

@@ -57,7 +57,13 @@ object Analytics {
     "top_paths" -> ("table, user_col, ts_col, tie_col, type_col, path_len, k — " +
       "most common first-N event journeys (path_len column flags truncation)"),
     "transitions" -> ("table, user_col, ts_col, tie_col, type_col — first-order " +
-      "event transition matrix (from_type, to_type, n_transitions)"))
+      "event transition matrix (from_type, to_type, n_transitions)"),
+    "ohlc" -> ("table, ts_col, tie_col, key_col, value_col, bucket — open/high/" +
+      "low/close downsampling per time bucket and key"),
+    "anomalies" -> ("table, ts_col, key_col, bucket, trailing?, z_threshold? — " +
+      "per-key volume anomalies vs a trailing-window baseline (z-score)"),
+    "growth_accounting" -> ("table, user_col, ts_col — weekly new/retained/" +
+      "resurrected/churned user ledger"))
 
   def plan(tableOf: String => DataFrame, op: String, body: JsonNode): DataFrame = {
     val p = new Params(op, body)
@@ -141,6 +147,15 @@ object Analytics {
       case "transitions" =>
         EventAnalytics.transitions(withTs(df), p.str("user_col"), p.str("ts_col"),
           p.str("tie_col"), p.str("type_col"))
+      case "ohlc" =>
+        EventAnalytics.downsampleOhlc(withTs(df), p.str("ts_col"), p.str("tie_col"),
+          p.str("key_col"), p.str("value_col"), p.str("bucket"))
+      case "anomalies" =>
+        EventAnalytics.anomalies(withTs(df), p.str("ts_col"), p.str("key_col"),
+          p.str("bucket"), p.optInt("trailing").getOrElse(24),
+          p.optDouble("z_threshold").getOrElse(3.0))
+      case "growth_accounting" =>
+        EventAnalytics.growthAccounting(withTs(df), p.str("user_col"), p.str("ts_col"))
       case other =>
         throw new QueryRejectedException(
           s"unknown analytics op: $other (available: ${descriptions.map(_._1).mkString(", ")})")

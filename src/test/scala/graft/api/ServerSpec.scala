@@ -422,6 +422,33 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       trans.body().contains("""{"from_type":"signup","to_type":"activate","n_transitions":2}"""),
       trans.body())
 
+    // ---- ohlc + anomalies + growth_accounting (decode smoke: 200 +
+    // plausible shape; the operators' values are oracle-checked in the
+    // battery, this pins the HTTP decode path)
+    for ((i, v) <- Seq((1, 5.0), (2, 9.0), (3, 2.0), (4, 7.0)))
+      post("/api/data/insert/aticks?api_key=key1",
+        s"""{"k": "s1", "t": "2024-01-01 10:0$i:00", "seq": $i, "v": $v}""")
+    eventually {
+      assert(get("/api/data/query?api_key=key1&query=" +
+        java.net.URLEncoder.encode("SELECT count(*) AS n FROM aticks", "UTF-8"))
+        .body() == """[{"n":4}]""")
+    }
+    val ohlc = analytics("ohlc",
+      """{"table": "aticks", "ts_col": "t", "tie_col": "seq",
+        | "key_col": "k", "value_col": "v", "bucket": "hour"}""".stripMargin)
+    assert(ohlc.statusCode() == 200 &&
+      ohlc.body().contains(""""open":5.0""") && ohlc.body().contains(""""close":7.0""") &&
+      ohlc.body().contains(""""high":9.0""") && ohlc.body().contains(""""low":2.0"""),
+      ohlc.body())
+    val anom = analytics("anomalies",
+      """{"table": "ajourneys", "ts_col": "ets", "key_col": "etype",
+        | "bucket": "hour", "trailing": 2}""".stripMargin)
+    assert(anom.statusCode() == 200, anom.body())
+    val growth = analytics("growth_accounting",
+      """{"table": "ajourneys", "user_col": "uid", "ts_col": "ets"}""")
+    assert(growth.statusCode() == 200 && growth.body().contains("\"n_new\""),
+      growth.body())
+
     // ---- isolation + validation: clean 400s, never stack traces
     assert(analytics("funnel", """{"table": "ajourneys"}""").statusCode() == 400)
     assert(analytics("nope", """{"table": "adocs"}""").statusCode() == 400)

@@ -3742,6 +3742,52 @@ object ExtQueries {
              |  (SELECT count(*) FROM b) AS n_b,
              |  (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS n_both,
              |  (SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_a_only,
+             |  (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS n_union""".stripMargin))),
+
+    // Persisted theta-sketch store (SketchStore.writeThetaSketches /
+    // estimateOverlap): q111's incremental-sketch pattern with SET
+    // OPERATIONS at read — per-day per-segment sketches appended once,
+    // overlap dashboards answered from a few KB of probed state, with
+    // the read restricted to SOME day parts (literal partition filter
+    // — directory pruning, like the fingerprint/minhash stores).
+    // Exact regime (≤1,500 users < 2^12) ⇒ hash-matches the DuckDB
+    // COUNT(DISTINCT) replay restricted to the same days. Segments:
+    // A = view events, B = click events; probe = first 3 distinct days.
+    "q164_theta_store" -> ((
+      (s: SparkSession, d: String) => {
+        val store = s"/tmp/graft_q164_${new java.io.File(d).getName}_" +
+          ProcessHandle.current().pid()
+        rmrf(new java.io.File(store))
+        val ev = events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("event_type").as("seg"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        graft.store.SketchStore.writeThetaSketches(
+          ev, Seq("seg"), "user_id", store, col("day"))
+        val days = ev.select("day").distinct().orderBy("day")
+          .limit(3).collect().map(_.getString(0)).toSeq
+        graft.store.SketchStore.estimateOverlap(s, store, "seg", "view", "click", days)
+          .select(round(col("n_a")).cast("long").as("n_a"),
+            round(col("n_b")).cast("long").as("n_b"),
+            round(col("n_both")).cast("long").as("n_both"),
+            round(col("n_a_only")).cast("long").as("n_a_only"),
+            round(col("n_union")).cast("long").as("n_union"))
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events
+             |  WHERE event_type IN ('view', 'click') ORDER BY day LIMIT 3
+             |), a AS (
+             |  SELECT DISTINCT user_id FROM events
+             |  WHERE event_type = 'view' AND strftime(ts, '%Y-%m-%d') IN (SELECT day FROM days)
+             |), b AS (
+             |  SELECT DISTINCT user_id FROM events
+             |  WHERE event_type = 'click' AND strftime(ts, '%Y-%m-%d') IN (SELECT day FROM days)
+             |)
+             |SELECT
+             |  (SELECT count(*) FROM a) AS n_a,
+             |  (SELECT count(*) FROM b) AS n_b,
+             |  (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS n_both,
+             |  (SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_a_only,
              |  (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS n_union""".stripMargin)))
   )
 

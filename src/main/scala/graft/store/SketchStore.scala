@@ -51,4 +51,56 @@ object SketchStore {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
         .as("approx_distinct"))
   }
+
+  /** Theta sibling of [[writeDistinctSketches]] — same incremental
+    * contract (per-part per-group sketches, append-only, union
+    * idempotent: a theta sketch is a hash SAMPLE plus a theta, so
+    * re-unioning the same sketch moves nothing), but the stored state
+    * supports SET OPERATIONS at read: intersection and difference
+    * between groups ([[estimateOverlap]]) — "users who did A and B
+    * this week" off a few KB of state, which the HLL store cannot
+    * answer. Exact below 2^lgK distinct per sketch (battery-pinned),
+    * ~1/sqrt(2^lgK) relative error past it, intersections degrading
+    * with overlap sparsity (documented at
+    * [[graft.functions.ThetaSetEstimate]]). */
+  def writeThetaSketches(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                         path: String, partExpr: org.apache.spark.sql.Column,
+                         lgK: Int = 12): Unit = {
+    df.withColumn("part", partExpr)
+      .groupBy((col("part") +: groupCols.map(c => col(s"`$c`"))): _*)
+      .agg(graft.functions.AggFunctions.theta_sketch(col(s"`$valueCol`"), lgK)
+        .as("sketch"))
+      .write.mode("append").partitionBy("part").parquet(path)
+  }
+
+  /** One merged theta sketch per group (optionally part-pruned) — the
+    * read-side union feeding [[estimateOverlap]] or a caller's own
+    * set arithmetic. */
+  def readThetaSketches(spark: SparkSession, path: String, groupCols: Seq[String],
+                        parts: Seq[String] = Nil, lgK: Int = 12): DataFrame = {
+    val all = spark.read.parquet(path)
+    val scoped = if (parts.isEmpty) all
+                 else all.filter(col("part").isin(parts.map(x => x: Any): _*))
+    scoped.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(graft.functions.AggFunctions.theta_union(col("sketch"), lgK).as("sketch"))
+  }
+
+  /** Audience-overlap report between two values of `groupCol` off the
+    * store: one row of |A|, |B|, |A ∩ B|, |A \ B|, |A ∪ B| estimates.
+    * Cost: the two groups' sketch rows in the probed parts — never the
+    * events that built them. */
+  def estimateOverlap(spark: SparkSession, path: String, groupCol: String,
+                      a: String, b: String, parts: Seq[String] = Nil,
+                      lgK: Int = 12): DataFrame = {
+    import graft.functions.{ThetaEstimate, ThetaSetEstimate}
+    val merged = readThetaSketches(spark, path, Seq(groupCol), parts, lgK)
+    val sa = merged.filter(col(s"`$groupCol`") === a).select(col("sketch").as("sa"))
+    val sb = merged.filter(col(s"`$groupCol`") === b).select(col("sketch").as("sb"))
+    sa.crossJoin(sb).select(
+      ThetaEstimate.theta_estimate(col("sa")).as("n_a"),
+      ThetaEstimate.theta_estimate(col("sb")).as("n_b"),
+      ThetaSetEstimate.theta_intersect(col("sa"), col("sb")).as("n_both"),
+      ThetaSetEstimate.theta_a_not_b(col("sa"), col("sb")).as("n_a_only"),
+      ThetaSetEstimate.theta_union_est(col("sa"), col("sb")).as("n_union"))
+  }
 }

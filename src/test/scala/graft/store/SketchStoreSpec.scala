@@ -58,4 +58,33 @@ class SketchStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(estimates(Seq("day0")) == day0)
   }
+
+  test("theta store: exact-regime overlap report, part pruning, re-append idempotent") {
+    import spark.implicits._
+    // groups A and B over 2 day-parts; distinct ids well under 2^12 so
+    // every estimate — incl. the set ops — must be the EXACT count.
+    // A = ids 1..600 (300 per day), B = multiples of 3 in 1..900
+    val rows =
+      (1L to 600L).map(i => (s"day${(i % 2)}", "A", i)) ++
+      (1L to 900L).filter(_ % 3 == 0).map(i => (s"day${(i % 2)}", "B", i))
+    val df = rows.toDF("day", "seg", "user")
+    val path = java.nio.file.Files.createTempDirectory("graft-theta").toString + "/s"
+    SketchStore.writeThetaSketches(df, Seq("seg"), "user", path, col("day"))
+
+    def overlap(parts: Seq[String] = Nil): Seq[Long] =
+      SketchStore.estimateOverlap(spark, path, "seg", "A", "B", parts)
+        .collect().map(r => (0 until 5).map(i => math.round(r.getDouble(i)))).head
+    // |A|=600, |B|=300, |A∩B|=200 (multiples of 3 ≤ 600), |A\B|=400,
+    // |A∪B|=700 (B has 100 ids in 601..900 outside A)
+    assert(overlap() == Seq(600L, 300L, 200L, 400L, 700L), s"got ${overlap()}")
+
+    // re-append: theta union is a hash-set union — nothing moves
+    SketchStore.writeThetaSketches(df, Seq("seg"), "user", path, col("day"))
+    assert(overlap() == Seq(600L, 300L, 200L, 400L, 700L), "re-append moved an estimate")
+
+    // part pruning: day0 = even ids only -> A 300, B = even multiples
+    // of 3 (mult of 6 ≤ 900: 150), A∩B = mult of 6 ≤ 600: 100
+    assert(overlap(Seq("day0")) == Seq(300L, 150L, 100L, 200L, 350L),
+      s"pruned overlap wrong: ${overlap(Seq("day0"))}")
+  }
 }

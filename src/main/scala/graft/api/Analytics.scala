@@ -63,7 +63,10 @@ object Analytics {
     "anomalies" -> ("table, ts_col, key_col, bucket, trailing?, z_threshold? — " +
       "per-key volume anomalies vs a trailing-window baseline (z-score)"),
     "growth_accounting" -> ("table, user_col, ts_col — weekly new/retained/" +
-      "resurrected/churned user ledger"))
+      "resurrected/churned user ledger"),
+    "audience_overlap" -> ("table, user_col, segment_col, a, b, lg_k? — " +
+      "|A|, |B|, |A∩B|, |A\\B|, |A∪B| of two segments' distinct users via theta " +
+      "sketches (exact below 2^lg_k distinct per segment)"))
 
   def plan(tableOf: String => DataFrame, op: String, body: JsonNode): DataFrame = {
     val p = new Params(op, body)
@@ -156,6 +159,19 @@ object Analytics {
           p.optDouble("z_threshold").getOrElse(3.0))
       case "growth_accounting" =>
         EventAnalytics.growthAccounting(withTs(df), p.str("user_col"), p.str("ts_col"))
+      case "audience_overlap" =>
+        import graft.functions.{AggFunctions, ThetaEstimate, ThetaSetEstimate}
+        val (user, seg) = (p.str("user_col"), p.str("segment_col"))
+        val lgK = p.optInt("lg_k").getOrElse(12)
+        def sketchOf(v: String, as: String) =
+          df.filter(col(s"`$seg`") === v)
+            .agg(AggFunctions.theta_sketch(col(s"`$user`"), lgK).as(as))
+        sketchOf(p.str("a"), "sa").crossJoin(sketchOf(p.str("b"), "sb")).select(
+          ThetaEstimate.theta_estimate(col("sa")).as("n_a"),
+          ThetaEstimate.theta_estimate(col("sb")).as("n_b"),
+          ThetaSetEstimate.theta_intersect(col("sa"), col("sb")).as("n_both"),
+          ThetaSetEstimate.theta_a_not_b(col("sa"), col("sb")).as("n_a_only"),
+          ThetaSetEstimate.theta_union_est(col("sa"), col("sb")).as("n_union"))
       case other =>
         throw new QueryRejectedException(
           s"unknown analytics op: $other (available: ${descriptions.map(_._1).mkString(", ")})")

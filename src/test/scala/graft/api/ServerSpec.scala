@@ -449,6 +449,15 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(growth.statusCode() == 200 && growth.body().contains("\"n_new\""),
       growth.body())
 
+    // ---- audience_overlap: exact-regime theta over the journeys
+    // fixture — signup users {1,2,3}, activate users {1,2}
+    val ovl = analytics("audience_overlap",
+      """{"table": "ajourneys", "user_col": "uid", "segment_col": "etype",
+        | "a": "signup", "b": "activate"}""".stripMargin)
+    assert(ovl.statusCode() == 200 && ovl.body() ==
+      """[{"n_a":3.0,"n_b":2.0,"n_both":2.0,"n_a_only":1.0,"n_union":3.0}]""",
+      ovl.body())
+
     // ---- isolation + validation: clean 400s, never stack traces
     assert(analytics("funnel", """{"table": "ajourneys"}""").statusCode() == 400)
     assert(analytics("nope", """{"table": "adocs"}""").statusCode() == 400)

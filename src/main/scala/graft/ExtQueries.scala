@@ -3788,7 +3788,49 @@ object ExtQueries {
              |  (SELECT count(*) FROM b) AS n_b,
              |  (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS n_both,
              |  (SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_a_only,
-             |  (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS n_union""".stripMargin)))
+             |  (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS n_union""".stripMargin))),
+
+    // Flesch readability report (TextAnalysis.readability): per-doc
+    // word/sentence/syllable counts from ONE codegen'd pass (vowel-
+    // group heuristic, silent final e, [.!?]+ sentence runs — rules
+    // chosen to be simple AND cross-engine-replayable) + FK grade /
+    // reading-ease as fixed-order double math over the exact longs, so
+    // the float report hash-matches the DuckDB replay (q137's
+    // quantize/fixed-order discipline, here with no quantization
+    // needed because the inputs are integers).
+    "q165_readability" -> ((
+      (s: SparkSession, d: String) =>
+        TextAnalysis.readability(docs(s, d), "text")
+          .select("doc_id", "n_words", "n_sentences", "n_syllables",
+            "fk_grade", "fre_score")
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                     w -> len(w) > 0) AS toks
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_words,
+             |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+             |    CAST(coalesce(list_sum(list_transform(toks, w ->
+             |      greatest(
+             |        len(regexp_extract_all(w, '[aeiouy]+')) -
+             |          CASE WHEN len(regexp_extract_all(w, '[aeiouy]+')) > 1
+             |                AND w LIKE '%e' THEN 1 ELSE 0 END,
+             |        1))), 0) AS BIGINT) AS n_syllables
+             |  FROM t
+             |)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  CASE WHEN n_words = 0 THEN NULL
+             |       ELSE 0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             |            + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59
+             |  END AS fk_grade,
+             |  CASE WHEN n_words = 0 THEN NULL
+             |       ELSE 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             |            - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+             |  END AS fre_score
+             |FROM c ORDER BY doc_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

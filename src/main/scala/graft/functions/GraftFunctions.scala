@@ -171,7 +171,12 @@ object GraftFunctions {
     "theta_a_not_b" -> (((args: Seq[Expression]) => {
       requireArity("theta_a_not_b", args, 2, 2)
       ThetaSetEstimate(args.head, args(1), "a_not_b")
-    }, "theta_a_not_b(a, b) - |A minus B| estimate from two theta sketches")))
+    }, "theta_a_not_b(a, b) - |A minus B| estimate from two theta sketches")),
+
+    "readability_counts" -> (((args: Seq[Expression]) => {
+      requireArity("readability_counts", args, 1, 1)
+      ReadabilityCounts(args.head)
+    }, "readability_counts(text) - struct(n_words, n_sentences, n_syllables) for Flesch scoring")))
 
   /** Register every extension function in `spark`'s session-local
     * FunctionRegistry (idempotent — createOrReplace). Call once per

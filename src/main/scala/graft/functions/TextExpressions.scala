@@ -538,3 +538,83 @@ object TextFunctions {
   def chunk_text(c: Column, chunkSize: Int, overlap: Int): Column =
     C(ChunkText(E(c), chunkSize, overlap))
 }
+
+/** One-pass readability counts (STRING -> STRUCT<n_words, n_sentences,
+  * n_syllables>), feeding Flesch reading-ease / Flesch-Kincaid grade
+  * (Kincaid et al. 1975). All three counts use DELIBERATELY simple,
+  * cross-engine-replayable rules — the point is a deterministic
+  * quality signal whose DuckDB replay hash-matches, not a linguistics
+  * engine:
+  *
+  *  - words: [[NativeTokens.tokenize]] (lowercase, \s+ split,
+  *    non-empty) — the same tokenization every other text op uses;
+  *  - sentences: runs of `[.!?]+` in the text, floored at 1 (headline
+  *    fragments still form one "sentence");
+  *  - syllables per token: vowel-GROUP count over [aeiouy], minus one
+  *    for a silent final 'e' when more than one group remains, floored
+  *    at 1 (the classic heuristic; the floor also covers digit/CJK
+  *    tokens, which read as one syllable).
+  *
+  * Counts are exact longs; the score arithmetic lives in the OPERATOR
+  * (fixed-order double math of these longs — the q137 discipline), so
+  * scores hash-match across engines. */
+case class ReadabilityCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "readability_counts"
+  override def dataType: DataType = ReadabilityCounts.schema
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def nullSafeEval(v: Any): Any =
+    ReadabilityCounts.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ReadabilityCounts.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ReadabilityCounts {
+  val schema: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_sentences", LongType, nullable = false),
+    StructField("n_syllables", LongType, nullable = false)))
+
+  private def isVowel(c: Char): Boolean =
+    c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y'
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = NativeTokens.tokenize(text)
+    var syllables = 0L
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      var groups = 0
+      var inGroup = false
+      var i = 0
+      while (i < w.length) {
+        if (isVowel(w.charAt(i))) {
+          if (!inGroup) { groups += 1; inGroup = true }
+        } else inGroup = false
+        i += 1
+      }
+      if (groups > 1 && w.charAt(w.length - 1) == 'e') groups -= 1
+      syllables += math.max(groups, 1)
+      t += 1
+    }
+    val s = text.toString
+    var sentences = 0
+    var inRun = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val isP = c == '.' || c == '!' || c == '?'
+      if (isP) { if (!inRun) { sentences += 1; inRun = true } } else inRun = false
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      toks.length.toLong, math.max(sentences, 1).toLong, syllables)
+  }
+
+  import org.apache.spark.sql.graftbridge.Bridge.{column => C, expression => E}
+  def readability_counts(text: Column): Column = C(ReadabilityCounts(E(text)))
+}

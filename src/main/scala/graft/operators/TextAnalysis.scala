@@ -1009,4 +1009,35 @@ object TextAnalysis {
       .withColumn("lang_pred", langId(col(textCol)))
       .withColumn("fingerprint", fingerprint(col(textCol)))
   }
+
+  /** Flesch reading-ease + Flesch-Kincaid grade per document — the
+    * readability member of the quality family (Gopher rules catch
+    * structural junk, surprisal catches scrambled text; FK grade
+    * catches the "technically fluent but impenetrable" axis used by
+    * curriculum/difficulty mixes). One codegen'd pass per row
+    * ([[graft.functions.ReadabilityCounts]]) produces EXACT integer
+    * counts; the scores are fixed-order double arithmetic over those
+    * longs, so the report hash-matches a DuckDB replay (q137's
+    * discipline). Empty documents report null scores (a 0-word FK
+    * grade is a division by zero, not a reading level).
+    *
+    * Scale shape: a pure map — no shuffle, no UDF, stays inside
+    * whole-stage codegen next to the scan. */
+  def readability(df: DataFrame, textCol: String): DataFrame = {
+    val counts = graft.functions.ReadabilityCounts.readability_counts(col(s"`$textCol`"))
+    val w = col("n_words").cast("double")
+    val s = col("n_sentences").cast("double")
+    val sy = col("n_syllables").cast("double")
+    df.withColumn("__rc", counts)
+      .withColumn("n_words", col("__rc.n_words"))
+      .withColumn("n_sentences", col("__rc.n_sentences"))
+      .withColumn("n_syllables", col("__rc.n_syllables"))
+      .drop("__rc")
+      .withColumn("fk_grade",
+        when(col("n_words") === 0L, lit(null).cast("double"))
+          .otherwise(lit(0.39) * (w / s) + lit(11.8) * (sy / w) - lit(15.59)))
+      .withColumn("fre_score",
+        when(col("n_words") === 0L, lit(null).cast("double"))
+          .otherwise(lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w)))
+  }
 }

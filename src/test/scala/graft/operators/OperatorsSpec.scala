@@ -1332,6 +1332,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"merged summary lost a guaranteed heavy hitter: ${merged.map(_._1).toSeq}")
   }
 
+  test("readability: hand-computed counts and scores; empty doc nulls; codegen == eval") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      // "the quick fox jumped. it ran!" -> 6 words, 2 sentences;
+      // syllables: the 1, quick 1, fox 1, jumped. (u, e -> 2 groups,
+      // no final-e: ends '.') 2, it 1, ran! 1 => 7
+      (1L, "The quick fox jumped. It ran!"),
+      // silent final e: "time" -> groups i,e = 2, ends 'e' -> 1;
+      // "idea" -> i, ea = 2; no [.!?] -> sentence floor 1
+      (2L, "time idea"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, "text")
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "fk_grade")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got(1L)._1 == 6L && got(1L)._2 == 2L && got(1L)._3 == 7L, s"${got(1L)}")
+    val fk1 = 0.39 * (6.0 / 2.0) + 11.8 * (7.0 / 6.0) - 15.59
+    assert(got(1L)._4.contains(fk1))
+    assert(got(2L) == ((2L, 1L, 3L, Some(0.39 * 2.0 + 11.8 * 1.5 - 15.59))), s"${got(2L)}")
+    assert(got(3L)._1 == 0L && got(3L)._4.isEmpty, "empty doc must report null scores")
+    // interpreted eval agrees with the codegen'd path
+    val interp = df.filter(col("doc_id") === 1L).select(
+      graft.functions.ReadabilityCounts.readability_counts(col("text"))).collect().head
+    val row = interp.getStruct(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((6L, 2L, 7L)))
+  }
+
   test("theta sketches exact regime: estimates and set ops equal the true counts, any partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, round}

@@ -3830,7 +3830,45 @@ object ExtQueries {
              |       ELSE 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
              |            - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
              |  END AS fre_score
-             |FROM c ORDER BY doc_id""".stripMargin)))
+             |FROM c ORDER BY doc_id""".stripMargin))),
+
+    // HTML stripping (TextAnalysis.stripHtml): the web-corpus
+    // HTML→text cleaning step. Non-vacuous the q67 way: the query
+    // INJECTS deterministic markup around each doc (tags, escaped
+    // markup, entities, a nbsp) and strips it; the oracle replays both
+    // the injection and the exact rule chain (tag→space, six entities
+    // with &amp; last, whitespace collapse) — byte equality over the
+    // whole corpus proves ordering subtleties (escaped markup must
+    // surface as text, block tags must separate words) on both
+    // engines.
+    "q166_strip_html" -> ((
+      (s: SparkSession, d: String) => {
+        val dirty = concat(
+          lit("<div class=\"post\" data-id='x'><h1>T&amp;C&nbsp;notes</h1><p>"),
+          col("text"),
+          lit("</p><p>&lt;b&gt;not a tag&lt;/b&gt;</p><br/>tail</div>"))
+        docs(s, d).select(col("doc_id"),
+            TextAnalysis.stripHtml(dirty).as("clean"))
+          .withColumn("n_chars_clean", length(col("clean")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dirty AS (
+             |  SELECT doc_id,
+             |    '<div class="post" data-id=''x''><h1>T&amp;C&nbsp;notes</h1><p>' || text ||
+             |    '</p><p>&lt;b&gt;not a tag&lt;/b&gt;</p><br/>tail</div>' AS t
+             |  FROM documents
+             |), stripped AS (
+             |  SELECT doc_id,
+             |    trim(regexp_replace(
+             |      replace(replace(replace(replace(replace(replace(
+             |        regexp_replace(t, '<[^>]*>', ' ', 'g'),
+             |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             |        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+             |      '\s+', ' ', 'g')) AS clean
+             |  FROM dirty
+             |)
+             |SELECT doc_id, clean, CAST(len(clean) AS BIGINT) AS n_chars_clean
+             |FROM stripped ORDER BY doc_id""".stripMargin)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -176,7 +176,20 @@ object GraftFunctions {
     "readability_counts" -> (((args: Seq[Expression]) => {
       requireArity("readability_counts", args, 1, 1)
       ReadabilityCounts(args.head)
-    }, "readability_counts(text) - struct(n_words, n_sentences, n_syllables) for Flesch scoring")))
+    }, "readability_counts(text) - struct(n_words, n_sentences, n_syllables) for Flesch scoring")),
+
+    // restates TextAnalysis.stripHtml's exact chain (same Column-API
+    // round-trip limitation as scrub_pii; RegistrySpec pins parity)
+    "strip_html" -> (((args: Seq[Expression]) => {
+      requireArity("strip_html", args, 1, 1)
+      def re(subject: Expression, pattern: String, rep: String): Expression =
+        new RegExpReplace(subject, Literal(pattern), Literal(rep))
+      val noTags = re(args.head, "<[^>]*>", " ")
+      val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+        .foldLeft(noTags) { case (c, (from, to)) => re(c, from, to) }
+      org.apache.spark.sql.catalyst.expressions.StringTrim(re(ent, "\\s+", " "))
+    }, "strip_html(text) - tags to spaces, core entities decoded, whitespace collapsed")))
 
   /** Register every extension function in `spark`'s session-local
     * FunctionRegistry (idempotent — createOrReplace). Call once per

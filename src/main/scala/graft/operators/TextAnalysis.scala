@@ -131,6 +131,33 @@ object TextAnalysis {
     regexp_replace(noIp, "\\d{9,}", "<NUM>")
   }
 
+  /** Markup stripping — the HTML→text step of web-corpus cleaning
+    * (the operation upstream of every quality/dedup pass when the
+    * source is crawled pages). Deliberately CLOSED rules, each a
+    * codegen'd native function, each replayable verbatim in SQL:
+    *
+    *  1. every `<...>` tag becomes ONE space (block tags must separate
+    *     words — `</p><p>` gluing two paragraphs into one token would
+    *     corrupt every downstream tokenizer stat);
+    *  2. the six core entities decode (`&nbsp;`→space, `&lt;` `&gt;`
+    *     `&quot;` `&#39;`, and `&amp;` LAST so `&amp;lt;` yields the
+    *     literal `&lt;` — single-decode, the standard order). Decoding
+    *     AFTER tag removal is deliberate: escaped markup in the text
+    *     (`&lt;script&gt;`) surfaces as visible text, never as a tag;
+    *  3. whitespace runs collapse to one space, ends trimmed.
+    *
+    * Not a parser (comments/CDATA with embedded `>` split early,
+    * script bodies survive as text) — the honest trade for a
+    * deterministic, cross-engine, single-map-stage operator; a real
+    * DOM pass would be mapInPandas territory and is out of scope. */
+  def stripHtml(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => regexp_replace(c, from, to) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** DETERMINISTIC hash sampling — the reproducible shard/sample
     * primitive a training-data pipeline needs where `df.sample`'s
     * partition-dependent RNG won't do: membership depends only on

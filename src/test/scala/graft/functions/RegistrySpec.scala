@@ -137,6 +137,22 @@ class RegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("strip_html and readability_counts via SQL == the Scala API") {
+    docs
+    import spark.implicits._
+    Seq((1L, "<p>T&amp;C</p> apply &lt;here&gt; now!"))
+      .toDF("id", "raw").createOrReplaceTempView("hdocs")
+    val viaSql = spark.sql("SELECT strip_html(raw) AS c FROM hdocs")
+      .collect().head.getString(0)
+    val viaScala = spark.table("hdocs")
+      .select(TextAnalysis.stripHtml(col("raw")).as("c")).collect().head.getString(0)
+    assert(viaSql == viaScala && viaSql == "T&C apply <here> now!")
+    val counts = spark.sql(
+      "SELECT readability_counts(c).n_words AS w FROM (SELECT strip_html(raw) AS c FROM hdocs)")
+      .collect().head.getLong(0)
+    assert(counts == 4L) // "t&c", "apply", "<here>", "now!"
+  }
+
   test("theta functions via SQL: sketch + set ops exact in the exact regime") {
     docs
     import spark.implicits._

@@ -1332,6 +1332,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"merged summary lost a guaranteed heavy hitter: ${merged.map(_._1).toSeq}")
   }
 
+  test("stripHtml: tags separate words, escaped markup survives as text, entities single-decode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      (1L, "<p>a</p><p>b</p>", "a b"),          // block tags must not glue words
+      (2L, "x &lt;b&gt; y", "x <b> y"),          // escaped markup is TEXT, not a tag
+      (3L, "a &amp;lt; b", "a &lt; b"),          // &amp; decodes LAST: single-decode
+      (4L, "<a href=\"u\">link</a>&nbsp;&#39;q&#39;", "link 'q'"),
+      (5L, "  <br/>   spaced   out  ", "spaced out"),
+      (6L, "no markup at all", "no markup at all"))
+    val got = TextAnalysis.stripHtml(col("raw"))
+    val out = cases.toDF("id", "raw", "want")
+      .select(col("id"), got.as("clean"), col("want"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    out.foreach { case (id, clean, want) =>
+      assert(clean == want, s"case $id: got '$clean', want '$want'")
+    }
+  }
+
   test("readability: hand-computed counts and scores; empty doc nulls; codegen == eval") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -66,7 +66,11 @@ object Analytics {
       "resurrected/churned user ledger"),
     "audience_overlap" -> ("table, user_col, segment_col, a, b, lg_k? — " +
       "|A|, |B|, |A∩B|, |A\\B|, |A∪B| of two segments' distinct users via theta " +
-      "sketches (exact below 2^lg_k distinct per segment)"))
+      "sketches (exact below 2^lg_k distinct per segment)"),
+    "text_quality" -> ("table, text_col, strip_html?, readability? — per-doc " +
+      "quality annotation: token/char stats, punct/digit/stopword ratios, " +
+      "language id, fingerprint; optional HTML stripping first and Flesch " +
+      "readability columns"))
 
   def plan(tableOf: String => DataFrame, op: String, body: JsonNode): DataFrame = {
     val p = new Params(op, body)
@@ -144,6 +148,17 @@ object Analytics {
             SimilaritySearch.annTopK(cast, p.str("id_col"), vecCol, vec, p.int("k"))
           case other => p.bad(s"unknown mode: $other (exact | lsh)")
         }
+      case "text_quality" =>
+        import graft.operators.TextAnalysis
+        val tc = p.str("text_col")
+        val base =
+          if (p.optBool("strip_html").getOrElse(false))
+            df.withColumn(tc, TextAnalysis.stripHtml(col(s"`$tc`")))
+          else df
+        val annotated = TextAnalysis.annotate(base, tc)
+        if (p.optBool("readability").getOrElse(true))
+          TextAnalysis.readability(annotated, tc)
+        else annotated
       case "top_paths" =>
         EventAnalytics.topPaths(withTs(df), p.str("user_col"), p.str("ts_col"),
           p.str("tie_col"), p.str("type_col"), p.int("path_len"), p.int("k"))
@@ -239,6 +254,10 @@ object Analytics {
       Option(body.get(k)).filterNot(_.isNull).map(_ => strList(k))
     def optStr(k: String): Option[String] =
       Option(body.get(k)).filterNot(_.isNull).map(_ => str(k))
+    def optBool(k: String): Option[Boolean] =
+      Option(body.get(k)).filterNot(_.isNull).map { v =>
+        if (!v.isBoolean) bad(s"'$k' must be a boolean"); v.asBoolean
+      }
     def doubleList(k: String): Seq[Double] = {
       val v = node(k)
       if (!v.isArray) bad(s"'$k' must be an array of numbers")

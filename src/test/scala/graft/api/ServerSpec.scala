@@ -458,6 +458,20 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"n_a":3.0,"n_b":2.0,"n_both":2.0,"n_a_only":1.0,"n_union":3.0}]""",
       ovl.body())
 
+    // ---- text_quality: strip + annotate + readability in one call
+    post("/api/data/insert/aweb?api_key=key1",
+      """{"pid": 1, "body": "<p>The quick fox jumped.</p><p>It ran!</p>"}""")
+    eventually {
+      assert(get("/api/data/query?api_key=key1&query=" +
+        java.net.URLEncoder.encode("SELECT count(*) AS n FROM aweb", "UTF-8"))
+        .body() == """[{"n":1}]""")
+    }
+    val tq = analytics("text_quality",
+      """{"table": "aweb", "text_col": "body", "strip_html": true}""")
+    assert(tq.statusCode() == 200, tq.body())
+    assert(tq.body().contains("\"n_tokens\":6") && tq.body().contains("\"n_sentences\":2") &&
+      tq.body().contains("\"lang_pred\":\"en\""), tq.body())
+
     // ---- isolation + validation: clean 400s, never stack traces
     assert(analytics("funnel", """{"table": "ajourneys"}""").statusCode() == 400)
     assert(analytics("nope", """{"table": "adocs"}""").statusCode() == 400)

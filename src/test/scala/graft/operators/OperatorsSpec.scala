@@ -1351,6 +1351,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("readability + stripHtml plan shape: pure map, zero exchanges, codegen'd") {
+    import org.apache.spark.sql.functions.col
+    // non-literal source: a literal Seq would constant-fold the whole
+    // chain away and leave nothing to assert codegen on
+    val df = spark.range(4).selectExpr("id AS doc_id",
+      "concat('<p>some text ', id, '.</p>') AS text")
+    val plan = TextAnalysis.readability(
+        df.withColumn("text", TextAnalysis.stripHtml(col("text"))), "text")
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.isEmpty, s"clean+score must be a pure map stage:\n$plan")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, "the map stage must run inside whole-stage codegen")
+  }
+
   test("readability: hand-computed counts and scores; empty doc nulls; codegen == eval") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -70,7 +70,12 @@ object Analytics {
     "text_quality" -> ("table, text_col, strip_html?, readability? — per-doc " +
       "quality annotation: token/char stats, punct/digit/stopword ratios, " +
       "language id, fingerprint; optional HTML stripping first and Flesch " +
-      "readability columns"))
+      "readability columns"),
+    "sample" -> ("table, id_col, fraction, salt? — deterministic " +
+      "partition-invariant hash sample: same rows on every run/cluster for a " +
+      "given (salt, id); different salts are independent"),
+    "chunk" -> ("table, id_col, text_col, chunk_size, overlap? — overlapped " +
+      "token-window chunks, one row per chunk (the doc-to-training-sequence step)"))
 
   def plan(tableOf: String => DataFrame, op: String, body: JsonNode): DataFrame = {
     val p = new Params(op, body)
@@ -148,6 +153,16 @@ object Analytics {
             SimilaritySearch.annTopK(cast, p.str("id_col"), vecCol, vec, p.int("k"))
           case other => p.bad(s"unknown mode: $other (exact | lsh)")
         }
+      case "sample" =>
+        import graft.operators.TextAnalysis
+        val f = p.optDouble("fraction").getOrElse(p.bad("missing required parameter 'fraction'"))
+        if (f < 0 || f > 1) p.bad("fraction must be in [0, 1]")
+        df.filter(TextAnalysis.hashSampleCond(
+          col(s"`${p.str("id_col")}`"), f, p.optStr("salt").getOrElse("")))
+      case "chunk" =>
+        import graft.operators.TextAnalysis
+        TextAnalysis.chunkDocuments(df, p.str("text_col"), p.str("id_col"),
+          p.int("chunk_size"), p.optInt("overlap").getOrElse(0))
       case "text_quality" =>
         import graft.operators.TextAnalysis
         val tc = p.str("text_col")

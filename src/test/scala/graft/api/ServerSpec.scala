@@ -472,6 +472,21 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tq.body().contains("\"n_tokens\":6") && tq.body().contains("\"n_sentences\":2") &&
       tq.body().contains("\"lang_pred\":\"en\""), tq.body())
 
+    // ---- sample (deterministic: two calls agree; salt changes it)
+    val s1 = analytics("sample", """{"table": "adocs", "id_col": "did", "fraction": 0.5}""")
+    val s2 = analytics("sample", """{"table": "adocs", "id_col": "did", "fraction": 0.5}""")
+    assert(s1.statusCode() == 200 && s1.body() == s2.body(),
+      "hash sample must be deterministic across calls")
+    val all = analytics("sample", """{"table": "adocs", "id_col": "did", "fraction": 1.0}""")
+    assert("\"did\"".r.findAllIn(all.body()).size == 4, all.body())
+
+    // ---- chunk: 9-token doc, size 4 overlap 2 -> windows at 0,2,4
+    val ch = analytics("chunk",
+      """{"table": "adocs", "id_col": "did", "text_col": "body",
+        | "chunk_size": 4, "overlap": 2}""".stripMargin)
+    assert(ch.statusCode() == 200, ch.body())
+    assert(ch.body().contains("\"chunk_idx\"") || ch.body().contains("\"chunk\""), ch.body())
+
     // ---- isolation + validation: clean 400s, never stack traces
     assert(analytics("funnel", """{"table": "ajourneys"}""").statusCode() == 400)
     assert(analytics("nope", """{"table": "adocs"}""").statusCode() == 400)

@@ -61,7 +61,13 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
   private def safeName(s: String): Boolean = Server.SafeName.matches(s)
 
   private val server = HttpServer.create(new InetSocketAddress(config.port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  // handler threads are NON-daemon (a live server must survive the main
+  // thread going quiet) — so stop() must shut the pool down, or any
+  // embedded use (q161's in-process battery server, tests) leaves 8
+  // threads pinning the JVM open after stop(): runMain-forked JVMs hang
+  // at exit waiting on them
+  private val handlerPool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(handlerPool)
 
   def start(): Int = {
     server.createContext("/", (ex: HttpExchange) => route(ex))
@@ -69,7 +75,10 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
     server.getAddress.getPort
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    handlerPool.shutdown()
+  }
 
   private def params(ex: HttpExchange): Map[String, String] = {
     val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")

@@ -3868,7 +3868,49 @@ object ExtQueries {
              |  FROM dirty
              |)
              |SELECT doc_id, clean, CAST(len(clean) AS BIGINT) AS n_chars_clean
-             |FROM stripped ORDER BY doc_id""".stripMargin)))
+             |FROM stripped ORDER BY doc_id""".stripMargin))),
+
+    // Second HTTP replay, different operator family: q161 pins the
+    // event-analytics path through the network boundary; this row pins
+    // RETRIEVAL — POST /api/data/analytics/bm25 as a tenant, parse the
+    // streamed JSON back, hash-match q140's unchanged oracle. The
+    // quantized-BM25 doubles must survive encoder → JSON → parser
+    // bit-for-bit (Jackson shortest round-trip), which is exactly the
+    // property a drifting encoder would break first.
+    "q167_http_bm25" -> ((
+      (s: SparkSession, d: String) => {
+        val base = s"/tmp/graft_q167_${new java.io.File(d).getName}_" +
+          ProcessHandle.current().pid()
+        rmrf(new java.io.File(base))
+        val catalog = new graft.store.TableCatalog(s"$base/tables")
+        catalog.append(s, "1", "documents", docs(s, d))
+        val srv = new graft.api.Server(
+          graft.api.ServerConfig(0, Map("k" -> "1"), None, s"$base/fail"),
+          catalog, new graft.store.IngestService(s, catalog),
+          new graft.store.Spool(s"$base/spool", graft.store.SpoolConfig(), _ => ()),
+          new graft.engine.QueryExecutor(s, catalog),
+          new graft.store.MetaStore(base, Set(1L)))
+        val port = srv.start()
+        val body =
+          try {
+            val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+                s"http://localhost:$port/api/data/analytics/bm25?api_key=k"))
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+                """{"table": "documents", "id_col": "doc_id", "text_col": "text",
+                  | "query_tokens": ["hash", "join", "dup", "scan"], "k": 20}""".stripMargin))
+              .build()
+            val resp = java.net.http.HttpClient.newHttpClient()
+              .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+            require(resp.statusCode() == 200,
+              s"analytics/bm25: HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+            resp.body()
+          } finally srv.stop()
+        import s.implicits._
+        s.read.schema("doc_id BIGINT, bm25 DOUBLE")
+          .json(s.createDataset(Seq(body)))
+          .orderBy(col("bm25").desc, col("doc_id"))
+      },
+      Some(OracleSql.bm25TopKSql(Seq("hash", "join", "dup", "scan"), k = 20))))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -407,6 +407,15 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
         | "query_vector": [3.0, 4.0], "k": 2}""".stripMargin)
     assert(ann.statusCode() == 200, ann.body())
     assert(ann.body() == """[{"vid":1,"cosine":1.0},{"vid":2,"cosine":0.6}]""", ann.body())
+    // lsh mode: on a tiny corpus auto-planes degrade toward exact scan
+    val annLsh = analytics("ann",
+      """{"table": "avecs", "id_col": "vid", "vec_cols": ["emb_0", "emb_1"],
+        | "query_vector": [3.0, 4.0], "k": 1, "mode": "lsh"}""".stripMargin)
+    assert(annLsh.statusCode() == 200 && annLsh.body().contains("\"vid\":1"), annLsh.body())
+    assert(analytics("ann",
+      """{"table": "avecs", "id_col": "vid", "vec_cols": ["emb_0"],
+        | "query_vector": [1.0], "k": 1, "mode": "warp"}""".stripMargin)
+      .statusCode() == 400)
 
     // ---- journeys: top_paths + transitions over the funnel fixture
     val paths = analytics("top_paths",

@@ -21,7 +21,16 @@ final case class ServerConfig(
     port: Int = 8080,
     apiKeys: Map[String, String] = Map("local" -> "1"),
     adminKey: Option[String] = None,
-    healthFailFile: String = "/tmp/graft-unhealthy")
+    healthFailFile: String = "/tmp/graft-unhealthy",
+    /** Per-request wall-clock bound: past it the request's Spark job
+      * group is cancelled (0 = unbounded). One tenant's runaway query
+      * ends; the shared context stays healthy. */
+    queryTimeoutSeconds: Long = 300,
+    /** Per-response byte cap on the query/analytics encoders (0 =
+      * unbounded): past it the stream is cut and the feeding jobs
+      * cancelled — a `SELECT * FROM a CROSS JOIN b` cannot stream
+      * unboundedly out of the shared JVM. */
+    maxResultBytes: Long = 0)
 
 /** HTTP surface of the engine — the reference's chi router rebuilt on the
   * JDK's HttpServer (routes: /root/reference/pkg/api/router.go:52-66).
@@ -295,42 +304,85 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
 
   /** Plan (by-name, so planning errors surface as clean 400/500s before
     * any byte is written) and stream a DataFrame — shared by the SQL
-    * endpoint and the analytics endpoints. */
+    * endpoint and the analytics endpoints.
+    *
+    * Error surface, in two scopes:
+    *  - PLAN + ANALYSIS (before any response byte): caller-shaped
+    *    failures — rejected statements, unresolvable columns/types
+    *    (AnalysisException), operator parameter `require()`s
+    *    (IllegalArgumentException) — are 400s with the message; anything
+    *    else is a 500. The two catch scopes are separate so a runtime
+    *    IllegalArgumentException from engine internals can never
+    *    masquerade as a caller error.
+    *  - EXECUTION (reference data.go:53-55 semantics): once streaming
+    *    began the 200 header is already on the wire, so a runtime
+    *    failure (e.g. an ANSI cast of a malformed value, a cancelled
+    *    job) CUTS the chunked body — clients must treat a truncated
+    *    body as an error; the error text itself is lost, as in the
+    *    reference. A failure before the first byte is a clean 500.
+    *
+    * Guardrails around execution (the per-tenant blast-radius bound the
+    * reference gets from per-tenant DuckDB files): every request's jobs
+    * run in their own Spark job group; a timeout cancels the group, a
+    * client disconnect (IOException from the response stream) cancels
+    * the group, and a response-byte cap cuts the stream and cancels the
+    * group — the shared context stays healthy for the next request. */
   private def streamPlanned(ex: HttpExchange, format: String,
-                            cacheKey: Option[String] = None)(plan: => DataFrame): Unit =
+                            cacheKey: Option[String] = None)(plan: => DataFrame): Unit = {
+    val df = try {
+      val d = plan
+      d.schema // force analysis NOW: resolution errors must 400 before headers
+      d
+    } catch {
+      case e: QueryRejectedException =>
+        respond(ex, 400, e.getMessage); return
+      case e: org.apache.spark.sql.AnalysisException =>
+        respond(ex, 400, e.getMessage); return
+      case e: IllegalArgumentException =>
+        respond(ex, 400, Option(e.getMessage).getOrElse("invalid parameters")); return
+      case NonFatal(e) =>
+        respond(ex, 500, Option(e.getMessage).getOrElse("planning failed")); return
+    }
+    val sc = df.sparkSession.sparkContext
+    val group = s"graft-http-${java.util.UUID.randomUUID}"
+    // interruptOnCancel: running tasks are interrupted, not just queued
+    // ones — a cancelled group frees its task slots immediately
+    sc.setJobGroup(group, s"http request ($group)", interruptOnCancel = true)
+    val timer =
+      if (config.queryTimeoutSeconds > 0)
+        Some(Server.reaper.schedule(new Runnable {
+          def run(): Unit = sc.cancelJobGroup(group)
+        }, config.queryTimeoutSeconds, java.util.concurrent.TimeUnit.SECONDS))
+      else None
     try {
-      val df = plan
-      df.schema // force analysis NOW: resolution errors must 400 before headers
       val isCsv = format.equalsIgnoreCase("csv")
       ex.getResponseHeaders.set("Content-Type", if (isCsv) "text/csv" else "application/json")
       ex.setAttribute("graft.status", 200)
       ex.sendResponseHeaders(200, 0) // chunked
       val counting: OutputStream = new CountingOutputStream(ex.getResponseBody,
         n => ex.setAttribute("graft.bytes", n))
-      val tee = cacheKey.map(_ => new TeeBufferStream(counting, Server.ShareCacheCapBytes))
-      val out: OutputStream = tee.getOrElse(counting)
+      val capped: OutputStream =
+        if (config.maxResultBytes > 0) new CappedOutputStream(counting, config.maxResultBytes)
+        else counting
+      val tee = cacheKey.map(_ => new TeeBufferStream(capped, Server.ShareCacheCapBytes))
+      val out: OutputStream = tee.getOrElse(capped)
       if (isCsv) ResultEncoders.writeCsv(df, out) else ResultEncoders.writeJson(df, out)
       out.close()
       for { k <- cacheKey; t <- tee; body <- t.captured } shareCache.set(k, body)
       ex.close()
     } catch {
-      case e: QueryRejectedException =>
-        try respond(ex, 400, e.getMessage) catch { case NonFatal(_) => ex.close() }
-      // user-shaped planning failures: unresolvable columns/types
-      // (AnalysisException) and operator parameter checks (the library's
-      // require()s throw IllegalArgumentException) are the CALLER's
-      // error — 400 with the message, not a 500 masquerading as an
-      // engine fault. Both are raised at plan/analysis time, before any
-      // response byte (the df.schema force above pins that).
-      case e: org.apache.spark.sql.AnalysisException =>
-        try respond(ex, 400, e.getMessage) catch { case NonFatal(_) => ex.close() }
-      case e: IllegalArgumentException =>
-        try respond(ex, 400, Option(e.getMessage).getOrElse("invalid parameters"))
-        catch { case NonFatal(_) => ex.close() }
       case NonFatal(e) =>
+        // disconnects, over-cap cuts, timeouts, runtime faults: stop the
+        // jobs still feeding this response, then cut the connection (a
+        // clean 500 is impossible — the 200 header is on the wire)
+        sc.cancelJobGroup(group)
         try respond(ex, 500, Option(e.getMessage).getOrElse("query failed"))
         catch { case NonFatal(_) => ex.close() }
+    } finally {
+      timer.foreach(_.cancel(false))
+      sc.clearJobGroup()
     }
+  }
 
   /** Public share replays serve from the [[graft.store.TtlCache]] when
     * possible: dashboards poll a FIXED query, so the serialized body is
@@ -362,6 +414,13 @@ object Server {
     * such entries stays bounded at ~1 GiB worst case). */
   val ShareCacheCapBytes: Int = 1 << 20
 
+  /** Daemon scheduler firing per-request timeout cancellations — one
+    * shared thread; a fire is a single cancelJobGroup call. */
+  private[api] val reaper: java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-query-reaper"); t.setDaemon(true); t
+    })
+
   /** `^[A-Za-z0-9_]+$` — table names and destination ids become
     * filesystem path components (Spool/TableCatalog) and view names, so
     * anything else (`..`, `/`, quotes) is rejected before it touches
@@ -386,6 +445,26 @@ private final class TeeBufferStream(under: OutputStream, cap: Int) extends Outpu
   override def flush(): Unit = under.flush()
   override def close(): Unit = under.close()
   def captured: Option[Array[Byte]] = if (over) None else Some(buf.toByteArray)
+}
+
+/** Hard byte bound on a streamed response: the write crossing `cap`
+  * raises, which cuts the chunked body and (via streamPlanned's catch)
+  * cancels the request's job group — bounded output from the shared
+  * JVM no matter what the query produces. */
+private final class CappedOutputStream(under: OutputStream, cap: Long)
+    extends OutputStream {
+  private var n = 0L
+  private def check(len: Int): Unit = {
+    n += len
+    if (n > cap) throw new java.io.IOException(
+      s"response exceeded the configured result cap of $cap bytes")
+  }
+  override def write(b: Int): Unit = { check(1); under.write(b) }
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    check(len); under.write(b, off, len)
+  }
+  override def flush(): Unit = under.flush()
+  override def close(): Unit = under.close()
 }
 
 /** Counts bytes written through to the response stream (metrics). */

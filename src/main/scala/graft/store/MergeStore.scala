@@ -133,7 +133,11 @@ object MergeStore {
     * any point converges. */
   def compactEpochs(spark: SparkSession, path: String, keyCols: Seq[String],
                     sumCols: Seq[String]): Unit =
-    compactEpochsWith(spark, path)(readSummed(spark, path, keyCols, sumCols))
+    compactEpochsWith(spark, path) { committed =>
+      committed.groupBy(keyCols.map(c => col(s"`$c`")): _*)
+        .agg(sum(col(s"`${sumCols.head}`")).as(sumCols.head),
+             sumCols.tail.map(c => sum(col(s"`$c`")).as(c)): _*)
+    }
 
   /** KLL sibling of [[compactEpochs]] for epoch-addressed sketch
     * stores ([[writeKllEpoch]]): the merged part is the per-key sketch
@@ -141,19 +145,29 @@ object MergeStore {
     * watermark-fenced replay contract. */
   def compactKllEpochs(spark: SparkSession, path: String, keyCols: Seq[String],
                        k: Int = 200): Unit =
-    compactEpochsWith(spark, path) {
-      val kc = keyCols.map(c => col(s"`$c`"))
-      spark.read.parquet(path)
-        .groupBy(kc: _*)
+    compactEpochsWith(spark, path) { committed =>
+      committed.groupBy(keyCols.map(c => col(s"`$c`")): _*)
         .agg(graft.functions.AggFunctions.kll_merge(col("__kll"), k).as("__kll"))
     }
 
-  /** Shared fold machinery: `merged` (by-name — it reads `path`, which
-    * must happen before the fold mutates it) becomes the reserved
+  /** Shared fold machinery: `mergedOf` receives the union of the
+    * COMMITTED epoch parts and its result becomes the reserved
     * `epoch=-1` part. See [[compactEpochs]] for the crash-window and
-    * watermark analysis. */
+    * watermark analysis.
+    *
+    * Live-writer safety: a micro-batch whose parquet write is still in
+    * flight has an `epoch=<id>/` dir containing only `_temporary` — no
+    * `_SUCCESS` marker yet. Folding it would capture none or part of
+    * its rows while the watermark advance makes its eventual replay
+    * refused: silent loss. So dirs WITHOUT a committed `_SUCCESS` are
+    * excluded from the fold, from the watermark max, and from the
+    * delete — the in-flight epoch commits normally after compaction and
+    * sits above the watermark as an ordinary un-folded part. (The one
+    * write that can touch a COMMITTED dir is a crash-replay overwrite
+    * of that same epoch; it rewrites identical rows, and the single-
+    * compactor role plus the watermark fence bound that window.) */
   private def compactEpochsWith(spark: SparkSession, path: String)
-                               (merged: => DataFrame): Unit = {
+                               (mergedOf: DataFrame => DataFrame): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       root.toUri, spark.sparkContext.hadoopConfiguration)
@@ -161,9 +175,17 @@ object MergeStore {
     val epochDirs = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
       .map(_.getPath)
-    if (epochDirs.length < 2) return // nothing to fold
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+    if (epochDirs.length < 2) return // nothing committed to fold
     val foldedMax = epochDirs.map(_.getName.stripPrefix("epoch=").toLong).max
-    val newWatermark = math.max(foldedMax, compactedWatermark(spark, path))
+    val (oldWm, oldQid) = compactionMarker(spark, path)
+    val newWatermark = math.max(foldedMax, oldWm)
+    // stamp the marker with the maintaining query's identity (recorded
+    // by the epoch writers) so the replay fence can tell a crash-replay
+    // of THIS query from a fresh query whose epoch ids restarted at 0
+    val qid = writerQueryId(fs, path).orElse(oldQid)
+    val merged = mergedOf(
+      spark.read.option("basePath", path).parquet(epochDirs.map(_.toString).toSeq: _*))
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.compact_tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
     // marker FIRST: once it lands, replays of folded epochs are
@@ -171,7 +193,8 @@ object MergeStore {
     val marker = new org.apache.hadoop.fs.Path(s"$path/_compacted_watermark")
     val mTmp = new org.apache.hadoop.fs.Path(s"$path/._compacted_watermark.tmp")
     val out = fs.create(mTmp, true)
-    try out.write(newWatermark.toString.getBytes("UTF-8")) finally out.close()
+    val content = newWatermark.toString + qid.map("\n" + _).getOrElse("")
+    try out.write(content.getBytes("UTF-8")) finally out.close()
     fs.delete(marker, false)
     if (!fs.rename(mTmp, marker))
       throw new java.io.IOException(s"watermark rename failed: $mTmp -> $marker")
@@ -185,15 +208,80 @@ object MergeStore {
     * (-1 if never compacted). Epoch writers skip epochs at or below
     * this: such an epoch can only reach the writer as a crash-replay,
     * and its rows already live in the compacted `epoch=-1` part. */
-  private[graft] def compactedWatermark(spark: SparkSession, path: String): Long = {
+  private[graft] def compactedWatermark(spark: SparkSession, path: String): Long =
+    compactionMarker(spark, path)._1
+
+  /** (watermark, maintaining query id) from the `_compacted_watermark`
+    * marker: line 1 the max folded epoch, line 2 (optional — absent on
+    * pre-identity markers and batch-only stores) the streaming query id
+    * whose epochs were folded. */
+  private[graft] def compactionMarker(spark: SparkSession,
+                                      path: String): (Long, Option[String]) = {
     val marker = new org.apache.hadoop.fs.Path(s"$path/_compacted_watermark")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       marker.toUri, spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) -1L
+    if (!fs.exists(marker)) (-1L, None)
     else {
       val in = fs.open(marker)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      val lines = try scala.io.Source.fromInputStream(in).getLines().toList
+                  finally in.close()
+      (lines.headOption.map(_.trim.toLong).getOrElse(-1L),
+       lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty))
+    }
+  }
+
+  /** The replay fence for an epoch writer, keyed on (query identity,
+    * epoch id) — the Delta-txn appId+version pattern. Returns true when
+    * the epoch must be SKIPPED: it is at/below the compaction watermark
+    * AND comes from the same maintaining query (or identity is
+    * unknown), i.e. a crash-replay of rows already folded into
+    * `epoch=-1`. A fenced epoch id arriving from a DIFFERENT streaming
+    * query is ordinary data, not a replay — a fresh checkpoint restarts
+    * epoch ids at 0 — so silently dropping it would lose it; that case
+    * fails loudly instead. As a side effect, records the writer's query
+    * id under `_writer_query_id` for the compactor to stamp into the
+    * marker. */
+  private[graft] def epochFenced(spark: SparkSession, path: String,
+                                 epochId: Long): Boolean = {
+    val writerQid = Option(
+      spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+    val (wm, markerQid) = compactionMarker(spark, path)
+    if (epochId > wm) {
+      writerQid.foreach(recordWriterQueryId(spark, path, _))
+      false
+    } else (markerQid, writerQid) match {
+      case (Some(m), Some(w)) if m != w =>
+        throw new IllegalStateException(
+          s"store $path was compacted up to epoch $wm under streaming query $m, " +
+          s"but query $w (a different query — fresh checkpoint?) submitted epoch " +
+          s"$epochId at/below that watermark. Its data is NOT a replay and would " +
+          "be lost if skipped. Resume the original checkpoint, point the new " +
+          "pipeline at a fresh store, or (after verifying no overlap) remove the " +
+          "store's _compacted_watermark query-id line.")
+      case _ => true // same query (or unknown identity): folded already, skip
+    }
+  }
+
+  private def writerQueryId(fs: org.apache.hadoop.fs.FileSystem,
+                            path: String): Option[String] = {
+    val f = new org.apache.hadoop.fs.Path(s"$path/_writer_query_id")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim).filter(_.nonEmpty)
       finally in.close()
+    }
+  }
+
+  private def recordWriterQueryId(spark: SparkSession, path: String,
+                                  qid: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val f = new org.apache.hadoop.fs.Path(s"$path/_writer_query_id")
+    if (!writerQueryId(fs, path).contains(qid)) {
+      val out = fs.create(f, true)
+      try out.write(qid.getBytes("UTF-8")) finally out.close()
     }
   }
 
@@ -242,10 +330,10 @@ object MergeStore {
   private[graft] def writeQuantileEpoch(batch: DataFrame, keyCols: Seq[String],
                                         valueCol: String, path: String, scale: Int,
                                         epochId: Long): Unit =
-    // epochs at/below the compaction watermark are crash-replays of
-    // parts already folded into epoch=-1 — writing them again would
-    // double-count (see compactEpochs)
-    if (epochId > compactedWatermark(batch.sparkSession, path) && !batch.isEmpty)
+    // epochs at/below the compaction watermark FROM THE SAME QUERY are
+    // crash-replays of parts already folded into epoch=-1 — writing
+    // them again would double-count (see compactEpochs / epochFenced)
+    if (!epochFenced(batch.sparkSession, path, epochId) && !batch.isEmpty)
       quantileBins(batch, keyCols, valueCol, scale)
         .write.mode("overwrite").parquet(s"$path/epoch=$epochId")
 
@@ -332,7 +420,7 @@ object MergeStore {
   private[graft] def writeKllEpoch(batch: DataFrame, keyCols: Seq[String],
                                    valueCol: String, path: String, k: Int,
                                    epochId: Long): Unit =
-    if (epochId > compactedWatermark(batch.sparkSession, path) && !batch.isEmpty) {
+    if (!epochFenced(batch.sparkSession, path, epochId) && !batch.isEmpty) {
       val kc = keyCols.map(c => col(s"`$c`"))
       batch.filter(col(s"`$valueCol`").isNotNull)
         .groupBy(kc: _*)

@@ -86,16 +86,31 @@ object SketchStore {
   }
 
   /** Audience-overlap report between two values of `groupCol` off the
-    * store: one row of |A|, |B|, |A ∩ B|, |A \ B|, |A ∪ B| estimates.
-    * Cost: the two groups' sketch rows in the probed parts — never the
-    * events that built them. */
+    * store: EXACTLY one row of |A|, |B|, |A ∩ B|, |A \ B|, |A ∪ B|
+    * estimates — a segment with no sketch rows in the probed parts
+    * contributes an EMPTY sketch (estimates 0), so an empty audience is
+    * distinguishable from "the report returned nothing" (a typo'd
+    * segment or wrong part filter yields a zeros row, never zero rows,
+    * matching the Analytics audience_overlap compute path). Cost: the
+    * two groups' sketch rows in the probed parts — never the events
+    * that built them. */
   def estimateOverlap(spark: SparkSession, path: String, groupCol: String,
                       a: String, b: String, parts: Seq[String] = Nil,
                       lgK: Int = 12): DataFrame = {
-    import graft.functions.{ThetaEstimate, ThetaSetEstimate}
+    import graft.functions.{AggFunctions, ThetaEstimate, ThetaSetEstimate}
     val merged = readThetaSketches(spark, path, Seq(groupCol), parts, lgK)
-    val sa = merged.filter(col(s"`$groupCol`") === a).select(col("sketch").as("sa"))
-    val sb = merged.filter(col(s"`$groupCol`") === b).select(col("sketch").as("sb"))
+    val empty: Array[Byte] = org.apache.datasketches.theta.SetOperation.builder()
+      .setLogNominalEntries(lgK).buildUnion().getResult.toByteArray
+    import spark.implicits._
+    val emptyRow = Seq(empty).toDF("sketch")
+    // each side: the group's (single) merged sketch unioned with a
+    // literal empty sketch, re-aggregated to exactly one row
+    def side(v: String, as: String) =
+      merged.filter(col(s"`$groupCol`") === v).select(col("sketch"))
+        .union(emptyRow)
+        .agg(AggFunctions.theta_union(col("sketch"), lgK).as(as))
+    val sa = side(a, "sa")
+    val sb = side(b, "sb")
     sa.crossJoin(sb).select(
       ThetaEstimate.theta_estimate(col("sa")).as("n_a"),
       ThetaEstimate.theta_estimate(col("sb")).as("n_b"),

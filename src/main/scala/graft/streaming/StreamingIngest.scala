@@ -143,10 +143,12 @@ object StreamingIngest {
   private[graft] def writeSummingPart(batch: DataFrame, groupCols: Seq[String],
                                       sumCols: Seq[String], storePath: String,
                                       epochId: Long): Unit =
-    // epochs at/below the store's compaction watermark are
-    // crash-replays of parts already folded into epoch=-1; re-writing
-    // them would double-count (MergeStore.compactEpochs)
-    if (epochId > graft.store.MergeStore.compactedWatermark(batch.sparkSession, storePath)
+    // epochs at/below the store's compaction watermark FROM THE SAME
+    // QUERY are crash-replays of parts already folded into epoch=-1;
+    // re-writing them would double-count. The fence is keyed on (query
+    // id, epoch id): a fresh-checkpoint query restarting at epoch 0
+    // fails loudly instead of losing data (MergeStore.epochFenced).
+    if (!graft.store.MergeStore.epochFenced(batch.sparkSession, storePath, epochId)
         && !batch.isEmpty) {
       val partial = batch
         .groupBy(groupCols.map(c => col(s"`$c`")): _*)

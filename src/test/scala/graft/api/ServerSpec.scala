@@ -553,6 +553,90 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       "light tenant query never finished while the heavy tenant's query was still running")
   }
 
+  test("result-byte cap: a runaway result is cut at the bound and the engine stays healthy") {
+    // separate server so the cap doesn't perturb the other tests
+    val gbase = Files.createTempDirectory("graft-api-cap").toString
+    val catalog = new TableCatalog(s"$gbase/tables")
+    val ingest = new IngestService(spark, catalog)
+    val spool = new Spool(s"$gbase/spool", SpoolConfig(maxRows = 1, rotatePeriodMillis = 100),
+      f => ingest.ingestFile(f.getParentFile.getParentFile.getName, f.getParentFile.getName, f))
+    val srv = new Server(
+      ServerConfig(0, Map("gkey" -> "1"), None, s"$gbase/unhealthy",
+        queryTimeoutSeconds = 0, maxResultBytes = 10000),
+      catalog, ingest, spool, new QueryExecutor(spark, catalog), new MetaStore(gbase, Set(1L)))
+    val gport = srv.start()
+    try {
+      def ask(sql: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$gport/api/data/query?api_key=gkey&query=" +
+            java.net.URLEncoder.encode(sql, "UTF-8"))).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      client.send(HttpRequest.newBuilder(URI.create(
+        s"http://localhost:$gport/api/data/insert/seed?api_key=gkey"))
+        .POST(HttpRequest.BodyPublishers.ofString("""{"v": 1}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      eventually { assert(ask("SELECT count(*) AS n FROM seed").body() == """[{"n":1}]""") }
+      // the runaway: a cross-join-shaped explosion streaming ~megabytes;
+      // the 10 kB cap must cut the chunked body mid-stream (the client
+      // sees a transport error or a truncated, non-parseable body)
+      val runaway = "SELECT a.x, b.x AS y FROM " +
+        "(SELECT explode(sequence(1, 2000)) AS x FROM seed) a CROSS JOIN " +
+        "(SELECT explode(sequence(1, 2000)) AS x FROM seed) b"
+      val cut = try {
+        val r = ask(runaway)
+        assert(r.body().length < 65536,
+          s"capped response streamed ${r.body().length} bytes — the cap did not cut it")
+        true
+      } catch { case _: java.io.IOException => true }
+      assert(cut)
+      // the engine must remain healthy for the next (normal) request
+      val after = ask("SELECT count(*) AS n FROM seed")
+      assert(after.statusCode() == 200 && after.body() == """[{"n":1}]""")
+    } finally srv.stop()
+  }
+
+  test("query timeout: a long-running query's job group is cancelled and the engine stays healthy") {
+    val tbase = Files.createTempDirectory("graft-api-timeout").toString
+    val catalog = new TableCatalog(s"$tbase/tables")
+    val ingest = new IngestService(spark, catalog)
+    val spool = new Spool(s"$tbase/spool", SpoolConfig(maxRows = 1, rotatePeriodMillis = 100),
+      f => ingest.ingestFile(f.getParentFile.getParentFile.getName, f.getParentFile.getName, f))
+    val srv = new Server(
+      ServerConfig(0, Map("tkey" -> "1"), None, s"$tbase/unhealthy",
+        queryTimeoutSeconds = 1),
+      catalog, ingest, spool, new QueryExecutor(spark, catalog), new MetaStore(tbase, Set(1L)))
+    val tport = srv.start()
+    try {
+      def ask(sql: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$tport/api/data/query?api_key=tkey&query=" +
+            java.net.URLEncoder.encode(sql, "UTF-8"))).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      client.send(HttpRequest.newBuilder(URI.create(
+        s"http://localhost:$tport/api/data/insert/seed?api_key=tkey"))
+        .POST(HttpRequest.BodyPublishers.ofString("""{"v": 1}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      eventually { assert(ask("SELECT count(*) AS n FROM seed").body() == """[{"n":1}]""") }
+      // tens of seconds of md5 hashing uncancelled; the 1 s timeout
+      // fires cancelJobGroup, the aggregate never produces its row, and
+      // the request fails fast instead of holding task slots
+      val heavy = "SELECT count(DISTINCT md5(cast(x AS string))) AS n FROM " +
+        "(SELECT /*+ REPARTITION(8) */ v FROM seed) " +
+        "LATERAL VIEW explode(sequence(1, 4000000)) t AS x"
+      val t0 = System.nanoTime()
+      val failed = try {
+        val r = ask(heavy)
+        r.statusCode() != 200 || !r.body().startsWith("""[{"n":""")
+      } catch { case _: java.io.IOException => true }
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(failed, "the over-budget query ran to a successful completion")
+      assert(secs < 20.0, f"cancellation took $secs%.1f s — job group cancel didn't bite")
+      // slots are free again: a normal query completes promptly
+      val after = ask("SELECT count(*) AS n FROM seed")
+      assert(after.statusCode() == 200 && after.body() == """[{"n":1}]""")
+    } finally srv.stop()
+  }
+
   test("metrics endpoint exposes request counters and latency histogram") {
     get("/healthcheck")
     val m = get("/metrics").body()

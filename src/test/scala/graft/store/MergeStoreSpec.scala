@@ -268,6 +268,67 @@ class MergeStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totals() == Seq(("a", 11L), ("b", 22L), ("c", 35L)))
   }
 
+  test("compactEpochs: an in-flight (uncommitted) epoch dir is excluded from fold, watermark and delete") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    val path = freshDir()
+    def part(epoch: Long, rows: (String, Long)*): Unit =
+      StreamingIngest.writeSummingPart(rows.toDF("g", "n"), Seq("g"), Seq("n"), path, epoch)
+    part(0L, ("a", 1L))
+    part(1L, ("b", 2L))
+    // a live writer mid-flight: epoch=2 exists but holds only the
+    // committer's _temporary dir — no _SUCCESS yet. Folding it would
+    // capture none of its rows while the watermark advance refuses its
+    // eventual commit-replay: silent loss (ADVICE r11 #1).
+    val inflight = new java.io.File(s"$path/epoch=2/_temporary")
+    assert(inflight.mkdirs())
+    MergeStore.compactEpochs(spark, path, Seq("g"), Seq("n"))
+    assert(epochDirs(path) == Set("epoch=-1", "epoch=2"),
+      s"in-flight epoch must survive compaction untouched, got ${epochDirs(path)}")
+    assert(MergeStore.compactedWatermark(spark, path) == 1L,
+      "watermark must not advance past an uncommitted epoch")
+    // the in-flight write now commits (the writer's overwrite replaces
+    // the _temporary shell) and its rows are visible, not fenced
+    part(2L, ("a", 5L))
+    val totals = MergeStore.readSummed(spark, path, Seq("g"), Seq("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(totals == Seq(("a", 6L), ("b", 2L)),
+      s"committed-after-compaction epoch lost: $totals")
+  }
+
+  test("replay fence is keyed on query identity: same query skips, fresh query fails loudly") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    val path = freshDir()
+    val sc = spark.sparkContext
+    def part(epoch: Long, rows: (String, Long)*): Unit =
+      StreamingIngest.writeSummingPart(rows.toDF("g", "n"), Seq("g"), Seq("n"), path, epoch)
+    def totals() = MergeStore.readSummed(spark, path, Seq("g"), Seq("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    try {
+      // query A maintains the store; its identity rides the thread-local
+      // property Structured Streaming sets for foreachBatch bodies
+      sc.setLocalProperty("sql.streaming.queryId", "query-A")
+      part(0L, ("a", 1L)); part(1L, ("b", 2L))
+      MergeStore.compactEpochs(spark, path, Seq("g"), Seq("n"))
+      val before = totals()
+      // crash-replay from the SAME query: silently skipped (folded already)
+      part(1L, ("b", 2L))
+      assert(totals() == before, "same-query replay of a folded epoch double-counted")
+      // a DIFFERENT query (fresh checkpoint → epoch ids restart at 0)
+      // presenting a fenced epoch id carries NEW data — dropping it
+      // would silently lose a batch, so the fence must fail loudly
+      sc.setLocalProperty("sql.streaming.queryId", "query-B")
+      val e = intercept[IllegalStateException] { part(0L, ("c", 7L)) }
+      assert(e.getMessage.contains("query-A") && e.getMessage.contains("query-B"),
+        s"error must name both query identities: ${e.getMessage}")
+      assert(totals() == before, "the refused batch must not have been written")
+      // the new query's epochs ABOVE the watermark are ordinary data
+      part(5L, ("c", 7L))
+      assert(totals() == before :+ (("c", 7L)), "above-watermark epoch from new query lost")
+    } finally sc.setLocalProperty("sql.streaming.queryId", null)
+  }
+
   test("KLL store: rank-error bound holds, n exact across part splits, empty-sketch null") {
     import spark.implicits._
     // uniform 1..10000 for one key: every quantile's TRUE value is

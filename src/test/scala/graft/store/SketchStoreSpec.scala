@@ -86,5 +86,19 @@ class SketchStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     // of 3 (mult of 6 ≤ 900: 150), A∩B = mult of 6 ≤ 600: 100
     assert(overlap(Seq("day0")) == Seq(300L, 150L, 100L, 200L, 350L),
       s"pruned overlap wrong: ${overlap(Seq("day0"))}")
+
+    // an ABSENT segment (typo, or filtered out by the part probe) is an
+    // empty audience, not an empty report: exactly one row, zeros on
+    // the missing side, the present side's counts intact
+    def report(a: String, b: String, parts: Seq[String] = Nil) =
+      SketchStore.estimateOverlap(spark, path, "seg", a, b, parts).collect()
+    val typo = report("A", "Z")
+    assert(typo.length == 1, s"absent segment must still yield one row, got ${typo.length}")
+    assert((0 until 5).map(i => math.round(typo.head.getDouble(i))) ==
+      Seq(600L, 0L, 0L, 600L, 600L), s"got ${typo.head}")
+    val bothGone = report("Y", "Z")
+    assert(bothGone.length == 1 &&
+      (0 until 5).forall(i => bothGone.head.getDouble(i) == 0.0),
+      "two absent segments must yield one all-zero row")
   }
 }

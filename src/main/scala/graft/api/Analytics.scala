@@ -4,8 +4,9 @@ import com.fasterxml.jackson.databind.JsonNode
 import graft.core.Json
 import graft.engine.QueryRejectedException
 import graft.operators.{Dedup, EventAnalytics, Expectations, SimilaritySearch, SkewJoin}
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import graft.store.{MergeStore, SketchStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 import scala.jdk.CollectionConverters._
 
@@ -75,11 +76,64 @@ object Analytics {
       "partition-invariant hash sample: same rows on every run/cluster for a " +
       "given (salt, id); different salts are independent"),
     "chunk" -> ("table, id_col, text_col, chunk_size, overlap? — overlapped " +
-      "token-window chunks, one row per chunk (the doc-to-training-sequence step)"))
+      "token-window chunks, one row per chunk (the doc-to-training-sequence step)"),
+    "index_build" -> ("kind (minhash|fingerprint|bm25|ivfpq|theta|kll), name, " +
+      "table, +kind params — build/refresh a persisted per-tenant index/store " +
+      "so repeated probes stop re-scanning the corpus (POST " +
+      "/api/data/analytics/index_build; probe with the *_indexed/dedup_new ops)"),
+    "dedup_near_indexed" -> ("store, table, id_col, text_col, " +
+      "max_bucket_size?, min_jaccard? — near-dup candidates of the table " +
+      "AGAINST a persisted minhash store (corpus history is never re-signed)"),
+    "dedup_new" -> ("store, table, text_col — rows whose content hash has " +
+      "never been seen by the fingerprint store (incremental exact dedup)"),
+    "bm25_indexed" -> ("store, query | query_tokens[], k, k1?, b? — BM25 " +
+      "top-k against a persisted inverted index (reads only the query " +
+      "tokens' postings partitions)"),
+    "ann_indexed" -> ("store, id_col, query_vector[], k, n_probe? — ANN " +
+      "top-k against a persisted IVF-PQ store (reads only the probed cell " +
+      "directories; scores m-byte codes, never float vectors)"),
+    "audience_overlap_indexed" -> ("store, segment_col, a, b, parts[]?, " +
+      "lg_k? — overlap report off a persisted theta-sketch store (reads a " +
+      "few KB of probed sketches, never the events)"),
+    "quantiles_indexed" -> ("store, key_cols[], qs[]?, k? — per-key " +
+      "quantiles off a persisted KLL sketch store"),
+    "dedup_apply" -> ("table, id_col, text_col, threshold?, num_hashes?, " +
+      "bands?, shingle_width?, max_bucket_size? — the CLEANED corpus: " +
+      "near-dup clusters keep only the lowest-id representative"),
+    "split" -> ("table, id_col, text_col, splits[] of {label, fraction}, " +
+      "salt?, threshold? — leakage-safe train/val/test assignment: near-dup " +
+      "families never straddle a split boundary"),
+    "decontaminate" -> ("table, bench_table, id_col, text_col, " +
+      "bench_text_col?, width?, min_shared?, bloom? — per-doc benchmark " +
+      "contamination verdict (shared distinct n-gram count vs a " +
+      "tenant-named benchmark table)"))
 
-  def plan(tableOf: String => DataFrame, op: String, body: JsonNode): DataFrame = {
+  /** Plan one analytics op. `tableOf` resolves a tenant table name to
+    * its DataFrame (tenant-scoped), `storeDirOf` resolves a
+    * safe-name-validated store name to the tenant's persisted-store
+    * namespace ([[graft.store.TableCatalog.storeDir]]), and `spark` is
+    * the tenant's child session (needed by the indexed probes, which
+    * read a store without touching any table). */
+  def plan(spark: SparkSession, tableOf: String => DataFrame,
+           storeDirOf: String => String, op: String, body: JsonNode): DataFrame = {
     val p = new Params(op, body)
-    val df = tableOf(p.str("table"))
+    // lazy: the indexed probes name a STORE, not a table — demanding
+    // `table` up front would reject them before dispatch
+    lazy val df = tableOf(p.str("table"))
+    /** Resolve + kind-check a persisted store: probing a store that was
+      * never built (or was built as a different kind) is a caller
+      * error, answered as a 400 naming the fix — never a Spark
+      * path-not-found or a scan of mis-shaped parquet. */
+    def storePath(expectedKind: String): String = {
+      val name = p.str("store")
+      val path = storeDirOf(name)
+      storeKind(path) match {
+        case None => p.bad(s"unknown store: $name (build it with analytics/index_build)")
+        case Some(k) if k != expectedKind =>
+          p.bad(s"store $name is a $k store; this op needs $expectedKind")
+        case _ => path
+      }
+    }
     // tenant tables are JSON-ingested, and JSON has no timestamp type —
     // time-based operators get the ts column cast up front (a no-op on
     // real timestamps; malformed strings fail loudly under ANSI)
@@ -130,22 +184,8 @@ object Analytics {
       case "hot_keys" =>
         SkewJoin.hotKeys(df, p.strList("keys"), p.optInt("k").getOrElse(20))
       case "ann" =>
-        val vec = p.doubleList("query_vector").map(_.toFloat).toArray
-        if (vec.isEmpty) p.bad("query_vector must be non-empty")
-        // the insert path's horizontal flattener spreads a JSON array
-        // into col_0..col_n scalar columns, so tenants name them via
-        // vec_cols; bulk-loaded array columns use vec_col directly (the
-        // vector expressions are array<float> — a no-op cast on floats)
-        val (vecCol, cast) = p.optStrList("vec_cols") match {
-          case Some(cols) =>
-            if (cols.isEmpty) p.bad("vec_cols must be non-empty")
-            ("__vec", df.withColumn("__vec",
-              org.apache.spark.sql.functions.array(
-                cols.map(c => col(s"`$c`")): _*).cast("array<float>")))
-          case None =>
-            val vc = p.str("vec_col")
-            (vc, df.withColumn(vc, col(s"`$vc`").cast("array<float>")))
-        }
+        val vec = queryVector(p)
+        val (vecCol, cast) = vectorized(p, df)
         p.optStr("mode").getOrElse("exact") match {
           case "exact" =>
             SimilaritySearch.bruteForceTopK(cast, p.str("id_col"), vecCol, vec, p.int("k"))
@@ -202,10 +242,195 @@ object Analytics {
           ThetaSetEstimate.theta_intersect(col("sa"), col("sb")).as("n_both"),
           ThetaSetEstimate.theta_a_not_b(col("sa"), col("sb")).as("n_a_only"),
           ThetaSetEstimate.theta_union_est(col("sa"), col("sb")).as("n_union"))
+
+      // ---- persisted per-tenant index/store lifecycle: build once,
+      // probe repeatedly without re-scanning (or even re-signing) the
+      // corpus — the HTTP spelling of the Scala store operators. The
+      // reference gets this for free from its raw passthrough (a tenant
+      // can CREATE TABLE-materialize anything, data.go:29-56); here the
+      // SELECT-only gate means materialization must be a named surface.
+      case "index_build" =>
+        val name = p.str("store")
+        val kind = p.str("kind")
+        val path = storeDirOf(name)
+        val mode = p.optStr("mode").getOrElse("overwrite").toLowerCase
+        if (mode != "overwrite" && mode != "append")
+          p.bad(s"mode must be overwrite or append, got $mode")
+        // kind is pinned at first build: appending bm25 postings into a
+        // minhash store would corrupt both silently
+        storeKind(path).foreach { k =>
+          if (k != kind) p.bad(s"store $name already exists with kind $k " +
+            s"(drop it by rebuilding with mode=overwrite and kind=$k, or pick a new name)")
+        }
+        def appendUnsupported(): Nothing =
+          p.bad(s"$kind builds are full refreshes (global stats/centroids " +
+            "depend on the whole corpus); use mode=overwrite")
+        kind match {
+          case "minhash" =>
+            Dedup.writeMinhashStore(df, p.str("id_col"), p.str("text_col"), path,
+              numHashes = p.optInt("num_hashes").getOrElse(32),
+              bands = p.optInt("bands").getOrElse(8),
+              shingleWidth = p.optInt("shingle_width").getOrElse(3),
+              nParts = p.optInt("n_parts").getOrElse(64), mode = mode)
+          case "fingerprint" =>
+            Dedup.writeFingerprintStore(df, p.str("text_col"), path,
+              nBuckets = p.optInt("n_buckets").getOrElse(64), mode = mode)
+          case "bm25" =>
+            if (mode == "append") appendUnsupported()
+            SimilaritySearch.writeLexicalIndex(df, p.str("id_col"), p.str("text_col"),
+              path, nParts = p.optInt("n_parts").getOrElse(64))
+          case "ivfpq" =>
+            if (mode == "append") appendUnsupported()
+            val (vecCol, cast) = vectorized(p, df)
+            SimilaritySearch.writeIvfPq(cast, p.str("id_col"), vecCol, path,
+              nCells = p.optInt("n_cells").getOrElse(16),
+              nCodes = p.optInt("n_codes").getOrElse(256),
+              m = p.optInt("m").getOrElse(8))
+          case "theta" =>
+            // append-friendly by algebra: theta union is idempotent over
+            // sketch state, so re-appending a batch can't move estimates
+            if (mode == "overwrite") deleteRecursive(new java.io.File(path))
+            SketchStore.writeThetaSketches(df, Seq(p.str("segment_col")),
+              p.str("value_col"), path,
+              partExpr = lit(p.optStr("part").getOrElse("all")),
+              lgK = p.optInt("lg_k").getOrElse(12))
+          case "kll" =>
+            if (mode == "overwrite") deleteRecursive(new java.io.File(path))
+            MergeStore.writeKllPart(df, p.strList("key_cols"), p.str("value_col"),
+              path, k = p.optInt("k").getOrElse(200))
+          case other =>
+            p.bad(s"unknown index kind: $other " +
+              "(minhash | fingerprint | bm25 | ivfpq | theta | kll)")
+        }
+        writeStoreKind(path, kind)
+        import spark.implicits._
+        Seq((name, kind, mode, "built")).toDF("store", "kind", "mode", "status")
+
+      case "dedup_near_indexed" =>
+        val pairs = Dedup.minhashCandidatesAgainstStore(df, p.str("id_col"),
+          p.str("text_col"), storePath("minhash"),
+          maxBucketSize = p.optInt("max_bucket_size").getOrElse(500))
+        p.optDouble("min_jaccard") match {
+          case Some(j) => pairs.filter(col("est_jaccard") >= j)
+          case None    => pairs
+        }
+      case "dedup_new" =>
+        Dedup.dedupAgainstStore(df, p.str("text_col"), storePath("fingerprint"))
+      case "bm25_indexed" =>
+        val tokens = p.optStrList("query_tokens").getOrElse(
+          p.str("query").split("\\s+").filter(_.nonEmpty).toSeq)
+        if (tokens.isEmpty) p.bad("query must contain at least one token")
+        SimilaritySearch.bm25TopKIndexed(spark, storePath("bm25"), tokens,
+          k = p.int("k"),
+          k1 = p.optDouble("k1").getOrElse(1.25),
+          b = p.optDouble("b").getOrElse(0.75))
+      case "ann_indexed" =>
+        SimilaritySearch.ivfPqTopKIndexed(spark, storePath("ivfpq"),
+          p.str("id_col"), queryVector(p), p.int("k"),
+          nProbe = p.optInt("n_probe").getOrElse(4))
+      case "audience_overlap_indexed" =>
+        SketchStore.estimateOverlap(spark, storePath("theta"), p.str("segment_col"),
+          p.str("a"), p.str("b"),
+          parts = p.optStrList("parts").getOrElse(Nil),
+          lgK = p.optInt("lg_k").getOrElse(12))
+      case "quantiles_indexed" =>
+        val qs = p.optDoubleList("qs").getOrElse(Seq(0.5, 0.9, 0.99))
+        MergeStore.readKllQuantiles(spark, storePath("kll"), p.strList("key_cols"),
+          qs, k = p.optInt("k").getOrElse(200))
+
+      // ---- curation composites: the pipeline END-PRODUCTS (cleaned
+      // corpus, split assignment, contamination verdicts), not just the
+      // candidate pairs the building-block ops return.
+      case "dedup_apply" =>
+        val idCol = p.str("id_col")
+        val pairs = Dedup.minHashCandidates(df, idCol, p.str("text_col"),
+            numHashes = p.optInt("num_hashes").getOrElse(32),
+            bands = p.optInt("bands").getOrElse(8),
+            shingleWidth = p.optInt("shingle_width").getOrElse(3),
+            maxBucketSize = p.optInt("max_bucket_size").getOrElse(500))
+          .filter(col("est_jaccard") >= p.optDouble("threshold").getOrElse(0.8))
+          .select("id_a", "id_b")
+        Dedup.removeNearDups(df, idCol, pairs)
+      case "split" =>
+        val splitsNode = p.node("splits")
+        if (!splitsNode.isArray || splitsNode.isEmpty)
+          p.bad("splits must be a non-empty array of {label, fraction}")
+        val splits = splitsNode.elements().asScala.toSeq.map { n =>
+          val l = n.get("label"); val f = n.get("fraction")
+          if (l == null || !l.isTextual || l.asText.isEmpty || f == null || !f.isNumber)
+            p.bad("each split needs a string label and a numeric fraction")
+          (l.asText, f.asDouble)
+        }
+        Dedup.leakageSafeSplit(df, p.str("id_col"), p.str("text_col"), splits,
+          salt = p.optStr("salt").getOrElse(""),
+          threshold = p.optDouble("threshold").getOrElse(0.8),
+          numHashes = p.optInt("num_hashes").getOrElse(32),
+          bands = p.optInt("bands").getOrElse(8),
+          shingleWidth = p.optInt("shingle_width").getOrElse(3),
+          maxBucketSize = p.optInt("max_bucket_size").getOrElse(500))
+      case "decontaminate" =>
+        val idCol = p.str("id_col"); val tc = p.str("text_col")
+        // the gram extractor reads ONE column name off both sides, so a
+        // differently-named benchmark text column is aliased into place
+        val bench = tableOf(p.str("bench_table"))
+          .select(col(s"`${p.optStr("bench_text_col").getOrElse(tc)}`").as(tc))
+        val width = p.optInt("width").getOrElse(13)
+        val minShared = p.optInt("min_shared").getOrElse(1)
+        if (p.optBool("bloom").getOrElse(false))
+          Dedup.contaminationReportBloom(df, bench, idCol, tc, width, minShared)
+        else
+          Dedup.contaminationReport(df, bench, idCol, tc, width, minShared)
+
       case other =>
         throw new QueryRejectedException(
           s"unknown analytics op: $other (available: ${descriptions.map(_._1).mkString(", ")})")
     }
+  }
+
+  /** Resolve a query vector parameter (non-empty floats). */
+  private def queryVector(p: Params): Array[Float] = {
+    val vec = p.doubleList("query_vector").map(_.toFloat).toArray
+    if (vec.isEmpty) p.bad("query_vector must be non-empty")
+    vec
+  }
+
+  /** Assemble the vector column an ANN op scores: the insert path's
+    * horizontal flattener spreads a JSON array into col_0..col_n scalar
+    * columns, so tenants name them via `vec_cols`; bulk-loaded array
+    * columns use `vec_col` directly (the vector expressions are
+    * array<float> — a no-op cast on floats). */
+  private def vectorized(p: Params, df: DataFrame): (String, DataFrame) =
+    p.optStrList("vec_cols") match {
+      case Some(cols) =>
+        if (cols.isEmpty) p.bad("vec_cols must be non-empty")
+        ("__vec", df.withColumn("__vec",
+          org.apache.spark.sql.functions.array(
+            cols.map(c => col(s"`$c`")): _*).cast("array<float>")))
+      case None =>
+        val vc = p.str("vec_col")
+        (vc, df.withColumn(vc, col(s"`$vc`").cast("array<float>")))
+    }
+
+  /** The store's pinned kind, from the `_kind` marker [[writeStoreKind]]
+    * leaves at the store root (underscore-prefixed, so parquet listings
+    * ignore it like a _SUCCESS). None = no store there. Stores live
+    * under the catalog root, which is plain-file territory
+    * ([[graft.store.TableCatalog]] is File-based throughout). */
+  private def storeKind(path: String): Option[String] = {
+    val f = new java.io.File(path, "_kind")
+    if (f.isFile) Some(java.nio.file.Files.readString(f.toPath).trim) else None
+  }
+
+  private def writeStoreKind(path: String, kind: String): Unit = {
+    val d = new java.io.File(path)
+    d.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(d, "_kind").toPath, kind)
+  }
+
+  private def deleteRecursive(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRecursive)
+    f.delete(); ()
   }
 
   /** One expectations rule from its JSON spec. `Satisfies` (a free
@@ -290,6 +515,8 @@ object Analytics {
       Option(body.get(k)).filterNot(_.isNull).map { v =>
         if (!v.isNumber) bad(s"'$k' must be a number"); v.asDouble
       }
+    def optDoubleList(k: String): Option[Seq[Double]] =
+      Option(body.get(k)).filterNot(_.isNull).map(_ => doubleList(k))
   }
 
   /** GET /api/analytics body. */

@@ -221,7 +221,13 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
         Json.parse(readBody(ex)) match {
           case Some(n) if n.isObject =>
             streamPlanned(ex, p.getOrElse("format", ""))(
-              Analytics.plan(t => executor.tenantTable(db, t), op, n))
+              Analytics.plan(executor.tenantSession(db),
+                t => executor.tenantTable(db, t),
+                name => {
+                  if (!safeName(name)) throw new QueryRejectedException(
+                    s"invalid store name: $name")
+                  catalog.storeDir(db, name)
+                }, op, n))
           case _ => respond(ex, 400, "Invalid request body")
         }
 

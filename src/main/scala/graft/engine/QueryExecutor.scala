@@ -88,6 +88,12 @@ final class QueryExecutor(spark: SparkSession, catalog: TableCatalog) {
     s.sql(trimmed)
   }
 
+  /** The tenant's prepared child session (views current, FAIR pool tag
+    * set on the calling thread) — for analytics ops that read a
+    * persisted per-tenant store rather than a table, so even a pure
+    * store probe runs in the tenant's scheduler pool. */
+  def tenantSession(db: String): SparkSession = preparedSession(db)._1
+
   /** One tenant table as a DataFrame — the entry point the analytics
     * endpoints use to hand a tenant's data to the operator library.
     * Same visibility rule as [[execute]]: only the tenant's own

@@ -410,6 +410,15 @@ final class TableCatalog(rootDir: String) {
     (onDisk ++ schemas.keys.collect { case (`db`, t) => t }).distinct.sorted.toSeq
   }
 
+  /** Per-tenant persisted index/store namespace (analytics
+    * index_build + *_indexed probes), a sibling of the table dirs
+    * under the same tenant root. The `stores.d` segment contains a dot,
+    * which table names can never carry (Server.SafeName is
+    * [A-Za-z0-9_]+), so a store can never collide with any table's
+    * directory — and [[listTables]] skips it anyway (no _schema.json). */
+  def storeDir(db: String, name: String): String =
+    new File(new File(new File(rootDir, db), "stores.d"), name).getAbsolutePath
+
   def listColumns(db: String, table: String): Seq[(String, String)] =
     schema(db, table).map(_.fields.map(f => f.name -> f.dataType.sql).toSeq).getOrElse(Seq.empty)
 

@@ -512,6 +512,173 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .statusCode() == 400)
   }
 
+  test("store lifecycle over HTTP: index_build + indexed probes, kind safety, tenant isolation") {
+    def analytics(op: String, body: String, key: String = "key1"): HttpResponse[String] =
+      post(s"/api/data/analytics/$op?api_key=$key", body)
+    def seed(table: String, rows: Seq[String]): Unit = {
+      rows.foreach(r => post(s"/api/data/insert/$table?api_key=key1", r))
+      eventually {
+        assert(get("/api/data/query?api_key=key1&query=" +
+          java.net.URLEncoder.encode(s"SELECT count(*) AS n FROM $table", "UTF-8"))
+          .body() == s"""[{"n":${rows.size}}]""")
+      }
+    }
+
+    // ---- corpus with planted near-dups
+    seed("sdocs", Seq(
+      """{"did": 1, "body": "alpha beta gamma delta epsilon zeta eta theta"}""",
+      """{"did": 2, "body": "alpha beta gamma delta epsilon zeta eta iota"}""",
+      """{"did": 3, "body": "totally different words about streaming engines here"}"""))
+
+    // ---- minhash: build, then probe a batch against the STORE
+    val mh = analytics("index_build",
+      """{"kind": "minhash", "store": "mh", "table": "sdocs",
+        | "id_col": "did", "text_col": "body", "n_parts": 4}""".stripMargin)
+    assert(mh.statusCode() == 200 && mh.body().contains("\"status\":\"built\""), mh.body())
+    val nearIdx = analytics("dedup_near_indexed",
+      """{"store": "mh", "table": "sdocs", "id_col": "did", "text_col": "body",
+        | "min_jaccard": 0.3}""".stripMargin)
+    assert(nearIdx.statusCode() == 200, nearIdx.body())
+    assert(nearIdx.body().contains("\"id_a\":1") && nearIdx.body().contains("\"id_b\":2"),
+      nearIdx.body())
+    assert(!nearIdx.body().contains("\"id_b\":3"), nearIdx.body())
+
+    // ---- fingerprint: history store; dedup_new keeps only unseen text
+    assert(analytics("index_build",
+      """{"kind": "fingerprint", "store": "fp", "table": "sdocs",
+        | "text_col": "body", "n_buckets": 4}""".stripMargin).statusCode() == 200)
+    seed("sbatch", Seq(
+      """{"did": 10, "body": "alpha beta gamma delta epsilon zeta eta theta"}""",
+      """{"did": 11, "body": "brand new never before seen content"}"""))
+    val fresh = analytics("dedup_new",
+      """{"store": "fp", "table": "sbatch", "text_col": "body"}""")
+    assert(fresh.statusCode() == 200, fresh.body())
+    assert(fresh.body().contains("\"did\":11") && !fresh.body().contains("\"did\":10"),
+      fresh.body())
+
+    // ---- bm25: indexed probe must equal the direct scan op exactly
+    assert(analytics("index_build",
+      """{"kind": "bm25", "store": "lex", "table": "sdocs",
+        | "id_col": "did", "text_col": "body", "n_parts": 4}""".stripMargin)
+      .statusCode() == 200)
+    val probe = analytics("bm25_indexed",
+      """{"store": "lex", "query": "streaming engines alpha", "k": 3}""")
+    val direct = analytics("bm25",
+      """{"table": "sdocs", "id_col": "did", "text_col": "body",
+        | "query": "streaming engines alpha", "k": 3}""".stripMargin)
+    assert(probe.statusCode() == 200 && direct.statusCode() == 200, probe.body())
+    // same scoring expression, same quantization: byte-equal bodies
+    // modulo the id column name (indexed stores normalize it to `id`)
+    assert(probe.body() == direct.body().replace("\"did\":", "\"id\":"),
+      s"indexed=${probe.body()} direct=${direct.body()}")
+
+    // ---- ivfpq: two well-separated clusters; probe lands in the right one
+    val a = (0 until 6).map(i => s"""{"vid": ${100 + i}, "emb": [1.0, 0.0${i}, 0.0, 0.0]}""")
+    val b = (0 until 6).map(i => s"""{"vid": ${200 + i}, "emb": [0.0, 0.0${i}, 1.0, 0.0]}""")
+    seed("svecs", a ++ b)
+    assert(analytics("index_build",
+      """{"kind": "ivfpq", "store": "pq", "table": "svecs", "id_col": "vid",
+        | "vec_cols": ["emb_0", "emb_1", "emb_2", "emb_3"],
+        | "n_cells": 2, "n_codes": 4, "m": 2}""".stripMargin).statusCode() == 200)
+    val annIdx = analytics("ann_indexed",
+      """{"store": "pq", "id_col": "vid", "query_vector": [1.0, 0.0, 0.0, 0.0],
+        | "k": 3, "n_probe": 1}""".stripMargin)
+    assert(annIdx.statusCode() == 200, annIdx.body())
+    val topIds = "\"vid\":(\\d+)".r.findAllMatchIn(annIdx.body()).map(_.group(1).toInt).toSeq
+    assert(topIds.nonEmpty && topIds.forall(_ < 200),
+      s"query in cluster A must retrieve only cluster-A ids: ${annIdx.body()}")
+
+    // ---- theta: per-part segment sketches; overlap off the store (exact regime)
+    seed("sevents", Seq(
+      """{"uid": 1, "seg": "view", "day": "d1"}""", """{"uid": 2, "seg": "view", "day": "d1"}""",
+      """{"uid": 3, "seg": "view", "day": "d2"}""", """{"uid": 2, "seg": "click", "day": "d1"}""",
+      """{"uid": 3, "seg": "click", "day": "d1"}""", """{"uid": 4, "seg": "click", "day": "d2"}"""))
+    assert(analytics("index_build",
+      """{"kind": "theta", "store": "aud", "table": "sevents",
+        | "segment_col": "seg", "value_col": "uid"}""".stripMargin).statusCode() == 200)
+    val ovl = analytics("audience_overlap_indexed",
+      """{"store": "aud", "segment_col": "seg", "a": "view", "b": "click"}""")
+    assert(ovl.statusCode() == 200 && ovl.body() ==
+      """[{"n_a":3.0,"n_b":3.0,"n_both":2.0,"n_a_only":1.0,"n_union":4.0}]""", ovl.body())
+    // an absent segment yields a zeros row, never zero rows
+    val absent = analytics("audience_overlap_indexed",
+      """{"store": "aud", "segment_col": "seg", "a": "view", "b": "nope"}""")
+    assert(absent.statusCode() == 200 && absent.body().contains("\"n_b\":0.0"), absent.body())
+
+    // ---- kll: per-key quantile store (small n => sketch is exact)
+    seed("svals", (1 to 9).map(i => s"""{"g": "x", "v": $i.0}"""))
+    assert(analytics("index_build",
+      """{"kind": "kll", "store": "lat", "table": "svals",
+        | "key_cols": ["g"], "value_col": "v"}""".stripMargin).statusCode() == 200)
+    val q = analytics("quantiles_indexed",
+      """{"store": "lat", "key_cols": ["g"], "qs": [0.5]}""")
+    assert(q.statusCode() == 200 && q.body() ==
+      """[{"g":"x","n_rows":9,"p50":5.0}]""", q.body())
+
+    // ---- kind safety + lifecycle error shapes, all clean 400s
+    assert(analytics("bm25_indexed", """{"store": "mh", "query": "alpha", "k": 1}""")
+      .statusCode() == 400, "probing a minhash store as bm25 must 400")
+    assert(analytics("bm25_indexed", """{"store": "ghost", "query": "alpha", "k": 1}""")
+      .statusCode() == 400, "unknown store must 400")
+    assert(analytics("index_build",
+      """{"kind": "bm25", "store": "mh", "table": "sdocs",
+        | "id_col": "did", "text_col": "body"}""".stripMargin)
+      .statusCode() == 400, "rebuilding an existing store as a different kind must 400")
+    assert(analytics("index_build",
+      """{"kind": "bm25", "store": "lex", "table": "sdocs", "id_col": "did",
+        | "text_col": "body", "mode": "append"}""".stripMargin)
+      .statusCode() == 400, "bm25 appends are full-refresh-only")
+    assert(analytics("index_build",
+      """{"kind": "minhash", "store": "mh", "table": "sdocs", "id_col": "did",
+        | "text_col": "body", "mode": "append", "n_parts": 8}""".stripMargin)
+      .statusCode() == 400, "append with mismatched store parameters must 400")
+    assert(analytics("index_build",
+      """{"kind": "warp", "store": "w", "table": "sdocs"}""").statusCode() == 400)
+    assert(analytics("bm25_indexed", """{"store": "../mh", "query": "a", "k": 1}""")
+      .statusCode() == 400, "store names are safe-name-gated")
+    // tenant isolation: tenant 2 has no store named mh
+    assert(analytics("dedup_near_indexed",
+      """{"store": "mh", "table": "sdocs", "id_col": "did", "text_col": "body"}""",
+      key = "key2").statusCode() == 400)
+  }
+
+  test("curation composites over HTTP: dedup_apply, split, decontaminate") {
+    def analytics(op: String, body: String): HttpResponse[String] =
+      post(s"/api/data/analytics/$op?api_key=key1", body)
+    // reuses the sdocs/sbatch fixtures from the lifecycle test (1≈2 near-dups, 3 distinct)
+    val cleaned = analytics("dedup_apply",
+      """{"table": "sdocs", "id_col": "did", "text_col": "body", "threshold": 0.3}""")
+    assert(cleaned.statusCode() == 200, cleaned.body())
+    val kept = "\"did\":(\\d+)".r.findAllMatchIn(cleaned.body()).map(_.group(1).toInt).toSet
+    assert(kept == Set(1, 3), s"near-dup family keeps its minimum id: ${cleaned.body()}")
+
+    val sp = analytics("split",
+      """{"table": "sdocs", "id_col": "did", "text_col": "body", "threshold": 0.3,
+        | "splits": [{"label": "train", "fraction": 0.5}, {"label": "test", "fraction": 0.5}]}""".stripMargin)
+    assert(sp.statusCode() == 200, sp.body())
+    val byId = "\"did\":(\\d+).*?\"split\":\"(\\w+)\"".r
+      .findAllMatchIn(sp.body()).map(m => m.group(1).toInt -> m.group(2)).toMap
+    assert(byId.keySet == Set(1, 2, 3), sp.body())
+    assert(byId(1) == byId(2), s"near-dup family must not straddle splits: ${sp.body()}")
+    assert(analytics("split",
+      """{"table": "sdocs", "id_col": "did", "text_col": "body",
+        | "splits": [{"label": "train", "fraction": 0.5}]}""".stripMargin)
+      .statusCode() == 400, "fractions must sum to 1")
+
+    // doc 10 copies doc 1's text; doc 11 is clean — 3-gram contamination
+    val dec = analytics("decontaminate",
+      """{"table": "sbatch", "bench_table": "sdocs", "id_col": "did",
+        | "text_col": "body", "width": 3}""".stripMargin)
+    assert(dec.statusCode() == 200, dec.body())
+    assert(dec.body().contains("\"did\":10,\"matched\":6,\"contaminated\":true"), dec.body())
+    assert(dec.body().contains("\"did\":11,\"matched\":0,\"contaminated\":false"), dec.body())
+    val decB = analytics("decontaminate",
+      """{"table": "sbatch", "bench_table": "sdocs", "id_col": "did",
+        | "text_col": "body", "width": 3, "bloom": true}""".stripMargin)
+    assert(decB.statusCode() == 200 && decB.body() == dec.body(),
+      "bloom pre-filter must be bit-identical to the exact path")
+  }
+
   test("FAIR pools: a light tenant's query overlaps a heavy tenant's run instead of queuing behind it") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global

@@ -243,68 +243,18 @@ object Analytics {
           ThetaSetEstimate.theta_a_not_b(col("sa"), col("sb")).as("n_a_only"),
           ThetaSetEstimate.theta_union_est(col("sa"), col("sb")).as("n_union"))
 
-      // ---- persisted per-tenant index/store lifecycle: build once,
-      // probe repeatedly without re-scanning (or even re-signing) the
-      // corpus — the HTTP spelling of the Scala store operators. The
-      // reference gets this for free from its raw passthrough (a tenant
-      // can CREATE TABLE-materialize anything, data.go:29-56); here the
-      // SELECT-only gate means materialization must be a named surface.
+      // ---- persisted per-tenant index/store probes: build once (over
+      // [[planBuild]] / POST analytics/index_build), probe repeatedly
+      // without re-scanning (or even re-signing) the corpus — the HTTP
+      // spelling of the Scala store operators. The reference gets
+      // materialization for free from its raw passthrough (a tenant can
+      // CREATE TABLE-materialize anything, data.go:29-56); here the
+      // SELECT-only gate means it must be a named surface.
       case "index_build" =>
-        val name = p.str("store")
-        val kind = p.str("kind")
-        val path = storeDirOf(name)
-        val mode = p.optStr("mode").getOrElse("overwrite").toLowerCase
-        if (mode != "overwrite" && mode != "append")
-          p.bad(s"mode must be overwrite or append, got $mode")
-        // kind is pinned at first build: appending bm25 postings into a
-        // minhash store would corrupt both silently
-        storeKind(path).foreach { k =>
-          if (k != kind) p.bad(s"store $name already exists with kind $k " +
-            s"(drop it by rebuilding with mode=overwrite and kind=$k, or pick a new name)")
-        }
-        def appendUnsupported(): Nothing =
-          p.bad(s"$kind builds are full refreshes (global stats/centroids " +
-            "depend on the whole corpus); use mode=overwrite")
-        kind match {
-          case "minhash" =>
-            Dedup.writeMinhashStore(df, p.str("id_col"), p.str("text_col"), path,
-              numHashes = p.optInt("num_hashes").getOrElse(32),
-              bands = p.optInt("bands").getOrElse(8),
-              shingleWidth = p.optInt("shingle_width").getOrElse(3),
-              nParts = p.optInt("n_parts").getOrElse(64), mode = mode)
-          case "fingerprint" =>
-            Dedup.writeFingerprintStore(df, p.str("text_col"), path,
-              nBuckets = p.optInt("n_buckets").getOrElse(64), mode = mode)
-          case "bm25" =>
-            if (mode == "append") appendUnsupported()
-            SimilaritySearch.writeLexicalIndex(df, p.str("id_col"), p.str("text_col"),
-              path, nParts = p.optInt("n_parts").getOrElse(64))
-          case "ivfpq" =>
-            if (mode == "append") appendUnsupported()
-            val (vecCol, cast) = vectorized(p, df)
-            SimilaritySearch.writeIvfPq(cast, p.str("id_col"), vecCol, path,
-              nCells = p.optInt("n_cells").getOrElse(16),
-              nCodes = p.optInt("n_codes").getOrElse(256),
-              m = p.optInt("m").getOrElse(8))
-          case "theta" =>
-            // append-friendly by algebra: theta union is idempotent over
-            // sketch state, so re-appending a batch can't move estimates
-            if (mode == "overwrite") deleteRecursive(new java.io.File(path))
-            SketchStore.writeThetaSketches(df, Seq(p.str("segment_col")),
-              p.str("value_col"), path,
-              partExpr = lit(p.optStr("part").getOrElse("all")),
-              lgK = p.optInt("lg_k").getOrElse(12))
-          case "kll" =>
-            if (mode == "overwrite") deleteRecursive(new java.io.File(path))
-            MergeStore.writeKllPart(df, p.strList("key_cols"), p.str("value_col"),
-              path, k = p.optInt("k").getOrElse(200))
-          case other =>
-            p.bad(s"unknown index kind: $other " +
-              "(minhash | fingerprint | bm25 | ivfpq | theta | kll)")
-        }
-        writeStoreKind(path, kind)
-        import spark.implicits._
-        Seq((name, kind, mode, "built")).toDF("store", "kind", "mode", "status")
+        // routed by the server through planBuild (builds execute
+        // EAGERLY, so they need the job-group guardrails wrapped around
+        // execution, not around planning — Server.runBuild)
+        throw new IllegalStateException("index_build must go through planBuild")
 
       case "dedup_near_indexed" =>
         val pairs = Dedup.minhashCandidatesAgainstStore(df, p.str("id_col"),
@@ -384,6 +334,160 @@ object Analytics {
       case other =>
         throw new QueryRejectedException(
           s"unknown analytics op: $other (available: ${descriptions.map(_._1).mkString(", ")})")
+    }
+  }
+
+  /** Thrown when a build for the same store is already in flight —
+    * the server answers 409, never interleaved writes. */
+  final class ConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Stores with a build currently executing (keyed by resolved store
+    * path). Serializes index_build per (tenant, store): two concurrent
+    * builds would interleave writes into the same directories and
+    * stamp the result as valid. In-process is sufficient — one server
+    * JVM owns a data dir (the reference's per-tenant DuckDB file makes
+    * the same single-writer assumption). */
+  private val building =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  /** Whether a build for the store at `path` is in flight (DELETE
+    * /api/stores/{name} refuses to rip a directory out from under a
+    * running build). */
+  private[api] def isBuilding(path: String): Boolean = building.contains(path)
+
+  /** A validated, lock-holding index build: `run` executes the store
+    * write (eager Spark jobs — the server wraps it in the per-request
+    * job group); `release` frees the per-store build lock and MUST be
+    * called exactly once, in a finally, whether or not `run` ran. */
+  final class Build(val run: () => DataFrame, releaseOnce: () => Unit) {
+    private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def release(): Unit = if (released.compareAndSet(false, true)) releaseOnce()
+  }
+
+  /** Plan an index_build: decode + validate NOW (caller-shaped errors
+    * — unknown kind, bad mode, kind-pin mismatch, missing table or
+    * columns — surface before any Spark job runs, as 400s; a
+    * concurrent build of the same store as [[ConflictException]] →
+    * 409), return a [[Build]] whose `run` EXECUTES the store write.
+    * Unlike every other analytics op, a build is eager Spark work, so
+    * the server must run it inside the per-request job group (timeout
+    * + disconnect cancellation) rather than in the plan scope — see
+    * Server.runBuild.
+    *
+    * Overwrite builds go into a temp sibling directory and swap in
+    * atomically on success (marker written last): a rebuild that fails
+    * mid-way — bad params surfacing at runtime, a crash — leaves the
+    * previous store intact and probable; a probe can never see a
+    * half-written store (no `_kind` marker until complete). */
+  def planBuild(spark: SparkSession, tableOf: String => DataFrame,
+                storeDirOf: String => String, body: JsonNode): Build = {
+    val p = new Params("index_build", body)
+    val name = p.str("store")
+    val kind = p.str("kind")
+    val path = storeDirOf(name)
+    // the lock is taken during PLANNING so a concurrent build answers
+    // a clean 409 before any header is written; every later validation
+    // failure must release it (the catch below)
+    if (!building.add(path))
+      throw new ConflictException(s"a build for store $name is already in progress")
+    try {
+    val mode = p.optStr("mode").getOrElse("overwrite").toLowerCase
+    if (mode != "overwrite" && mode != "append")
+      p.bad(s"mode must be overwrite or append, got $mode")
+    // kind is pinned at first build: appending bm25 postings into a
+    // minhash store would corrupt both silently (checked under the
+    // build lock, so concurrent first-builds cannot race the pin)
+    storeKind(path).foreach { k =>
+      if (k != kind) p.bad(s"store $name already exists with kind $k " +
+        s"(drop it by rebuilding with mode=overwrite and kind=$k, or pick a new name)")
+    }
+    def appendUnsupported(): Nothing =
+      p.bad(s"$kind builds are full refreshes (global stats/centroids " +
+        "depend on the whole corpus); use mode=overwrite")
+    val df = tableOf(p.str("table"))
+    // resolve the named columns NOW: a typo'd column is a caller error
+    // (400), not a mid-build runtime fault
+    def resolve(cols: String*): Unit =
+      df.select(cols.map(c => col(s"`$c`")): _*).schema
+    // build(target): run the kind's store write into `target`
+    val build: String => Unit = kind match {
+      case "minhash" =>
+        resolve(p.str("id_col"), p.str("text_col"))
+        t => Dedup.writeMinhashStore(df, p.str("id_col"), p.str("text_col"), t,
+          numHashes = p.optInt("num_hashes").getOrElse(32),
+          bands = p.optInt("bands").getOrElse(8),
+          shingleWidth = p.optInt("shingle_width").getOrElse(3),
+          nParts = p.optInt("n_parts").getOrElse(64),
+          mode = if (mode == "append") "append" else "overwrite")
+      case "fingerprint" =>
+        resolve(p.str("text_col"))
+        t => Dedup.writeFingerprintStore(df, p.str("text_col"), t,
+          nBuckets = p.optInt("n_buckets").getOrElse(64),
+          mode = if (mode == "append") "append" else "overwrite")
+      case "bm25" =>
+        if (mode == "append") appendUnsupported()
+        resolve(p.str("id_col"), p.str("text_col"))
+        t => SimilaritySearch.writeLexicalIndex(df, p.str("id_col"), p.str("text_col"),
+          t, nParts = p.optInt("n_parts").getOrElse(64))
+      case "ivfpq" =>
+        if (mode == "append") appendUnsupported()
+        val (vecCol, cast) = vectorized(p, df)
+        cast.select(col(s"`${p.str("id_col")}`"), col(s"`$vecCol`")).schema
+        t => SimilaritySearch.writeIvfPq(cast, p.str("id_col"), vecCol, t,
+          nCells = p.optInt("n_cells").getOrElse(16),
+          nCodes = p.optInt("n_codes").getOrElse(256),
+          m = p.optInt("m").getOrElse(8))
+      case "theta" =>
+        // append-friendly by algebra: theta union is idempotent over
+        // sketch state, so re-appending a batch can't move estimates
+        resolve(p.str("segment_col"), p.str("value_col"))
+        t => SketchStore.writeThetaSketches(df, Seq(p.str("segment_col")),
+          p.str("value_col"), t,
+          partExpr = lit(p.optStr("part").getOrElse("all")),
+          lgK = p.optInt("lg_k").getOrElse(12))
+      case "kll" =>
+        resolve(p.strList("key_cols") :+ p.str("value_col"): _*)
+        t => MergeStore.writeKllPart(df, p.strList("key_cols"), p.str("value_col"),
+          t, k = p.optInt("k").getOrElse(200))
+      case other =>
+        p.bad(s"unknown index kind: $other " +
+          "(minhash | fingerprint | bm25 | ivfpq | theta | kll)")
+    }
+    val run: () => DataFrame = () => {
+      if (mode == "append") {
+        build(path)
+        writeStoreKind(path, kind)
+      } else {
+        val dst = new java.io.File(path)
+        dst.getParentFile.mkdirs()
+        val tag = java.util.UUID.randomUUID.toString.take(8)
+        val tmp = new java.io.File(dst.getParentFile, s".${dst.getName}.build-$tag")
+        try {
+          build(tmp.getAbsolutePath)
+          writeStoreKind(tmp.getAbsolutePath, kind)
+          // swap: old aside first, so no failure below this line can
+          // leave the tenant with NO store
+          val old = new java.io.File(dst.getParentFile, s".${dst.getName}.old-$tag")
+          if (dst.exists() && !dst.renameTo(old))
+            throw new java.io.IOException(s"could not set aside previous store $name")
+          if (!tmp.renameTo(dst)) {
+            if (old.exists()) old.renameTo(dst) // restore the previous store
+            throw new java.io.IOException(s"could not swap in rebuilt store $name")
+          }
+          deleteRecursive(old)
+        } catch {
+          case e: Throwable => deleteRecursive(tmp); throw e
+        }
+      }
+      import spark.implicits._
+      Seq((name, kind, mode, "built")).toDF("store", "kind", "mode", "status")
+    }
+    new Build(run, () => building.remove(path))
+    } catch {
+      // the ConflictException above is thrown BEFORE this try, so this
+      // can only be OUR lock being released on a validation failure
+      case e: Throwable => building.remove(path); throw e
     }
   }
 

@@ -82,6 +82,23 @@ object Main {
     (store, claims)
   }
 
+  /** The production [[ServerConfig]] from the environment. Beyond key
+    * + admin key, the per-request blast-radius knobs are deploy
+    * config, not code:
+    *
+    *   GRAFT_QUERY_TIMEOUT_S   per-request wall bound; past it the
+    *                           request's job group is cancelled
+    *                           (default 300; 0 = unbounded)
+    *   GRAFT_MAX_RESULT_BYTES  per-response byte cap; past it the
+    *                           stream is cut and the feeding jobs
+    *                           cancelled (default 0 = unbounded)
+    */
+  def serverConfigFromEnv(env: Map[String, String], port: Int,
+                          apiKey: String): ServerConfig =
+    ServerConfig(port, Map(apiKey -> "1"), env.get("GRAFT_ADMIN_KEY"),
+      queryTimeoutSeconds = env.getOrElse("GRAFT_QUERY_TIMEOUT_S", "300").toLong,
+      maxResultBytes = env.getOrElse("GRAFT_MAX_RESULT_BYTES", "0").toLong)
+
   def main(args: Array[String]): Unit = {
     val port = sys.env.getOrElse("PORT", "8080").toInt
     val dataDir = sys.env.getOrElse("GRAFT_DATA", "/tmp/graft-data")
@@ -150,7 +167,7 @@ object Main {
       sys.env.get("GRAFT_OAUTH_USERINFO_URL").foreach(u => oc = oc.copy(userinfoUrl = u))
       DashboardConfig(new OAuthClient(oc), jwtSecret.getBytes("UTF-8"))
     }
-    val server = new Server(ServerConfig(port, Map(apiKey -> "1"), sys.env.get("GRAFT_ADMIN_KEY")),
+    val server = new Server(serverConfigFromEnv(sys.env, port, apiKey),
       catalog, ingest, spool, executor, meta, dashboardConfig = dashboardCfg)
 
     val sweeper = Executors.newSingleThreadScheduledExecutor { r =>

@@ -127,9 +127,34 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
+  /** Permissive CORS on every route (reference router.go:74-81 mounts
+    * the wildcard cors.Handler globally). The reference pairs
+    * AllowedOrigins ["*"] with AllowCredentials — browsers reject that
+    * literal combination, so the equivalent-but-working form is used:
+    * echo the caller's Origin (any origin allowed) with credentials. */
+  private def cors(ex: HttpExchange): Unit = {
+    val h = ex.getResponseHeaders
+    h.set("Access-Control-Allow-Origin",
+      Option(ex.getRequestHeaders.getFirst("Origin")).getOrElse("*"))
+    h.set("Vary", "Origin")
+    h.set("Access-Control-Allow-Credentials", "true")
+    h.set("Access-Control-Allow-Methods", "GET, PUT, POST, DELETE, HEAD, OPTIONS")
+    h.set("Access-Control-Allow-Headers",
+      "User-Agent, Content-Type, Accept, Accept-Encoding, Accept-Language, " +
+      "Cache-Control, Connection, DNT, Host, Origin, Pragma, Referer, X-API-KEY")
+    h.set("Access-Control-Max-Age", "300")
+  }
+
   private def route(ex: HttpExchange): Unit = {
     val t0 = System.nanoTime()
     try {
+      cors(ex)
+      if (ex.getRequestMethod == "OPTIONS") {
+        // preflight: the CORS headers above ARE the answer
+        ex.setAttribute("graft.route", "<preflight>")
+        respond(ex, 204, "")
+        return
+      }
       val path = ex.getRequestURI.getPath
       val segs = path.split("/").filter(_.nonEmpty).toList
       val p = params(ex)
@@ -220,16 +245,40 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
         ex.setAttribute("graft.route", "/api/data/analytics/{op}")
         Json.parse(readBody(ex)) match {
           case Some(n) if n.isObject =>
-            streamPlanned(ex, p.getOrElse("format", ""))(
-              Analytics.plan(executor.tenantSession(db),
-                t => executor.tenantTable(db, t),
-                name => {
-                  if (!safeName(name)) throw new QueryRejectedException(
-                    s"invalid store name: $name")
-                  catalog.storeDir(db, name)
-                }, op, n))
+            val session = executor.tenantSession(db)
+            val tableOf = (t: String) => executor.tenantTable(db, t)
+            val storeOf = (name: String) => {
+              if (!safeName(name)) throw new QueryRejectedException(
+                s"invalid store name: $name")
+              catalog.storeDir(db, name)
+            }
+            if (op == "index_build")
+              runBuild(ex, session)(Analytics.planBuild(session, tableOf, storeOf, n))
+            else
+              streamPlanned(ex, p.getOrElse("format", ""))(
+                Analytics.plan(session, tableOf, storeOf, op, n))
           case _ => respond(ex, 400, "Invalid request body")
         }
+
+      // Persisted-store management: the tables side has list/drop, so
+      // the stores side gets the same lifecycle — without it a tenant
+      // can mint unbounded disk under stores.d with no way to reclaim.
+      case ("GET", List("stores")) =>
+        ex.setAttribute("graft.route", "/api/stores")
+        val items = catalog.listStores(db).map { case (n, k, b) =>
+          s"""{"name":"${Json.escape(n)}","kind":"${Json.escape(k)}","bytes":$b}"""
+        }
+        respond(ex, 200, items.mkString("[", ",", "]"), "application/json")
+
+      case ("DELETE", List("stores", name)) =>
+        ex.setAttribute("graft.route", "/api/stores/{store}")
+        if (!safeName(name)) respond(ex, 400, "invalid store name")
+        else if (Analytics.isBuilding(catalog.storeDir(db, name)))
+          respond(ex, 409, s"store $name has a build in progress")
+        else if (catalog.dropStore(db, name))
+          respond(ex, 200, s"""{"store":"${Json.escape(name)}","status":"dropped"}""",
+            "application/json")
+        else respond(ex, 404, "no such store")
 
       case ("GET", List("analytics")) =>
         ex.setAttribute("graft.route", "/api/analytics")
@@ -387,6 +436,83 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
     } finally {
       timer.foreach(_.cancel(false))
       sc.clearJobGroup()
+    }
+  }
+
+  /** Execute an index build under the same blast-radius guardrails as
+    * query execution — but inverted in time: a build is EAGER Spark
+    * work (the single most expensive tenant-triggered operation on
+    * this surface), so the job group and timeout reaper are installed
+    * BEFORE the build runs, not after planning. Client disconnects are
+    * detected mid-build by heartbeat bytes: once validation passes,
+    * the 200/chunked headers go on the wire and a JSON-legal
+    * whitespace byte is flushed every second while the build executes
+    * — a tenant that POSTs a build against a huge table and hangs up
+    * stops consuming the cluster within ~a heartbeat, not at
+    * completion. Error surface: caller-shaped failures (unknown kind,
+    * kind-pin mismatch, missing table/columns) are clean 400s from the
+    * validation pass, a concurrent build of the same store is a clean
+    * 409, and failures after headers cut the chunked body (the
+    * documented data.go:53-55 semantics). Builds respond JSON-only:
+    * heartbeat whitespace is legal JSON but not legal CSV. */
+  private def runBuild(ex: HttpExchange, spark: org.apache.spark.sql.SparkSession)
+                      (mk: => Analytics.Build): Unit = {
+    val build = try mk catch {
+      case e: Analytics.ConflictException =>
+        respond(ex, 409, e.getMessage); return
+      case e: QueryRejectedException =>
+        respond(ex, 400, e.getMessage); return
+      case e: org.apache.spark.sql.AnalysisException =>
+        respond(ex, 400, e.getMessage); return
+      case e: IllegalArgumentException =>
+        respond(ex, 400, Option(e.getMessage).getOrElse("invalid parameters")); return
+      case NonFatal(e) =>
+        respond(ex, 500, Option(e.getMessage).getOrElse("planning failed")); return
+    }
+    val sc = spark.sparkContext
+    val group = s"graft-build-${java.util.UUID.randomUUID}"
+    sc.setJobGroup(group, s"http index_build ($group)", interruptOnCancel = true)
+    val timer =
+      if (config.queryTimeoutSeconds > 0)
+        Some(Server.reaper.schedule(new Runnable {
+          def run(): Unit = sc.cancelJobGroup(group)
+        }, config.queryTimeoutSeconds, java.util.concurrent.TimeUnit.SECONDS))
+      else None
+    // writes to the response are serialized: heartbeats and the final
+    // status row must never interleave mid-byte
+    val writeLock = new Object
+    var hb: Option[java.util.concurrent.ScheduledFuture[_]] = None
+    try {
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.setAttribute("graft.status", 200)
+      ex.sendResponseHeaders(200, 0) // chunked
+      val out = ex.getResponseBody
+      hb = Some(Server.reaper.scheduleWithFixedDelay(new Runnable {
+        def run(): Unit = writeLock.synchronized {
+          // a broken pipe here IS the disconnect signal: stop the build
+          try { out.write(' '); out.flush() }
+          catch { case NonFatal(_) => sc.cancelJobGroup(group) }
+        }
+      }, 1, 1, java.util.concurrent.TimeUnit.SECONDS))
+      val df = build.run()
+      hb.foreach(_.cancel(false))
+      writeLock.synchronized {
+        ResultEncoders.writeJson(df, out)
+        out.close()
+      }
+      ex.close()
+    } catch {
+      case NonFatal(_) =>
+        // timeout cancel, disconnect, or a runtime build fault: stop
+        // the build's jobs and cut the connection (headers are on the
+        // wire, so a clean status is impossible)
+        sc.cancelJobGroup(group)
+        try ex.close() catch { case NonFatal(_) => () }
+    } finally {
+      hb.foreach(_.cancel(false))
+      timer.foreach(_.cancel(false))
+      sc.clearJobGroup()
+      build.release()
     }
   }
 

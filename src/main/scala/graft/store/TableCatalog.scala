@@ -419,6 +419,34 @@ final class TableCatalog(rootDir: String) {
   def storeDir(db: String, name: String): String =
     new File(new File(new File(rootDir, db), "stores.d"), name).getAbsolutePath
 
+  /** The tenant's persisted stores: (name, kind, approx bytes on disk).
+    * Only COMPLETE stores appear — a directory without the `_kind`
+    * marker is either mid-build (the marker lands last) or debris from
+    * a failed build, and probing it would 400 anyway. */
+  def listStores(db: String): Seq[(String, String, Long)] = {
+    val d = new File(new File(rootDir, db), "stores.d")
+    Option(d.listFiles()).getOrElse(Array.empty[File])
+      .filter(s => s.isDirectory && !s.getName.startsWith(".")) // skip in-flight build temps
+      .flatMap { s =>
+        val kind = new File(s, "_kind")
+        if (kind.isFile)
+          Some((s.getName, java.nio.file.Files.readString(kind.toPath).trim, dirBytes(s)))
+        else None
+      }.sortBy(_._1).toSeq
+  }
+
+  /** Drop a persisted store (tables-side [[dropTable]]'s sibling).
+    * Also removes marker-less build debris of the same name. */
+  def dropStore(db: String, name: String): Boolean = {
+    val dir = new File(storeDir(db, name))
+    if (dir.exists()) { deleteRecursive(dir.toPath); true } else false
+  }
+
+  private def dirBytes(f: File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[File]).map(dirBytes).sum
+    else f.length()
+
   def listColumns(db: String, table: String): Seq[(String, String)] =
     schema(db, table).map(_.fields.map(f => f.name -> f.dataType.sql).toSeq).getOrElse(Seq.empty)
 

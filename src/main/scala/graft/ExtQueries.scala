@@ -58,6 +58,44 @@ object ExtQueries {
     f.delete(); ()
   }
 
+  /** Boot the full in-process HTTP server over a fresh tenant catalog
+    * seeded with `tables`, POST each analytics call in order as a
+    * tenant, and return the LAST response body — the q161/q167 pattern
+    * factored for the rows that oracle-gate the persisted-store HTTP
+    * surface (index_build + *_indexed probes, curation composites).
+    * Every byte of the returned body crossed a real TCP socket through
+    * the server's auth, JSON decode, tenantTable resolution, operator
+    * planning, and streaming encoder. */
+  private def httpAnalyticsReplay(s: SparkSession, tag: String, d: String,
+                                  tables: Seq[(String, DataFrame)],
+                                  calls: Seq[(String, String)]): String = {
+    val base = s"/tmp/graft_${tag}_${new java.io.File(d).getName}_" +
+      ProcessHandle.current().pid()
+    rmrf(new java.io.File(base))
+    val catalog = new graft.store.TableCatalog(s"$base/tables")
+    tables.foreach { case (n, df) => catalog.append(s, "1", n, df) }
+    val srv = new graft.api.Server(
+      graft.api.ServerConfig(0, Map("k" -> "1"), None, s"$base/fail"),
+      catalog, new graft.store.IngestService(s, catalog),
+      new graft.store.Spool(s"$base/spool", graft.store.SpoolConfig(), _ => ()),
+      new graft.engine.QueryExecutor(s, catalog),
+      new graft.store.MetaStore(base, Set(1L)))
+    val port = srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      calls.map { case (op, body) =>
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://localhost:$port/api/data/analytics/$op?api_key=k"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"analytics/$op: HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+        resp.body()
+      }.last
+    } finally srv.stop()
+  }
+
   /** Stage a DataFrame as ONE parquet file in `inDir` with a controlled
     * mtime — the staging unit of every file-source streaming battery
     * row (mtime order is what makes `maxFilesPerTrigger = 1` batch
@@ -3910,7 +3948,128 @@ object ExtQueries {
           .json(s.createDataset(Seq(body)))
           .orderBy(col("bm25").desc, col("doc_id"))
       },
-      Some(OracleSql.bm25TopKSql(Seq("hash", "join", "dup", "scan"), k = 20))))
+      Some(OracleSql.bm25TopKSql(Seq("hash", "join", "dup", "scan"), k = 20)))),
+
+    // ---- r14: the persisted-store / composite HTTP surface, oracle-
+    // gated end-to-end (VERDICT r13 ask #3). Each row boots the real
+    // server, replays the op over TCP, parses the streamed JSON back,
+    // and hash-checks against the SAME oracle as the corresponding
+    // direct-operator row — pinning the full decode -> store build ->
+    // probe -> encoder path, not just the operator underneath.
+
+    // index_build(kind=bm25) + bm25_indexed vs q140's unchanged oracle:
+    // the store write, partition-pruned posting probe, and quantized
+    // scoring must be byte-faithful to the direct scan op through the
+    // network boundary (indexed stores normalize the id column to `id`;
+    // renamed back so the oracle's column names line up).
+    "q168_http_bm25_indexed" -> ((
+      (s: SparkSession, d: String) => {
+        val body = httpAnalyticsReplay(s, "q168", d,
+          Seq("documents" -> docs(s, d)),
+          Seq(
+            "index_build" ->
+              """{"kind": "bm25", "store": "lexi", "table": "documents",
+                | "id_col": "doc_id", "text_col": "text", "n_parts": 8}""".stripMargin,
+            "bm25_indexed" ->
+              """{"store": "lexi", "query_tokens": ["hash", "join", "dup", "scan"],
+                | "k": 20}""".stripMargin))
+        import s.implicits._
+        s.read.schema("id BIGINT, bm25 DOUBLE")
+          .json(s.createDataset(Seq(body)))
+          .select(col("id").as("doc_id"), col("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+      },
+      Some(OracleSql.bm25TopKSql(Seq("hash", "join", "dup", "scan"), k = 20)))),
+
+    // index_build(kind=minhash) + dedup_near_indexed vs q131's oracle:
+    // probing a store with its own corpus must reproduce the in-memory
+    // candidate pipeline exactly (signatures, band buckets, bucket cap,
+    // agreement scoring) — through HTTP this time.
+    "q169_http_dedup_near_indexed" -> ((
+      (s: SparkSession, d: String) => {
+        val body = httpAnalyticsReplay(s, "q169", d,
+          Seq("documents" -> docs(s, d)),
+          Seq(
+            "index_build" ->
+              """{"kind": "minhash", "store": "mh", "table": "documents",
+                | "id_col": "doc_id", "text_col": "text"}""".stripMargin,
+            "dedup_near_indexed" ->
+              """{"store": "mh", "table": "documents", "id_col": "doc_id",
+                | "text_col": "text", "min_jaccard": 0.5}""".stripMargin))
+        import s.implicits._
+        s.read.schema("id_a BIGINT, id_b BIGINT, est_jaccard DOUBLE")
+          .json(s.createDataset(Seq(body)))
+          .orderBy("id_a", "id_b")
+      },
+      Some(OracleSql.minhashCandidatesSql(
+        numHashes = 32, bands = 8, w = 3, maxBucketSize = 500, threshold = 0.5)))),
+
+    // dedup_apply (MinHash candidates -> threshold -> removeNearDups)
+    // vs the composed oracle: a doc survives iff outside every cluster
+    // or its cluster's minimum id. The extra catalog columns the HTTP
+    // response carries (__row_id) are dropped by the explicit parse
+    // schema — the oracle checks the q80-shaped projection.
+    "q170_http_dedup_apply" -> ((
+      (s: SparkSession, d: String) => {
+        val body = httpAnalyticsReplay(s, "q170", d,
+          Seq("documents" -> docs(s, d)),
+          Seq("dedup_apply" ->
+            """{"table": "documents", "id_col": "doc_id", "text_col": "text",
+              | "threshold": 0.5}""".stripMargin))
+        import s.implicits._
+        s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+          .json(s.createDataset(Seq(body)))
+          .orderBy("doc_id")
+      },
+      Some(OracleSql.minhashRemoveNearDupsSql(
+        numHashes = 32, bands = 8, w = 3, maxBucketSize = 500, threshold = 0.5)))),
+
+    // split (leakage-safe) vs q132's oracle machinery with this row's
+    // salt: per-doc assignments stream back over HTTP, the row
+    // aggregates them exactly as q132 does, and the oracle replays
+    // candidates -> closure -> representative FNV -> cut points.
+    "q171_http_split" -> ((
+      (s: SparkSession, d: String) => {
+        val body = httpAnalyticsReplay(s, "q171", d,
+          Seq("documents" -> docs(s, d)),
+          Seq("split" ->
+            """{"table": "documents", "id_col": "doc_id", "text_col": "text",
+              | "salt": "q171", "threshold": 0.5,
+              | "splits": [{"label": "train", "fraction": 0.8},
+              |            {"label": "val", "fraction": 0.1},
+              |            {"label": "test", "fraction": 0.1}]}""".stripMargin))
+        import s.implicits._
+        s.read.schema("doc_id BIGINT, cluster BIGINT, split STRING")
+          .json(s.createDataset(Seq(body)))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct(col("cluster")).as("n_clusters"),
+               sum(col("doc_id")).cast("long").as("id_sum"))
+          .orderBy("split")
+      },
+      Some(OracleSql.leakageSafeSplitSql(
+        numHashes = 32, bands = 8, w = 3, maxBucketSize = 500, threshold = 0.5,
+        salt = "q171", splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))))),
+
+    // decontaminate vs q76's unchanged oracle: the benchmark lands in
+    // the tenant catalog as its own table (bench_table decode path),
+    // the gram join runs server-side, verdicts stream back over HTTP.
+    "q172_http_decontaminate" -> ((
+      (s: SparkSession, d: String) => {
+        val body = httpAnalyticsReplay(s, "q172", d,
+          Seq("documents" -> docs(s, d),
+              "bench" -> docs(s, d).filter(col("doc_id") % 97 === 0)
+                .select(col("doc_id"), col("text"))),
+          Seq("decontaminate" ->
+            """{"table": "documents", "bench_table": "bench",
+              | "id_col": "doc_id", "text_col": "text",
+              | "width": 5, "min_shared": 1}""".stripMargin))
+        import s.implicits._
+        s.read.schema("doc_id BIGINT, matched BIGINT, contaminated BOOLEAN")
+          .json(s.createDataset(Seq(body)))
+          .orderBy("doc_id")
+      },
+      Some(decontaminateSql)))
   )
 
   def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }

@@ -952,6 +952,31 @@ object OracleSql {
        |SELECT CAST(csize AS BIGINT) AS size, count(*) AS n_clusters
        |FROM cs GROUP BY csize ORDER BY size""".stripMargin
 
+  /** q170 oracle: cleaned corpus after MinHash near-dup removal
+    * (Dedup.minHashCandidates -> threshold -> removeNearDups, the HTTP
+    * dedup_apply composite) — candidates closed transitively
+    * (min-reachable-id, as q61), a doc survives iff it is outside every
+    * cluster or is its cluster's minimum id. */
+  def minhashRemoveNearDupsSql(numHashes: Int, bands: Int, w: Int,
+                               maxBucketSize: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${candidateCtes(numHashes, bands, w, maxBucketSize)},
+       |cand AS (
+       |  SELECT id_a, id_b FROM scored WHERE est_jaccard >= $threshold
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM cand
+       |  UNION SELECT id_b, id_a FROM cand
+       |), reach AS (
+       |  SELECT src AS id, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+       |), memb AS (
+       |  SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
+       |)
+       |SELECT d.doc_id, d.lang, d.n_chars
+       |FROM documents d LEFT JOIN memb m ON d.doc_id = m.id
+       |WHERE m.cluster IS NULL OR m.cluster = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** q132 oracle: leakage-safe split report (Dedup.leakageSafeSplit) —
     * the minhash candidate set thresholded, closed transitively
     * (min-reachable-id, as q61/q70), every doc keyed by its cluster

@@ -356,6 +356,16 @@ object Analytics {
     * running build). */
   private[api] def isBuilding(path: String): Boolean = building.contains(path)
 
+  /** Atomically claim the per-store lock for a NON-build purpose —
+    * DELETE /api/stores holds it across the drop so a build cannot
+    * start mid-delete (and vice versa: a drop racing a planBuild loses
+    * to whichever adds first; the loser answers 409). A bare
+    * isBuilding() check-then-drop would be a TOCTOU window in which an
+    * append-mode build starts writing into the directory the drop is
+    * recursively deleting. Returns false if already held. */
+  private[api] def tryStoreLock(path: String): Boolean = building.add(path)
+  private[api] def releaseStoreLock(path: String): Unit = { building.remove(path); () }
+
   /** A validated, lock-holding index build: `run` executes the store
     * write (eager Spark jobs — the server wraps it in the per-request
     * job group); `release` frees the per-store build lock and MUST be
@@ -410,20 +420,48 @@ object Analytics {
     // (400), not a mid-build runtime fault
     def resolve(cols: String*): Unit =
       df.select(cols.map(c => col(s"`$c`")): _*).schema
+    // appendMeta: the store's persisted `meta` row, read during
+    // PLANNING for mode=append against an existing store. A parameter
+    // mismatch is a caller-shaped error — it must answer a clean 400
+    // BEFORE the 200/chunked headers go out, not explode mid-body
+    // inside build.run() (the write-side `require`s in Dedup stay as a
+    // last-line defence, but the HTTP contract is decided here).
+    // Existence is keyed on the `_kind` marker (written last, so a
+    // marker implies a complete store with a meta table).
+    def appendMeta(): Option[org.apache.spark.sql.Row] =
+      if (mode == "append" && storeKind(path).isDefined)
+        Some(spark.read.parquet(s"$path/meta").head())
+      else None
     // build(target): run the kind's store write into `target`
     val build: String => Unit = kind match {
       case "minhash" =>
         resolve(p.str("id_col"), p.str("text_col"))
+        val (nh, bd, sw, np) = (p.optInt("num_hashes").getOrElse(32),
+          p.optInt("bands").getOrElse(8), p.optInt("shingle_width").getOrElse(3),
+          p.optInt("n_parts").getOrElse(64))
+        // caller-shaped bounds, 400 before headers (the write-side
+        // requires in Dedup/TextExpressions stay as the last line)
+        if (nh < 1 || nh > 512) p.bad(s"num_hashes must be in [1, 512], got $nh")
+        if (bd < 1 || nh % bd != 0) p.bad(s"bands must divide num_hashes, got $bd for $nh")
+        if (np < 1) p.bad(s"n_parts must be >= 1, got $np")
+        appendMeta().foreach { m =>
+          if (m.getInt(0) != nh || m.getInt(1) != bd || m.getInt(2) != sw || m.getInt(3) != np)
+            p.bad(s"minhash store $name was built with (num_hashes, bands, " +
+              s"shingle_width, n_parts) = (${m.getInt(0)}, ${m.getInt(1)}, " +
+              s"${m.getInt(2)}, ${m.getInt(3)}); append used ($nh, $bd, $sw, $np)")
+        }
         t => Dedup.writeMinhashStore(df, p.str("id_col"), p.str("text_col"), t,
-          numHashes = p.optInt("num_hashes").getOrElse(32),
-          bands = p.optInt("bands").getOrElse(8),
-          shingleWidth = p.optInt("shingle_width").getOrElse(3),
-          nParts = p.optInt("n_parts").getOrElse(64),
+          numHashes = nh, bands = bd, shingleWidth = sw, nParts = np,
           mode = if (mode == "append") "append" else "overwrite")
       case "fingerprint" =>
         resolve(p.str("text_col"))
+        val nb = p.optInt("n_buckets").getOrElse(64)
+        appendMeta().foreach { m =>
+          if (m.getInt(0) != nb)
+            p.bad(s"fingerprint store $name has n_buckets=${m.getInt(0)}, append used $nb")
+        }
         t => Dedup.writeFingerprintStore(df, p.str("text_col"), t,
-          nBuckets = p.optInt("n_buckets").getOrElse(64),
+          nBuckets = nb,
           mode = if (mode == "append") "append" else "overwrite")
       case "bm25" =>
         if (mode == "append") appendUnsupported()

@@ -96,8 +96,26 @@ object Main {
   def serverConfigFromEnv(env: Map[String, String], port: Int,
                           apiKey: String): ServerConfig =
     ServerConfig(port, Map(apiKey -> "1"), env.get("GRAFT_ADMIN_KEY"),
-      queryTimeoutSeconds = env.getOrElse("GRAFT_QUERY_TIMEOUT_S", "300").toLong,
-      maxResultBytes = env.getOrElse("GRAFT_MAX_RESULT_BYTES", "0").toLong)
+      queryTimeoutSeconds = envLong(env, "GRAFT_QUERY_TIMEOUT_S", 300L),
+      maxResultBytes = envLong(env, "GRAFT_MAX_RESULT_BYTES", 0L))
+
+  /** A non-negative long env knob. Malformed or negative values fail
+    * startup with an error NAMING the variable — a bare .toLong would
+    * crash with an anonymous NumberFormatException, and a negative
+    * timeout would silently disable the reaper (only > 0 arms it),
+    * turning a typo into an unbounded-query deploy. */
+  private def envLong(env: Map[String, String], name: String, default: Long): Long =
+    env.get(name) match {
+      case None => default
+      case Some(raw) =>
+        val v = try raw.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$name must be a non-negative integer, got '$raw'")
+        }
+        if (v < 0) throw new IllegalArgumentException(
+          s"$name must be >= 0 (0 = unbounded), got $v")
+        v
+    }
 
   def main(args: Array[String]): Unit = {
     val port = sys.env.getOrElse("PORT", "8080").toInt

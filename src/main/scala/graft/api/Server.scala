@@ -129,15 +129,18 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
 
   /** Permissive CORS on every route (reference router.go:74-81 mounts
     * the wildcard cors.Handler globally). The reference pairs
-    * AllowedOrigins ["*"] with AllowCredentials — browsers reject that
-    * literal combination, so the equivalent-but-working form is used:
-    * echo the caller's Origin (any origin allowed) with credentials. */
+    * AllowedOrigins ["*"] with AllowCredentials — browsers REJECT that
+    * literal combination, so its effective behavior is NON-credentialed
+    * wildcard CORS; this matches it: `*` with no Allow-Credentials.
+    * (Echoing the Origin with credentials would be strictly MORE
+    * permissive than upstream — it would let any site make credentialed
+    * requests and read responses on JWT-cookie dashboard routes.) The
+    * API stays safe under `*` because auth is the X-API-KEY header,
+    * which cross-origin JS cannot attach without a preflight we'd
+    * answer but the server still key-checks per request. */
   private def cors(ex: HttpExchange): Unit = {
     val h = ex.getResponseHeaders
-    h.set("Access-Control-Allow-Origin",
-      Option(ex.getRequestHeaders.getFirst("Origin")).getOrElse("*"))
-    h.set("Vary", "Origin")
-    h.set("Access-Control-Allow-Credentials", "true")
+    h.set("Access-Control-Allow-Origin", "*")
     h.set("Access-Control-Allow-Methods", "GET, PUT, POST, DELETE, HEAD, OPTIONS")
     h.set("Access-Control-Allow-Headers",
       "User-Agent, Content-Type, Accept, Accept-Encoding, Accept-Language, " +
@@ -273,12 +276,20 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
       case ("DELETE", List("stores", name)) =>
         ex.setAttribute("graft.route", "/api/stores/{store}")
         if (!safeName(name)) respond(ex, 400, "invalid store name")
-        else if (Analytics.isBuilding(catalog.storeDir(db, name)))
-          respond(ex, 409, s"store $name has a build in progress")
-        else if (catalog.dropStore(db, name))
-          respond(ex, 200, s"""{"store":"${Json.escape(name)}","status":"dropped"}""",
-            "application/json")
-        else respond(ex, 404, "no such store")
+        else {
+          // hold the per-store build lock across the drop: a concurrent
+          // index_build can neither start mid-delete nor lose its
+          // directory mid-build (both sides contend on the same add())
+          val storePath = catalog.storeDir(db, name)
+          if (!Analytics.tryStoreLock(storePath))
+            respond(ex, 409, s"store $name has a build in progress")
+          else try {
+            if (catalog.dropStore(db, name))
+              respond(ex, 200, s"""{"store":"${Json.escape(name)}","status":"dropped"}""",
+                "application/json")
+            else respond(ex, 404, "no such store")
+          } finally Analytics.releaseStoreLock(storePath)
+        }
 
       case ("GET", List("analytics")) =>
         ex.setAttribute("graft.route", "/api/analytics")
@@ -403,10 +414,15 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
     // interruptOnCancel: running tasks are interrupted, not just queued
     // ones — a cancelled group frees its task slots immediately
     sc.setJobGroup(group, s"http request ($group)", interruptOnCancel = true)
+    // AndFutureJobs: the encoder streams via toLocalIterator — one Spark
+    // job per partition batch — so a one-shot cancel landing in the
+    // driver-side gap between jobs would let the next batch run; the
+    // tombstone makes later submissions in this group fail immediately
+    // (per-request UUID group, so it can never hit another request)
     val timer =
       if (config.queryTimeoutSeconds > 0)
         Some(Server.reaper.schedule(new Runnable {
-          def run(): Unit = sc.cancelJobGroup(group)
+          def run(): Unit = sc.cancelJobGroupAndFutureJobs(group)
         }, config.queryTimeoutSeconds, java.util.concurrent.TimeUnit.SECONDS))
       else None
     try {
@@ -430,7 +446,7 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
         // disconnects, over-cap cuts, timeouts, runtime faults: stop the
         // jobs still feeding this response, then cut the connection (a
         // clean 500 is impossible — the 200 header is on the wire)
-        sc.cancelJobGroup(group)
+        sc.cancelJobGroupAndFutureJobs(group)
         try respond(ex, 500, Option(e.getMessage).getOrElse("query failed"))
         catch { case NonFatal(_) => ex.close() }
     } finally {
@@ -472,30 +488,54 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
     val sc = spark.sparkContext
     val group = s"graft-build-${java.util.UUID.randomUUID}"
     sc.setJobGroup(group, s"http index_build ($group)", interruptOnCancel = true)
+    // A build is a SEQUENCE of Spark jobs (bands, sigs, meta writes)
+    // with driver-side gaps between them; plain cancelJobGroup is
+    // one-shot and a cancel landing in a gap would let the next job run
+    // to completion. AndFutureJobs tombstones the group: jobs submitted
+    // after the cancel fail immediately. Group ids are per-request
+    // UUIDs, so the tombstone can never hit a later request.
     val timer =
       if (config.queryTimeoutSeconds > 0)
         Some(Server.reaper.schedule(new Runnable {
-          def run(): Unit = sc.cancelJobGroup(group)
+          def run(): Unit = sc.cancelJobGroupAndFutureJobs(group)
         }, config.queryTimeoutSeconds, java.util.concurrent.TimeUnit.SECONDS))
       else None
     // writes to the response are serialized: heartbeats and the final
     // status row must never interleave mid-byte
     val writeLock = new Object
-    var hb: Option[java.util.concurrent.ScheduledFuture[_]] = None
+    // Heartbeats run on a DEDICATED per-build thread, never on
+    // Server.reaper: out.write blocks for as long as the client's TCP
+    // window stays full, and a blocked reaper would stop every
+    // request's timeout cancellation and every other build's disconnect
+    // detection server-wide. On its own thread, a non-reading client
+    // stalls only this build's heartbeat; the timeout reaper (a
+    // non-blocking cancelJobGroup call) still fires and kills the jobs.
+    val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    var hb: Option[Thread] = None
     try {
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.setAttribute("graft.status", 200)
       ex.sendResponseHeaders(200, 0) // chunked
       val out = ex.getResponseBody
-      hb = Some(Server.reaper.scheduleWithFixedDelay(new Runnable {
-        def run(): Unit = writeLock.synchronized {
-          // a broken pipe here IS the disconnect signal: stop the build
-          try { out.write(' '); out.flush() }
-          catch { case NonFatal(_) => sc.cancelJobGroup(group) }
+      val hbThread = new Thread(() => {
+        while (!hbStop.get) {
+          try Thread.sleep(1000)
+          catch { case _: InterruptedException => hbStop.set(true) }
+          if (!hbStop.get) writeLock.synchronized {
+            // a broken pipe here IS the disconnect signal: stop the build
+            if (!hbStop.get) {
+              try { out.write(' '); out.flush() }
+              catch { case NonFatal(_) =>
+                hbStop.set(true); sc.cancelJobGroupAndFutureJobs(group) }
+            }
+          }
         }
-      }, 1, 1, java.util.concurrent.TimeUnit.SECONDS))
+      }, s"graft-build-heartbeat-$group")
+      hbThread.setDaemon(true)
+      hbThread.start()
+      hb = Some(hbThread)
       val df = build.run()
-      hb.foreach(_.cancel(false))
+      hbStop.set(true); hbThread.interrupt()
       writeLock.synchronized {
         ResultEncoders.writeJson(df, out)
         out.close()
@@ -506,10 +546,10 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
         // timeout cancel, disconnect, or a runtime build fault: stop
         // the build's jobs and cut the connection (headers are on the
         // wire, so a clean status is impossible)
-        sc.cancelJobGroup(group)
+        sc.cancelJobGroupAndFutureJobs(group)
         try ex.close() catch { case NonFatal(_) => () }
     } finally {
-      hb.foreach(_.cancel(false))
+      hbStop.set(true); hb.foreach(_.interrupt())
       timer.foreach(_.cancel(false))
       sc.clearJobGroup()
       build.release()

@@ -428,10 +428,15 @@ final class TableCatalog(rootDir: String) {
     Option(d.listFiles()).getOrElse(Array.empty[File])
       .filter(s => s.isDirectory && !s.getName.startsWith(".")) // skip in-flight build temps
       .flatMap { s =>
-        val kind = new File(s, "_kind")
-        if (kind.isFile)
-          Some((s.getName, java.nio.file.Files.readString(kind.toPath).trim, dirBytes(s)))
-        else None
+        // a concurrent dropStore can delete the marker between the
+        // isFile check and the read — a vanishing entry is skipped,
+        // never a 500 out of GET /api/stores
+        try {
+          val kind = new File(s, "_kind")
+          if (kind.isFile)
+            Some((s.getName, java.nio.file.Files.readString(kind.toPath).trim, dirBytes(s)))
+          else None
+        } catch { case _: java.io.IOException => None }
       }.sortBy(_._1).toSeq
   }
 

@@ -25,10 +25,12 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var server: Server = _
   private var port: Int = 0
   private var failFile: String = _
+  private var serverCatalog: TableCatalog = _
   private val client = HttpClient.newHttpClient()
 
   private def buildServer(): Server = {
     val catalog = new TableCatalog(s"$base/tables")
+    serverCatalog = catalog
     val ingest = new IngestService(spark, catalog)
     val spool = new Spool(s"$base/spool", SpoolConfig(maxRows = 1, rotatePeriodMillis = 100),
       f => ingest.ingestFile(f.getParentFile.getParentFile.getName, f.getParentFile.getName, f))
@@ -54,6 +56,9 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
       .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
       HttpResponse.BodyHandlers.ofString())
+  private def del(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      .DELETE().build(), HttpResponse.BodyHandlers.ofString())
   private def eventually[A](f: => A): A = {
     var last: Throwable = null
     for (_ <- 1 to 50) {
@@ -810,5 +815,201 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.contains("graft_api_requests_total{route=\"/healthcheck\",method=\"GET\",status=\"200\"}"))
     assert(m.contains("graft_api_request_duration_seconds_bucket"))
     assert(m.contains("graft_api_response_size_bytes_total"))
+  }
+
+  test("CORS is wildcard and NON-credentialed; preflight answers 204 (router.go:74-81 effective behavior)") {
+    val pre = client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/api/tables"))
+      .method("OPTIONS", HttpRequest.BodyPublishers.noBody())
+      .header("Origin", "https://anywhere.example")
+      .header("Access-Control-Request-Method", "GET").build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(pre.statusCode() == 204, s"preflight got ${pre.statusCode()}")
+    assert(pre.headers().firstValue("Access-Control-Allow-Origin").orElse("") == "*")
+    // the reference pairs AllowedOrigins ["*"] with AllowCredentials — a
+    // combination browsers REJECT, so upstream's effective surface is
+    // non-credentialed wildcard CORS. Echoing the Origin with
+    // Allow-Credentials: true would be strictly MORE permissive (any
+    // site could make credentialed requests and read cookie-authed
+    // responses); pin that the pair is never sent.
+    assert(pre.headers().firstValue("Access-Control-Allow-Credentials").isEmpty,
+      "Allow-Credentials must never accompany a wildcard origin")
+    assert(pre.headers().firstValue("Access-Control-Allow-Methods").orElse("").contains("DELETE"))
+    assert(pre.headers().firstValue("Access-Control-Allow-Headers").orElse("").contains("X-API-KEY"))
+    // non-preflight responses carry the same headers
+    val r = get("/healthcheck")
+    assert(r.headers().firstValue("Access-Control-Allow-Origin").orElse("") == "*")
+    assert(r.headers().firstValue("Access-Control-Allow-Credentials").isEmpty)
+  }
+
+  test("store management over HTTP: list shows kind+bytes, drop reclaims, tenants isolated") {
+    // the lifecycle test above built mh/fp/lex/pq/aud/lat for tenant 1
+    val ls = get("/api/stores?api_key=key1")
+    assert(ls.statusCode() == 200, ls.body())
+    assert(ls.body().contains(""""name":"mh","kind":"minhash""""), ls.body())
+    assert(ls.body().contains(""""name":"lex","kind":"bm25""""), ls.body())
+    val sizes = """"bytes":(\d+)""".r.findAllMatchIn(ls.body()).map(_.group(1).toLong).toSeq
+    assert(sizes.nonEmpty && sizes.forall(_ > 0), s"store bytes must be real on-disk sizes: $sizes")
+    // tenant 2 sees none of tenant 1's stores — and cannot drop them
+    assert(get("/api/stores?api_key=key2").body() == "[]")
+    assert(del("/api/stores/mh?api_key=key2").statusCode() == 404)
+    assert(get("/api/stores?api_key=key1").body().contains(""""name":"mh""""))
+    // names are safe-name-gated before touching the filesystem
+    assert(del("/api/stores/bad.name?api_key=key1").statusCode() == 400)
+    // drop: 200 once, listing and probes lose it, re-drop 404s
+    val dropped = del("/api/stores/fp?api_key=key1")
+    assert(dropped.statusCode() == 200 && dropped.body().contains(""""status":"dropped""""),
+      dropped.body())
+    assert(!get("/api/stores?api_key=key1").body().contains(""""name":"fp""""))
+    assert(post("/api/data/analytics/dedup_new?api_key=key1",
+      """{"store": "fp", "table": "sbatch", "text_col": "body"}""").statusCode() == 400)
+    assert(del("/api/stores/fp?api_key=key1").statusCode() == 404)
+  }
+
+  // a corpus whose minhash build takes several seconds on local[4] —
+  // the window the guardrail tests below race into. Seeded once, used
+  // by the three tests that follow.
+  private lazy val bigdocsSeeded: Unit = {
+    // 50k docs of ~500 tokens: a 512-hash minhash build over this takes
+    // ~15-20 s on local[4] — the window the guardrail tests race into.
+    // Seeded through the catalog directly (one Spark write): 50k
+    // single-row HTTP inserts would take minutes, and the insert path
+    // has its own tests above.
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val words = (1 to 500).map(i => s"tok$i").mkString(" ")
+    val df = spark.range(1, 50001).select(col("id").as("did"),
+      concat(lit(words + " doc"), col("id").cast("string")).as("body"))
+    // through the SERVER's catalog instance: the tenant view registry is
+    // keyed on its version counter, which append() bumps
+    serverCatalog.append(spark, "1", "bigdocs", df.repartition(4))
+    eventually {
+      assert(get("/api/data/query?api_key=key1&query=" +
+        java.net.URLEncoder.encode("SELECT count(*) AS n FROM bigdocs", "UTF-8"))
+        .body() == """[{"n":50000}]""")
+    }
+  }
+  private def bigBuildBody(store: String): String =
+    s"""{"kind": "minhash", "store": "$store", "table": "bigdocs",
+       | "id_col": "did", "text_col": "body", "num_hashes": 512, "n_parts": 4}""".stripMargin
+
+  test("build lock serializes: concurrent build 409, drop-during-build 409, store intact after") {
+    bigdocsSeeded
+    val storePath = new java.io.File(s"$base/tables/1/stores.d/racy").getAbsolutePath
+    val async = client.sendAsync(HttpRequest.newBuilder(URI.create(
+      s"http://localhost:$port/api/data/analytics/index_build?api_key=key1"))
+      .POST(HttpRequest.BodyPublishers.ofString(bigBuildBody("racy"))).build(),
+      HttpResponse.BodyHandlers.ofString())
+    // tight spin: the lock is held from planning through the last
+    // write, so the first observation lands within milliseconds
+    var sawBuilding = false
+    while (!sawBuilding && !async.isDone) { sawBuilding = Analytics.isBuilding(storePath); Thread.`yield`() }
+    assert(sawBuilding, s"build never observed in flight; path=$storePath")
+    // while the build holds the per-store lock: a second build of the
+    // same store answers a clean 409 ...
+    assert(post("/api/data/analytics/index_build?api_key=key1", bigBuildBody("racy"))
+      .statusCode() == 409)
+    // ... and so does a drop — the directory is never ripped out from
+    // under a running build (the r13 TOCTOU, now closed by holding the
+    // same lock across the drop)
+    assert(del("/api/stores/racy?api_key=key1").statusCode() == 409)
+    val done = async.get(180, java.util.concurrent.TimeUnit.SECONDS)
+    assert(done.statusCode() == 200 && done.body().contains(""""status":"built""""), done.body())
+    // the store swapped in intact and is probable (small probe batch —
+    // probing with the 50k corpus itself would re-sign all of it)
+    assert(get("/api/stores?api_key=key1").body().contains(""""name":"racy""""))
+    post("/api/data/insert/probedocs?api_key=key1",
+      """{"did": 900001, "body": "tok1 tok2 tok3 tok4 tok5 tok6 tok7 tok8"}""")
+    eventually {
+      assert(get("/api/data/query?api_key=key1&query=" +
+        java.net.URLEncoder.encode("SELECT count(*) AS n FROM probedocs", "UTF-8"))
+        .body() == """[{"n":1}]""")
+    }
+    val probe = post("/api/data/analytics/dedup_near_indexed?api_key=key1",
+      """{"store": "racy", "table": "probedocs", "id_col": "did", "text_col": "body"}""")
+    assert(probe.statusCode() == 200, probe.body())
+    // lock released: the drop now succeeds
+    assert(del("/api/stores/racy?api_key=key1").statusCode() == 200)
+  }
+
+  test("build disconnect: a client that hangs up mid-build stops consuming the cluster") {
+    bigdocsSeeded
+    val storePath = new java.io.File(s"$base/tables/1/stores.d/gone").getAbsolutePath
+    // raw socket so we can slam the connection shut after the request
+    // goes out — HttpClient has no mid-response hangup
+    val sock = new java.net.Socket("localhost", port)
+    val body = bigBuildBody("gone")
+    val req = s"POST /api/data/analytics/index_build?api_key=key1 HTTP/1.1\r\n" +
+      s"Host: localhost:$port\r\nContent-Type: application/json\r\n" +
+      s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body"
+    sock.getOutputStream.write(req.getBytes("UTF-8"))
+    sock.getOutputStream.flush()
+    val spinDeadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (!Analytics.isBuilding(storePath) && System.nanoTime() < spinDeadline) Thread.`yield`()
+    assert(Analytics.isBuilding(storePath), "build did not start")
+    sock.close() // hang up while the build runs
+    // the 1 s heartbeat hits the dead socket, cancels the job group,
+    // and the build lock releases well before the build could finish
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (Analytics.isBuilding(storePath) && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(!Analytics.isBuilding(storePath), "build still running 30 s after disconnect")
+    // no store materialized: the overwrite tmp was deleted, nothing swapped in
+    assert(!get("/api/stores?api_key=key1").body().contains(""""name":"gone""""),
+      "a cancelled build must not leave a probable store")
+    // the engine is healthy for the next request
+    val after = get("/api/data/query?api_key=key1&query=" +
+      java.net.URLEncoder.encode("SELECT count(*) AS n FROM bigdocs", "UTF-8"))
+    assert(after.statusCode() == 200 && after.body() == """[{"n":50000}]""", after.body())
+  }
+
+  test("build timeout: an over-budget index_build is cancelled at queryTimeoutSeconds") {
+    // dedicated server so the 1 s budget doesn't perturb other tests;
+    // it shares the spark context and the same catalog root, so the
+    // bigdocs fixture is visible without re-seeding
+    bigdocsSeeded
+    val catalog = new TableCatalog(s"$base/tables")
+    val ingest = new IngestService(spark, catalog)
+    val spool = new Spool(s"$base/spool-bto", SpoolConfig(maxRows = 1, rotatePeriodMillis = 100),
+      f => ingest.ingestFile(f.getParentFile.getParentFile.getName, f.getParentFile.getName, f))
+    val srv = new Server(
+      ServerConfig(0, Map("key1" -> "1"), None, s"$base/unhealthy-bto",
+        queryTimeoutSeconds = 1),
+      catalog, ingest, spool, new QueryExecutor(spark, catalog),
+      new MetaStore(Files.createTempDirectory("graft-api-bto").toString, Set(1L)))
+    val bport = srv.start()
+    try {
+      val t0 = System.nanoTime()
+      val r = try {
+        val resp = client.send(HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$bport/api/data/analytics/index_build?api_key=key1"))
+          .POST(HttpRequest.BodyPublishers.ofString(bigBuildBody("slowpoke"))).build(),
+          HttpResponse.BodyHandlers.ofString())
+        // headers went out 200 before the reaper fired; the cut body
+        // must not contain the completion row
+        !resp.body().contains(""""status":"built"""")
+      } catch { case _: java.io.IOException => true }
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(r, "the over-budget build ran to a successful completion")
+      assert(secs < 60.0, f"build cancellation took $secs%.1f s — the reaper didn't bite")
+      // nothing swapped in; the engine answers the next request
+      assert(!get("/api/stores?api_key=key1").body().contains(""""name":"slowpoke""""))
+      val after = get("/api/data/query?api_key=key1&query=" +
+        java.net.URLEncoder.encode("SELECT count(*) AS n FROM bigdocs", "UTF-8"))
+      assert(after.statusCode() == 200 && after.body() == """[{"n":50000}]""", after.body())
+    } finally srv.stop()
+  }
+
+  test("serverConfigFromEnv: knobs parse; malformed or negative values fail startup naming the var") {
+    val cfg = Main.serverConfigFromEnv(
+      Map("GRAFT_QUERY_TIMEOUT_S" -> "7", "GRAFT_MAX_RESULT_BYTES" -> "1024"), 0, "k")
+    assert(cfg.queryTimeoutSeconds == 7 && cfg.maxResultBytes == 1024)
+    val defaults = Main.serverConfigFromEnv(Map.empty, 0, "k")
+    assert(defaults.queryTimeoutSeconds == 300 && defaults.maxResultBytes == 0)
+    val bad = intercept[IllegalArgumentException](
+      Main.serverConfigFromEnv(Map("GRAFT_QUERY_TIMEOUT_S" -> "soon"), 0, "k"))
+    assert(bad.getMessage.contains("GRAFT_QUERY_TIMEOUT_S"))
+    // a negative timeout would silently disable the reaper (> 0 arms it)
+    val neg = intercept[IllegalArgumentException](
+      Main.serverConfigFromEnv(Map("GRAFT_MAX_RESULT_BYTES" -> "-1"), 0, "k"))
+    assert(neg.getMessage.contains("GRAFT_MAX_RESULT_BYTES"))
   }
 }

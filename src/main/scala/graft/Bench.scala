@@ -13,6 +13,12 @@ final class BenchListener extends SparkListener {
   val executorCpuTimeMs = new AtomicLong(0)
   val tasks = new AtomicLong(0)
   val shuffleWriteBytes = new AtomicLong(0)
+  // spill counters: nonzero means the run crossed out of the in-RAM
+  // regime — the scale receipts (PLANS.md) pair these with the
+  // shuffle-linearity check to show the shapes hold when memory is
+  // the constraint, not just when everything fits
+  val memorySpilledBytes = new AtomicLong(0)
+  val diskSpilledBytes = new AtomicLong(0)
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
     val m = taskEnd.taskMetrics
     if (m != null) {
@@ -22,21 +28,23 @@ final class BenchListener extends SparkListener {
       // write side only: every shuffled byte is written exactly once
       // (reads double-count local+remote and re-count AQE re-reads)
       shuffleWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      memorySpilledBytes.addAndGet(m.memoryBytesSpilled)
+      diskSpilledBytes.addAndGet(m.diskBytesSpilled)
       tasks.incrementAndGet()
     }
   }
   /** Quiesce timeouts seen so far — nonzero means some query's metrics
     * may include a straggler's tail (reported in the bench JSON). */
   val quiesceTimeouts = new AtomicLong(0)
-  def snapshot: (Long, Long, Long, Long, Long) =
+  def snapshot: (Long, Long, Long, Long, Long, Long, Long) =
     (executorRunTimeMs.get, jvmGcTimeMs.get, executorCpuTimeMs.get, tasks.get,
-      shuffleWriteBytes.get)
+      shuffleWriteBytes.get, memorySpilledBytes.get, diskSpilledBytes.get)
   /** Listener events are posted asynchronously; poll until the counters
     * go quiet so each query's delta is attributed to that query.
     * Bounded: leaked async activity (a job still finishing after a
     * swallowed per-query failure) must not hang the whole battery — on
     * timeout return the latest snapshot and count it as approximate. */
-  def quiesce(maxWaitMs: Long = 3000): (Long, Long, Long, Long, Long) = {
+  def quiesce(maxWaitMs: Long = 3000): (Long, Long, Long, Long, Long, Long, Long) = {
     val deadline = System.nanoTime() + maxWaitMs * 1000000L
     var prev = snapshot
     var stable = 0
@@ -97,7 +105,8 @@ object Bench {
       val delta = name -> (wall,
         after._1 - baseline._1, after._2 - baseline._2,
         after._3 - baseline._3, after._4 - baseline._4,
-        after._5 - baseline._5)
+        after._5 - baseline._5, after._6 - baseline._6,
+        after._7 - baseline._7)
       baseline = after
       delta
     }
@@ -106,8 +115,8 @@ object Bench {
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v._1))
     }.mkString("{", ",", "}")
-    val ms = results.map { case (k, (_, run, gc, cpu, n, shuf)) =>
-      s"\"$k\":{\"executorRunTimeMs\":$run,\"jvmGcTimeMs\":$gc,\"executorCpuTimeMs\":$cpu,\"tasks\":$n,\"shuffleWriteBytes\":$shuf}"
+    val ms = results.map { case (k, (_, run, gc, cpu, n, shuf, memSp, diskSp)) =>
+      s"\"$k\":{\"executorRunTimeMs\":$run,\"jvmGcTimeMs\":$gc,\"executorCpuTimeMs\":$cpu,\"tasks\":$n,\"shuffleWriteBytes\":$shuf,\"memorySpilledBytes\":$memSp,\"diskSpilledBytes\":$diskSp}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // Compact short-key maps for the truncation-surviving tail: the
@@ -125,7 +134,7 @@ object Bench {
     // it eats the sub-second queries' entries first — the heavies (the
     // only ones perf disputes are ever about) sit at the very end
     val byWall = results.toSeq.sortBy(_._2._1)
-    def compact(sel: ((Double, Long, Long, Long, Long, Long)) => Double,
+    def compact(sel: ((Double, Long, Long, Long, Long, Long, Long, Long)) => Double,
                 minWall: Double = 0.0): String =
       byWall.filter(_._2._1 >= minWall).map { case (k, v) =>
         "\"" + shortKey(k) + "\":" +

@@ -92,12 +92,17 @@ object Main {
     *   GRAFT_MAX_RESULT_BYTES  per-response byte cap; past it the
     *                           stream is cut and the feeding jobs
     *                           cancelled (default 0 = unbounded)
+    *   GRAFT_MAX_STORE_BYTES   per-tenant persisted-store disk quota;
+    *                           at/over it index_build answers 413
+    *                           before any Spark job (default 0 =
+    *                           unbounded)
     */
   def serverConfigFromEnv(env: Map[String, String], port: Int,
                           apiKey: String): ServerConfig =
     ServerConfig(port, Map(apiKey -> "1"), env.get("GRAFT_ADMIN_KEY"),
       queryTimeoutSeconds = envLong(env, "GRAFT_QUERY_TIMEOUT_S", 300L),
-      maxResultBytes = envLong(env, "GRAFT_MAX_RESULT_BYTES", 0L))
+      maxResultBytes = envLong(env, "GRAFT_MAX_RESULT_BYTES", 0L),
+      maxStoreBytes = envLong(env, "GRAFT_MAX_STORE_BYTES", 0L))
 
   /** A non-negative long env knob. Malformed or negative values fail
     * startup with an error NAMING the variable — a bare .toLong would

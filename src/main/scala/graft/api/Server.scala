@@ -30,7 +30,13 @@ final case class ServerConfig(
       * unbounded): past it the stream is cut and the feeding jobs
       * cancelled — a `SELECT * FROM a CROSS JOIN b` cannot stream
       * unboundedly out of the shared JVM. */
-    maxResultBytes: Long = 0)
+    maxResultBytes: Long = 0,
+    /** Per-tenant persisted-store disk quota in bytes (0 = unbounded),
+      * enforced at index_build PLANNING time: a tenant already at the
+      * quota gets a clean 413 before any Spark job runs. An overwrite
+      * rebuild of an existing store does not count that store's current
+      * bytes (the rebuild replaces them); appends do. */
+    maxStoreBytes: Long = 0)
 
 /** HTTP surface of the engine — the reference's chi router rebuilt on the
   * JDK's HttpServer (routes: /root/reference/pkg/api/router.go:52-66).
@@ -255,9 +261,28 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
                 s"invalid store name: $name")
               catalog.storeDir(db, name)
             }
-            if (op == "index_build")
-              runBuild(ex, session)(Analytics.planBuild(session, tableOf, storeOf, n))
-            else
+            if (op == "index_build") {
+              // quota gate BEFORE any planning/Spark work: listStores is
+              // a directory walk, and a 413 here costs the cluster
+              // nothing. Overwrite rebuilds exclude the target store's
+              // current bytes — the rebuild replaces them.
+              val overQuota = config.maxStoreBytes > 0 && {
+                val target = Option(n.get("store")).filter(_.isTextual)
+                  .map(_.asText).getOrElse("")
+                val append = Option(n.get("mode")).filter(_.isTextual)
+                  .exists(_.asText.equalsIgnoreCase("append"))
+                val used = catalog.listStores(db)
+                  .filter { case (nm, _, _) => append || nm != target }
+                  .map(_._3).sum
+                used >= config.maxStoreBytes
+              }
+              if (overQuota)
+                respond(ex, 413, s"store quota exceeded " +
+                  s"(limit ${config.maxStoreBytes} bytes); drop stores via " +
+                  "DELETE /api/stores/{name} or rebuild with mode=overwrite")
+              else
+                runBuild(ex, session)(Analytics.planBuild(session, tableOf, storeOf, n))
+            } else
               streamPlanned(ex, p.getOrElse("format", ""))(
                 Analytics.plan(session, tableOf, storeOf, op, n))
           case _ => respond(ex, 400, "Invalid request body")

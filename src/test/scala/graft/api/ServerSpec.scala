@@ -1000,10 +1000,13 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("serverConfigFromEnv: knobs parse; malformed or negative values fail startup naming the var") {
     val cfg = Main.serverConfigFromEnv(
-      Map("GRAFT_QUERY_TIMEOUT_S" -> "7", "GRAFT_MAX_RESULT_BYTES" -> "1024"), 0, "k")
-    assert(cfg.queryTimeoutSeconds == 7 && cfg.maxResultBytes == 1024)
+      Map("GRAFT_QUERY_TIMEOUT_S" -> "7", "GRAFT_MAX_RESULT_BYTES" -> "1024",
+          "GRAFT_MAX_STORE_BYTES" -> "4096"), 0, "k")
+    assert(cfg.queryTimeoutSeconds == 7 && cfg.maxResultBytes == 1024 &&
+      cfg.maxStoreBytes == 4096)
     val defaults = Main.serverConfigFromEnv(Map.empty, 0, "k")
-    assert(defaults.queryTimeoutSeconds == 300 && defaults.maxResultBytes == 0)
+    assert(defaults.queryTimeoutSeconds == 300 && defaults.maxResultBytes == 0 &&
+      defaults.maxStoreBytes == 0)
     val bad = intercept[IllegalArgumentException](
       Main.serverConfigFromEnv(Map("GRAFT_QUERY_TIMEOUT_S" -> "soon"), 0, "k"))
     assert(bad.getMessage.contains("GRAFT_QUERY_TIMEOUT_S"))
@@ -1011,5 +1014,51 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val neg = intercept[IllegalArgumentException](
       Main.serverConfigFromEnv(Map("GRAFT_MAX_RESULT_BYTES" -> "-1"), 0, "k"))
     assert(neg.getMessage.contains("GRAFT_MAX_RESULT_BYTES"))
+  }
+
+  test("store quota: an over-quota index_build answers 413 before any Spark job") {
+    val qbase = Files.createTempDirectory("graft-api-quota").toString
+    val catalog = new TableCatalog(s"$qbase/tables")
+    val ingest = new IngestService(spark, catalog)
+    val spool = new Spool(s"$qbase/spool", SpoolConfig(maxRows = 1, rotatePeriodMillis = 100),
+      f => ingest.ingestFile(f.getParentFile.getParentFile.getName, f.getParentFile.getName, f))
+    val srv = new Server(
+      ServerConfig(0, Map("qkey" -> "1"), None, s"$qbase/unhealthy",
+        maxStoreBytes = 1), // any existing store puts the tenant over
+      catalog, ingest, spool, new QueryExecutor(spark, catalog), new MetaStore(qbase, Set(1L)))
+    val qport = srv.start()
+    try {
+      def qpost(path: String, body: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$qport$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      qpost("/api/data/insert/qdocs?api_key=qkey", """{"did": 1, "body": "alpha beta gamma"}""")
+      eventually {
+        assert(client.send(HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$qport/api/data/query?api_key=qkey&query=" +
+            java.net.URLEncoder.encode("SELECT count(*) AS n FROM qdocs", "UTF-8")))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+          .body() == """[{"n":1}]""")
+      }
+      val buildBody =
+        """{"kind": "fingerprint", "store": "fq", "table": "qdocs",
+          | "text_col": "body", "n_buckets": 2}""".stripMargin
+      // first build: used bytes 0 < quota, allowed
+      assert(qpost("/api/data/analytics/index_build?api_key=qkey", buildBody)
+        .statusCode() == 200)
+      // a SECOND store now exceeds the quota — 413 before planning
+      val denied = qpost("/api/data/analytics/index_build?api_key=qkey",
+        buildBody.replace("\"fq\"", "\"fq2\""))
+      assert(denied.statusCode() == 413, s"${denied.statusCode()} ${denied.body()}")
+      assert(denied.body().contains("store quota"), denied.body())
+      // an overwrite REBUILD of the existing store stays allowed (its
+      // current bytes don't count — the rebuild replaces them) ...
+      assert(qpost("/api/data/analytics/index_build?api_key=qkey", buildBody)
+        .statusCode() == 200)
+      // ... but an append to it counts them: 413
+      assert(qpost("/api/data/analytics/index_build?api_key=qkey",
+        buildBody.replace(""""table"""", """"mode": "append", "table""""))
+        .statusCode() == 413)
+    } finally srv.stop()
   }
 }

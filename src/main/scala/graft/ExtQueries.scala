@@ -3992,7 +3992,7 @@ object ExtQueries {
           Seq(
             "index_build" ->
               """{"kind": "minhash", "store": "mh", "table": "documents",
-                | "id_col": "doc_id", "text_col": "text"}""".stripMargin,
+                | "id_col": "doc_id", "text_col": "text", "n_parts": 8}""".stripMargin,
             "dedup_near_indexed" ->
               """{"store": "mh", "table": "documents", "id_col": "doc_id",
                 | "text_col": "text", "min_jaccard": 0.5}""".stripMargin))

@@ -3,7 +3,7 @@ package graft
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, EventAnalytics, SimilaritySearch, TextAnalysis}
 import graft.multimodal.Multimodal
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 
@@ -2024,10 +2024,13 @@ object ExtQueries {
     // uniqState/uniqMerge, Spark-native): one sketch per (day,
     // event_type) written to a part-partitioned store, then distinct
     // users per type estimated by UNIONING the stored sketches — no
-    // event re-scan. DataSketches HLL has no DuckDB twin, so like q35
-    // this is a rows-only battery row; the strong checks live in
-    // SketchStoreSpec (merged-parts == global-sketch EXACT equality,
-    // estimate within rsd of exact, append idempotence).
+    // event re-scan. DataSketches HLL has no DuckDB twin, so the raw
+    // estimate can't hash-match; the row instead joins the merged-store
+    // estimate back to the EXACT distinct count and emits the exact
+    // side plus a within-corridor boolean (lgK=12 ⇒ rsd ≈ 1.6%; 3×rsd
+    // ⇒ 0.05 corridor) — DuckDB replays count(DISTINCT) + `true`. The
+    // strong structural checks stay in SketchStoreSpec (merged-parts ==
+    // global-sketch EXACT equality, append idempotence).
     "q111_sketch_store" -> ((
       (s: SparkSession, d: String) => {
         val dir = s"/tmp/graft_sketches_${new java.io.File(d).getName}"
@@ -2039,10 +2042,19 @@ object ExtQueries {
         val ev = events(s, d)
         graft.store.SketchStore.writeDistinctSketches(ev, Seq("event_type"), "user_id",
           dir, date_format(col("ts"), "yyyy-MM-dd"))
-        graft.store.SketchStore.estimateDistinct(s, dir, Seq("event_type"))
+        val est = graft.store.SketchStore.estimateDistinct(s, dir, Seq("event_type"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        exact.join(broadcast(est), Seq("event_type"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("approx_distinct").cast("double") /
+                 col("exact_users").cast("double") - 1.0) <= 0.05)
+              .as("within_corridor"))
           .orderBy("event_type")
       },
-      None)),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             |       true AS within_corridor
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))),
 
     // As-of FORWARD: each click gets the EARLIEST error of the same
     // user at or after it (pandas merge_asof direction='forward';
@@ -3722,10 +3734,17 @@ object ExtQueries {
     // readKllQuantiles): the fixed-size RANK-error sibling of the
     // equi-width histogram store (q148/q160) for wide-range keys where
     // O(occupied bins) state breaks down. Two parts split by event_id
-    // parity merge by sketch union. Rows-only BY DESIGN (q35/q111
-    // discipline): KLL compaction is randomized, so byte-level replay
-    // is impossible — the spec pins the contracts instead (3% rank
-    // corridor, n EXACT across any part split, all-null keys absent).
+    // parity merge by sketch union. KLL compaction is randomized, so
+    // the quantile VALUES can't hash-match a replay — instead the row
+    // re-ranks each estimate against the raw values and emits n (exact
+    // by the sketch contract) plus per-quantile rank-corridor booleans:
+    // rank_lt(v)/n − ε ≤ p ≤ rank_le(v)/n + ε with ε = 0.03 (the
+    // spec's corridor for k=200, theoretical ≈ 0.02). DuckDB replays
+    // count(value) + literal `true`s — a sketch outside its corridor
+    // flips a boolean and fails the hash. The corridor join broadcasts
+    // the per-key quantile row over one corpus scan; at 100 TB the
+    // probe side stays KB-sized and the scan is the same single pass
+    // any audit of a sketch store must pay.
     "q162_kll_quantile_store" -> ((
       (s: SparkSession, d: String) => {
         val store = s"/tmp/graft_q162_${new java.io.File(d).getName}_" +
@@ -3736,11 +3755,27 @@ object ExtQueries {
           ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "value", store)
         graft.store.MergeStore.writeKllPart(
           ev.filter(col("event_id") % 2 === 1), Seq("event_type"), "value", store)
-        graft.store.MergeStore.readKllQuantiles(s, store, Seq("event_type"),
-            Seq(0.5, 0.95))
+        val q = graft.store.MergeStore.readKllQuantiles(s, store, Seq("event_type"),
+          Seq(0.5, 0.95))
+        val eps = 0.03
+        def corridorOk(p: Double, qc: String): Column = {
+          val v = col(qc).cast("double")
+          val n = count(lit(1)).cast("double")
+          val fracLt = (sum(when(col("value") < v, 1L).otherwise(0L)) / n)
+          val fracLe = (sum(when(col("value") <= v, 1L).otherwise(0L)) / n)
+          (fracLt - lit(eps) <= lit(p)) && (lit(p) <= fracLe + lit(eps))
+        }
+        ev.filter(col("value").isNotNull)
+          .join(broadcast(q), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(max(col("n_rows")).as("n_rows"),
+               corridorOk(0.5, "p50").as("p50_ok"),
+               corridorOk(0.95, "p95").as("p95_ok"))
           .orderBy("event_type")
       },
-      None)),
+      Some("""SELECT event_type, count(value) AS n_rows,
+             |       true AS p50_ok, true AS p95_ok
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))),
 
     // Theta-sketch audience overlap (ThetaSketchAgg + set-op
     // estimates): the set-OPERATION side of approximate distinct

@@ -641,16 +641,28 @@ object Queries {
              |       quantile_cont(l_quantity, 0.9) AS p90_qty
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))),
 
-    // Approx distinct (HLL++): engines' sketches differ by design — no
-    // SQL oracle; the driver's rows-only check applies. Accuracy is
-    // pinned separately: OperatorsSpec asserts the sketch within 3x its
-    // documented rsd of the exact count.
+    // Approx distinct (HLL++): engines' sketches differ by design, so
+    // the raw estimate can never hash-match a DuckDB replay. Instead
+    // the row emits the EXACT count (computed in the same aggregate)
+    // plus a within-corridor boolean — |est/exact − 1| ≤ 3×rsd (default
+    // rsd 0.05 → 0.15) — which the oracle replays as count(DISTINCT)
+    // and a literal `true`. The randomized internals stay covered (a
+    // sketch outside its corridor flips the boolean and fails the
+    // hash), while the gate reads hash-PASS. OperatorsSpec additionally
+    // pins the estimate against the rsd directly.
     "q35_approx_distinct" -> ((
       (s: SparkSession, d: String) =>
         t(s, d, "events").groupBy(col("event_type"))
-          .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+               countDistinct(col("user_id")).as("exact_users"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("approx_users").cast("double") /
+                 col("exact_users").cast("double") - 1.0) <= 0.15)
+              .as("within_corridor"))
           .orderBy("event_type"),
-      None)),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             |       true AS within_corridor
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))),
 
     // PIVOT (DuckDB dialect exposes it; Spark's relational pivot lowers
     // to a single two-phase aggregate — one shuffle, no per-column scan).

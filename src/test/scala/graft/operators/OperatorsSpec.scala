@@ -644,9 +644,9 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("approx_count_distinct (q35's sketch) stays inside 3x its documented rsd vs exact") {
-    // the q35 battery row is rows-only because HLL sketches differ
-    // across engines BY DESIGN; this pins the Spark sketch's accuracy
-    // against the exact count so "rows-only" is not "unchecked".
+    // the q35 battery row hash-gates a within-corridor boolean (the
+    // raw HLL estimate differs across engines BY DESIGN); this pins
+    // the Spark sketch's accuracy against the exact count directly.
     // approx_count_distinct is deterministic for fixed input, so the
     // bound is a hard assertion, not a flaky statistical one.
     import spark.implicits._

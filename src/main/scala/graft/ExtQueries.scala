@@ -93,7 +93,12 @@ object ExtQueries {
           s"analytics/$op: HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
         resp.body()
       }.last
-    } finally srv.stop()
+    } finally {
+      srv.stop()
+      // reclaim the catalog/spool/store scratch: the pid suffix means a
+      // rerun from a new process would otherwise accumulate dead trees
+      rmrf(new java.io.File(base))
+    }
   }
 
   /** Stage a DataFrame as ONE parquet file in `inDir` with a controlled
@@ -4107,6 +4112,378 @@ object ExtQueries {
       Some(decontaminateSql)))
   )
 
-  def queries: Map[String, Q] = defs.map { case (k, (q, _)) => k -> q }
-  def oracles: Map[String, String] = defs.collect { case (k, (_, Some(o))) => k -> o }
+  // ---- r15: the REMAINING HTTP analytics catalog, oracle-gated
+  // (VERDICT r14 ask #3). One row per op that had ServerSpec coverage
+  // but no CORRECTNESS row through TCP. Each boots the real server,
+  // replays the op over HTTP with the SAME parameters as the direct-
+  // operator battery row, parses the streamed JSON body back (explicit
+  // schema — extra response columns are simply not selected), and
+  // hash-checks against that row's oracle, referenced from `defs` so
+  // the two can never silently diverge. Timestamp columns crossing the
+  // JSON boundary are all date_trunc'd buckets (whole seconds), so the
+  // encoder's millisecond JSON format is lossless; they parse back via
+  // Spark CAST from the STRING field.
+  val httpDefs: ListMap[String, (Q, Option[String])] = ListMap(
+
+    // retention over HTTP vs q95's oracle (cohort DATEs round-trip as
+    // ISO strings).
+    "q173_http_retention" -> ((
+      (s: SparkSession, d: String) => {
+        val body = httpAnalyticsReplay(s, "q173", d,
+          Seq("events" -> events(s, d)),
+          Seq("retention" ->
+            """{"table": "events", "user_col": "user_id", "ts_col": "ts"}"""))
+        import s.implicits._
+        s.read.schema("cohort_week DATE, week_offset BIGINT, active_users BIGINT")
+          .json(s.createDataset(Seq(body)))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some(defs("q95_retention_cohorts")._2.get))),
+
+    // top_paths over HTTP vs q121's oracle.
+    "q174_http_top_paths" -> ((
+      (s: SparkSession, d: String) => {
+        val body = httpAnalyticsReplay(s, "q174", d,
+          Seq("events" -> events(s, d)),
+          Seq("top_paths" ->
+            """{"table": "events", "user_col": "user_id", "ts_col": "ts",
+              | "tie_col": "event_id", "type_col": "event_type",
+              | "path_len": 8, "k": 10}""".stripMargin))
+        import s.implicits._
+        s.read.schema("path STRING, path_len BIGINT, n_users BIGINT")
+          .json(s.createDataset(Seq(body)))
+          .orderBy(col("n_users").desc, col("path"))
+      },
+      Some(defs("q121_top_paths")._2.get))),
+
+    // transitions over HTTP vs q120's oracle.
+    "q175_http_transitions" -> ((
+      (s: SparkSession, d: String) => {
+        val body = httpAnalyticsReplay(s, "q175", d,
+          Seq("events" -> events(s, d)),
+          Seq("transitions" ->
+            """{"table": "events", "user_col": "user_id", "ts_col": "ts",
+              | "tie_col": "event_id", "type_col": "event_type"}""".stripMargin))
+        import s.implicits._
+        s.read.schema("from_type STRING, to_type STRING, n_transitions BIGINT")
+          .json(s.createDataset(Seq(body)))
+          .orderBy("from_type", "to_type")
+      },
+      Some(defs("q120_transition_matrix")._2.get))),
+
+    // ohlc over HTTP vs q125's oracle: hour buckets are whole seconds,
+    // so the JSON timestamp round-trip is exact (parsed back via CAST).
+    "q176_http_ohlc" -> ((
+      (s: SparkSession, d: String) => {
+        val body = httpAnalyticsReplay(s, "q176", d,
+          Seq("events" -> events(s, d)),
+          Seq("ohlc" ->
+            """{"table": "events", "ts_col": "ts", "tie_col": "event_id",
+              | "key_col": "event_type", "value_col": "value",
+              | "bucket": "hour"}""".stripMargin))
+        import s.implicits._
+        s.read.schema("bucket STRING, event_type STRING, open DOUBLE, " +
+            "close DOUBLE, low DOUBLE, high DOUBLE, n BIGINT")
+          .json(s.createDataset(Seq(body)))
+          .withColumn("bucket", col("bucket").cast("timestamp"))
+          .orderBy("bucket", "event_type")
+      },
+      Some(defs("q125_ohlc_downsample")._2.get))),
+
+    // anomalies over HTTP vs q127's oracle (same trailing/z params).
+    "q177_http_anomalies" -> ((
+      (s: SparkSession, d: String) => {
+        val body = httpAnalyticsReplay(s, "q177", d,
+          Seq("events" -> events(s, d)),
+          Seq("anomalies" ->
+            """{"table": "events", "ts_col": "ts", "key_col": "event_type",
+              | "bucket": "hour", "trailing": 24, "z_threshold": 2.0}""".stripMargin))
+        import s.implicits._
+        s.read.schema("event_type STRING, bucket STRING, n BIGINT, zscore DOUBLE")
+          .json(s.createDataset(Seq(body)))
+          .withColumn("bucket", col("bucket").cast("timestamp"))
+          .orderBy("event_type", "bucket")
+      },
+      Some(defs("q127_anomalies")._2.get))),
+
+    // growth_accounting over HTTP vs q157's oracle.
+    "q178_http_growth_accounting" -> ((
+      (s: SparkSession, d: String) => {
+        val body = httpAnalyticsReplay(s, "q178", d,
+          Seq("events" -> events(s, d)),
+          Seq("growth_accounting" ->
+            """{"table": "events", "user_col": "user_id", "ts_col": "ts"}"""))
+        import s.implicits._
+        s.read.schema("week STRING, active BIGINT, n_new BIGINT, " +
+            "n_retained BIGINT, n_resurrected BIGINT, n_churned BIGINT")
+          .json(s.createDataset(Seq(body)))
+          .withColumn("week", col("week").cast("timestamp"))
+          .orderBy("week")
+      },
+      Some(defs("q157_growth_accounting")._2.get))),
+
+    // dedup_exact over HTTP vs q41's oracle (keep-min-id per hash).
+    "q179_http_dedup_exact" -> ((
+      (s: SparkSession, d: String) => {
+        val body = httpAnalyticsReplay(s, "q179", d,
+          Seq("documents" -> docs(s, d)),
+          Seq("dedup_exact" ->
+            """{"table": "documents", "text_col": "text", "id_col": "doc_id"}"""))
+        import s.implicits._
+        s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+          .json(s.createDataset(Seq(body)))
+          .orderBy("doc_id")
+      },
+      Some(defs("q41_dedup_exact_rows")._2.get))),
+
+    // dedup_near SCAN mode (no store) vs the q169/q131 candidate
+    // oracle — same defaults, same threshold.
+    "q180_http_dedup_near" -> ((
+      (s: SparkSession, d: String) => {
+        val body = httpAnalyticsReplay(s, "q180", d,
+          Seq("documents" -> docs(s, d)),
+          Seq("dedup_near" ->
+            """{"table": "documents", "id_col": "doc_id", "text_col": "text",
+              | "min_jaccard": 0.5}""".stripMargin))
+        import s.implicits._
+        s.read.schema("id_a BIGINT, id_b BIGINT, est_jaccard DOUBLE")
+          .json(s.createDataset(Seq(body)))
+          .orderBy("id_a", "id_b")
+      },
+      Some(OracleSql.minhashCandidatesSql(
+        numHashes = 32, bands = 8, w = 3, maxBucketSize = 500, threshold = 0.5)))),
+
+    // ann mode=exact over HTTP vs q50's brute-force oracle. The query
+    // vector (vec_id 0's embedding) serializes via Float.toString —
+    // shortest decimal form, which Jackson's double parse widens back
+    // to the identical float.
+    "q181_http_ann_exact" -> ((
+      (s: SparkSession, d: String) => {
+        val vec = queryVec(s, d).mkString("[", ", ", "]")
+        val body = httpAnalyticsReplay(s, "q181", d,
+          Seq("embeddings" -> embs(s, d)),
+          Seq("ann" ->
+            s"""{"table": "embeddings", "mode": "exact", "id_col": "vec_id",
+               | "vec_col": "embedding", "k": 10, "query_vector": $vec}""".stripMargin))
+        import s.implicits._
+        s.read.schema("vec_id BIGINT, cosine DOUBLE")
+          .json(s.createDataset(Seq(body)))
+          .orderBy(col("cosine").desc, col("vec_id"))
+      },
+      Some(defs("q50_ann_bruteforce")._2.get))),
+
+    // ann mode=lsh over HTTP vs q51's deterministic LSH oracle.
+    "q182_http_ann_lsh" -> ((
+      (s: SparkSession, d: String) => {
+        val vec = queryVec(s, d).mkString("[", ", ", "]")
+        val body = httpAnalyticsReplay(s, "q182", d,
+          Seq("embeddings" -> embs(s, d)),
+          Seq("ann" ->
+            s"""{"table": "embeddings", "mode": "lsh", "id_col": "vec_id",
+               | "vec_col": "embedding", "k": 10, "query_vector": $vec}""".stripMargin))
+        import s.implicits._
+        s.read.schema("vec_id BIGINT, cosine DOUBLE")
+          .json(s.createDataset(Seq(body)))
+          .orderBy(col("cosine").desc, col("vec_id"))
+      },
+      Some(OracleSql.annLshSql(k = 10)))),
+
+    // index_build(kind=ivfpq) + ann_indexed vs q99's oracle: n_probe =
+    // n_cells probes every cell, so the pruned indexed path must equal
+    // the in-memory pqTopK the oracle replays — through the store
+    // write, directory pruning, and ADC scoring, over HTTP.
+    "q183_http_ann_indexed" -> ((
+      (s: SparkSession, d: String) => {
+        val vec = queryVec(s, d).mkString("[", ", ", "]")
+        val body = httpAnalyticsReplay(s, "q183", d,
+          Seq("embeddings" -> embs(s, d)),
+          Seq(
+            "index_build" ->
+              """{"kind": "ivfpq", "store": "vx", "table": "embeddings",
+                | "id_col": "vec_id", "vec_col": "embedding",
+                | "n_cells": 16, "n_codes": 16, "m": 4}""".stripMargin,
+            "ann_indexed" ->
+              s"""{"store": "vx", "id_col": "vec_id", "k": 10, "n_probe": 16,
+                 | "query_vector": $vec}""".stripMargin))
+        import s.implicits._
+        s.read.schema("vec_id BIGINT, adc_cosine DOUBLE")
+          .json(s.createDataset(Seq(body)))
+          .orderBy(col("adc_cosine").desc, col("vec_id"))
+      },
+      Some(OracleSql.pqTopKSql(k = 10, nCodes = 16, m = 4)))),
+
+    // expectations over HTTP vs q126's oracle — all six rule shapes,
+    // incl. the foreign_key probe resolving a SECOND tenant table.
+    "q184_http_expectations" -> ((
+      (s: SparkSession, d: String) => {
+        val body = httpAnalyticsReplay(s, "q184", d,
+          Seq("lineitem" -> s.read.parquet(s"$d/lineitem.parquet"),
+              "orders" -> s.read.parquet(s"$d/orders.parquet")),
+          Seq("expectations" ->
+            """{"table": "lineitem", "rules": [
+              |  {"type": "not_null", "col": "l_orderkey"},
+              |  {"type": "in_range", "col": "l_quantity", "lo": 1, "hi": 25},
+              |  {"type": "matches", "col": "l_returnflag", "regex": "^[ANR]$"},
+              |  {"type": "unique", "cols": ["l_orderkey", "l_linenumber"]},
+              |  {"type": "foreign_key", "col": "l_orderkey",
+              |   "dim_table": "orders", "dim_col": "o_orderkey"}
+              |]}""".stripMargin))
+        import s.implicits._
+        s.read.schema("rule STRING, violations BIGINT, passed BOOLEAN")
+          .json(s.createDataset(Seq(body)))
+          .orderBy("rule")
+      },
+      Some("""SELECT rule, violations, violations = 0 AS passed FROM (
+             |SELECT 'not_null:l_orderkey' AS rule,
+             |       CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS violations
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'in_range:l_quantity',
+             |       CAST(count(*) FILTER (WHERE l_quantity IS NOT NULL
+             |             AND NOT (l_quantity >= 1 AND l_quantity <= 25)) AS BIGINT)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'matches:l_returnflag',
+             |       CAST(count(*) FILTER (WHERE l_returnflag IS NOT NULL
+             |             AND NOT regexp_matches(l_returnflag, '^[ANR]$')) AS BIGINT)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'unique:l_orderkey,l_linenumber',
+             |       CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+             |FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+             |WHERE c > 1
+             |UNION ALL
+             |SELECT 'foreign_key:l_orderkey',
+             |       CAST(count(*) AS BIGINT)
+             |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             |  ON l.l_orderkey = o.o_orderkey
+             |WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+             |) ORDER BY rule""".stripMargin))),
+
+    // hot_keys over HTTP vs q109's oracle.
+    "q185_http_hot_keys" -> ((
+      (s: SparkSession, d: String) => {
+        val body = httpAnalyticsReplay(s, "q185", d,
+          Seq("events" -> events(s, d)),
+          Seq("hot_keys" ->
+            """{"table": "events", "keys": ["user_id"], "k": 20}"""))
+        import s.implicits._
+        s.read.schema("user_id BIGINT, n BIGINT, share DOUBLE, skew DOUBLE")
+          .json(s.createDataset(Seq(body)))
+          .orderBy(col("n").desc, col("user_id"))
+      },
+      Some(defs("q109_hot_keys")._2.get))),
+
+    // audience_overlap (theta set-ops, scan mode) over HTTP: the q163
+    // populations seeded as a (user, segment) tenant table; exact
+    // regime (distinct users per side < 2^lgK), so the raw double
+    // estimates are the exact integer counts and the oracle replays
+    // them as CAST(count AS DOUBLE).
+    "q186_http_audience_overlap" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d)
+        val seg = ev.filter(
+            (col("event_type") === "purchase" && col("value") > 150) ||
+            (col("event_type") === "error" && col("value") < 50))
+          .select(col("user_id"), col("event_type").as("segment"))
+        val body = httpAnalyticsReplay(s, "q186", d,
+          Seq("segments" -> seg),
+          Seq("audience_overlap" ->
+            """{"table": "segments", "user_col": "user_id",
+              | "segment_col": "segment", "a": "purchase", "b": "error"}""".stripMargin))
+        import s.implicits._
+        s.read.schema("n_a DOUBLE, n_b DOUBLE, n_both DOUBLE, " +
+            "n_a_only DOUBLE, n_union DOUBLE")
+          .json(s.createDataset(Seq(body)))
+      },
+      Some("""WITH a AS (
+             |  SELECT DISTINCT user_id FROM events
+             |  WHERE event_type = 'purchase' AND value > 150
+             |), b AS (
+             |  SELECT DISTINCT user_id FROM events
+             |  WHERE event_type = 'error' AND value < 50
+             |)
+             |SELECT
+             |  CAST((SELECT count(*) FROM a) AS DOUBLE) AS n_a,
+             |  CAST((SELECT count(*) FROM b) AS DOUBLE) AS n_b,
+             |  CAST((SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS DOUBLE) AS n_both,
+             |  CAST((SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b)) AS DOUBLE) AS n_a_only,
+             |  CAST((SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS DOUBLE) AS n_union""".stripMargin))),
+
+    // text_quality (readability report) over HTTP vs q165's oracle —
+    // the response carries every annotate() column; the parse schema
+    // selects the readability subset the oracle replays.
+    "q187_http_text_quality" -> ((
+      (s: SparkSession, d: String) => {
+        val body = httpAnalyticsReplay(s, "q187", d,
+          Seq("documents" -> docs(s, d)),
+          Seq("text_quality" ->
+            """{"table": "documents", "text_col": "text"}"""))
+        import s.implicits._
+        s.read.schema("doc_id BIGINT, n_words BIGINT, n_sentences BIGINT, " +
+            "n_syllables BIGINT, fk_grade DOUBLE, fre_score DOUBLE")
+          .json(s.createDataset(Seq(body)))
+          .orderBy("doc_id")
+      },
+      Some(defs("q165_readability")._2.get))),
+
+    // sample (deterministic hash membership) over HTTP — the q66
+    // HUGEINT FNV replay with this row's salt prefix and a single
+    // fraction (0.25 → bucket < 2500).
+    "q188_http_sample" -> ((
+      (s: SparkSession, d: String) => {
+        val body = httpAnalyticsReplay(s, "q188", d,
+          Seq("documents" -> docs(s, d)),
+          Seq("sample" ->
+            """{"table": "documents", "id_col": "doc_id",
+              | "fraction": 0.25, "salt": "q188"}""".stripMargin))
+        import s.implicits._
+        s.read.schema("doc_id BIGINT, lang STRING")
+          .json(s.createDataset(Seq(body)))
+          .orderBy("doc_id")
+      },
+      Some("""WITH hx AS (
+             |  SELECT doc_id, lang, hex(encode('q188' || CAST(doc_id AS VARCHAR))) AS hx FROM documents
+             |), fp AS (
+             |  SELECT doc_id, lang, list_reduce(
+             |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |      list_transform(range(1, len(hx) // 2 + 1), i ->
+             |        CAST((strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+             |           + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1) AS HUGEINT))),
+             |    (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT) * 1099511628211)
+             |              % CAST('18446744073709551616' AS HUGEINT)
+             |  ) AS f
+             |  FROM hx
+             |), signed AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN f >= CAST('9223372036854775808' AS HUGEINT)
+             |         THEN CAST(f - CAST('18446744073709551616' AS HUGEINT) AS BIGINT)
+             |         ELSE CAST(f AS BIGINT) END AS fp
+             |  FROM fp
+             |)
+             |SELECT doc_id, lang FROM signed
+             |WHERE ((fp % 10000) + 10000) % 10000 < 2500
+             |ORDER BY doc_id""".stripMargin))),
+
+    // chunk over HTTP vs q77's oracle (same size/overlap).
+    "q189_http_chunk" -> ((
+      (s: SparkSession, d: String) => {
+        val body = httpAnalyticsReplay(s, "q189", d,
+          Seq("documents" -> docs(s, d)),
+          Seq("chunk" ->
+            """{"table": "documents", "text_col": "text", "id_col": "doc_id",
+              | "chunk_size": 32, "overlap": 8}""".stripMargin))
+        import s.implicits._
+        s.read.schema("doc_id BIGINT, chunk_idx BIGINT, chunk_text STRING, " +
+            "n_chunk_tokens BIGINT")
+          .json(s.createDataset(Seq(body)))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(defs("q77_chunk_docs")._2.get)))
+  )
+
+  def queries: Map[String, Q] =
+    (defs ++ httpDefs).map { case (k, (q, _)) => k -> q }
+  def oracles: Map[String, String] =
+    (defs ++ httpDefs).collect { case (k, (_, Some(o))) => k -> o }
 }

@@ -30,8 +30,30 @@ import graft.store._
   * filename is the catalog batch-dir idempotency key (a re-ingest
   * overwrites the dead worker's partial batch dir, never duplicates
   * it). Final receipt: `rows` equals nBatches×rowsPerBatch exactly.
+  *
+  * Blob store + claim queue come from the SAME env contract the
+  * production boot uses ([[graft.api.Main.storesFromEnv]]) — so the
+  * object-store deployment (GRAFT_BLOB_TYPE=hadoop over any FileSystem
+  * URI, GRAFT_CLAIM_QUEUE=cas-s3: conditional-write claims; reference
+  * class: S3 blobstore + SQS queue, pkg/storage/blobstore/s3 +
+  * pkg/storage/queue/sqs) runs the identical kill+steal receipt with
+  * zero harness code changes. Defaults reproduce the shared-POSIX
+  * deployment: local blobs under `<shared>/blobs`, file leases under
+  * `<shared>/leases`, 3 s TTL.
   */
 object SeamWorker {
+  /** Env-selected stores, defaulted to the shared-directory layout the
+    * local receipt uses; real env vars override (cas-s3 claims, hadoop
+    * blob URIs — see Main.storesFromEnv's key list). */
+  private def stores(shared: String,
+                     hadoopConf: => org.apache.hadoop.conf.Configuration)
+      : (BlobStore, ClaimQueue) =
+    graft.api.Main.storesFromEnv(
+      Map("GRAFT_BLOB_ROOT" -> s"$shared/blobs",
+          "GRAFT_CLAIM_QUEUE" -> s"file-lease:$shared/leases",
+          "GRAFT_LEASE_TTL_MS" -> "3000") ++ sys.env,
+      shared, hadoopConf)
+
   def main(args: Array[String]): Unit = {
     val role = args(0)
     val shared = args(1)
@@ -39,7 +61,10 @@ object SeamWorker {
       case "produce" =>
         val nBatches = args(2).toInt
         val rowsPerBatch = args(3).toInt
-        val store = new LocalBlobStore(s"$shared/blobs")
+        // the producer owns no SparkSession: a plain Hadoop conf serves
+        // the hadoop/s3 blob scheme (by-name — local never builds it)
+        val (store, _) = stores(shared,
+          new org.apache.hadoop.conf.Configuration())
         val spool = new Spool(
           s"$shared/spool-${ProcessHandle.current().pid()}",
           SpoolConfig(maxRows = rowsPerBatch, maxAgeSeconds = 3600,
@@ -72,8 +97,7 @@ object SeamWorker {
         spark.sparkContext.setLogLevel("ERROR")
         val catalog = new TableCatalog(s"$shared/tables")
         val ingest = new IngestService(spark, catalog)
-        val store = new LocalBlobStore(s"$shared/blobs")
-        val claims = new FileLeaseQueue(s"$shared/leases", leaseTtlMillis = 3000)
+        val (store, claims) = stores(shared, spark.sparkContext.hadoopConfiguration)
         val up = new Uploader(store, (db, table, f) => {
           println(s"CLAIMED ${f.getName} by $tag"); Console.flush()
           if (sleepMs > 0) Thread.sleep(sleepMs)

@@ -366,6 +366,43 @@ object Analytics {
   private[api] def tryStoreLock(path: String): Boolean = building.add(path)
   private[api] def releaseStoreLock(path: String): Unit = { building.remove(path); () }
 
+  /** Probe-vs-drop coordination (two-phase, race-free): probes hold a
+    * READ COUNT on every store path their plan resolves — from planning
+    * through the end of the streamed body, because the parquet scan
+    * happens lazily during encoding — and DELETE refuses (409) while
+    * readers are present. The interleavings close because each side
+    * declares first and checks second: a probe increments its count,
+    * THEN checks `dropping`; a drop adds itself to `dropping`, THEN
+    * checks the count. Whichever declared second sees the other and
+    * backs off, so a drop can never delete parquet files out from
+    * under a streaming scan (the pre-r15 behavior was a cut stream).
+    * Probes deliberately do NOT respect the build lock: overwrite
+    * rebuilds swap atomically and append-mode stores are readable
+    * mid-append, so probe-during-build is safe and wanted. */
+  private val dropping =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val readCounts = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]()
+  private[api] def acquireStoreRead(path: String): Unit = {
+    readCounts.computeIfAbsent(path,
+      _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+    if (dropping.contains(path)) {
+      releaseStoreRead(path)
+      throw new ConflictException(
+        s"store is being dropped; retry after the DELETE completes")
+    }
+  }
+  private[api] def releaseStoreRead(path: String): Unit = {
+    val c = readCounts.get(path)
+    if (c != null) { c.decrementAndGet(); () }
+  }
+  private[api] def beginDrop(path: String): Boolean = {
+    dropping.add(path)
+    val busy = Option(readCounts.get(path)).exists(_.get > 0)
+    if (busy) { dropping.remove(path); false } else true
+  }
+  private[api] def endDrop(path: String): Unit = { dropping.remove(path); () }
+
   /** A validated, lock-holding index build: `run` executes the store
     * write (eager Spark jobs — the server wraps it in the per-request
     * job group); `release` frees the per-store build lock and MUST be

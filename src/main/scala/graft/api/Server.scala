@@ -90,8 +90,15 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
     server.getAddress.getPort
   }
 
-  def stop(): Unit = {
-    server.stop(0)
+  /** Graceful shutdown with drain: `HttpServer.stop(delay)` stops
+    * accepting, then waits up to `drainSeconds` for in-flight exchange
+    * handlers before closing their TCP connections — so a streamed
+    * query caught mid-body completes instead of being cut (the
+    * reference drains for 30 minutes, api.go:96; the scale differs,
+    * the semantics match). An idle server stops immediately — the
+    * delay is a bound, not a sleep. */
+  def stop(drainSeconds: Int = 30): Unit = {
+    server.stop(drainSeconds)
     handlerPool.shutdown()
   }
 
@@ -280,11 +287,36 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
                 respond(ex, 413, s"store quota exceeded " +
                   s"(limit ${config.maxStoreBytes} bytes); drop stores via " +
                   "DELETE /api/stores/{name} or rebuild with mode=overwrite")
-              else
+              else {
                 runBuild(ex, session)(Analytics.planBuild(session, tableOf, storeOf, n))
-            } else
-              streamPlanned(ex, p.getOrElse("format", ""))(
-                Analytics.plan(session, tableOf, storeOf, op, n))
+                // the gate above is advisory check-then-act (two
+                // concurrent builds can both pass, and an overwrite
+                // rebuild transiently holds old store + tmp sibling →
+                // ~2x peak); this post-build re-check makes an
+                // over-quota landing visible instead of silent
+                if (config.maxStoreBytes > 0) {
+                  val used = catalog.listStores(db).map(_._3).sum
+                  if (used > config.maxStoreBytes)
+                    System.err.println(s"[graft] tenant $db store usage $used " +
+                      s"bytes exceeds quota ${config.maxStoreBytes} after build " +
+                      "(advisory gate; next index_build will 413)")
+                }
+              }
+            } else {
+              // read-guard every store the probe's plan resolves, for
+              // the full streamed life of the request (the parquet scan
+              // happens during encoding) — DELETE 409s while held
+              val touched = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+              val guardedStoreOf = (name: String) => {
+                val path = storeOf(name)
+                Analytics.acquireStoreRead(path)
+                touched.add(path)
+                path
+              }
+              try streamPlanned(ex, p.getOrElse("format", ""))(
+                Analytics.plan(session, tableOf, guardedStoreOf, op, n))
+              finally touched.forEach(path => Analytics.releaseStoreRead(path))
+            }
           case _ => respond(ex, 400, "Invalid request body")
         }
 
@@ -309,10 +341,18 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
           if (!Analytics.tryStoreLock(storePath))
             respond(ex, 409, s"store $name has a build in progress")
           else try {
-            if (catalog.dropStore(db, name))
-              respond(ex, 200, s"""{"store":"${Json.escape(name)}","status":"dropped"}""",
-                "application/json")
-            else respond(ex, 404, "no such store")
+            // two-phase vs in-flight probes: declare the drop, then
+            // check readers (probes declare their read, then check for
+            // a drop) — whichever is second backs off, so the rm -rf
+            // can never race a streaming parquet scan
+            if (!Analytics.beginDrop(storePath))
+              respond(ex, 409, s"store $name has probes in flight")
+            else try {
+              if (catalog.dropStore(db, name))
+                respond(ex, 200, s"""{"store":"${Json.escape(name)}","status":"dropped"}""",
+                  "application/json")
+              else respond(ex, 404, "no such store")
+            } finally Analytics.endDrop(storePath)
           } finally Analytics.releaseStoreLock(storePath)
         }
 
@@ -425,6 +465,8 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
       d.schema // force analysis NOW: resolution errors must 400 before headers
       d
     } catch {
+      case e: Analytics.ConflictException =>
+        respond(ex, 409, e.getMessage); return
       case e: QueryRejectedException =>
         respond(ex, 400, e.getMessage); return
       case e: org.apache.spark.sql.AnalysisException =>
@@ -498,20 +540,13 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
     * heartbeat whitespace is legal JSON but not legal CSV. */
   private def runBuild(ex: HttpExchange, spark: org.apache.spark.sql.SparkSession)
                       (mk: => Analytics.Build): Unit = {
-    val build = try mk catch {
-      case e: Analytics.ConflictException =>
-        respond(ex, 409, e.getMessage); return
-      case e: QueryRejectedException =>
-        respond(ex, 400, e.getMessage); return
-      case e: org.apache.spark.sql.AnalysisException =>
-        respond(ex, 400, e.getMessage); return
-      case e: IllegalArgumentException =>
-        respond(ex, 400, Option(e.getMessage).getOrElse("invalid parameters")); return
-      case NonFatal(e) =>
-        respond(ex, 500, Option(e.getMessage).getOrElse("planning failed")); return
-    }
     val sc = spark.sparkContext
     val group = s"graft-build-${java.util.UUID.randomUUID}"
+    // The job group goes on BEFORE planning, not just execution:
+    // append-mode validation reads the store's one-row meta table — a
+    // real (milliseconds-scale) Spark job — and outside a group it
+    // would be uncancellable driver-blocking work. Under the group,
+    // the timeout reaper bounds validation and execution alike.
     sc.setJobGroup(group, s"http index_build ($group)", interruptOnCancel = true)
     // A build is a SEQUENCE of Spark jobs (bands, sigs, meta writes)
     // with driver-side gaps between them; plain cancelJobGroup is
@@ -522,9 +557,37 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
     val timer =
       if (config.queryTimeoutSeconds > 0)
         Some(Server.reaper.schedule(new Runnable {
-          def run(): Unit = sc.cancelJobGroupAndFutureJobs(group)
+          def run(): Unit = {
+            sc.cancelJobGroupAndFutureJobs(group)
+            // a heartbeat wedged in out.write() on a stalled-but-
+            // connected client is not interruptible (blocking socket
+            // write); closing the exchange is what unblocks it, so a
+            // wedged build response is bounded by the query timeout
+            // instead of the OS TCP timeout
+            try ex.close() catch { case NonFatal(_) => () }
+          }
         }, config.queryTimeoutSeconds, java.util.concurrent.TimeUnit.SECONDS))
       else None
+    def failPlan(code: Int, msg: String): Unit = {
+      timer.foreach(_.cancel(false))
+      sc.clearJobGroup()
+      // if the timeout reaper already closed the exchange (timeout
+      // DURING validation), the clean status is gone — close quietly
+      try respond(ex, code, msg)
+      catch { case NonFatal(_) => try ex.close() catch { case NonFatal(_) => () } }
+    }
+    val build = try mk catch {
+      case e: Analytics.ConflictException =>
+        failPlan(409, e.getMessage); return
+      case e: QueryRejectedException =>
+        failPlan(400, e.getMessage); return
+      case e: org.apache.spark.sql.AnalysisException =>
+        failPlan(400, e.getMessage); return
+      case e: IllegalArgumentException =>
+        failPlan(400, Option(e.getMessage).getOrElse("invalid parameters")); return
+      case NonFatal(e) =>
+        failPlan(500, Option(e.getMessage).getOrElse("planning failed")); return
+    }
     // writes to the response are serialized: heartbeats and the final
     // status row must never interleave mid-byte
     val writeLock = new Object

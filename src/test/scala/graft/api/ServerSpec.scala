@@ -1061,4 +1061,73 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
         .statusCode() == 413)
     } finally srv.stop()
   }
+
+  test("probe-vs-drop: DELETE 409s while a probe holds a read guard; probes 409 mid-drop") {
+    // dedicated store so no other test depends on its lifecycle
+    assert(post("/api/data/analytics/index_build?api_key=key1",
+      """{"kind": "fingerprint", "store": "dropguard", "table": "sbatch",
+        | "text_col": "body", "n_buckets": 2}""".stripMargin).statusCode() == 200)
+    val path = serverCatalog.storeDir("1", "dropguard")
+    // a streaming probe's read guard is held from planning to the end
+    // of the body; simulate one in flight
+    Analytics.acquireStoreRead(path)
+    try {
+      val denied = del("/api/stores/dropguard?api_key=key1")
+      assert(denied.statusCode() == 409, s"${denied.statusCode()} ${denied.body()}")
+      assert(denied.body().contains("probes in flight"), denied.body())
+      // the store must still answer probes after the refused drop
+      assert(post("/api/data/analytics/dedup_new?api_key=key1",
+        """{"store": "dropguard", "table": "sbatch", "text_col": "body"}""")
+        .statusCode() == 200)
+    } finally Analytics.releaseStoreRead(path)
+    // the probe side of the two-phase protocol: a probe arriving while
+    // a drop is declared backs off with 409 instead of racing the rm
+    Analytics.beginDrop(path)
+    try {
+      val probeDenied = post("/api/data/analytics/dedup_new?api_key=key1",
+        """{"store": "dropguard", "table": "sbatch", "text_col": "body"}""")
+      assert(probeDenied.statusCode() == 409, s"${probeDenied.statusCode()} ${probeDenied.body()}")
+    } finally Analytics.endDrop(path)
+    // with neither guard held, the drop completes
+    assert(del("/api/stores/dropguard?api_key=key1").statusCode() == 200)
+  }
+
+  test("graceful stop drains: an in-flight streamed query completes; new connections are refused") {
+    bigdocsSeeded
+    // dedicated server instance — stopping the suite's shared one would
+    // strand every later test
+    val srv = buildServer()
+    val p2 = srv.start()
+    // Deterministic in-flight window, no race on query speed: stream a
+    // ~10 MB body (50k rows x 200-char prefix) and DON'T read it — the
+    // bytes back up in the client/OS socket buffers until the server's
+    // encoder blocks mid-body. stop() then lands while the exchange is
+    // provably alive.
+    val q = java.net.URLEncoder.encode(
+      "SELECT substr(body, 1, 200) AS b FROM bigdocs", "UTF-8")
+    val resp = client.send(HttpRequest.newBuilder(URI.create(
+      s"http://localhost:$p2/api/data/query?api_key=key1&query=$q")).GET().build(),
+      HttpResponse.BodyHandlers.ofInputStream())
+    assert(resp.statusCode() == 200)
+    val stopper = new Thread(() => srv.stop())
+    stopper.start()
+    Thread.sleep(500)
+    assert(stopper.isAlive,
+      "stop() returned while a streamed response was still in flight — the drain is gone")
+    // now consume: the drain must let the blocked exchange COMPLETE
+    // byte-faithfully instead of cutting the connection
+    val body = new String(resp.body().readAllBytes(), "UTF-8")
+    assert(body.startsWith("[{") && body.endsWith("}]"), body.take(80))
+    assert("\"b\":".r.findAllIn(body).size == 50000, s"truncated body: ${body.length} bytes")
+    stopper.join(60000)
+    assert(!stopper.isAlive, "stop() still blocked after the exchange drained")
+    // stopped means stopped: the listener is closed for new work
+    val refused = try {
+      client.send(HttpRequest.newBuilder(URI.create(
+        s"http://localhost:$p2/api/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      false
+    } catch { case _: java.io.IOException => true }
+    assert(refused, "a stopped server accepted a new connection")
+  }
 }

@@ -49,20 +49,22 @@ class SeamSpec extends AnyFunSuite {
   private def text(f: File): String =
     if (f.exists()) new String(Files.readAllBytes(f.toPath), "UTF-8") else ""
 
-  test("kill -9 mid-batch: lease expires, second process steals, effect is exactly-once") {
-    val shared = Files.createTempDirectory("graft-seam").toString
+  /** The full produce → doom → kill -9 → steal → drain receipt, over
+    * whatever blob store / claim queue `extraEnv` selects (SeamWorker
+    * defaults to local blobs + file leases when it selects nothing). */
+  private def killStealReceipt(shared: String, extraEnv: Map[String, String]): Unit = {
     val logs = new File(shared, "logs"); logs.mkdirs()
 
     // 1. produce 4 batches x 50 rows (no Spark in that JVM)
     val prodLog = new File(logs, "produce.log")
-    val prod = worker(prodLog, Map.empty, "produce", shared, "4", "50")
+    val prod = worker(prodLog, extraEnv, "produce", shared, "4", "50")
     assert(prod.waitFor() == 0, s"producer failed: ${text(prodLog)}")
     assert(text(prodLog).contains("PRODUCED batches=4 rows=200"), text(prodLog))
 
     // 2. doomed consumer: 60 s sleep inside its first batch — killed
     //    far inside the CLAIMED..INGESTED window
     val doomedLog = new File(logs, "doomed.log")
-    val doomed = worker(doomedLog, Map("SEAM_SLEEP_MS" -> "60000"),
+    val doomed = worker(doomedLog, extraEnv + ("SEAM_SLEEP_MS" -> "60000"),
       "consume", shared, "doomed")
     assert(waitFor(120000)(text(doomedLog).contains("CLAIMED")),
       s"doomed consumer never claimed a batch: ${text(doomedLog)}")
@@ -75,7 +77,7 @@ class SeamSpec extends AnyFunSuite {
     // 3. survivor drains everything, including the orphaned batch
     //    (3 s lease TTL expires, tryClaim steals)
     val survLog = new File(logs, "survivor.log")
-    val surv = worker(survLog, Map.empty, "consume", shared, "survivor")
+    val surv = worker(survLog, extraEnv, "consume", shared, "survivor")
     assert(waitFor(180000)(
       "INGESTED".r.findAllIn(text(survLog)).size >= 4),
       s"survivor did not drain 4 batches: ${text(survLog)}\n${text(new File(logs, "survivor.log.err")).takeRight(500)}")
@@ -86,5 +88,35 @@ class SeamSpec extends AnyFunSuite {
       s"the orphaned batch $claimedFile must be stolen and ingested: $out")
     assert(out.contains("DONE survivor rows=200"),
       s"exactly-once effect: 4x50 rows, no loss, no duplication: $out")
+  }
+
+  test("kill -9 mid-batch: lease expires, second process steals, effect is exactly-once") {
+    killStealReceipt(Files.createTempDirectory("graft-seam").toString, Map.empty)
+  }
+
+  test("same receipt on the object-store deployment: hadoop blob URI + S3 conditional-write claims") {
+    // The reference's cloud shape (S3 blobstore + SQS claim queue,
+    // pkg/storage/blobstore/s3 + pkg/storage/queue/sqs): blobs behind a
+    // Hadoop FileSystem URI, claims behind S3 conditional writes. The
+    // fake S3 lives in THIS spec JVM and verifies every worker
+    // request's SigV4 signature over real TCP — so the claim state
+    // (like real S3) survives the doomed worker's kill -9, and the
+    // survivor's steal is a genuine cross-process conditional-write
+    // race, not shared-memory bookkeeping.
+    val fake = new FakeS3("AKSEAM", "seamsecret", "eu-central-1")
+    try {
+      val shared = Files.createTempDirectory("graft-seam-s3").toString
+      killStealReceipt(shared, Map(
+        "GRAFT_BLOB_TYPE" -> "hadoop",
+        "GRAFT_BLOB_URI" -> s"file://$shared/blobs",
+        "GRAFT_CLAIM_QUEUE" -> "cas-s3:graft-seam/claims",
+        "GRAFT_BLOB_ENDPOINT" -> fake.endpoint,
+        "GRAFT_BLOB_REGION" -> "eu-central-1",
+        "GRAFT_BLOB_ACCESS_KEY_ID" -> "AKSEAM",
+        "GRAFT_BLOB_SECRET_ACCESS_KEY" -> "seamsecret",
+        "GRAFT_LEASE_TTL_MS" -> "3000"))
+      assert(fake.keys.isEmpty,
+        s"every claim must be released after its batch lands: ${fake.keys}")
+    } finally fake.stop()
   }
 }

@@ -215,8 +215,44 @@ object Dedup {
     var prev = stats(edges)
     var iter = 0
     var converged = prev._1 == 0L
-    var ccPeak = pairs.sparkSession.sparkContext.getPersistentRDDs.size
-    // the RDD backing the current round's localCheckpoint (None for the
+    val sc = pairs.sparkSession.sparkContext
+    var ccPeak = sc.getPersistentRDDs.size
+    // Lineage truncation, executor-loss tolerance keyed on the
+    // session's checkpoint dir. `localCheckpoint` blocks live ONLY on
+    // executors and their lineage is CUT — on a real cluster, where
+    // executor loss is routine (spot reclaim, OOM kill), losing one
+    // mid-loop makes the next round fail UNRECOVERABLY (no blocks, no
+    // lineage to recompute; found by the LocalClusterSpec chaos
+    // receipt). So: with a checkpoint dir set (any production
+    // deployment — HDFS/S3), rounds checkpoint RELIABLY to shared
+    // storage and the loop survives any executor loss; without one
+    // (single-node, tests, the battery), localCheckpoint keeps the
+    // zero-file fast path. The edge set is ids-only and shrinking, so
+    // the per-round file write is noise next to the round's shuffles —
+    // and the backing RDD is persisted first so the post-action
+    // checkpoint write reads cached blocks instead of re-running the
+    // round (the doc-recommended persist-before-checkpoint pattern).
+    val reliable = sc.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (!reliable) df.localCheckpoint(false)
+      else {
+        val ck = df.checkpoint(eager = false)
+        org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(ck)
+          .foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+        ck
+      }
+    // releasing a superseded round means its cached blocks AND (in
+    // reliable mode) its checkpoint files — safe once the next round
+    // is materialized, exactly the existing unpersist invariant
+    def releaseCkpt(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+      rdd.unpersist(false)
+      if (reliable) rdd.getCheckpointFile.foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        try { path.getFileSystem(sc.hadoopConfiguration).delete(path, true); () }
+        catch { case _: java.io.IOException => () } // best-effort cleanup
+      }
+    }
+    // the RDD backing the current round's checkpoint (None for the
     // round-0 persisted frame) — see the release comment below
     var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     // both star steps are "per-node neighborhood min, broadcast back to
@@ -258,10 +294,10 @@ object Dedup {
             .otherwise(array().cast(edgeArr)))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
         .distinct()
-      // lazy localCheckpoint: the stats aggregate below is the action
-      // that materializes it, truncating the ~12x-per-round lineage fan
+      // lazy truncation: the stats aggregate below is the action that
+      // materializes it, cutting the ~12x-per-round lineage fan
       // (see the scaladoc — every-Nth checkpointing OOMs the analyzer)
-      val next = next0.localCheckpoint(false)
+      val next = truncate(next0)
       // the aggregate materializes `next`; only now is the prior cache
       // dead. Fixpoint (count + order-free hash sum unchanged) = the
       // edge set is the star set rooted at component minima.
@@ -277,7 +313,7 @@ object Dedup {
       // the loop holds O(rounds) edge-set copies until a GC lets the
       // ContextCleaner catch up (found by the ccPeakCaches receipt).
       edges.unpersist()
-      prevCkpt.foreach(_.unpersist(false))
+      prevCkpt.foreach(releaseCkpt)
       prevCkpt = org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(next)
       edges = next
       converged = cur == prev
@@ -297,11 +333,18 @@ object Dedup {
     val roots = edges.select(col("v").as("id")).distinct()
       .join(memb.select(col("id")), Seq("id"), "left_anti")
       .withColumn("cluster", col("id"))
-    // eager checkpoint materializes result BEFORE the final edge set is
-    // released (result's lineage reads edges until then)
-    val result = memb.union(roots).localCheckpoint()
+    // materialize result BEFORE the final edge set is released (its
+    // lineage reads edges until then). Lazy truncate + explicit count:
+    // in reliable mode this is the persist-then-write path (an eager
+    // Dataset.checkpoint would compute the result twice). The RESULT's
+    // own checkpoint files are the caller's: job-scoped checkpoint
+    // dirs (deleted at job end) or
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true reclaim
+    // them, same as localCheckpoint blocks ride the ContextCleaner.
+    val result = truncate(memb.union(roots))
+    result.count()
     edges.unpersist()
-    prevCkpt.foreach(_.unpersist(false))
+    prevCkpt.foreach(releaseCkpt)
     result
   }
 

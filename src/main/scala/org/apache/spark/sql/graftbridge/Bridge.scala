@@ -25,4 +25,12 @@ object Bridge {
       case r: org.apache.spark.sql.execution.LogicalRDD => Some(r.rdd)
       case _ => None
     }
+
+  /** Clear the context's checkpoint dir (`SparkContext.checkpointDir`
+    * is `private[spark]` with a set-only public API). Scoped reliable
+    * checkpointing — set a dir for one loss-tolerant computation (see
+    * `Dedup.connectedComponents`), restore the fast local path after —
+    * needs the unset half. */
+  def clearCheckpointDir(sc: org.apache.spark.SparkContext): Unit =
+    sc.checkpointDir = None
 }

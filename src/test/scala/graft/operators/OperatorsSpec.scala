@@ -274,6 +274,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"CC cache high-water grew with rounds: $before -> ${Dedup.ccPeakCaches} over ${Dedup.ccRounds} rounds")
   }
 
+  test("connectedComponents: reliable-checkpoint mode (checkpoint dir set) — same labels, superseded round files deleted") {
+    import spark.implicits._
+    // with a checkpoint dir set (any production cluster), rounds
+    // checkpoint RELIABLY instead of localCheckpoint — the
+    // executor-loss-tolerant path (LocalClusterSpec kills a real
+    // executor mid-loop to prove the tolerance; this test pins the
+    // mode's correctness + per-round file cleanup)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    try {
+      val path = (0L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val comp = Dedup.connectedComponents(path).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((0L to 1000L).forall(comp(_) == 0L), "path must collapse to node 0")
+      assert(Dedup.ccRounds >= 5 && Dedup.ccRounds <= 12,
+        s"reliable mode changed convergence: ${Dedup.ccRounds} rounds")
+      // every superseded round's rdd-* dir must be deleted; only the
+      // returned result's checkpoint remains
+      val rddDirs = java.nio.file.Files.walk(ckpt).iterator()
+      var remaining = 0
+      while (rddDirs.hasNext) {
+        if (rddDirs.next().getFileName.toString.startsWith("rdd-")) remaining += 1
+      }
+      assert(remaining == 1,
+        s"expected only the result's checkpoint to remain, found $remaining rdd-* dirs " +
+          s"after ${Dedup.ccRounds} rounds — superseded rounds are leaking files")
+    } finally
+      org.apache.spark.sql.graftbridge.Bridge.clearCheckpointDir(spark.sparkContext)
+  }
+
   test("nearDupClusters: near-identical docs share a cluster, distinct docs are singletons") {
     val base = "the quick brown fox jumps over the lazy dog again and again every single day"
     val df = docs(

@@ -219,6 +219,22 @@ object Main {
 
     val boundPort = server.start()
     println(s"scratchdbspark listening on :$boundPort (data: $dataDir)")
+    // SIGTERM/SIGINT shutdown: drain in-flight exchanges (bounded by
+    // GRAFT_DRAIN_S — the reference drains 30 min, api.go:96, so that's
+    // the default), then flush the spool so every accepted row is in
+    // the blob store before the process dies; the claim queue and
+    // startup recovery make anything interrupted here at-least-once on
+    // the next boot.
+    val drainS = envLong(sys.env, "GRAFT_DRAIN_S", 30L * 60).toInt
+    sys.addShutdownHook {
+      println(s"[shutdown] draining (bound ${drainS}s)")
+      try server.stop(drainS) catch { case e: Exception =>
+        System.err.println(s"[shutdown] server stop: ${e.getMessage}") }
+      try spool.shutdown() catch { case e: Exception =>
+        System.err.println(s"[shutdown] spool flush: ${e.getMessage}") }
+      try uploader.shutdown() catch { case e: Exception =>
+        System.err.println(s"[shutdown] uploader: ${e.getMessage}") }
+    }
     Thread.currentThread().join()
   }
 }

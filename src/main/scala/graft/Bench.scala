@@ -58,6 +58,22 @@ final class BenchListener extends SparkListener {
 }
 
 object Bench {
+  /** The contention-outlier signature (spec-pinned): a query whose wall
+    * inflated >2x vs the prior committed round while its executor CPU
+    * stayed flat (<=1.5x) is host contention, not a plan regression —
+    * real regressions move cpu WITH wall. Guards: sub-second walls are
+    * noise regardless of ratio; a missing/zero prior disables the wall
+    * test (first round, renamed query); a missing prior CPU cannot
+    * VOUCH for flatness but does not block the flag (walls alone are
+    * then the only evidence available, and the cost of a false flag is
+    * one extra in-process re-measure). Three of four tracked rounds
+    * (r12, r14) shipped polluted totals before this existed. */
+  private[graft] def isContentionOutlier(wall: Double, cpuMs: Double,
+                                         priorWall: Option[Double],
+                                         priorCpu: Option[Double]): Boolean =
+    wall >= 1.0 && priorWall.exists(pw => pw > 0 && wall > 2 * pw) &&
+      priorCpu.forall(pc => cpuMs <= 1.5 * math.max(pc, 1.0))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -148,17 +164,15 @@ object Bench {
       baseline = after
       delta
     }
-    // Contention-outlier re-run: a query whose wall inflated >2x vs the
-    // prior round while its executor CPU stayed flat (<1.5x) is the
-    // signature of host contention, not a plan regression — re-measure
-    // those immediately, after the battery, so the artifact carries a
-    // second opinion taken minutes later under (usually) calmer load.
-    // Capped at 10: a wholesale-slower host would flag everything, and
+    // Contention-outlier re-run: re-measure flagged queries
+    // immediately, after the battery, so the artifact carries a second
+    // opinion taken minutes later under (usually) calmer load. Capped
+    // at 10: a wholesale-slower host would flag everything, and
     // re-running the world doubles the battery for no extra signal.
     val flagged = results.collect {
       case (name, (wall, _, _, cpuMs, _, _, _, _))
-        if wall >= 1.0 && priorWalls.get(name).exists(pw => pw > 0 && wall > 2 * pw) &&
-           priorCpu.get(name).forall(pc => cpuMs <= 1.5 * math.max(pc, 1.0)) =>
+        if isContentionOutlier(wall, cpuMs,
+             priorWalls.get(name), priorCpu.get(name)) =>
         name
     }.toSeq.sortBy(n => -results(n)._1).take(10)
     val reruns = flagged.map { name =>

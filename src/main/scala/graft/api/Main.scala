@@ -154,10 +154,13 @@ object Main {
     val uploader = new Uploader(blobs, (db, table, f) => ingest.ingestFile(db, table, f),
       workers = ingestWorkers, claims = claims)
 
-    // finish any half-done schema migration before serving reads
-    // (static tenant "1" plus every dynamically created destination)
+    // finish any half-done schema migration and reclaim index_build
+    // debris before serving reads (static tenant "1" plus every
+    // dynamically created destination)
     ("1" +: meta.listDestinations.map(_.id.toString)).distinct.foreach { db =>
       catalog.listTables(db).foreach(t => catalog.recoverMigration(db, t))
+      catalog.cleanOrphanStoreBuilds(db).foreach(p =>
+        println(s"[recovery] reclaimed orphaned store-build dir: $p"))
     }
 
     // rotation: 1s age for snappy local queryability (reference default

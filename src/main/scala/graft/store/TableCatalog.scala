@@ -447,6 +447,23 @@ final class TableCatalog(rootDir: String) {
     if (dir.exists()) { deleteRecursive(dir.toPath); true } else false
   }
 
+  /** Boot-time reclaim of index_build debris: overwrite rebuilds write
+    * into dot-prefixed `.{name}.build-<tag>` siblings and set the old
+    * store aside as `.{name}.old-<tag>` during the swap. An in-process
+    * failure cleans both up, but a process CRASH mid-build (kill -9,
+    * OOM) strands them — invisible to listStores (dot-skipped) and to
+    * the store quota, so they'd leak disk forever. Same single-writer
+    * assumption as [[recoverMigration]]: one server owns a data dir,
+    * so anything dot-prefixed at boot is debris by definition. Returns
+    * the reclaimed paths for the boot log. */
+  def cleanOrphanStoreBuilds(db: String): Seq[String] = {
+    val d = new File(new File(rootDir, db), "stores.d")
+    Option(d.listFiles()).getOrElse(Array.empty[File])
+      .filter(s => s.isDirectory && s.getName.startsWith("."))
+      .map { s => deleteRecursive(s.toPath); s.getAbsolutePath }
+      .toSeq
+  }
+
   private def dirBytes(f: File): Long =
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty[File]).map(dirBytes).sum

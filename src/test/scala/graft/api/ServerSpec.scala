@@ -865,6 +865,32 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(del("/api/stores/fp?api_key=key1").statusCode() == 404)
   }
 
+  test("boot recovery reclaims crash-orphaned store-build temps, leaves live stores alone") {
+    // a kill -9 mid-index_build strands the dot-prefixed swap temps
+    // (in-process failures clean up in the catch; a dead process
+    // can't) — invisible to listStores and the quota, so without boot
+    // reclaim they leak disk forever. Plant both flavors of debris:
+    assert(post("/api/data/analytics/index_build?api_key=key1",
+      """{"kind": "fingerprint", "store": "bootkeep", "table": "sbatch",
+        | "text_col": "body", "n_buckets": 2}""".stripMargin).statusCode() == 200)
+    val storesD = new java.io.File(serverCatalog.storeDir("1", "bootkeep")).getParentFile
+    val orphanBuild = new java.io.File(storesD, ".ghost.build-deadbeef")
+    val orphanOld = new java.io.File(storesD, ".ghost.old-deadbeef")
+    Seq(orphanBuild, orphanOld).foreach { d =>
+      d.mkdirs()
+      java.nio.file.Files.writeString(new java.io.File(d, "part-0.parquet").toPath, "junk")
+    }
+    val before = get("/api/stores?api_key=key1").body()
+    val reclaimed = serverCatalog.cleanOrphanStoreBuilds("1")
+    assert(reclaimed.size == 2, s"expected both orphans reclaimed, got $reclaimed")
+    assert(!orphanBuild.exists() && !orphanOld.exists())
+    // live stores are untouched: same listing, probes still answer
+    assert(get("/api/stores?api_key=key1").body() == before)
+    assert(post("/api/data/analytics/dedup_new?api_key=key1",
+      """{"store": "bootkeep", "table": "sbatch", "text_col": "body"}""")
+      .statusCode() == 200)
+  }
+
   // a corpus whose minhash build takes several seconds on local[4] —
   // the window the guardrail tests below race into. Seeded once, used
   // by the three tests that follow.

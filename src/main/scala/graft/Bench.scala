@@ -68,6 +68,13 @@ object Bench {
     * then the only evidence available, and the cost of a false flag is
     * one extra in-process re-measure). Three of four tracked rounds
     * (r12, r14) shipped polluted totals before this existed. */
+  /** Default artifact path: full-battery runs own BENCH_FULL_latest.json
+    * (the outlier flagger's priors); SPARK_GRAFT_ONLY subset runs must
+    * never clobber it (r15 shipped a 2-query sf0.01 record over the
+    * 189-query priors that way). */
+  private[graft] def defaultBenchOut(subset: Boolean): String =
+    if (subset) "BENCH_SUBSET_latest.json" else "BENCH_FULL_latest.json"
+
   private[graft] def isContentionOutlier(wall: Double, cpuMs: Double,
                                          priorWall: Option[Double],
                                          priorCpu: Option[Double]): Boolean =
@@ -117,6 +124,12 @@ object Bench {
         val txt = java.nio.file.Files.readString(
           java.nio.file.Paths.get("BENCH_FULL_latest.json"))
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+        // priors recorded at a different scale factor can't vouch for
+        // anything — a sf0.01 wall vs a sf0.1 run reads as >2x inflation
+        // on every query. Treat a mismatched record as no priors.
+        val priorSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+        if (priorSf != sfDir) throw new IllegalStateException(
+          s"prior record sf '$priorSf' != current '$sfDir'")
         def toMap(node: com.fasterxml.jackson.databind.JsonNode,
                   f: com.fasterxml.jackson.databind.JsonNode => Double) =
           if (node == null) Map.empty[String, Double]
@@ -262,8 +275,16 @@ object Bench {
     // bounded tail — the file preserves the full per-query receipts.
     // Defaults into the cwd so the driver's own run leaves a complete
     // record next to the tail-derived BENCH_r*.json.
+    //
+    // Subset runs (SPARK_GRAFT_ONLY) must NOT take the default path:
+    // BENCH_FULL_latest.json is the outlier flagger's prior-round
+    // source, and a two-query isolation run overwriting it destroys
+    // every other query's priors (this happened in r15 — a q01/q74
+    // sf0.01 receipt run clobbered the committed full-battery record).
+    // They land in BENCH_SUBSET_latest.json instead unless an explicit
+    // SPARK_GRAFT_BENCH_OUT says otherwise.
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").filter(_.nonEmpty)
-      .getOrElse("BENCH_FULL_latest.json")
+      .getOrElse(defaultBenchOut(subset = only.isDefined))
     // best-effort: a bad path must not fail a green battery post-hoc
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: java.io.IOException =>

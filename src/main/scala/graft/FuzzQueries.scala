@@ -1,0 +1,407 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import scala.collection.immutable.ListMap
+import scala.util.Random
+
+/** Seeded operator-composition fuzzer: generates random relational plans
+  * as PAIRED artifacts — a DataFrame-API plan (genuine `Column` ops, not
+  * `expr` strings) and the equivalent ANSI SQL — from one seed. Two
+  * verification levels:
+  *
+  *  1. [[FuzzSpec]] runs many seeds at sf0.001 and asserts the API plan
+  *     and `spark.sql(sql)` agree row-for-row — a property check on the
+  *     DataFrame-to-SQL operator mapping itself, across compositions no
+  *     hand-written battery row exercises.
+  *  2. Six FIXED seeds (one per plan shape) join the battery as
+  *     q190–q195, where the same SQL replays in DuckDB — the
+  *     cross-ENGINE differential the driver's gate hashes.
+  *
+  * The grammar is restricted to the cross-engine-exact subset the
+  * battery's determinism rules established ([[Queries]] scaladoc):
+  * money aggregates in DECIMAL(18,2) cast back to DOUBLE, computed
+  * integers cast to BIGINT on both sides, no timestamp OUTPUTS (literals
+  * only in predicates — the tables carry midnight-exact micros), no
+  * nullable columns, every query ends in a total ORDER BY (unique keys
+  * always included) so LIMIT is deterministic.
+  *
+  * Scale notes: generated joins mark dimension sides (part, supplier,
+  * nation) with `broadcast()` — fact-fact edges (lineitem-orders,
+  * orders-customer) shuffle on their keys as they must at 100 TB; all
+  * aggregates are partial-aggregation-friendly (sum/count/min/max);
+  * window shapes partition by a low-cardinality key and never sort
+  * globally before the final bounded ORDER BY.
+  *
+  * Reference relevance: the reference delegates its whole SQL surface to
+  * the destination verbatim (`/root/reference/pkg/api/data.go:29-56`,
+  * `pkg/destinations/duckdb`), so "arbitrary composed SELECTs behave
+  * like DuckDB" IS the product contract this fuzzer samples, beyond the
+  * hand-picked battery rows.
+  */
+object FuzzQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The same predicate in both dialects. */
+  private final case class Pred(sql: String, api: Column)
+  /** A select item (projection or aggregate) in both dialects. */
+  private final case class Item(sql: String, api: Column, name: String)
+
+  private final case class Tbl(
+    name: String,
+    uniqueKeys: Vector[String],       // total-order tiebreakers (non-null, unique as a tuple)
+    groupables: Vector[String],       // low-cardinality group keys
+    intCols: Set[String],             // int32 columns needing BIGINT casts
+    money: Vector[String],            // 2-decimal doubles, DECIMAL(18,2)-summable
+    predGroups: Vector[Vector[Pred]]  // at most ONE predicate drawn per group (per column)
+  )
+
+  private def tsPred(colName: String, op: String, v: String): Pred =
+    Pred(s"$colName $op TIMESTAMP '$v'",
+      if (op == "<") col(colName) < to_timestamp(lit(v))
+      else col(colName) >= to_timestamp(lit(v)))
+
+  private val lineitem = Tbl(
+    "lineitem",
+    uniqueKeys = Vector("l_orderkey", "l_linenumber"),
+    groupables = Vector("l_returnflag", "l_linestatus"),
+    intCols = Set("l_linenumber"),
+    money = Vector("l_extendedprice", "l_quantity"),
+    predGroups = Vector(
+      Vector(
+        Pred("l_returnflag = 'R'", col("l_returnflag") === "R"),
+        Pred("l_returnflag IN ('A', 'N')", col("l_returnflag").isin("A", "N"))),
+      Vector(
+        Pred("l_linestatus = 'O'", col("l_linestatus") === "O"),
+        Pred("l_linestatus = 'F'", col("l_linestatus") === "F")),
+      Vector(
+        Pred("l_quantity <= 25.0", col("l_quantity") <= 25.0),
+        Pred("l_quantity BETWEEN 10.0 AND 40.0", col("l_quantity").between(10.0, 40.0)),
+        Pred("l_quantity > 35.0", col("l_quantity") > 35.0)),
+      Vector(
+        Pred("l_discount BETWEEN 0.02 AND 0.06", col("l_discount").between(0.02, 0.06)),
+        Pred("l_discount < 0.05", col("l_discount") < 0.05)),
+      Vector(
+        tsPred("l_shipdate", "<", "1998-01-01 00:00:00"),
+        tsPred("l_shipdate", ">=", "1996-06-01 00:00:00")),
+      Vector(
+        Pred("(l_orderkey % 7) = 3", col("l_orderkey") % 7 === 3),
+        Pred("(l_orderkey % 5) = 0", col("l_orderkey") % 5 === 0))))
+
+  private val orders = Tbl(
+    "orders",
+    uniqueKeys = Vector("o_orderkey"),
+    groupables = Vector("o_orderstatus", "o_orderpriority"),
+    intCols = Set.empty,
+    money = Vector("o_totalprice"),
+    predGroups = Vector(
+      Vector(
+        Pred("o_orderstatus = 'O'", col("o_orderstatus") === "O"),
+        Pred("o_orderstatus = 'F'", col("o_orderstatus") === "F")),
+      Vector(
+        Pred("o_orderpriority = '1-URGENT'", col("o_orderpriority") === "1-URGENT"),
+        Pred("o_orderpriority IN ('2-HIGH', '5-LOW')",
+          col("o_orderpriority").isin("2-HIGH", "5-LOW"))),
+      Vector(
+        Pred("o_totalprice <= 250000.0", col("o_totalprice") <= 250000.0),
+        Pred("o_totalprice > 100000.0", col("o_totalprice") > 100000.0)),
+      Vector(
+        tsPred("o_orderdate", "<", "1999-01-01 00:00:00"),
+        tsPred("o_orderdate", ">=", "1996-01-01 00:00:00")),
+      Vector(
+        Pred("(o_custkey % 3) = 1", col("o_custkey") % 3 === 1))))
+
+  private val customer = Tbl(
+    "customer",
+    uniqueKeys = Vector("c_custkey"),
+    groupables = Vector("c_mktsegment", "c_nationkey"),
+    intCols = Set("c_nationkey"),
+    money = Vector("c_acctbal"),
+    predGroups = Vector(
+      Vector(
+        Pred("c_mktsegment = 'BUILDING'", col("c_mktsegment") === "BUILDING"),
+        Pred("c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')",
+          col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"))),
+      Vector(
+        Pred("c_acctbal > 0.0", col("c_acctbal") > 0.0),
+        Pred("c_acctbal BETWEEN 1000.0 AND 8000.0", col("c_acctbal").between(1000.0, 8000.0))),
+      Vector(
+        Pred("c_nationkey < 12", col("c_nationkey") < 12),
+        Pred("(c_custkey % 4) = 1", col("c_custkey") % 4 === 1))))
+
+  private val part = Tbl(
+    "part",
+    uniqueKeys = Vector("p_partkey"),
+    groupables = Vector("p_brand", "p_type", "p_size"),
+    intCols = Set("p_size"),
+    money = Vector("p_retailprice"),
+    predGroups = Vector(
+      Vector(
+        Pred("p_type = 'PROMO'", col("p_type") === "PROMO"),
+        Pred("p_type IN ('ECONOMY', 'STANDARD')", col("p_type").isin("ECONOMY", "STANDARD"))),
+      Vector(
+        Pred("p_size <= 20", col("p_size") <= 20),
+        Pred("p_size BETWEEN 5 AND 25", col("p_size").between(5, 25))),
+      Vector(
+        Pred("p_retailprice BETWEEN 920.0 AND 980.0",
+          col("p_retailprice").between(920.0, 980.0)))))
+
+  private val supplier = Tbl(
+    "supplier",
+    uniqueKeys = Vector("s_suppkey"),
+    groupables = Vector("s_nationkey"),
+    intCols = Set("s_nationkey"),
+    money = Vector("s_acctbal"),
+    predGroups = Vector(
+      Vector(
+        Pred("s_nationkey < 15", col("s_nationkey") < 15),
+        Pred("(s_suppkey % 2) = 0", col("s_suppkey") % 2 === 0)),
+      Vector(
+        Pred("s_acctbal > 0.0", col("s_acctbal") > 0.0))))
+
+  private val baseTables = Vector(lineitem, orders, customer, part, supplier)
+
+  /** Join edge: (dimension table, base key, dim key, broadcastable).
+    * Broadcast marks true DIMENSIONS only — at 100 TB orders and
+    * customer scale with the fact side and must shuffle-join. */
+  private val joinEdges: Map[String, Vector[(Tbl, String, String, Boolean)]] = Map(
+    "lineitem" -> Vector(
+      (orders, "l_orderkey", "o_orderkey", false),
+      (part, "l_partkey", "p_partkey", true),
+      (supplier, "l_suppkey", "s_suppkey", true)),
+    "orders" -> Vector((customer, "o_custkey", "c_custkey", false)),
+    "customer" -> Vector.empty,
+    "part" -> Vector.empty,
+    "supplier" -> Vector.empty)
+
+  private def read(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Projection item for a raw column, BIGINT-casting int32s so Spark and
+    * DuckDB agree on the output schema. */
+  private def colItem(t: Tbl, c: String): Item =
+    if (t.intCols(c)) Item(s"CAST($c AS BIGINT) AS $c", col(c).cast("bigint").as(c), c)
+    else Item(c, col(c), c)
+
+  private def pickN[A](r: Random, xs: Vector[A], n: Int): Vector[A] =
+    r.shuffle(xs).take(n)
+
+  private def drawPreds(r: Random, t: Tbl, n: Int): Vector[Pred] =
+    pickN(r, t.predGroups, n).map(g => g(r.nextInt(g.size)))
+
+  /** Aggregate items: a0 is always COUNT(*) (HAVING's target), the rest
+    * drawn from sum/min/max over money columns. */
+  private def drawAggs(r: Random, tbls: Vector[Tbl], n: Int): Vector[Item] = {
+    val money = tbls.flatMap(t => t.money)
+    val cnt = Item("CAST(COUNT(*) AS BIGINT) AS a0", count(lit(1)).cast("bigint").as("a0"), "a0")
+    val rest = (1 until n).toVector.map { i =>
+      val c = money(r.nextInt(money.size))
+      r.nextInt(3) match {
+        case 0 => Item(s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS a$i",
+          sum(col(c).cast(DecimalType(18, 2))).cast("double").as(s"a$i"), s"a$i")
+        case 1 => Item(s"MIN($c) AS a$i", min(col(c)).as(s"a$i"), s"a$i")
+        case _ => Item(s"MAX($c) AS a$i", max(col(c)).as(s"a$i"), s"a$i")
+      }
+    }
+    cnt +: rest
+  }
+
+  /** Total ORDER BY over all output names with random directions; the
+    * caller guarantees the name set is a total order (unique keys or a
+    * full GROUP BY key set are always included). */
+  private def orderClause(r: Random, names: Vector[String]): (String, Vector[Column]) = {
+    val dirs = names.map(n => (n, r.nextBoolean()))
+    (dirs.map { case (n, asc) => s"$n${if (asc) "" else " DESC"}" }.mkString(", "),
+      dirs.map { case (n, asc) => if (asc) col(n).asc else col(n).desc })
+  }
+
+  private def whereSql(preds: Vector[Pred]): String =
+    if (preds.isEmpty) "" else preds.map(_.sql).mkString(" WHERE ", " AND ", "")
+
+  private def applyPreds(df: DataFrame, preds: Vector[Pred]): DataFrame =
+    preds.foldLeft(df)((d, p) => d.filter(p.api))
+
+  /** lineitem's computed revenue column, the battery's exact-money idiom. */
+  private val revenueItem = Item(
+    "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS DECIMAL(18,4)) AS DOUBLE) AS revenue",
+    (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2))).cast(DecimalType(4, 2)))
+      .cast(DecimalType(18, 4)).cast("double").as("revenue"),
+    "revenue")
+
+  // ---------------------------------------------------------------- shapes
+
+  private def scanShape(r: Random, t: Tbl): (Q, String) = {
+    val extra = pickN(r, t.groupables ++ t.money, 1 + r.nextInt(2))
+    val withRevenue = t.name == "lineitem" && r.nextBoolean()
+    val items = (t.uniqueKeys ++ extra).distinct.map(c => colItem(t, c)) ++
+      (if (withRevenue) Vector(revenueItem) else Vector.empty)
+    val preds = drawPreds(r, t, 1 + r.nextInt(3))
+    val limit = 100 + r.nextInt(300)
+    val (obSql, obApi) = orderClause(r, items.map(_.name))
+    val sql = s"SELECT ${items.map(_.sql).mkString(", ")} FROM ${t.name}" +
+      s"${whereSql(preds)} ORDER BY $obSql LIMIT $limit"
+    val q: Q = (s, dir) => applyPreds(read(s, dir, t.name), preds)
+      .select(items.map(_.api): _*).orderBy(obApi: _*).limit(limit)
+    (q, sql)
+  }
+
+  private def aggShape(r: Random, t: Tbl): (Q, String) = {
+    val keys = pickN(r, t.groupables, 1 + r.nextInt(math.min(2, t.groupables.size)))
+    val keyItems = keys.map(c => colItem(t, c))
+    val aggs = drawAggs(r, Vector(t), 1 + r.nextInt(3))
+    val preds = drawPreds(r, t, r.nextInt(3))
+    val having = r.nextBoolean()
+    val (obSql, obApi) = orderClause(r, keyItems.map(_.name) ++ aggs.map(_.name))
+    val havingSql = if (having) " HAVING COUNT(*) >= 2" else ""
+    val sql = s"SELECT ${(keyItems ++ aggs).map(_.sql).mkString(", ")} FROM ${t.name}" +
+      s"${whereSql(preds)} GROUP BY ${keys.mkString(", ")}$havingSql ORDER BY $obSql"
+    val q: Q = (s, dir) => {
+      val g = applyPreds(read(s, dir, t.name), preds)
+        .groupBy(keyItems.map(_.api): _*).agg(aggs.head.api, aggs.tail.map(_.api): _*)
+      (if (having) g.filter(col("a0") >= 2) else g).orderBy(obApi: _*)
+    }
+    (q, sql)
+  }
+
+  private def joinAggShape(r: Random, t: Tbl): (Q, String) = {
+    val edges0 = joinEdges(t.name)
+    val first = edges0(r.nextInt(edges0.size))
+    // optional second hop from the first dimension (e.g. lineitem ->
+    // orders -> customer)
+    val second = joinEdges(first._1.name) match {
+      case es if es.nonEmpty && r.nextBoolean() => Some(es(r.nextInt(es.size)))
+      case _ => None
+    }
+    val tbls = Vector(t, first._1) ++ second.map(_._1)
+    val keys = pickN(r, tbls.flatMap(_.groupables), 1 + r.nextInt(2))
+    val keyItems = keys.map { c =>
+      val owner = tbls.find(tb => tb.groupables.contains(c)).get
+      colItem(owner, c)
+    }
+    val aggs = drawAggs(r, tbls, 1 + r.nextInt(3))
+    val preds = tbls.flatMap(tb => drawPreds(r, tb, r.nextInt(2)))
+    val (obSql, obApi) = orderClause(r, keyItems.map(_.name) ++ aggs.map(_.name))
+    val joinSql = s"${t.name} JOIN ${first._1.name} ON ${first._2} = ${first._3}" +
+      second.map(e => s" JOIN ${e._1.name} ON ${e._2} = ${e._3}").getOrElse("")
+    val sql = s"SELECT ${(keyItems ++ aggs).map(_.sql).mkString(", ")} FROM $joinSql" +
+      s"${whereSql(preds)} GROUP BY ${keys.mkString(", ")} ORDER BY $obSql"
+    val q: Q = (s, dir) => {
+      def dim(e: (Tbl, String, String, Boolean)): DataFrame = {
+        val d = read(s, dir, e._1.name)
+        if (e._4) broadcast(d) else d
+      }
+      val j0 = read(s, dir, t.name).join(dim(first), col(first._2) === col(first._3))
+      val j = second.fold(j0)(e => j0.join(dim(e), col(e._2) === col(e._3)))
+      applyPreds(j, preds)
+        .groupBy(keyItems.map(_.api): _*).agg(aggs.head.api, aggs.tail.map(_.api): _*)
+        .orderBy(obApi: _*)
+    }
+    (q, sql)
+  }
+
+  private def windowShape(r: Random, t: Tbl): (Q, String) = {
+    val g = t.groupables(r.nextInt(t.groupables.size))
+    val keep = 2 + r.nextInt(4)
+    val m = t.money(r.nextInt(t.money.size))
+    val items = (Vector(g) ++ t.uniqueKeys).distinct.map(c => colItem(t, c)) :+
+      Item(m, col(m), m)
+    val preds = drawPreds(r, t, r.nextInt(3))
+    val fn = if (r.nextBoolean()) "ROW_NUMBER" else "RANK"
+    val over = s"PARTITION BY $g ORDER BY ${t.uniqueKeys.mkString(", ")}"
+    val (obSql, obApi) = orderClause(r, items.map(_.name) :+ "rn")
+    val sql =
+      s"SELECT ${items.map(_.name).mkString(", ")}, rn FROM (" +
+        s"SELECT ${items.map(_.sql).mkString(", ")}, " +
+        s"CAST($fn() OVER ($over) AS BIGINT) AS rn FROM ${t.name}${whereSql(preds)}" +
+        s") s WHERE rn <= $keep ORDER BY $obSql"
+    val q: Q = (s, dir) => {
+      val w = Window.partitionBy(col(g)).orderBy(t.uniqueKeys.map(col): _*)
+      val rnc = (if (fn == "ROW_NUMBER") row_number() else rank()).over(w).cast("bigint")
+      applyPreds(read(s, dir, t.name), preds)
+        .select(items.map(_.api) :+ rnc.as("rn"): _*)
+        .filter(col("rn") <= keep).orderBy(obApi: _*)
+    }
+    (q, sql)
+  }
+
+  private def unionScanShape(r: Random, t: Tbl): (Q, String) = {
+    val extra = pickN(r, t.groupables ++ t.money, 1)
+    val items = (t.uniqueKeys ++ extra).distinct.map(c => colItem(t, c))
+    val p1 = drawPreds(r, t, 1 + r.nextInt(2))
+    val p2 = drawPreds(r, t, 1 + r.nextInt(2))
+    val limit = 100 + r.nextInt(200)
+    val (obSql, obApi) = orderClause(r, items.map(_.name))
+    val sel = s"SELECT ${items.map(_.sql).mkString(", ")} FROM ${t.name}"
+    // UNION ALL can duplicate rows; the ORDER BY key set covers every
+    // output column, so boundary ties under LIMIT are EXACT duplicate
+    // rows and the selected multiset is deterministic either way.
+    val sql = s"SELECT * FROM ($sel${whereSql(p1)} UNION ALL $sel${whereSql(p2)}) u" +
+      s" ORDER BY $obSql LIMIT $limit"
+    val q: Q = (s, dir) => {
+      def side(p: Vector[Pred]) =
+        applyPreds(read(s, dir, t.name), p).select(items.map(_.api): _*)
+      side(p1).union(side(p2)).orderBy(obApi: _*).limit(limit)
+    }
+    (q, sql)
+  }
+
+  private def distinctShape(r: Random, t: Tbl): (Q, String) = {
+    val keys = pickN(r, t.groupables, 1 + r.nextInt(math.min(2, t.groupables.size)))
+    val items = keys.map(c => colItem(t, c))
+    val preds = drawPreds(r, t, r.nextInt(3))
+    val (obSql, obApi) = orderClause(r, items.map(_.name))
+    val sql = s"SELECT DISTINCT ${items.map(_.sql).mkString(", ")} FROM ${t.name}" +
+      s"${whereSql(preds)} ORDER BY $obSql"
+    val q: Q = (s, dir) => applyPreds(read(s, dir, t.name), preds)
+      .select(items.map(_.api): _*).distinct().orderBy(obApi: _*)
+    (q, sql)
+  }
+
+  // ------------------------------------------------------------- generator
+
+  final case class Generated(shape: String, query: Q, sql: String)
+
+  /** Deterministic: same seed, same (plan, SQL) pair — java.util.Random's
+    * LCG is specified behavior, stable across JVMs. */
+  def generate(seed: Long): Generated = {
+    val r = new Random(seed)
+    val shapes = Vector[(String, Random => (Q, String))](
+      ("scan", rr => scanShape(rr, baseTables(rr.nextInt(baseTables.size)))),
+      ("agg", rr => aggShape(rr, baseTables(rr.nextInt(baseTables.size)))),
+      ("join_agg", rr => {
+        val joinable = Vector(lineitem, orders)
+        joinAggShape(rr, joinable(rr.nextInt(joinable.size)))
+      }),
+      ("window", rr => windowShape(rr, baseTables(rr.nextInt(baseTables.size)))),
+      ("union_scan", rr => unionScanShape(rr, baseTables(rr.nextInt(baseTables.size)))),
+      ("distinct", rr => distinctShape(rr, baseTables(rr.nextInt(baseTables.size)))))
+    val (name, f) = shapes(r.nextInt(shapes.size))
+    val (q, sql) = f(r)
+    Generated(name, q, sql)
+  }
+
+  /** Battery seeds — chosen so the six committed rows cover all six
+    * shapes (asserted by FuzzSpec so a generator change that silently
+    * redistributes shapes fails loudly). */
+  private[graft] val batterySeeds: Vector[(String, Long)] = Vector(
+    ("q190_fuzz_scan", 11L),
+    ("q191_fuzz_agg", 6L),
+    ("q192_fuzz_join_agg", 3L),
+    ("q193_fuzz_window", 1L),
+    ("q194_fuzz_union_scan", 2L),
+    ("q195_fuzz_distinct", 5L))
+
+  private[graft] def expectedShape(name: String): String =
+    name.substring("q19N_fuzz_".length)
+
+  val queries: Map[String, Q] = ListMap(batterySeeds.map { case (n, seed) =>
+    n -> generate(seed).query
+  }: _*)
+
+  val oracles: Map[String, String] = ListMap(batterySeeds.map { case (n, seed) =>
+    n -> generate(seed).sql
+  }: _*)
+}

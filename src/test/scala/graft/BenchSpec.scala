@@ -2,12 +2,15 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the bench contention-outlier predicate — the artifact pipeline
+/** Pins the bench wall-outlier predicate — the artifact pipeline
   * shipped polluted totals in three of four tracked rounds (r12, r14)
-  * before the flagger existed, so its boundary behavior is worth a
-  * spec: flag contention (wall up, cpu flat), NEVER flag real
-  * regressions (cpu moves with wall — those must stay visible in the
-  * tracked artifact, not be laundered by a calmer re-run). */
+  * before the flagger existed. Any >2x wall inflation vs the committed
+  * prior triggers ONE re-measure recorded ALONGSIDE the tracked wall
+  * (never replacing it): r16 measured hypervisor steal inflating
+  * thread-CPU together with wall (q95 cpu 0.34 s -> 12.5 s, identical
+  * code/data), so the original cpu-flat precondition was dropped — it
+  * made the flagger blind to the exact pollution it exists for, and
+  * a real regression simply reproduces in the re-run. */
 class BenchSpec extends AnyFunSuite {
   private def flag(wall: Double, cpuMs: Double,
                    pw: Option[Double], pc: Option[Double]) =
@@ -17,10 +20,13 @@ class BenchSpec extends AnyFunSuite {
     assert(flag(wall = 10.0, cpuMs = 5000, pw = Some(4.0), pc = Some(5100)))
   }
 
-  test("a real regression — cpu moving with wall — is NOT flagged") {
-    // 4s -> 10s wall with cpu 5.1s -> 13s: the plan got worse; the
-    // tracked artifact must carry it, not re-measure it away
-    assert(!flag(wall = 10.0, cpuMs = 13000, pw = Some(4.0), pc = Some(5100)))
+  test("wall >2x prior with cpu moving too is STILL flagged (steal inflates cpu)") {
+    // 4s -> 10s wall with cpu 5.1s -> 13s: either a plan regression or
+    // hypervisor steal — indistinguishable from counters alone (r16:
+    // q95 cpu 37x'd between idle runs of identical code). The re-run
+    // is appended, never substituted, so both readings survive: a real
+    // regression reproduces, contention doesn't.
+    assert(flag(wall = 10.0, cpuMs = 13000, pw = Some(4.0), pc = Some(5100)))
   }
 
   test("wall inflation under 2x is never flagged") {
@@ -36,8 +42,9 @@ class BenchSpec extends AnyFunSuite {
     assert(!flag(wall = 10.0, cpuMs = 5000, pw = Some(0.0), pc = Some(5100)))
   }
 
-  test("missing prior cpu cannot vouch for flatness but does not block the flag") {
+  test("cpu priors are informational: neither missing nor zero prior cpu blocks the flag") {
     assert(flag(wall = 10.0, cpuMs = 5000, pw = Some(4.0), pc = None))
+    assert(flag(wall = 10.0, cpuMs = 5000, pw = Some(4.0), pc = Some(0.0)))
   }
 
   test("subset runs never default onto the full-battery priors file") {
@@ -47,9 +54,4 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.defaultBenchOut(subset = false) == "BENCH_FULL_latest.json")
   }
 
-  test("zero prior cpu (streaming rows report none) flags only genuinely idle cpu") {
-    // max(pc, 1) floor: cpu <= 1.5ms passes, anything real fails
-    assert(flag(wall = 10.0, cpuMs = 1.0, pw = Some(4.0), pc = Some(0.0)))
-    assert(!flag(wall = 10.0, cpuMs = 5000, pw = Some(4.0), pc = Some(0.0)))
-  }
 }

@@ -64,12 +64,33 @@ object ScaleGen {
         .withColumn("event_id", col("event_id") + lit(i * maxEvent))
     }.repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
+    // embeddings: disjoint vec_ids; replica i's vectors are the
+    // original ROTATED by i positions (same norm, deterministic, and a
+    // rotated vector points somewhere genuinely different, so replicas
+    // spread across ANN cells/buckets instead of stacking mult× copies
+    // into the original's cell — uniform corpus growth, which is the
+    // shape the IVF/LSH scale claims are about)
+    val embSrc = s"$srcDir/embeddings.parquet"
+    if (new java.io.File(embSrc).exists()) {
+      val emb = spark.read.parquet(embSrc)
+      val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+      replicate(emb) { (d, i) =>
+        if (i == 0) d
+        else d.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+          .withColumn("embedding", expr(
+            s"concat(slice(embedding, (int($i) % size(embedding)) + 1, " +
+              s"size(embedding) - (int($i) % size(embedding))), " +
+              s"slice(embedding, 1, int($i) % size(embedding)))"))
+      }.repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+
     // everything else copies through (small dims + tables outside the
     // heavy subset)
     val rest = new java.io.File(srcDir).listFiles()
       .filter(f => f.getName.endsWith(".parquet"))
       .map(_.getName)
-      .filterNot(n => n == "documents.parquet" || n == "events.parquet")
+      .filterNot(n => n == "documents.parquet" || n == "events.parquet" ||
+        n == "embeddings.parquet")
     rest.foreach { n =>
       spark.read.parquet(s"$srcDir/$n").write.mode("overwrite").parquet(s"$outDir/$n")
     }

@@ -360,6 +360,113 @@ object FuzzQueries {
     (q, sql)
   }
 
+  /** Semi/anti edges: (base, subquery table, base key, sub key). */
+  private val semiEdges: Vector[(Tbl, Tbl, String, String)] = Vector(
+    (orders, lineitem, "o_orderkey", "l_orderkey"),
+    (customer, orders, "c_custkey", "o_custkey"),
+    (part, lineitem, "p_partkey", "l_partkey"),
+    (supplier, lineitem, "s_suppkey", "l_suppkey"))
+
+  private def semiAntiShape(r: Random): (Q, String) = {
+    val (base, sub, bk, sk) = semiEdges(r.nextInt(semiEdges.size))
+    val anti = r.nextBoolean()
+    val items = (base.uniqueKeys ++ pickN(r, base.groupables ++ base.money, 1))
+      .distinct.map(c => colItem(base, c))
+    val basePreds = drawPreds(r, base, r.nextInt(2))
+    val subPreds = drawPreds(r, sub, 1 + r.nextInt(2))
+    val limit = 100 + r.nextInt(200)
+    val (obSql, obApi) = orderClause(r, items.map(_.name))
+    val existsKw = if (anti) "NOT EXISTS" else "EXISTS"
+    val sql = s"SELECT ${items.map(_.sql).mkString(", ")} FROM ${base.name}" +
+      s" WHERE $existsKw (SELECT 1 FROM ${sub.name} WHERE $sk = $bk" +
+      subPreds.map(p => s" AND ${p.sql}").mkString + ")" +
+      basePreds.map(p => s" AND ${p.sql}").mkString +
+      s" ORDER BY $obSql LIMIT $limit"
+    val q: Q = (s, dir) => {
+      val subDf = applyPreds(read(s, dir, sub.name), subPreds)
+      applyPreds(read(s, dir, base.name), basePreds)
+        .join(subDf, col(bk) === col(sk), if (anti) "leftanti" else "leftsemi")
+        .select(items.map(_.api): _*).orderBy(obApi: _*).limit(limit)
+    }
+    (q, sql)
+  }
+
+  private def caseAggShape(r: Random, t: Tbl): (Q, String) = {
+    val key = t.groupables(r.nextInt(t.groupables.size))
+    val keyItem = colItem(t, key)
+    val m = t.money(r.nextInt(t.money.size))
+    // the conditional draws from a DIFFERENT predicate group than the
+    // WHERE below can (both sample the full pool; collisions are fine —
+    // a pred AND'd with itself is still exact on both engines)
+    val condPred = { val g = t.predGroups(r.nextInt(t.predGroups.size)); g(r.nextInt(g.size)) }
+    val aggs = Vector(
+      Item("CAST(COUNT(*) AS BIGINT) AS a0",
+        count(lit(1)).cast("bigint").as("a0"), "a0"),
+      Item(s"CAST(SUM(CASE WHEN ${condPred.sql} THEN CAST($m AS DECIMAL(18,2)) " +
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS a1",
+        sum(when(condPred.api, col(m).cast(DecimalType(18, 2)))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("a1"), "a1"),
+      Item(s"CAST(COUNT(CASE WHEN ${condPred.sql} THEN 1 END) AS BIGINT) AS a2",
+        count(when(condPred.api, lit(1))).cast("bigint").as("a2"), "a2"))
+    val preds = drawPreds(r, t, r.nextInt(2))
+    val (obSql, obApi) = orderClause(r, Vector(keyItem.name) ++ aggs.map(_.name))
+    val sql = s"SELECT ${(keyItem +: aggs).map(_.sql).mkString(", ")} FROM ${t.name}" +
+      s"${whereSql(preds)} GROUP BY $key ORDER BY $obSql"
+    val q: Q = (s, dir) => applyPreds(read(s, dir, t.name), preds)
+      .groupBy(keyItem.api).agg(aggs.head.api, aggs.tail.map(_.api): _*)
+      .orderBy(obApi: _*)
+    (q, sql)
+  }
+
+  private def setOpShape(r: Random, t: Tbl): (Q, String) = {
+    val keys = pickN(r, t.groupables, 1 + r.nextInt(math.min(2, t.groupables.size)))
+    val items = keys.map(c => colItem(t, c))
+    val p1 = drawPreds(r, t, 1 + r.nextInt(2))
+    val p2 = drawPreds(r, t, 1 + r.nextInt(2))
+    val op = if (r.nextBoolean()) "INTERSECT" else "EXCEPT"
+    val (obSql, obApi) = orderClause(r, items.map(_.name))
+    val sel = s"SELECT ${items.map(_.sql).mkString(", ")} FROM ${t.name}"
+    // INTERSECT/EXCEPT are DISTINCT set semantics in both engines
+    val sql = s"$sel${whereSql(p1)} $op $sel${whereSql(p2)} ORDER BY $obSql"
+    val q: Q = (s, dir) => {
+      def side(p: Vector[Pred]) =
+        applyPreds(read(s, dir, t.name), p).select(items.map(_.api): _*)
+      val combined = if (op == "INTERSECT") side(p1).intersect(side(p2))
+                     else side(p1).except(side(p2))
+      combined.orderBy(obApi: _*)
+    }
+    (q, sql)
+  }
+
+  /** Null-generating outer join: customers without orders surface NULL
+    * order columns, exercising null-tolerant aggregation on both
+    * engines (COUNT(col) skips nulls, SUM/MIN of all-null groups is
+    * NULL). Predicates draw from the PRESERVED side only — a WHERE on
+    * the nullable side would silently turn the join inner. */
+  private def leftJoinAggShape(r: Random): (Q, String) = {
+    val keys = pickN(r, customer.groupables, 1 + r.nextInt(2))
+    val keyItems = keys.map(c => colItem(customer, c))
+    val aggs = Vector(
+      Item("CAST(COUNT(o_orderkey) AS BIGINT) AS a0",
+        count(col("o_orderkey")).cast("bigint").as("a0"), "a0"),
+      Item("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS a1",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("a1"), "a1")) ++
+      (if (r.nextBoolean())
+        Vector(Item("MIN(o_totalprice) AS a2", min(col("o_totalprice")).as("a2"), "a2"))
+      else Vector.empty)
+    val preds = drawPreds(r, customer, r.nextInt(3))
+    val (obSql, obApi) = orderClause(r, keyItems.map(_.name) ++ aggs.map(_.name))
+    val sql = s"SELECT ${(keyItems ++ aggs).map(_.sql).mkString(", ")} " +
+      s"FROM customer LEFT JOIN orders ON c_custkey = o_custkey" +
+      s"${whereSql(preds)} GROUP BY ${keys.mkString(", ")} ORDER BY $obSql"
+    val q: Q = (s, dir) =>
+      applyPreds(read(s, dir, "customer"), preds)
+        .join(read(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(keyItems.map(_.api): _*).agg(aggs.head.api, aggs.tail.map(_.api): _*)
+        .orderBy(obApi: _*)
+    (q, sql)
+  }
+
   // ------------------------------------------------------------- generator
 
   final case class Generated(shape: String, query: Q, sql: String)
@@ -377,7 +484,11 @@ object FuzzQueries {
       }),
       ("window", rr => windowShape(rr, baseTables(rr.nextInt(baseTables.size)))),
       ("union_scan", rr => unionScanShape(rr, baseTables(rr.nextInt(baseTables.size)))),
-      ("distinct", rr => distinctShape(rr, baseTables(rr.nextInt(baseTables.size)))))
+      ("distinct", rr => distinctShape(rr, baseTables(rr.nextInt(baseTables.size)))),
+      ("semi_anti", rr => semiAntiShape(rr)),
+      ("case_agg", rr => caseAggShape(rr, baseTables(rr.nextInt(baseTables.size)))),
+      ("setop", rr => setOpShape(rr, baseTables(rr.nextInt(baseTables.size)))),
+      ("left_join_agg", rr => leftJoinAggShape(rr)))
     val (name, f) = shapes(r.nextInt(shapes.size))
     val (q, sql) = f(r)
     Generated(name, q, sql)
@@ -387,12 +498,16 @@ object FuzzQueries {
     * shapes (asserted by FuzzSpec so a generator change that silently
     * redistributes shapes fails loudly). */
   private[graft] val batterySeeds: Vector[(String, Long)] = Vector(
-    ("q190_fuzz_scan", 11L),
+    ("q190_fuzz_scan", 18L),
     ("q191_fuzz_agg", 6L),
-    ("q192_fuzz_join_agg", 3L),
-    ("q193_fuzz_window", 1L),
-    ("q194_fuzz_union_scan", 2L),
-    ("q195_fuzz_distinct", 5L))
+    ("q192_fuzz_join_agg", 4L),
+    ("q193_fuzz_window", 10L),
+    ("q194_fuzz_union_scan", 3L),
+    ("q195_fuzz_distinct", 1L),
+    ("q196_fuzz_semi_anti", 7L),
+    ("q197_fuzz_case_agg", 5L),
+    ("q198_fuzz_setop", 2L),
+    ("q199_fuzz_left_join_agg", 9L))
 
   private[graft] def expectedShape(name: String): String =
     name.substring("q19N_fuzz_".length)

@@ -37,9 +37,9 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.collect().map(_.toSeq.map(v => if (v == null) "NULL" else v.toString)
         .mkString("|")).toVector.sorted)
 
-  test("API plan and generated SQL agree for seeds 1-40") {
+  test("API plan and generated SQL agree for seeds 1-60") {
     var nonEmpty = 0
-    (1L to 40L).foreach { seed =>
+    (1L to 60L).foreach { seed =>
       val g = FuzzQueries.generate(seed)
       val (ac, ar) = canon(g.query(spark, dir))
       val (sc, sr) = canon(spark.sql(g.sql))
@@ -47,9 +47,10 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ar == sr, s"seed=$seed shape=${g.shape} rows differ\nsql=${g.sql}")
       if (ar.nonEmpty) nonEmpty += 1
     }
-    // the generator must not degenerate into empty-result queries:
-    // vacuous agreement proves nothing
-    assert(nonEmpty >= 35, s"only $nonEmpty/40 seeds returned rows")
+    // the generator must not degenerate into empty-result queries
+    // (vacuous agreement proves nothing) — EXCEPT and NOT-EXISTS
+    // shapes can be legitimately empty, so the bar is loose
+    assert(nonEmpty >= 45, s"only $nonEmpty/60 seeds returned rows")
   }
 
   test("battery seeds produce their named shapes, each with rows at sf0.001") {

@@ -16,9 +16,11 @@ import scala.util.Random
   *     and `spark.sql(sql)` agree row-for-row — a property check on the
   *     DataFrame-to-SQL operator mapping itself, across compositions no
   *     hand-written battery row exercises.
-  *  2. Six FIXED seeds (one per plan shape) join the battery as
-  *     q190–q195, where the same SQL replays in DuckDB — the
-  *     cross-ENGINE differential the driver's gate hashes.
+  *  2. Twelve FIXED seeds (one per plan shape) join the battery as
+  *     q190–q201, where the same SQL replays in DuckDB — the
+  *     cross-ENGINE differential the driver's gate hashes. FuzzSweep
+  *     replays arbitrary seed ranges through the same DuckDB gate
+  *     (receipted at 160/160 PASS, PLANS.md r16).
   *
   * The grammar is restricted to the cross-engine-exact subset the
   * battery's determinism rules established ([[Queries]] scaladoc):
@@ -467,6 +469,67 @@ object FuzzQueries {
     (q, sql)
   }
 
+  /** ROLLUP over two STRING group keys (no casts — DuckDB matches
+    * GROUP BY ROLLUP expressions to select items structurally, and
+    * string keys need none), with GROUPING() markers cast to BIGINT on
+    * both sides so subtotal rows are disambiguated from genuine-NULL
+    * keys the way both engines define it. */
+  private val rollupTables = Vector(
+    (lineitem, "l_returnflag", "l_linestatus"),
+    (orders, "o_orderstatus", "o_orderpriority"),
+    (part, "p_brand", "p_type"))
+
+  private def rollupShape(r: Random): (Q, String) = {
+    val (t, g1, g2) = rollupTables(r.nextInt(rollupTables.size))
+    val m = t.money(r.nextInt(t.money.size))
+    val preds = drawPreds(r, t, r.nextInt(3))
+    val names = Vector("gf1", "gf2", g1, g2, "a0", "a1")
+    val (obSql, obApi) = orderClause(r, names)
+    val sql = s"SELECT CAST(GROUPING($g1) AS BIGINT) AS gf1, " +
+      s"CAST(GROUPING($g2) AS BIGINT) AS gf2, $g1, $g2, " +
+      s"CAST(COUNT(*) AS BIGINT) AS a0, " +
+      s"CAST(SUM(CAST($m AS DECIMAL(18,2))) AS DOUBLE) AS a1 " +
+      s"FROM ${t.name}${whereSql(preds)} GROUP BY ROLLUP ($g1, $g2) ORDER BY $obSql"
+    val q: Q = (s, dir) => applyPreds(read(s, dir, t.name), preds)
+      .rollup(col(g1), col(g2))
+      .agg(grouping(col(g1)).cast("bigint").as("gf1"),
+        grouping(col(g2)).cast("bigint").as("gf2"),
+        count(lit(1)).cast("bigint").as("a0"),
+        sum(col(m).cast(DecimalType(18, 2))).cast("double").as("a1"))
+      .select(col("gf1"), col("gf2"), col(g1), col(g2), col("a0"), col("a1"))
+      .orderBy(obApi: _*)
+    (q, sql)
+  }
+
+  /** Uncorrelated scalar subquery threshold: `m > (SELECT MAX(m2)*0.5
+    * FROM t WHERE …)`. MAX over shared parquet doubles is bit-identical
+    * in both engines and *0.5 is exact binary, so the filter cuts the
+    * same rows; the API side expresses it as a broadcast cross join —
+    * which IS the distributed plan a scalar subquery lowers to. An
+    * empty subquery yields NULL and zero output rows in both engines. */
+  private def scalarSubShape(r: Random, t: Tbl): (Q, String) = {
+    val m = t.money(r.nextInt(t.money.size))
+    val m2 = t.money(r.nextInt(t.money.size))
+    val subPreds = drawPreds(r, t, 1 + r.nextInt(2))
+    val basePreds = drawPreds(r, t, r.nextInt(2))
+    val items = (t.uniqueKeys :+ m).distinct.map(c => colItem(t, c))
+    val limit = 100 + r.nextInt(200)
+    val (obSql, obApi) = orderClause(r, items.map(_.name))
+    val sql = s"SELECT ${items.map(_.sql).mkString(", ")} FROM ${t.name}" +
+      s" WHERE $m > (SELECT MAX($m2) * 0.5 FROM ${t.name}${whereSql(subPreds)})" +
+      basePreds.map(p => s" AND ${p.sql}").mkString +
+      s" ORDER BY $obSql LIMIT $limit"
+    val q: Q = (s, dir) => {
+      val thr = applyPreds(read(s, dir, t.name), subPreds)
+        .agg((max(col(m2)) * 0.5).as("__thr"))
+      applyPreds(read(s, dir, t.name), basePreds)
+        .crossJoin(broadcast(thr))
+        .filter(col(m) > col("__thr"))
+        .select(items.map(_.api): _*).orderBy(obApi: _*).limit(limit)
+    }
+    (q, sql)
+  }
+
   // ------------------------------------------------------------- generator
 
   final case class Generated(shape: String, query: Q, sql: String)
@@ -488,7 +551,9 @@ object FuzzQueries {
       ("semi_anti", rr => semiAntiShape(rr)),
       ("case_agg", rr => caseAggShape(rr, baseTables(rr.nextInt(baseTables.size)))),
       ("setop", rr => setOpShape(rr, baseTables(rr.nextInt(baseTables.size)))),
-      ("left_join_agg", rr => leftJoinAggShape(rr)))
+      ("left_join_agg", rr => leftJoinAggShape(rr)),
+      ("rollup", rr => rollupShape(rr)),
+      ("scalar_sub", rr => scalarSubShape(rr, baseTables(rr.nextInt(baseTables.size)))))
     val (name, f) = shapes(r.nextInt(shapes.size))
     val (q, sql) = f(r)
     Generated(name, q, sql)
@@ -498,16 +563,18 @@ object FuzzQueries {
     * shapes (asserted by FuzzSpec so a generator change that silently
     * redistributes shapes fails loudly). */
   private[graft] val batterySeeds: Vector[(String, Long)] = Vector(
-    ("q190_fuzz_scan", 18L),
-    ("q191_fuzz_agg", 6L),
-    ("q192_fuzz_join_agg", 4L),
-    ("q193_fuzz_window", 10L),
-    ("q194_fuzz_union_scan", 3L),
-    ("q195_fuzz_distinct", 1L),
-    ("q196_fuzz_semi_anti", 7L),
-    ("q197_fuzz_case_agg", 5L),
-    ("q198_fuzz_setop", 2L),
-    ("q199_fuzz_left_join_agg", 9L))
+    ("q190_fuzz_scan", 17L),
+    ("q191_fuzz_agg", 9L),
+    ("q192_fuzz_join_agg", 3L),
+    ("q193_fuzz_window", 16L),
+    ("q194_fuzz_union_scan", 2L),
+    ("q195_fuzz_distinct", 19L),
+    ("q196_fuzz_semi_anti", 11L),
+    ("q197_fuzz_case_agg", 6L),
+    ("q198_fuzz_setop", 48L),
+    ("q199_fuzz_left_join_agg", 1L),
+    ("q200_fuzz_rollup", 22L),
+    ("q201_fuzz_scalar_sub", 5L))
 
   private[graft] def expectedShape(name: String): String =
     name.substring("q19N_fuzz_".length)

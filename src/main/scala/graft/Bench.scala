@@ -96,9 +96,15 @@ object Bench {
     // (see Verify) — used for the multi-JVM receipts, never the driver's
     // tracked artifact.
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // Shuffle partitions default to the thread count (right when data
+    // fits), but at scaled-corpus receipts partitions must scale with
+    // DATA, not threads — on a real cluster they'd scale with
+    // executors. SPARK_GRAFT_SHUFFLE_PARTITIONS decouples them.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val builder = SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -67,4 +67,29 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(FuzzQueries.generate(seed).sql == FuzzQueries.generate(seed).sql)
     }
   }
+
+  test("sensitivity: a mutated plan FAILS the differential (the gate is not vacuous)") {
+    // take battery seeds and flip one literal in the SQL side only —
+    // the canon comparison must notice, or green sweeps prove nothing.
+    // Covers the three mutation classes a buggy operator mapping would
+    // produce: a shifted constant, a dropped predicate, a wrong agg.
+    var caught = 0
+    FuzzQueries.batterySeeds.take(6).foreach { case (_, seed) =>
+      val g = FuzzQueries.generate(seed)
+      val mutated = Seq(
+        ("25.0", "24.0"), ("<=", "<"), ("COUNT(*)", "COUNT(*) + 1"),
+        ("= 'R'", "= 'A'"), ("MAX(", "MIN("), ("0.5", "0.6"))
+        .collectFirst { case (from, to) if g.sql.contains(from) =>
+          g.sql.replaceFirst(java.util.regex.Pattern.quote(from),
+            java.util.regex.Matcher.quoteReplacement(to))
+        }
+      mutated.foreach { msql =>
+        val (_, ar) = canon(g.query(spark, dir))
+        val (_, mr) = canon(spark.sql(msql))
+        if (ar != mr) caught += 1
+        else fail(s"mutation not caught for seed $seed:\n$msql")
+      }
+    }
+    assert(caught >= 3, s"only $caught battery seeds had a mutable literal")
+  }
 }

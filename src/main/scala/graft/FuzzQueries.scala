@@ -16,11 +16,11 @@ import scala.util.Random
   *     and `spark.sql(sql)` agree row-for-row — a property check on the
   *     DataFrame-to-SQL operator mapping itself, across compositions no
   *     hand-written battery row exercises.
-  *  2. Twelve FIXED seeds (one per plan shape) join the battery as
-  *     q190–q201, where the same SQL replays in DuckDB — the
+  *  2. Fourteen FIXED seeds (one per plan shape) join the battery as
+  *     q190–q203, where the same SQL replays in DuckDB — the
   *     cross-ENGINE differential the driver's gate hashes. FuzzSweep
   *     replays arbitrary seed ranges through the same DuckDB gate
-  *     (receipted at 160/160 PASS, PLANS.md r16).
+  *     (receipted at 200/200 PASS, PLANS.md r16).
   *
   * The grammar is restricted to the cross-engine-exact subset the
   * battery's determinism rules established ([[Queries]] scaladoc):
@@ -530,6 +530,60 @@ object FuzzQueries {
     (q, sql)
   }
 
+  /** `bk IN (SELECT sk FROM sub WHERE …)` — with non-null keys this is
+    * exactly the leftsemi join EXISTS lowers to, but IN-subquery is a
+    * distinct surface in both parsers (null-handling rules differ from
+    * EXISTS in general), so it earns its own differential shape. */
+  private def inSubShape(r: Random): (Q, String) = {
+    val (base, sub, bk, sk) = semiEdges(r.nextInt(semiEdges.size))
+    val items = (base.uniqueKeys ++ pickN(r, base.groupables ++ base.money, 1))
+      .distinct.map(c => colItem(base, c))
+    val basePreds = drawPreds(r, base, r.nextInt(2))
+    val subPreds = drawPreds(r, sub, 1 + r.nextInt(2))
+    val limit = 100 + r.nextInt(200)
+    val (obSql, obApi) = orderClause(r, items.map(_.name))
+    val sql = s"SELECT ${items.map(_.sql).mkString(", ")} FROM ${base.name}" +
+      s" WHERE $bk IN (SELECT $sk FROM ${sub.name}${whereSql(subPreds)})" +
+      basePreds.map(p => s" AND ${p.sql}").mkString +
+      s" ORDER BY $obSql LIMIT $limit"
+    val q: Q = (s, dir) => {
+      val subDf = applyPreds(read(s, dir, sub.name), subPreds)
+      applyPreds(read(s, dir, base.name), basePreds)
+        .join(subDf, col(bk) === col(sk), "leftsemi")
+        .select(items.map(_.api): _*).orderBy(obApi: _*).limit(limit)
+    }
+    (q, sql)
+  }
+
+  /** Correlated scalar subquery: `(SELECT COUNT(*) FROM sub WHERE fk =
+    * pk AND …)` per base row. The API side is the distributed lowering —
+    * pre-aggregate the subquery side by its key, left-join, COALESCE
+    * the no-match rows to 0 (COUNT of an empty correlated set is 0,
+    * not NULL, in both engines). */
+  private def corrScalarShape(r: Random): (Q, String) = {
+    val (base, sub, bk, sk) = semiEdges(r.nextInt(semiEdges.size))
+    val items = (base.uniqueKeys ++ pickN(r, base.groupables, 1))
+      .distinct.map(c => colItem(base, c))
+    val basePreds = drawPreds(r, base, r.nextInt(2))
+    val subPreds = drawPreds(r, sub, 1 + r.nextInt(2))
+    val limit = 100 + r.nextInt(200)
+    val (obSql, obApi) = orderClause(r, items.map(_.name) :+ "cnt")
+    val sql = s"SELECT ${items.map(_.sql).mkString(", ")}, " +
+      s"CAST((SELECT COUNT(*) FROM ${sub.name} WHERE $sk = $bk" +
+      subPreds.map(p => s" AND ${p.sql}").mkString + ") AS BIGINT) AS cnt" +
+      s" FROM ${base.name}${whereSql(basePreds)} ORDER BY $obSql LIMIT $limit"
+    val q: Q = (s, dir) => {
+      val counts = applyPreds(read(s, dir, sub.name), subPreds)
+        .groupBy(col(sk)).agg(count(lit(1)).as("__cnt"))
+      applyPreds(read(s, dir, base.name), basePreds)
+        .join(counts, col(bk) === col(sk), "left")
+        .select(items.map(_.api) :+
+          coalesce(col("__cnt"), lit(0L)).cast("bigint").as("cnt"): _*)
+        .orderBy(obApi: _*).limit(limit)
+    }
+    (q, sql)
+  }
+
   // ------------------------------------------------------------- generator
 
   final case class Generated(shape: String, query: Q, sql: String)
@@ -553,7 +607,9 @@ object FuzzQueries {
       ("setop", rr => setOpShape(rr, baseTables(rr.nextInt(baseTables.size)))),
       ("left_join_agg", rr => leftJoinAggShape(rr)),
       ("rollup", rr => rollupShape(rr)),
-      ("scalar_sub", rr => scalarSubShape(rr, baseTables(rr.nextInt(baseTables.size)))))
+      ("scalar_sub", rr => scalarSubShape(rr, baseTables(rr.nextInt(baseTables.size)))),
+      ("in_sub", rr => inSubShape(rr)),
+      ("corr_scalar", rr => corrScalarShape(rr)))
     val (name, f) = shapes(r.nextInt(shapes.size))
     val (q, sql) = f(r)
     Generated(name, q, sql)
@@ -563,18 +619,20 @@ object FuzzQueries {
     * shapes (asserted by FuzzSpec so a generator change that silently
     * redistributes shapes fails loudly). */
   private[graft] val batterySeeds: Vector[(String, Long)] = Vector(
-    ("q190_fuzz_scan", 17L),
-    ("q191_fuzz_agg", 9L),
-    ("q192_fuzz_join_agg", 3L),
-    ("q193_fuzz_window", 16L),
-    ("q194_fuzz_union_scan", 2L),
-    ("q195_fuzz_distinct", 19L),
-    ("q196_fuzz_semi_anti", 11L),
-    ("q197_fuzz_case_agg", 6L),
-    ("q198_fuzz_setop", 48L),
-    ("q199_fuzz_left_join_agg", 1L),
-    ("q200_fuzz_rollup", 22L),
-    ("q201_fuzz_scalar_sub", 5L))
+    ("q190_fuzz_scan", 31L),
+    ("q191_fuzz_agg", 24L),
+    ("q192_fuzz_join_agg", 21L),
+    ("q193_fuzz_window", 20L),
+    ("q194_fuzz_union_scan", 17L),
+    ("q195_fuzz_distinct", 16L),
+    ("q196_fuzz_semi_anti", 12L),
+    ("q197_fuzz_case_agg", 9L),
+    ("q198_fuzz_setop", 8L),
+    ("q199_fuzz_left_join_agg", 5L),
+    ("q200_fuzz_rollup", 4L),
+    ("q201_fuzz_scalar_sub", 6L),
+    ("q202_fuzz_in_sub", 2L),
+    ("q203_fuzz_corr_scalar", 28L))
 
   private[graft] def expectedShape(name: String): String =
     name.substring("q19N_fuzz_".length)

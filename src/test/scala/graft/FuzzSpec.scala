@@ -68,6 +68,19 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("no generated plan degrades to a CartesianProduct") {
+    // every join the grammar emits is keyed (equi, semi/anti, or a
+    // 1-row broadcast for scalar subqueries — BroadcastNestedLoopJoin,
+    // never CartesianProduct); a grammar bug dropping a join condition
+    // would go corpus-quadratic at scale, so it must fail HERE
+    (1L to 60L).foreach { seed =>
+      val g = FuzzQueries.generate(seed)
+      val plan = g.query(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"seed=$seed shape=${g.shape} planned a CartesianProduct\nsql=${g.sql}")
+    }
+  }
+
   test("sensitivity: a mutated plan FAILS the differential (the gate is not vacuous)") {
     // take battery seeds and flip one literal in the SQL side only —
     // the canon comparison must notice, or green sweeps prove nothing.

@@ -333,9 +333,22 @@ final class CasClaimQueue(store: CasStore, leaseTtlMillis: Long = 5 * 60 * 1000,
 
   override def renewIntervalMillis: Option[Long] = Some(math.max(1L, leaseTtlMillis / 3))
 
-  override def release(key: String, owner: String): Unit =
-    store.get(key) match {
-      case Some(cur) if ownerOf(cur) == owner => store.deleteIf(key, cur)
-      case _ => () // stolen or already gone: not ours to delete
+  override def release(key: String, owner: String): Unit = {
+    // Retry while we still own the claim: the heartbeat is cancelled
+    // before release, but cancel(false) lets one in-flight renew
+    // finish CONCURRENTLY — if its CAS lands between our read and the
+    // fenced delete, deleteIf sees a newer value and no-ops, orphaning
+    // the claim until TTL (found by SeamSpec's S3 kill-steal receipt:
+    // one leftover claim object after a clean drain). Only the owner
+    // can renew, so a failed delete here means OUR renew moved the
+    // value — re-read and delete that; anyone else's write changes the
+    // owner and ends the loop.
+    var done = false
+    while (!done) {
+      done = store.get(key) match {
+        case Some(cur) if ownerOf(cur) == owner => store.deleteIf(key, cur)
+        case _ => true // stolen or already gone: not ours to delete
+      }
     }
+  }
 }

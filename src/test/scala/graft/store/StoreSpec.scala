@@ -369,6 +369,31 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     mkQ().release("k", winner)
     assert(kv.get("k").isEmpty, "owner release must delete the claim")
     assert(mkQ().tryClaim("k", "next"))
+    // release must survive its own in-flight heartbeat: the uploader
+    // cancels the renewer with cancel(false), so ONE renew can land
+    // between release's read and the fenced delete — the delete then
+    // sees a newer value and no-ops, orphaning the claim until TTL
+    // (caught live by SeamSpec's S3 kill-steal receipt: one leftover
+    // claim object after a clean 200/200 drain). The wrapper injects
+    // exactly that interleaving before the first delete attempt.
+    assert(mkQ().tryClaim("k2", "hb"))
+    var injected = false
+    val racy = new CasStore {
+      def putIfAbsent(key: String, value: String) = kv.putIfAbsent(key, value)
+      def get(key: String) = kv.get(key)
+      def replaceIf(key: String, expect: String, value: String) =
+        kv.replaceIf(key, expect, value)
+      def deleteIf(key: String, expect: String) = {
+        // advance the fake clock so the renewed value (expiry stamp)
+        // actually DIFFERS from the one release read — a same-instant
+        // renew rewrites an identical string and can't defeat the CAS
+        if (!injected) { injected = true; now += 100; mkQ().renew("k2", "hb") }
+        kv.deleteIf(key, expect)
+      }
+    }
+    new CasClaimQueue(racy, leaseTtlMillis = 1000, clock = () => now).release("k2", "hb")
+    assert(kv.get("k2").isEmpty,
+      "release orphaned the claim after a concurrent heartbeat renew")
   }
 
   test("uploader heartbeats its lease: a batch slower than the TTL is never stolen mid-ingest") {

@@ -20,7 +20,7 @@ import scala.util.Random
   *     q190–q203, where the same SQL replays in DuckDB — the
   *     cross-ENGINE differential the driver's gate hashes. FuzzSweep
   *     replays arbitrary seed ranges through the same DuckDB gate
-  *     (receipted at 200/200 PASS, PLANS.md r16).
+  *     (receipted at 400/400 PASS, PLANS.md r16).
   *
   * The grammar is restricted to the cross-engine-exact subset the
   * battery's determinism rules established ([[Queries]] scaladoc):
@@ -67,7 +67,15 @@ object FuzzQueries {
 
   private val lineitem = Tbl(
     "lineitem",
-    uniqueKeys = Vector("l_orderkey", "l_linenumber"),
+    // NOT (l_orderkey, l_linenumber): the synthetic lineitem violates
+    // TPC-H's key (~20% of those pairs are duplicated, by generator
+    // design), which made ROW_NUMBER over that order NONDETERMINISTIC —
+    // found by the seed-386 sweep divergence (Spark and DuckDB broke a
+    // tie differently at an rn boundary). l_extendedprice completes a
+    // verified-unique triple at every test SF, and it's a 2-decimal
+    // double both engines read bit-identically from the same parquet,
+    // so the extended order is still cross-engine exact.
+    uniqueKeys = Vector("l_orderkey", "l_linenumber", "l_extendedprice"),
     groupables = Vector("l_returnflag", "l_linestatus"),
     intCols = Set("l_linenumber"),
     money = Vector("l_extendedprice", "l_quantity"),
@@ -308,8 +316,10 @@ object FuzzQueries {
     val g = t.groupables(r.nextInt(t.groupables.size))
     val keep = 2 + r.nextInt(4)
     val m = t.money(r.nextInt(t.money.size))
-    val items = (Vector(g) ++ t.uniqueKeys).distinct.map(c => colItem(t, c)) :+
-      Item(m, col(m), m)
+    // distinct AFTER appending m: lineitem's uniqueKeys include
+    // l_extendedprice (also a money col), and a duplicate output column
+    // is an analyzer error in Spark
+    val items = (Vector(g) ++ t.uniqueKeys :+ m).distinct.map(c => colItem(t, c))
     val preds = drawPreds(r, t, r.nextInt(3))
     val fn = if (r.nextBoolean()) "ROW_NUMBER" else "RANK"
     val over = s"PARTITION BY $g ORDER BY ${t.uniqueKeys.mkString(", ")}"

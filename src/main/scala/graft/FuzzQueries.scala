@@ -625,9 +625,9 @@ object FuzzQueries {
     Generated(name, q, sql)
   }
 
-  /** Battery seeds — chosen so the six committed rows cover all six
-    * shapes (asserted by FuzzSpec so a generator change that silently
-    * redistributes shapes fails loudly). */
+  /** Battery seeds — fourteen rows, one per shape (asserted by
+    * FuzzSpec so a generator change that silently redistributes
+    * shapes fails loudly). */
   private[graft] val batterySeeds: Vector[(String, Long)] = Vector(
     ("q190_fuzz_scan", 31L),
     ("q191_fuzz_agg", 24L),

@@ -81,6 +81,17 @@ object ScaleGen {
             s"concat(slice(embedding, (int($i) % size(embedding)) + 1, " +
               s"size(embedding) - (int($i) % size(embedding))), " +
               s"slice(embedding, 1, int($i) % size(embedding)))"))
+          // rotation alone is the identity whenever i % dim == 0, so
+          // replicas past the dimension would stack exact copies into
+          // the original's cell — compose a sign flip and a reverse
+          // keyed on i / dim (norm-preserving, deterministic), giving
+          // 4×dim distinct transforms before any replica repeats
+          .withColumn("embedding", expr(
+            s"if((int($i) div size(embedding)) % 2 = 1, " +
+              s"transform(embedding, x -> -x), embedding)"))
+          .withColumn("embedding", expr(
+            s"if((int($i) div (2 * size(embedding))) % 2 = 1, " +
+              s"reverse(embedding), embedding)"))
       }.repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }
 

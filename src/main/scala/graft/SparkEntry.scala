@@ -11,7 +11,7 @@ object SparkEntry {
     Queries.queries("q06_join_multi")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2, plus the
-    * seeded operator-composition fuzz rows (q190–q195). */
+    * seeded operator-composition fuzz rows (q190–q203). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.queries ++ ExtQueries.queries ++ FuzzQueries.queries
 

@@ -204,7 +204,12 @@ trait CasStore {
   def get(key: String): Option[String]
   /** Replace the value iff the current value == `expect` (CAS). */
   def replaceIf(key: String, expect: String, value: String): Boolean
-  /** Delete iff the current value == `expect`. */
+  /** Delete iff the current value == `expect`.
+    *
+    * Contract (relied on by [[CasClaimQueue.release]]'s retry loop):
+    * false means ONLY that the stored value no longer equals `expect`
+    * — transient backend errors must THROW, never return false, or a
+    * caller retrying on false would spin against a healthy value. */
   def deleteIf(key: String, expect: String): Boolean
 }
 
@@ -343,12 +348,22 @@ final class CasClaimQueue(store: CasStore, leaseTtlMillis: Long = 5 * 60 * 1000,
     // can renew, so a failed delete here means OUR renew moved the
     // value — re-read and delete that; anyone else's write changes the
     // owner and ends the loop.
+    // Bounded: cancel(false) leaves at most ONE in-flight renew, so
+    // one extra pass suffices in practice; the cap is defensive —
+    // deleteIf's contract says false ⇔ value changed (errors throw),
+    // but if a future backend breaks that, we log and fall back to
+    // orphan-until-TTL (the steal sweep reaps it) instead of spinning.
+    var attempts = 0
     var done = false
-    while (!done) {
+    while (!done && attempts < 8) {
+      attempts += 1
       done = store.get(key) match {
         case Some(cur) if ownerOf(cur) == owner => store.deleteIf(key, cur)
         case _ => true // stolen or already gone: not ours to delete
       }
     }
+    if (!done)
+      System.err.println(s"[graft] release($key): still contended after " +
+        s"$attempts attempts; leaving claim to expire at TTL")
   }
 }

@@ -717,7 +717,26 @@ object Dedup {
       .withColumn("n_sh", size(col("shingles")).cast("long"))
     val inv = sh.select(explode(col("shingles")).as("shingle"),
       struct(col("id"), col("n_sh")).as("doc"))
-    val grouped = inv.groupBy("shingle")
+    // Partition sizing for the inverted-index exchange, derived from the
+    // INPUT size instead of the session default. The group-by below is an
+    // OBJECT aggregate (collect_list) whose per-partition state dominates
+    // memory: at a measured 100× corpus the session default (one partition
+    // per core) spilled ~42 GB there, while 4× more partitions cut cpu from
+    // 2.4× to 1.68× of linear ideal (PLANS.md r16 addendum 3 — the knob
+    // experiment this code internalizes). Postings explode to ~one row per
+    // input token, measured ~48× the compressed input bytes, and ~16 MB of
+    // postings per reduce partition keeps the object agg's list state
+    // in-memory. Floored at the session setting (small inputs keep their
+    // plan unchanged), capped at 4096 (a bad estimate must not schedule
+    // millions of reduce tasks; at genuinely larger corpora raise the
+    // session setting, which the floor honors). Result-identical: a
+    // repartition below a groupBy on the same key only picks the exchange's
+    // partition count — EnsureRequirements reuses it, so the plan still has
+    // exactly one exchange before the aggregate.
+    val postingBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes * 48
+    val sessionParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val nPart = postingBytes./(16L << 20).min(4096).max(sessionParts).toInt
+    val grouped = inv.repartition(nPart, col("shingle")).groupBy("shingle")
       .agg(collect_list(col("doc")).as("docs"))
       .filter(size(col("docs")).between(2, maxDf))
       .withColumn("docs", array_sort(col("docs"))) // struct sort: by id, ids unique -> id_a < id_b

@@ -42,6 +42,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head.getDouble(2) == 1.0)
   }
 
+  test("sharedShinglePairs sizes its inverted-index exchange from input stats, one exchange only") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // small input: derived count floors at the session setting (4 here)
+    val small = docs(1L -> "a b c d", 2L -> "a b c e")
+    // large ESTIMATE: a range-backed frame whose optimizer stats exceed
+    // 16 MB / 48, so the derived count must rise above the session floor
+    val big = spark.range(3000000L)
+      .select(col("id").as("doc_id"), concat(lit("w x y z token "), col("id").cast("string")).as("text"))
+    def shingleExchangeParts(dfOut: org.apache.spark.sql.DataFrame): Seq[Int] = {
+      val executed = dfOut.queryExecution.executedPlan
+      val plan = executed match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning.toString.contains("shingle") =>
+          e.outputPartitioning.numPartitions
+      }
+    }
+    val smallParts = shingleExchangeParts(Dedup.containmentPairs(small, "doc_id", "text", minShared = 1))
+    assert(smallParts == Seq(4), s"small input must keep the session plan, got $smallParts")
+    val bigParts = shingleExchangeParts(Dedup.containmentPairs(big, "doc_id", "text", minShared = 1))
+    // exactly ONE shingle exchange (the repartition is absorbed by the
+    // group-by, not stacked under a second one), sized above the floor
+    assert(bigParts.length == 1, s"expected one shingle exchange, got $bigParts")
+    assert(bigParts.head > 4 && bigParts.head <= 4096,
+      s"derived partition count must exceed the session floor, got ${bigParts.head}")
+  }
+
   test("simHashPairs finds hamming-close docs") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val df = docs(1L -> base, 2L -> (base + " thirteen"),

@@ -106,6 +106,8 @@ object Bench {
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.core.SessionDefaults.ExtensionsKey,
+        graft.core.SessionDefaults.ExtensionsClass)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster"))

@@ -16,8 +16,8 @@ import scala.util.Random
   *     and `spark.sql(sql)` agree row-for-row — a property check on the
   *     DataFrame-to-SQL operator mapping itself, across compositions no
   *     hand-written battery row exercises.
-  *  2. Fourteen FIXED seeds (one per plan shape) join the battery as
-  *     q190–q203, where the same SQL replays in DuckDB — the
+  *  2. Eighteen FIXED seeds (one per plan shape) join the battery as
+  *     q190–q207, where the same SQL replays in DuckDB — the
   *     cross-ENGINE differential the driver's gate hashes. FuzzSweep
   *     replays arbitrary seed ranges through the same DuckDB gate
   *     (receipted at 400/400 PASS, PLANS.md r16).
@@ -26,9 +26,13 @@ import scala.util.Random
   * battery's determinism rules established ([[Queries]] scaladoc):
   * money aggregates in DECIMAL(18,2) cast back to DOUBLE, computed
   * integers cast to BIGINT on both sides, no timestamp OUTPUTS (literals
-  * only in predicates — the tables carry midnight-exact micros), no
-  * nullable columns, every query ends in a total ORDER BY (unique keys
-  * always included) so LIMIT is deterministic.
+  * only in predicates — the tables carry midnight-exact micros), every
+  * query ends in a total ORDER BY (unique keys always included) so
+  * LIMIT is deterministic. Nullable outputs exist only where a shape
+  * MANUFACTURES them (CASE without ELSE, null-extended outer-join
+  * sides, empty window frames) and every nullable sort key carries an
+  * explicit NULLS FIRST/LAST in both dialects — the engines' defaults
+  * disagree (Spark: NULLS FIRST on ASC; DuckDB: NULLS LAST).
   *
   * Scale notes: generated joins mark dimension sides (part, supplier,
   * nation) with `broadcast()` — fact-fact edges (lineitem-orders,
@@ -594,6 +598,204 @@ object FuzzQueries {
     (q, sql)
   }
 
+  // ------------------------------------- semantic dark-corner shapes (r17)
+  //
+  // Four shapes targeting the classes where Spark and DuckDB semantics
+  // genuinely diverge by DEFAULT and agreement must be spelled out —
+  // exactly where a wrong-answer bug in Spark usage (not test plumbing)
+  // would hide: null ordering (Spark defaults NULLS FIRST on ASC, DuckDB
+  // NULLS LAST — every nullable sort key below carries an explicit
+  // NULLS clause in BOTH dialects), window frames (ROWS/RANGE with
+  // unbounded and negative offsets, including empty frames that SUM to
+  // NULL), outer joins with predicates on the null-extended side (ON- vs
+  // WHERE-placement changes the join's meaning), and DECIMAL/DOUBLE
+  // mixed arithmetic (promotion rules differ; the templates pin the
+  // exact-representable subset).
+
+  /** orderClause for outputs that may contain NULLs: nullable names get
+    * an explicit seeded NULLS FIRST/LAST in both dialects (the engines'
+    * DEFAULTS disagree), non-nullable names render as [[orderClause]]. */
+  private def orderClauseN(r: Random, names: Vector[String],
+                           nullable: Set[String]): (String, Vector[Column]) = {
+    val picks = names.map(n => (n, r.nextBoolean(), r.nextBoolean()))
+    (picks.map { case (n, asc, nf) =>
+      s"$n${if (asc) "" else " DESC"}" +
+        (if (nullable(n)) { if (nf) " NULLS FIRST" else " NULLS LAST" } else "")
+    }.mkString(", "),
+      picks.map { case (n, asc, nf) =>
+        if (!nullable(n)) { if (asc) col(n).asc else col(n).desc }
+        else (asc, nf) match {
+          case (true, true)   => col(n).asc_nulls_first
+          case (true, false)  => col(n).asc_nulls_last
+          case (false, true)  => col(n).desc_nulls_first
+          case (false, false) => col(n).desc_nulls_last
+        }
+      })
+  }
+
+  /** NULLS FIRST/LAST ordering over a CASE-generated nullable column.
+    * The base tables are non-null by design, so the null source is an
+    * ELSE-less CASE (NULL when the condition fails) — same rows null on
+    * both engines. */
+  private def nullsOrderShape(r: Random, t: Tbl): (Q, String) = {
+    val m = t.money(r.nextInt(t.money.size))
+    val cond = { val g = t.predGroups(r.nextInt(t.predGroups.size)); g(r.nextInt(g.size)) }
+    val keyItems = t.uniqueKeys.map(c => colItem(t, c))
+    val mval = Item(s"CASE WHEN ${cond.sql} THEN $m END AS mval",
+      when(cond.api, col(m)).as("mval"), "mval")
+    val preds = drawPreds(r, t, r.nextInt(2))
+    val limit = 100 + r.nextInt(300)
+    val (obSql, obApi) = orderClauseN(r, Vector("mval") ++ keyItems.map(_.name), Set("mval"))
+    val sql = s"SELECT ${(keyItems :+ mval).map(_.sql).mkString(", ")} FROM ${t.name}" +
+      s"${whereSql(preds)} ORDER BY $obSql LIMIT $limit"
+    val q: Q = (s, dir) => applyPreds(read(s, dir, t.name), preds)
+      .select((keyItems :+ mval).map(_.api): _*).orderBy(obApi: _*).limit(limit)
+    (q, sql)
+  }
+
+  /** RANGE frames need a single numeric order key; BIGINT-cast in both
+    * dialects so Spark's frame-boundary type check is satisfied and
+    * DuckDB sees the identical sort type. */
+  private val rangeKeys: Map[String, String] = Map(
+    "lineitem" -> "l_linenumber", "orders" -> "o_orderkey",
+    "customer" -> "c_custkey", "part" -> "p_size", "supplier" -> "s_nationkey")
+
+  private def frameBoundSql(v: Long): String = v match {
+    case Long.MinValue      => "UNBOUNDED PRECEDING"
+    case Long.MaxValue      => "UNBOUNDED FOLLOWING"
+    case 0L                 => "CURRENT ROW"
+    case n if n < 0         => s"${-n} PRECEDING"
+    case n                  => s"$n FOLLOWING"
+  }
+
+  /** Window frames: SUM(DECIMAL money) over seeded ROWS/RANGE frames,
+    * including unbounded bounds, negative offsets (N PRECEDING .. M
+    * PRECEDING), and therefore frames that are EMPTY on leading rows
+    * (SUM = NULL — projected, so the differential hashes the engines'
+    * empty-frame agreement too). ROWS orders by the full unique-key
+    * tuple (frame contents are order-exact); RANGE orders by one BIGINT
+    * key, where ties share a frame by definition so duplicates stay
+    * deterministic. */
+  private def frameWindowShape(r: Random, t: Tbl): (Q, String) = {
+    val g = t.groupables(r.nextInt(t.groupables.size))
+    val m = t.money(r.nextInt(t.money.size))
+    val keyItems = (Vector(g) ++ t.uniqueKeys).distinct.map(c => colItem(t, c))
+    val preds = drawPreds(r, t, r.nextInt(2))
+    val bounds = Vector[(Long, Long)](
+      (Long.MinValue, 0L), (-2L, 0L), (-1L, 1L), (0L, Long.MaxValue), (-3L, -1L))
+    val (lo, hi) = bounds(r.nextInt(bounds.size))
+    val rows = r.nextBoolean()
+    val rk = rangeKeys(t.name)
+    val (frameSql, overApi) =
+      if (rows) {
+        val w = Window.partitionBy(col(g)).orderBy(t.uniqueKeys.map(col): _*)
+          .rowsBetween(lo, hi)
+        (s"PARTITION BY $g ORDER BY ${t.uniqueKeys.mkString(", ")} " +
+          s"ROWS BETWEEN ${frameBoundSql(lo)} AND ${frameBoundSql(hi)}", w)
+      } else {
+        val w = Window.partitionBy(col(g)).orderBy(col(rk).cast("bigint"))
+          .rangeBetween(lo, hi)
+        (s"PARTITION BY $g ORDER BY CAST($rk AS BIGINT) " +
+          s"RANGE BETWEEN ${frameBoundSql(lo)} AND ${frameBoundSql(hi)}", w)
+      }
+    val w0 = Item(
+      s"CAST(SUM(CAST($m AS DECIMAL(18,2))) OVER ($frameSql) AS DOUBLE) AS w0",
+      sum(col(m).cast(DecimalType(18, 2))).over(overApi).cast("double").as("w0"), "w0")
+    val limit = 100 + r.nextInt(300)
+    // w0 is functionally determined by the row (partition + order are
+    // total), so ordering by the unique keys alone is a total order
+    val (obSql, obApi) = orderClause(r, keyItems.map(_.name))
+    val sql = s"SELECT ${(keyItems :+ w0).map(_.sql).mkString(", ")} FROM ${t.name}" +
+      s"${whereSql(preds)} ORDER BY $obSql LIMIT $limit"
+    val q: Q = (s, dir) => applyPreds(read(s, dir, t.name), preds)
+      .select((keyItems :+ w0).map(_.api): _*).orderBy(obApi: _*).limit(limit)
+    (q, sql)
+  }
+
+  /** Outer-join edges: (preserved side, null-extended side, left key,
+    * right key). Both are fact-fact joins — they shuffle on their keys
+    * at scale, as they must. */
+  private val outerEdges: Vector[(Tbl, Tbl, String, String)] = Vector(
+    (orders, lineitem, "o_orderkey", "l_orderkey"),
+    (customer, orders, "c_custkey", "o_custkey"))
+
+  /** LEFT JOIN with predicates on the NULL-EXTENDED side in BOTH
+    * positions: inside ON (restricts which rows match, keeps every
+    * preserved row) and in WHERE behind an explicit IS-NULL escape
+    * (without it the filter silently turns the join inner — the classic
+    * outer-join bug this shape exists to differentiate). Nullable
+    * right-side keys are projected and sorted with explicit NULLS
+    * clauses. */
+  private def outerFilterShape(r: Random): (Q, String) = {
+    val (lt, rt, lk, rk) = outerEdges(r.nextInt(outerEdges.size))
+    val onPreds = drawPreds(r, rt, 1 + r.nextInt(2))
+    val leftPreds = drawPreds(r, lt, r.nextInt(2))
+    val rm = rt.money(r.nextInt(rt.money.size))
+    val post: Option[Pred] =
+      if (r.nextBoolean()) Some { val g = rt.predGroups(r.nextInt(rt.predGroups.size)); g(r.nextInt(g.size)) }
+      else None
+    val leftItems = (lt.uniqueKeys ++ pickN(r, lt.groupables, 1)).distinct.map(c => colItem(lt, c))
+    val rightItems = rt.uniqueKeys.map(c => colItem(rt, c))
+    val rm0 = Item(
+      s"CAST(COALESCE(CAST($rm AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS rm0",
+      coalesce(col(rm).cast(DecimalType(18, 2)), lit(0).cast(DecimalType(18, 2)))
+        .cast("double").as("rm0"), "rm0")
+    val items = leftItems ++ rightItems :+ rm0
+    val nullable = rightItems.map(_.name).toSet
+    val limit = 150 + r.nextInt(300)
+    val (obSql, obApi) = orderClauseN(r, items.map(_.name), nullable)
+    val onSql = s"$lk = $rk" + onPreds.map(p => s" AND ${p.sql}").mkString
+    val whereParts =
+      leftPreds.map(_.sql) :+ post.fold(s"$rk IS NULL")(p => s"($rk IS NULL OR ${p.sql})")
+    val sql = s"SELECT ${items.map(_.sql).mkString(", ")} FROM ${lt.name}" +
+      s" LEFT JOIN ${rt.name} ON $onSql" +
+      s" WHERE ${whereParts.mkString(" AND ")} ORDER BY $obSql LIMIT $limit"
+    val q: Q = (s, dir) => {
+      val onApi = onPreds.foldLeft(col(lk) === col(rk))((c, p) => c && p.api)
+      val joined = read(s, dir, lt.name).join(read(s, dir, rt.name), onApi, "left")
+      val postApi = post.fold(col(rk).isNull)(p => col(rk).isNull || p.api)
+      applyPreds(joined, leftPreds).filter(postApi)
+        .select(items.map(_.api): _*).orderBy(obApi: _*).limit(limit)
+    }
+    (q, sql)
+  }
+
+  /** DECIMAL/DOUBLE mixed arithmetic over the exact-representable
+    * subset: decimal+decimal (scale-aligned), decimal×int, a
+    * double-digit-product normalized through an explicit DECIMAL(30,4)
+    * cast, and an implicit decimal→double promotion (both engines
+    * resolve decimal × double to DOUBLE; the row-level IEEE ops after
+    * that are bit-identical). Division is excluded — result scale rules
+    * genuinely differ and would fail the differential on rounding, not
+    * on a bug. */
+  private def mixedArithShape(r: Random, t: Tbl): (Q, String) = {
+    val m1 = t.money(r.nextInt(t.money.size))
+    val m2 = t.money(r.nextInt(t.money.size))
+    val k = 2 + r.nextInt(8)
+    val templates = Vector[Item](
+      Item(s"CAST(CAST($m1 AS DECIMAL(18,2)) + CAST($m2 AS DECIMAL(18,2)) AS DOUBLE) AS v0",
+        (col(m1).cast(DecimalType(18, 2)) + col(m2).cast(DecimalType(18, 2)))
+          .cast("double").as("v0"), "v0"),
+      Item(s"CAST(CAST($m1 AS DECIMAL(18,2)) * $k AS DOUBLE) AS v1",
+        (col(m1).cast(DecimalType(18, 2)) * lit(k)).cast("double").as("v1"), "v1"),
+      Item(s"CAST(CAST(CAST($m1 AS DECIMAL(18,2)) * CAST($m2 AS DECIMAL(9,2)) AS DECIMAL(30,4)) AS DOUBLE) AS v2",
+        (col(m1).cast(DecimalType(18, 2)) * col(m2).cast(DecimalType(9, 2)))
+          .cast(DecimalType(30, 4)).cast("double").as("v2"), "v2"),
+      Item(s"CAST($m1 AS DECIMAL(18,2)) * CAST(1.5 AS DOUBLE) + $m2 AS v3",
+        (col(m1).cast(DecimalType(18, 2)) * lit(1.5) + col(m2)).as("v3"), "v3"))
+    val picked = pickN(r, templates, 2)
+    val keyItems = t.uniqueKeys.map(c => colItem(t, c))
+    val items = keyItems ++ picked
+    val preds = drawPreds(r, t, 1 + r.nextInt(2))
+    val limit = 100 + r.nextInt(300)
+    val (obSql, obApi) = orderClause(r, items.map(_.name))
+    val sql = s"SELECT ${items.map(_.sql).mkString(", ")} FROM ${t.name}" +
+      s"${whereSql(preds)} ORDER BY $obSql LIMIT $limit"
+    val q: Q = (s, dir) => applyPreds(read(s, dir, t.name), preds)
+      .select(items.map(_.api): _*).orderBy(obApi: _*).limit(limit)
+    (q, sql)
+  }
+
   // ------------------------------------------------------------- generator
 
   final case class Generated(shape: String, query: Q, sql: String)
@@ -619,30 +821,42 @@ object FuzzQueries {
       ("rollup", rr => rollupShape(rr)),
       ("scalar_sub", rr => scalarSubShape(rr, baseTables(rr.nextInt(baseTables.size)))),
       ("in_sub", rr => inSubShape(rr)),
-      ("corr_scalar", rr => corrScalarShape(rr)))
+      ("corr_scalar", rr => corrScalarShape(rr)),
+      ("nulls_order", rr => nullsOrderShape(rr, baseTables(rr.nextInt(baseTables.size)))),
+      ("frame_window", rr => frameWindowShape(rr, baseTables(rr.nextInt(baseTables.size)))),
+      ("outer_filter", rr => outerFilterShape(rr)),
+      ("mixed_arith", rr => mixedArithShape(rr, baseTables(rr.nextInt(baseTables.size)))))
     val (name, f) = shapes(r.nextInt(shapes.size))
     val (q, sql) = f(r)
     Generated(name, q, sql)
   }
 
-  /** Battery seeds — fourteen rows, one per shape (asserted by
+  /** Battery seeds — eighteen rows, one per shape (asserted by
     * FuzzSpec so a generator change that silently redistributes
-    * shapes fails loudly). */
+    * shapes fails loudly). Re-picked when the r17 dark-corner shapes
+    * widened the grammar to 18 (the shape draw is mod shapes.size, so
+    * growing the vector remaps every seed — the rows are generated
+    * pairs, so the gate re-derives plan and oracle together and the
+    * change is content-neutral by construction). */
   private[graft] val batterySeeds: Vector[(String, Long)] = Vector(
-    ("q190_fuzz_scan", 31L),
-    ("q191_fuzz_agg", 24L),
-    ("q192_fuzz_join_agg", 21L),
-    ("q193_fuzz_window", 20L),
-    ("q194_fuzz_union_scan", 17L),
-    ("q195_fuzz_distinct", 16L),
-    ("q196_fuzz_semi_anti", 12L),
-    ("q197_fuzz_case_agg", 9L),
-    ("q198_fuzz_setop", 8L),
-    ("q199_fuzz_left_join_agg", 5L),
-    ("q200_fuzz_rollup", 4L),
-    ("q201_fuzz_scalar_sub", 6L),
-    ("q202_fuzz_in_sub", 2L),
-    ("q203_fuzz_corr_scalar", 28L))
+    ("q190_fuzz_scan", 11L),
+    ("q191_fuzz_agg", 9L),
+    ("q192_fuzz_join_agg", 30L),
+    ("q193_fuzz_window", 15L),
+    ("q194_fuzz_union_scan", 2L),
+    ("q195_fuzz_distinct", 19L),
+    ("q196_fuzz_semi_anti", 49L),
+    ("q197_fuzz_case_agg", 6L),
+    ("q198_fuzz_setop", 4L),
+    ("q199_fuzz_left_join_agg", 10L),
+    ("q200_fuzz_rollup", 8L),
+    ("q201_fuzz_scalar_sub", 14L),
+    ("q202_fuzz_in_sub", 12L),
+    ("q203_fuzz_corr_scalar", 29L),
+    ("q204_fuzz_nulls_order", 3L),
+    ("q205_fuzz_frame_window", 1L),
+    ("q206_fuzz_outer_filter", 7L),
+    ("q207_fuzz_mixed_arith", 5L))
 
   private[graft] def expectedShape(name: String): String =
     name.substring("q19N_fuzz_".length)

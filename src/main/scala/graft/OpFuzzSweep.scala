@@ -3,16 +3,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Cross-engine fuzz sweep: dumps an arbitrary seed range of
-  * [[FuzzQueries]] plans in Verify's format (parquet per query +
-  * oracle_sql.json) so `scripts/check_oracle.py` can replay every
-  * generated SQL in DuckDB — the full differential, not just the six
-  * committed battery seeds.
+/** Cross-engine sweep for the operator-PARAMETER fuzzer ([[OpFuzz]]):
+  * dumps a seed range in Verify's format (parquet per seed +
+  * oracle_sql.json) so `scripts/check_oracle.py` replays each generated
+  * parameterization in DuckDB — the full differential over the custom
+  * operator surface, beyond the seven committed battery seeds.
   *
-  *   sbt "runMain graft.FuzzSweep /root/testdata/sf0.01 /tmp/fuzzsweep 1 40"
-  *   python3 scripts/check_oracle.py /root/testdata/sf0.01 /tmp/fuzzsweep
+  *   sbt "runMain graft.OpFuzzSweep /root/testdata/sf0.01 /tmp/opfuzz 1 200"
+  *   python3 scripts/check_oracle.py /root/testdata/sf0.01 /tmp/opfuzz
   */
-object FuzzSweep {
+object OpFuzzSweep {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, fromS, toS) = args
     val (from, to) = (fromS.toLong, toS.toLong)
@@ -28,10 +28,10 @@ object FuzzSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val gens = (from to to).map(s => (f"fuzz_s$s%04d", FuzzQueries.generate(s)))
+    val gens = (from to to).map(s => (f"opfuzz_s$s%04d", OpFuzz.generate(s)))
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     gens.foreach { case (name, g) =>
-      System.err.println(s"[fuzzsweep] running $name (${g.shape})")
+      System.err.println(s"[opfuzz] running $name (${g.family} ${g.params})")
       try g.query(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -49,7 +49,7 @@ object FuzzSweep {
     Files.writeString(Paths.get(s"$outDir/failures.json"),
       failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     if (failures.nonEmpty)
-      System.err.println(s"[fuzzsweep] FAILED: ${failures.keys.mkString(", ")}")
+      System.err.println(s"[opfuzz] FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

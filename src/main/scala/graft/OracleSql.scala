@@ -1185,4 +1185,92 @@ object OracleSql {
        |WHERE vec_id NOT IN (SELECT id FROM dropped)
        |ORDER BY vec_id""".stripMargin
   }
+
+  // ------------------------------------------------- r17 parameterized
+  // exact-overlap + chunking oracles for the operator-parameter fuzzer
+  // (OpFuzz): the q49/q135/q77 inline oracles generalized over the
+  // operator's full parameter space, so a seeded sweep can
+  // differentially check Dedup.ngramJaccardPairs / containmentPairs /
+  // TextAnalysis.chunkDocuments at ANY (width, threshold, minShared,
+  // maxDf) / (chunkSize, overlap) — not just the fixed battery values.
+
+  /** Shared shingle-pair CTEs: documents -> `pairs(id_a, id_b, shared,
+    * na, nb)` over DISTINCT w-token shingle STRINGS (whole text if
+    * < w tokens), with the operator's lossless-by-construction prunes
+    * replayed: grams in exactly one doc pair with nothing (`>= 2`), and
+    * grams in more than `maxDf` docs are dropped (the 100 TB
+    * stop-phrase cap) — equal to the hash-based Spark result because
+    * 64-bit shingle-hash collisions are negligible at test scale
+    * (same argument as q49's scaladoc). */
+  private def shinglePairCtes(w: Int, maxDf: Int): String =
+    s"""tk AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS t
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= $w
+       |      THEN list_distinct(list_transform(range(1, len(t) - ${w - 2}), i -> array_to_string(t[i:i + ${w - 1}], ' ')))
+       |      ELSE [array_to_string(t, ' ')] END AS s
+       |  FROM tk
+       |), ex AS MATERIALIZED (
+       |  SELECT doc_id, unnest(s) AS g FROM sh
+       |), ok AS (
+       |  SELECT g FROM ex GROUP BY g HAVING count(*) BETWEEN 2 AND $maxDf
+       |), cp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  JOIN ok o ON o.g = a.g
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT id_a, id_b, shared, len(sa.s) AS na, len(sb.s) AS nb
+       |  FROM cp JOIN sh sa ON cp.id_a = sa.doc_id JOIN sh sb ON cp.id_b = sb.doc_id
+       |)""".stripMargin
+
+  /** Parameterized q49 oracle: Dedup.ngramJaccardPairs at any
+    * (shingleWidth, threshold, minShared, maxDf). */
+  def jaccardPairsSql(w: Int, threshold: Double, minShared: Int, maxDf: Int): String =
+    s"""WITH ${shinglePairCtes(w, maxDf)}
+       |SELECT id_a, id_b, CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+       |FROM pairs
+       |WHERE shared >= $minShared AND CAST(shared AS DOUBLE) / (na + nb - shared) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Parameterized q135 oracle: Dedup.containmentPairs at any
+    * (shingleWidth, threshold, minShared, maxDf). */
+  def containmentPairsSql(w: Int, threshold: Double, minShared: Int, maxDf: Int): String =
+    s"""WITH ${shinglePairCtes(w, maxDf)}
+       |SELECT id_a, id_b,
+       |  CAST(shared AS DOUBLE) / na AS containment_a,
+       |  CAST(shared AS DOUBLE) / nb AS containment_b,
+       |  greatest(CAST(shared AS DOUBLE) / na, CAST(shared AS DOUBLE) / nb) AS containment
+       |FROM pairs
+       |WHERE shared >= $minShared
+       |  AND greatest(CAST(shared AS DOUBLE) / na, CAST(shared AS DOUBLE) / nb) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Parameterized q77 oracle: TextAnalysis.chunkDocuments at any
+    * (chunkSize, overlap) — start grid stepped by chunkSize-overlap,
+    * tail starts that would emit a fully-contained suffix dropped
+    * (`s = 0 OR s < n - overlap`, replaying the operator's filter
+    * exactly), chunks sliced to chunkSize tokens. */
+  def chunkDocumentsSql(chunkSize: Int, overlap: Int): String = {
+    val step = chunkSize - overlap
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                             x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, toks, len(toks) AS n FROM t
+       |), st AS (
+       |  SELECT doc_id, toks,
+       |         unnest(list_filter(generate_series(0, greatest(n - 1, 0), $step),
+       |                            s -> s = 0 OR s < n - $overlap)) AS start
+       |  FROM s
+       |)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS BIGINT) AS chunk_idx,
+       |  array_to_string(toks[start + 1 : start + $chunkSize], ' ') AS chunk_text,
+       |  CAST(len(toks[start + 1 : start + $chunkSize]) AS BIGINT) AS n_chunk_tokens
+       |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+  }
 }

@@ -17,6 +17,8 @@ object Verify {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.core.SessionDefaults.ExtensionsKey,
+        graft.core.SessionDefaults.ExtensionsClass)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster"))

@@ -138,6 +138,8 @@ object Main {
       // under FAIR mode; pools are created on demand with equal weight
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.core.SessionDefaults.ExtensionsKey,
+        graft.core.SessionDefaults.ExtensionsClass)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

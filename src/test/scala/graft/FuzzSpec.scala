@@ -9,12 +9,14 @@ import org.scalatest.BeforeAndAfterAll
   * agree column-for-column and row-for-row. This pins the API-to-SQL
   * operator mapping across compositions no hand-written battery row
   * covers; the cross-ENGINE half of the differential (same SQL in
-  * DuckDB) runs in the driver's gate via q190–q203. */
+  * DuckDB) runs in the driver's gate via q190–q207. */
 class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    .config(graft.core.SessionDefaults.ExtensionsKey,
+      graft.core.SessionDefaults.ExtensionsClass)
     .getOrCreate()
 
   private val dir = "/root/testdata/sf0.001"
@@ -79,6 +81,42 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!plan.contains("CartesianProduct"),
         s"seed=$seed shape=${g.shape} planned a CartesianProduct\nsql=${g.sql}")
     }
+  }
+
+  test("seed-166 EXCEPT: the engine's DefuseExceptRewrite makes the fuzz catch executable") {
+    // The r17 sweep found seeds 166/320 (same-relation EXCEPT with a
+    // cast-aliased projection shadowing a filter column) CRASH Spark
+    // 4.1.2's ReplaceExceptWithFilter rewrite on both the API and SQL
+    // paths — a user-facing error on a legal query DuckDB runs fine.
+    // The engine installs graft.plans.DefuseExceptRewrite through its
+    // session extensions (this suite's builder, like every engine
+    // session, carries SessionDefaults.ExtensionsClass): both halves
+    // must now run and agree. The upstream-fault canary (the repro
+    // WITHOUT the extension, which must keep failing until Spark fixes
+    // the rule) lives in DefuseExceptSpec with its own session.
+    val g = FuzzQueries.generate(166L)
+    assert(g.sql.contains("EXCEPT"), s"seed 166 no longer an EXCEPT shape: ${g.shape}")
+    val (ac, ar) = canon(g.query(spark, dir))
+    val (sc, sr) = canon(spark.sql(g.sql))
+    assert(ac == sc && ar == sr, s"seed 166 differential failed\nsql=${g.sql}")
+    val g2 = FuzzQueries.generate(320L)
+    val (_, ar2) = canon(g2.query(spark, dir))
+    val (_, sr2) = canon(spark.sql(g2.sql))
+    assert(ar2 == sr2, s"seed 320 differential failed\nsql=${g2.sql}")
+    // non-empty hand case through the installed extension: exact set
+    // difference (seeds 166/320 are legitimately empty at sf0.001, so
+    // on their own they'd only prove "no crash")
+    val hazard = spark.sql(
+      """SELECT CAST(p_size AS BIGINT) AS p_size FROM part WHERE p_type = 'PROMO'
+        |EXCEPT
+        |SELECT CAST(p_size AS BIGINT) AS p_size FROM part WHERE p_size <= 20""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    val a = spark.sql("SELECT DISTINCT CAST(p_size AS BIGINT) v FROM part WHERE p_type = 'PROMO'")
+      .collect().map(_.getLong(0)).toSet
+    val b = spark.sql("SELECT DISTINCT CAST(p_size AS BIGINT) v FROM part WHERE p_size <= 20")
+      .collect().map(_.getLong(0)).toSet
+    assert((a -- b).nonEmpty, "fixture degenerated to an empty difference")
+    assert(hazard == (a -- b), s"defused EXCEPT wrong: got $hazard expected ${a -- b}")
   }
 
   test("sensitivity: a mutated plan FAILS the differential (the gate is not vacuous)") {

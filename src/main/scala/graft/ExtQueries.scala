@@ -38,10 +38,24 @@ object ExtQueries {
   private def eventsStream(s: SparkSession, d: String, dir: java.io.File): DataFrame = {
     dir.mkdirs()
     val src = java.nio.file.Paths.get(s"$d/events.parquet")
-    val dst = new java.io.File(dir, "events.parquet").toPath
-    if (!java.nio.file.Files.exists(dst))
-      try java.nio.file.Files.createLink(dst, src)
-      catch { case _: Exception => java.nio.file.Files.copy(src, dst); () }
+    // the driver's testdata ships events.parquet as a single FILE; a
+    // Spark-written copy (ScaleGen's scaled corpora) is a DIRECTORY of
+    // part files — stage either layout by hardlinking the actual
+    // parquet file(s) into the stream's source dir (copy as fallback
+    // for cross-device paths)
+    def stage(file: java.nio.file.Path, name: String): Unit = {
+      val dst = new java.io.File(dir, name).toPath
+      if (!java.nio.file.Files.exists(dst))
+        try { java.nio.file.Files.createLink(dst, file); () }
+        catch { case _: Exception => java.nio.file.Files.copy(file, dst); () }
+    }
+    if (java.nio.file.Files.isDirectory(src)) {
+      val it = java.nio.file.Files.list(src).iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet")) stage(f, f.getFileName.toString)
+      }
+    } else stage(src, "events.parquet")
     val static = s.read.parquet(s"$d/events.parquet")
     Queries.normalizeEventTs(
       s.readStream.schema(static.schema).parquet(dir.toString),

@@ -11,7 +11,7 @@ import scala.util.Random
   * aims the same weapon at the custom operator surface, where the
   * engine's own code (and therefore its bug mass) actually lives. Each
   * seed draws a family (exact-overlap dedup, MinHash LSH, winnowing,
-  * SimHash, BM25, chunking) and a random point in that operator's REAL
+  * SimHash, BM25, chunking, IVF ANN, k-means) and a random point in that operator's REAL
   * parameter space (shingle width, thresholds, minShared, DF caps, hash
   * counts, band counts, bucket caps, chunk size/overlap, query-token
   * sets, k), then emits the paired artifacts: the operator call and the
@@ -22,7 +22,7 @@ import scala.util.Random
   *  1. [[OpFuzzSpec]]: in-process invariants + parameter-mutation
   *     sensitivity (a changed parameter must change the output for a
   *     floor of seeds — the differential is not vacuous) + determinism.
-  *  2. Seven FIXED seeds join the battery as q208–q214 (one per
+  *  2. Nine FIXED seeds join the battery as q208–q216 (one per
   *     family), hash-checked by the driver's DuckDB gate every round.
   *  3. [[OpFuzzSweep]] replays arbitrary seed ranges through
   *     `scripts/check_oracle.py` — the full cross-engine differential
@@ -150,9 +150,43 @@ object OpFuzz {
         chunkSize = cs * 2, overlap = ov).orderBy("doc_id", "chunk_idx"))
   }
 
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def queryVec(s: SparkSession, dir: String): Array[Float] =
+    embs(s, dir).filter(col("vec_id") === 0L)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+
+  private def ivfGen(r: Random): Generated = {
+    val k = pick(r, Vector(5, 10, 20))
+    val nCells = pick(r, Vector(8, 16, 32))
+    val nProbe = pick(r, Vector(1, 2, 4, 8, nCells).filter(_ <= nCells))
+    Generated("ivf", s"k=$k nCells=$nCells nProbe=$nProbe",
+      (s, d) => SimilaritySearch.ivfTopK(embs(s, d), "vec_id", "embedding",
+        queryVec(s, d), k = k, nCells = nCells, nProbe = nProbe),
+      OracleSql.ivfTopKSql(k, nCells, nProbe),
+      (s, d) => SimilaritySearch.ivfTopK(embs(s, d), "vec_id", "embedding",
+        queryVec(s, d), k = math.max(1, k - 3), nCells = nCells, nProbe = nProbe))
+  }
+
+  private def kmeansGen(r: Random): Generated = {
+    val k = pick(r, Vector(4, 8))
+    val iters = pick(r, Vector(1, 2))
+    Generated("kmeans", s"k=$k iters=$iters",
+      (s, d) => SimilaritySearch.kMeansAssign(embs(s, d), "vec_id", "embedding",
+        k = k, iters = iters)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy("vec_id"),
+      OracleSql.kMeansAssignSql(k, iters),
+      (s, d) => SimilaritySearch.kMeansAssign(embs(s, d), "vec_id", "embedding",
+        k = k + 1, iters = iters)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy("vec_id"))
+  }
+
   private val families: Vector[Random => Generated] = Vector(
     jaccardGen, containmentGen, minhashGen, winnowGen,
-    simhashGen, bm25Gen, chunkGen)
+    simhashGen, bm25Gen, chunkGen, ivfGen, kmeansGen)
 
   /** Deterministic: same seed, same (operator call, SQL) pair. */
   def generate(seed: Long): Generated = {
@@ -160,16 +194,21 @@ object OpFuzz {
     families(r.nextInt(families.size))(r)
   }
 
-  /** Battery seeds — seven rows, one per family (asserted by
-    * OpFuzzSpec), each non-empty at sf0.001. */
+  /** Battery seeds — nine rows, one per family (asserted by
+    * OpFuzzSpec), each non-empty at sf0.001. Re-picked when the
+    * family vector grew to 9 (the family draw is mod families.size,
+    * so growing the vector remaps every seed — content-neutral: the
+    * gate re-derives operator call and oracle together per seed). */
   private[graft] val batterySeeds: Vector[(String, Long)] = Vector(
-    ("q208_opfuzz_jaccard", 9L),
+    ("q208_opfuzz_jaccard", 10L),
     ("q209_opfuzz_containment", 8L),
-    ("q210_opfuzz_minhash", 5L),
-    ("q211_opfuzz_winnow", 4L),
-    ("q212_opfuzz_simhash", 1L),
-    ("q213_opfuzz_bm25", 2L),
-    ("q214_opfuzz_chunk", 12L))
+    ("q210_opfuzz_minhash", 14L),
+    ("q211_opfuzz_winnow", 12L),
+    ("q212_opfuzz_simhash", 2L),
+    ("q213_opfuzz_bm25", 3L),
+    ("q214_opfuzz_chunk", 1L),
+    ("q215_opfuzz_ivf", 6L),
+    ("q216_opfuzz_kmeans", 4L))
 
   private[graft] def expectedFamily(name: String): String =
     name.substring("q2NN_opfuzz_".length)

@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * seeded operator-composition fuzz rows (q190–q207) and the
-    * operator-parameter fuzz rows (q208–q214). */
+    * operator-parameter fuzz rows (q208–q216). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.queries ++ ExtQueries.queries ++ FuzzQueries.queries ++ OpFuzz.queries
 

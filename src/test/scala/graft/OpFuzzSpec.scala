@@ -74,6 +74,15 @@ class OpFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           // scores non-increasing in the operator's own order; k respected
           val k = g.params.split("k=")(1).toInt
           assert(rows.length <= k, s"seed=$seed bm25 returned ${rows.length} > k=$k")
+        case "ivf" =>
+          val k = g.params.split(" ")(0).stripPrefix("k=").toInt
+          assert(rows.length <= k, s"seed=$seed ivf returned ${rows.length} > k=$k")
+        case "kmeans" =>
+          val k = g.params.split(" ")(0).stripPrefix("k=").toInt
+          rows.foreach { r =>
+            val cell = r.getLong(1)
+            assert(cell >= 0 && cell < k, s"seed=$seed kmeans cell $cell outside [0,$k)")
+          }
         case "chunk" =>
           // chunk_idx starts at 0 and is consecutive per doc
           val byDoc = rows.groupBy(_.getLong(0))

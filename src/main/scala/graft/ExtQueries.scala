@@ -50,11 +50,14 @@ object ExtQueries {
         catch { case _: Exception => java.nio.file.Files.copy(file, dst); () }
     }
     if (java.nio.file.Files.isDirectory(src)) {
-      val it = java.nio.file.Files.list(src).iterator()
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getFileName.toString.endsWith(".parquet")) stage(f, f.getFileName.toString)
-      }
+      val st = java.nio.file.Files.list(src)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.endsWith(".parquet")) stage(f, f.getFileName.toString)
+        }
+      } finally st.close()
     } else stage(src, "events.parquet")
     val static = s.read.parquet(s"$d/events.parquet")
     Queries.normalizeEventTs(

@@ -10,19 +10,24 @@ import scala.util.Random
   * proved a wide seeded sweep samples holes a fixed battery can't — this
   * aims the same weapon at the custom operator surface, where the
   * engine's own code (and therefore its bug mass) actually lives. Each
-  * seed draws a family (exact-overlap dedup, MinHash LSH, winnowing,
-  * SimHash, BM25, chunking, IVF ANN, k-means) and a random point in that operator's REAL
+  * seed draws a family — the report-shaped ops (exact-overlap dedup,
+  * MinHash LSH, winnowing, SimHash, BM25, chunking, IVF ANN, k-means)
+  * plus, since r18, the DESTRUCTIVE/composite ops that excise or
+  * reassign user data (span removal both variants, near-dup removal,
+  * leakage-safe split, sequence packing, token-budget sharding, as-of
+  * direction x tolerance) — and a random point in that operator's REAL
   * parameter space (shingle width, thresholds, minShared, DF caps, hash
   * counts, band counts, bucket caps, chunk size/overlap, query-token
-  * sets, k), then emits the paired artifacts: the operator call and the
-  * DuckDB SQL that replays it at those exact parameters (the
-  * parameterized generators in [[OracleSql]]).
+  * sets, k, span k/minCount, split fractions/salts, token budgets,
+  * as-of direction/tolerance), then emits the paired artifacts: the
+  * operator call and the DuckDB SQL that replays it at those exact
+  * parameters (the parameterized generators in [[OracleSql]]).
   *
   * Verification levels, mirroring [[FuzzQueries]]:
   *  1. [[OpFuzzSpec]]: in-process invariants + parameter-mutation
   *     sensitivity (a changed parameter must change the output for a
   *     floor of seeds — the differential is not vacuous) + determinism.
-  *  2. Nine FIXED seeds join the battery as q208–q216 (one per
+  *  2. Sixteen FIXED seeds join the battery as q208–q223 (one per
   *     family), hash-checked by the driver's DuckDB gate every round.
   *  3. [[OpFuzzSweep]] replays arbitrary seed ranges through
   *     `scripts/check_oracle.py` — the full cross-engine differential
@@ -169,6 +174,155 @@ object OpFuzz {
         queryVec(s, d), k = math.max(1, k - 3), nCells = nCells, nProbe = nProbe))
   }
 
+  // ----------------------------------------------- r18: the DESTRUCTIVE
+  // and composite families — operators that EXCISE or reassign user
+  // data, where a parameter-dependent bug silently loses corpus. Each
+  // replays through the parameterized oracles generalizing the fixed
+  // q86/q89/q80/q132/q85/q81/q112–q114 battery rows.
+
+  private def spanrmGen(r: Random): Generated = {
+    val k = pick(r, Vector(4, 6, 8, 12))
+    val mc = pick(r, Vector(2, 3))
+    // mutation halves k rather than k+1: the fixture's duplicated spans
+    // are LONG runs, so adjacent k values cover the same token set —
+    // k/2 crosses into a different gram population (measured: removal
+    // totals 2697 vs 25965 at k 6 vs 3 on sf0.001)
+    Generated("spanrm", s"k=$k minCount=$mc",
+      (s, d) => Dedup.removeDuplicatedSpans(docs(s, d), "doc_id", "text",
+        k = k, minCount = mc).orderBy("doc_id"),
+      OracleSql.removeDuplicatedSpansSql(k, mc, keepFirst = false),
+      (s, d) => Dedup.removeDuplicatedSpans(docs(s, d), "doc_id", "text",
+        k = math.max(2, k / 2), minCount = mc).orderBy("doc_id"))
+  }
+
+  private def spankeepGen(r: Random): Generated = {
+    val k = pick(r, Vector(4, 6, 8, 12))
+    val mc = pick(r, Vector(2, 3))
+    Generated("spankeep", s"k=$k minCount=$mc",
+      (s, d) => Dedup.removeDuplicatedSpansKeepFirst(docs(s, d), "doc_id", "text",
+        k = k, minCount = mc).orderBy("doc_id"),
+      OracleSql.removeDuplicatedSpansSql(k, mc, keepFirst = true),
+      (s, d) => Dedup.removeDuplicatedSpansKeepFirst(docs(s, d), "doc_id", "text",
+        k = math.max(2, k / 2), minCount = mc).orderBy("doc_id"))
+  }
+
+  private def neardupGen(r: Random): Generated = {
+    val (nh, bands) = pick(r, Vector((16, 4), (16, 8), (32, 8), (32, 16)))
+    val w = pick(r, Vector(2, 3, 4))
+    val cap = pick(r, Vector(50, 500))
+    val th = pick(r, Vector(0.3, 0.5, 0.7))
+    def run(thr: Double): Q = (s, d) =>
+      Dedup.removeNearDups(docs(s, d), "doc_id",
+          Dedup.minHashCandidates(docs(s, d), "doc_id", "text", numHashes = nh,
+              bands = bands, shingleWidth = w, maxBucketSize = cap)
+            .filter(col("est_jaccard") >= thr).select("id_a", "id_b"))
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    // mutation DISABLES removal (threshold above est_jaccard's range):
+    // the planted near-dups sit at est ~1.0 at any shingle width, so a
+    // +-0.2 threshold nudge lands in the same bimodal gap — the strong
+    // differential is "removal on vs off", which fires whenever the
+    // base parameters removed anything at all
+    Generated("neardup", s"numHashes=$nh bands=$bands w=$w cap=$cap th=$th",
+      run(th),
+      OracleSql.minhashRemoveNearDupsSql(nh, bands, w, cap, th),
+      run(2.0))
+  }
+
+  private val splitSpaces: Vector[Seq[(String, Double)]] = Vector(
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+    Seq("train" -> 0.7, "test" -> 0.3),
+    Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25),
+    Seq("train" -> 0.9, "holdout" -> 0.1))
+
+  private def splitGen(r: Random): Generated = {
+    val splits = pick(r, splitSpaces)
+    val th = pick(r, Vector(0.5, 0.7, 0.8))
+    val (nh, bands) = pick(r, Vector((16, 4), (32, 8)))
+    val salt = "s" + r.nextInt(1000)
+    def run(slt: String): Q = (s, d) =>
+      Dedup.leakageSafeSplit(docs(s, d), "doc_id", "text", splits = splits,
+          salt = slt, threshold = th, numHashes = nh, bands = bands)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy("split")
+    Generated("split",
+      s"splits=${splits.map { case (n, f) => s"$n:$f" }.mkString(",")} th=$th numHashes=$nh bands=$bands salt=$salt",
+      run(salt),
+      OracleSql.leakageSafeSplitSql(nh, bands, w = 3, maxBucketSize = 500,
+        threshold = th, salt = salt, splits = splits),
+      run(salt + "x"))
+  }
+
+  private def packGen(r: Random): Generated = {
+    val budget = pick(r, Vector(64L, 128L, 256L, 512L))
+    val nb = pick(r, Vector(4, 8))
+    val salt = "p" + r.nextInt(100)
+    def run(b: Long): Q = (s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      TextAnalysis.packSequences(base, "doc_id", "n_tokens",
+          tokensPerSequence = b, salt = salt, numBuckets = nb)
+        .select("doc_id", "n_tokens", "pack_bucket", "seq_idx")
+        .orderBy("doc_id")
+    }
+    Generated("pack", s"budget=$budget numBuckets=$nb salt=$salt",
+      run(budget),
+      OracleSql.packSequencesSql(budget, salt, nb),
+      run(math.max(budget / 2, 32L)))
+  }
+
+  private def shardGen(r: Random): Generated = {
+    val budget = pick(r, Vector(64L, 128L, 256L, 512L))
+    val nb = pick(r, Vector(4, 8))
+    val salt = "h" + r.nextInt(100)
+    def run(b: Long): Q = (s, d) =>
+      TextAnalysis.shardByTokenBudget(docs(s, d), "doc_id", "text",
+          tokensPerShard = b, salt = salt, numBuckets = nb)
+        .select("doc_id", "shard_bucket", "shard_idx", "n_tokens")
+        .orderBy("doc_id")
+    Generated("shard", s"budget=$budget numBuckets=$nb salt=$salt",
+      run(budget),
+      OracleSql.shardByTokenBudgetSql(budget, salt, nb),
+      run(math.max(budget / 2, 32L)))
+  }
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  private def asofGen(r: Random): Generated = {
+    val dir = pick(r, Vector("backward", "forward", "nearest"))
+    val tol = pick(r, Vector(None, Some(60000000L), Some(3600000000L),
+      Some(86400000000L)))
+    def run(dirn: String, tolm: Option[Long]): Q = (s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin.asof(clicks, errors, Seq("user_id"), "ts", "ts",
+          prefix = "err_", direction = dirn, toleranceMicros = tolm)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+          date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"),
+          col("err_value"))
+        .orderBy("event_id")
+    }
+    // mutation drops the tolerance when one is set (every
+    // tolerance-nulled match comes back — fires unless the tolerance
+    // never bound), else flips the direction
+    val mutated = tol match {
+      case Some(_) => run(dir, None)
+      case None => run(Map("backward" -> "forward", "forward" -> "nearest",
+        "nearest" -> "backward")(dir), None)
+    }
+    Generated("asof", s"direction=$dir tolMicros=${tol.getOrElse(-1L)}",
+      run(dir, tol),
+      OracleSql.asofClicksErrorsSql(dir, tol),
+      mutated)
+  }
+
   private def kmeansGen(r: Random): Generated = {
     val k = pick(r, Vector(4, 8))
     val iters = pick(r, Vector(1, 2))
@@ -186,29 +340,52 @@ object OpFuzz {
 
   private val families: Vector[Random => Generated] = Vector(
     jaccardGen, containmentGen, minhashGen, winnowGen,
-    simhashGen, bm25Gen, chunkGen, ivfGen, kmeansGen)
+    simhashGen, bm25Gen, chunkGen, ivfGen, kmeansGen,
+    spanrmGen, spankeepGen, neardupGen, splitGen, packGen, shardGen, asofGen)
+
+  /** splitmix64 finalizer — java.util.Random's 48-bit LCG seeds so
+    * weakly that SEQUENTIAL seeds give near-identical first draws
+    * through the power-of-two nextInt path (top bits of one LCG step);
+    * a 16-family grammar drawn that way would map seeds 1–200 onto a
+    * couple of families. Scrambling the seed through a full-avalanche
+    * mixer first restores per-seed diversity (measured: 9–18 per
+    * family over seeds 1–200). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 
   /** Deterministic: same seed, same (operator call, SQL) pair. */
   def generate(seed: Long): Generated = {
-    val r = new Random(seed)
+    val r = new Random(mix64(seed))
     families(r.nextInt(families.size))(r)
   }
 
-  /** Battery seeds — nine rows, one per family (asserted by
+  /** Battery seeds — sixteen rows, one per family (asserted by
     * OpFuzzSpec), each non-empty at sf0.001. Re-picked when the
-    * family vector grew to 9 (the family draw is mod families.size,
-    * so growing the vector remaps every seed — content-neutral: the
-    * gate re-derives operator call and oracle together per seed). */
+    * family vector grew to 16 (the family draw is mod families.size
+    * over the mixed seed, so growing the vector remaps every seed —
+    * content-neutral: the gate re-derives operator call and oracle
+    * together per seed). */
   private[graft] val batterySeeds: Vector[(String, Long)] = Vector(
-    ("q208_opfuzz_jaccard", 10L),
-    ("q209_opfuzz_containment", 8L),
-    ("q210_opfuzz_minhash", 14L),
-    ("q211_opfuzz_winnow", 12L),
-    ("q212_opfuzz_simhash", 2L),
-    ("q213_opfuzz_bm25", 3L),
-    ("q214_opfuzz_chunk", 1L),
-    ("q215_opfuzz_ivf", 6L),
-    ("q216_opfuzz_kmeans", 4L))
+    ("q208_opfuzz_jaccard", 21L),
+    ("q209_opfuzz_containment", 27L),
+    ("q210_opfuzz_minhash", 69L),
+    ("q211_opfuzz_winnow", 32L),
+    ("q212_opfuzz_simhash", 22L),
+    ("q213_opfuzz_bm25", 2L),
+    ("q214_opfuzz_chunk", 23L),
+    ("q215_opfuzz_ivf", 3L),
+    ("q216_opfuzz_kmeans", 16L),
+    ("q217_opfuzz_spanrm", 9L),
+    ("q218_opfuzz_spankeep", 19L),
+    ("q219_opfuzz_neardup", 5L),
+    ("q220_opfuzz_split", 12L),
+    ("q221_opfuzz_pack", 37L),
+    ("q222_opfuzz_shard", 1L),
+    ("q223_opfuzz_asof", 4L))
 
   private[graft] def expectedFamily(name: String): String =
     name.substring("q2NN_opfuzz_".length)

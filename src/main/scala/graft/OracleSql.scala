@@ -1273,4 +1273,189 @@ object OracleSql {
        |  CAST(len(toks[start + 1 : start + $chunkSize]) AS BIGINT) AS n_chunk_tokens
        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
   }
+
+  // ------------------------------------------------- r18 parameterized
+  // oracles for the DESTRUCTIVE / composite operator families (OpFuzz
+  // round 2): the operators that excise or reassign user data — span
+  // removal, sequence packing, token-budget sharding, as-of matching —
+  // are exactly where a parameter-dependent bug silently loses corpus,
+  // so their fixed battery oracles (q86/q89/q85/q81/q112–q114)
+  // generalize here over the operators' full parameter spaces.
+  // (removeNearDups / leakageSafeSplit were already parameterized:
+  // minhashRemoveNearDupsSql / leakageSafeSplitSql above.)
+
+  /** Shared salted-FNV document-fingerprint CTEs (the q79/q81/q85
+    * deterministic-shuffle key): documents -> `sgn(doc_id, text, fp)`
+    * where fp = signed FNV-1a of `salt || doc_id`. */
+  private def docFnvCtes(salt: String): String = {
+    require(!salt.contains("'"), "salt must not contain quotes")
+    val fnvFold = s"(${mul(xorm("h", "y"), FnvPrime)})"
+    s"""hx AS (
+       |  SELECT doc_id, text, hex(encode('$salt' || CAST(doc_id AS VARCHAR))) AS hx FROM documents
+       |), fpc AS (
+       |  SELECT doc_id, text, list_reduce(
+       |    list_prepend($FnvBasis,
+       |      list_transform(range(1, len(hx) // 2 + 1), i ->
+       |        CAST((strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1) * 16
+       |           + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1) AS HUGEINT))),
+       |    (h, y) -> $fnvFold) AS f
+       |  FROM hx
+       |), sgn AS (
+       |  SELECT doc_id, text, ${signed("f")} AS fp FROM fpc
+       |)""".stripMargin
+  }
+
+  /** Parameterized q81 oracle: TextAnalysis.shardByTokenBudget at any
+    * (tokensPerShard, salt, numBuckets) — salted FNV key, bucketed,
+    * shard_idx = exclusive-prefix-sum // budget within the bucket. */
+  def shardByTokenBudgetSql(tokensPerShard: Long, salt: String, numBuckets: Int): String =
+    s"""WITH ${docFnvCtes(salt)}, tok AS (
+       |  SELECT doc_id, fp, ((fp % $numBuckets) + $numBuckets) % $numBuckets AS shard_bucket,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                         x -> len(x) > 0)) AS BIGINT) AS n_tokens
+       |  FROM sgn
+       |)
+       |SELECT doc_id, shard_bucket,
+       |  CAST((sum(n_tokens) OVER (PARTITION BY shard_bucket ORDER BY fp, doc_id
+       |                            ROWS UNBOUNDED PRECEDING) - n_tokens) // $tokensPerShard AS BIGINT) AS shard_idx,
+       |  n_tokens
+       |FROM tok ORDER BY doc_id""".stripMargin
+
+  /** Parameterized q85 oracle: TextAnalysis.packSequences at any
+    * (tokensPerSequence, salt, numBuckets) — greedy next-fit-decreasing
+    * per salted FNV bucket, the sequential walk replayed as a recursive
+    * CTE (one frontier row per bucket per step — the recursion IS the
+    * spec, packing is sequential per bucket by construction). */
+  def packSequencesSql(tokensPerSequence: Long, salt: String, numBuckets: Int): String =
+    s"""WITH RECURSIVE ${docFnvCtes(salt)}, items AS (
+       |  SELECT doc_id, ((fp % $numBuckets) + $numBuckets) % $numBuckets AS pack_bucket,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                         x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+       |    row_number() OVER (
+       |      PARTITION BY ((fp % $numBuckets) + $numBuckets) % $numBuckets
+       |      ORDER BY CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                                    x -> len(x) > 0)) AS BIGINT) DESC, doc_id) AS rn
+       |  FROM sgn
+       |), walk AS (
+       |  SELECT pack_bucket, rn, doc_id, n_tokens,
+       |         CAST(0 AS BIGINT) AS seq_idx, n_tokens AS fill
+       |  FROM items WHERE rn = 1
+       |  UNION ALL
+       |  SELECT i.pack_bucket, i.rn, i.doc_id, i.n_tokens,
+       |    CASE WHEN w.fill + i.n_tokens > $tokensPerSequence THEN w.seq_idx + 1 ELSE w.seq_idx END,
+       |    CASE WHEN w.fill + i.n_tokens > $tokensPerSequence THEN i.n_tokens ELSE w.fill + i.n_tokens END
+       |  FROM walk w JOIN items i
+       |    ON i.pack_bucket = w.pack_bucket AND i.rn = w.rn + 1
+       |)
+       |SELECT doc_id, n_tokens, pack_bucket, seq_idx
+       |FROM walk ORDER BY doc_id""".stripMargin
+
+  /** Parameterized q86/q89 oracle: Dedup.removeDuplicatedSpans
+    * (keepFirst = false) / removeDuplicatedSpansKeepFirst (true) at any
+    * (k, minCount) — gram STRINGS stand in for the engine's 128-bit
+    * double hashes (collision-free at test scale), duplicated starts
+    * explode to covered positions, survivors anti-join and re-join in
+    * position order. keepFirst spares each duplicated gram's minimum
+    * (doc_id, position) occurrence. */
+  def removeDuplicatedSpansSql(k: Int, minCount: Int, keepFirst: Boolean): String = {
+    require(k >= 2, s"the SQL replay's slice arithmetic needs k >= 2, got $k")
+    val cov =
+      if (keepFirst)
+        s"""marked AS (
+           |  SELECT doc_id, i,
+           |         count(*) OVER (PARTITION BY gram) AS total,
+           |         row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+           |  FROM st
+           |), cov AS (
+           |  SELECT DISTINCT doc_id, unnest(range(i, i + $k)) AS j
+           |  FROM marked WHERE total >= $minCount AND rn > 1
+           |)""".stripMargin
+      else
+        s"""tot AS (
+           |  SELECT gram, count(*) AS total FROM st GROUP BY 1
+           |), cov AS (
+           |  SELECT DISTINCT st.doc_id, unnest(range(st.i, st.i + $k)) AS j
+           |  FROM st JOIN tot USING (gram) WHERE tot.total >= $minCount
+           |)""".stripMargin
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS t
+       |  FROM documents
+       |), st0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t) - ${k - 2}),
+       |    i -> struct_pack(i := i, gram := array_to_string(t[i:i + ${k - 1}], ' ')))) AS s
+       |  FROM tk WHERE len(t) >= $k
+       |), st AS (
+       |  SELECT doc_id, s.i AS i, s.gram AS gram FROM st0
+       |), $cov, tr0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+       |    j -> struct_pack(j := j, tok := t[j]))) AS s
+       |  FROM tk WHERE len(t) >= 1
+       |), tr AS (
+       |  SELECT doc_id, s.j AS j, s.tok AS tok FROM tr0
+       |), keep AS (
+       |  SELECT tr.doc_id, tr.j, tr.tok
+       |  FROM tr LEFT JOIN cov ON tr.doc_id = cov.doc_id AND tr.j = cov.j
+       |  WHERE cov.j IS NULL
+       |), agg AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text,
+       |         count(*) AS n_kept
+       |  FROM keep GROUP BY 1
+       |)
+       |SELECT tk.doc_id,
+       |       coalesce(agg.clean_text, '') AS clean_text,
+       |       CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       |       CAST(len(tk.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM tk LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Parameterized q36/q112–q114 oracle: AsofJoin.asof over the events
+    * clicks-vs-errors fixture at any (direction, toleranceMicros).
+    * Tolerance replays as an epoch_us post-filter of DuckDB's ASOF
+    * match — exact, because the directional nearest match IS the
+    * nearest row overall on that side. `nearest` composes both
+    * directional ASOF joins and replays the operator's delta
+    * comparison (bOk/fOk guards, ties to backward) literally. */
+  def asofClicksErrorsSql(direction: String, toleranceMicros: Option[Long]): String = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward/forward/nearest, got $direction")
+    def tolOk(delta: String): String =
+      toleranceMicros.map(t => s"$delta <= $t").getOrElse("TRUE")
+    direction match {
+      case "backward" | "forward" =>
+        val (op, delta) =
+          if (direction == "backward")
+            (">=", "(epoch_us(c.ts) - epoch_us(e.ts))")
+          else ("<=", "(epoch_us(e.ts) - epoch_us(c.ts))")
+        s"""SELECT c.event_id, c.user_id,
+           |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           |       CASE WHEN e.ts IS NOT NULL AND ${tolOk(delta)}
+           |            THEN strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') END AS err_ts,
+           |       CASE WHEN e.ts IS NOT NULL AND ${tolOk(delta)}
+           |            THEN e.value END AS err_value
+           |FROM (SELECT * FROM events WHERE event_type = 'click') c
+           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+           |  ON c.user_id = e.user_id AND c.ts $op e.ts
+           |ORDER BY c.event_id""".stripMargin
+      case _ =>
+        val bOk = s"(bts IS NOT NULL AND ${tolOk("(epoch_us(c.ts) - epoch_us(bts))")})"
+        val fOk = s"(fts IS NOT NULL AND ${tolOk("(epoch_us(fts) - epoch_us(c.ts))")})"
+        val pickB = s"$bOk AND (NOT $fOk OR " +
+          "(epoch_us(c.ts) - epoch_us(bts)) <= (epoch_us(fts) - epoch_us(c.ts)))"
+        s"""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+           |e AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error'),
+           |b AS (SELECT c.event_id, e.ts AS bts, e.value AS bval
+           |      FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts),
+           |f AS (SELECT c.event_id, e.ts AS fts, e.value AS fval
+           |      FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts <= e.ts)
+           |SELECT c.event_id, c.user_id,
+           |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           |       CASE WHEN $pickB THEN strftime(bts, '%Y-%m-%d %H:%M:%S.%f')
+           |            WHEN $fOk THEN strftime(fts, '%Y-%m-%d %H:%M:%S.%f') END AS err_ts,
+           |       CASE WHEN $pickB THEN bval
+           |            WHEN $fOk THEN fval END AS err_value
+           |FROM c JOIN b USING (event_id) JOIN f USING (event_id)
+           |ORDER BY c.event_id""".stripMargin
+    }
+  }
 }

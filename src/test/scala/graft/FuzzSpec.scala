@@ -11,13 +11,27 @@ import org.scalatest.BeforeAndAfterAll
   * covers; the cross-ENGINE half of the differential (same SQL in
   * DuckDB) runs in the driver's gate via q190–q207. */
 class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config(graft.core.SessionDefaults.ExtensionsKey,
-      graft.core.SessionDefaults.ExtensionsClass)
-    .getOrCreate()
+  // spark.sql.extensions is STATIC config: getOrCreate() in the shared
+  // forked test JVM would silently reuse a vanilla session another
+  // suite left active, dropping DefuseExceptRewrite and crashing the
+  // seed-166/hazard assertions. Stop any leaked session first, then
+  // fail fast if the extension still didn't take.
+  lazy val spark: SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.core.SessionDefaults.ExtensionsKey,
+        graft.core.SessionDefaults.ExtensionsClass)
+      .getOrCreate()
+    assert(s.conf.get(graft.core.SessionDefaults.ExtensionsKey, "")
+        .contains(graft.core.SessionDefaults.ExtensionsClass),
+      "FuzzSpec needs a session built WITH the engine extensions " +
+        "(a pre-existing session leaked past the stop() guard)")
+    s
+  }
 
   private val dir = "/root/testdata/sf0.001"
 

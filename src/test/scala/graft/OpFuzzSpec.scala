@@ -7,13 +7,17 @@ import org.scalatest.BeforeAndAfterAll
 
 /** Property checks on the operator-PARAMETER fuzzer ([[OpFuzz]]). The
   * cross-engine half (each generated parameterization replayed in
-  * DuckDB) runs in the driver's gate via q208–q214 and in bulk via
+  * DuckDB) runs in the driver's gate via q208–q223 and in bulk via
   * OpFuzzSweep + check_oracle.py (receipted in PLANS.md); what can be
   * pinned IN-PROCESS is pinned here: determinism, family coverage,
-  * per-family output invariants at arbitrary seeds, and parameter
-  * sensitivity (a nudged parameter must actually change the output for
-  * a floor of seeds — otherwise the parameter sweep would be vacuously
-  * comparing parameter-independent results). */
+  * per-family output invariants at arbitrary seeds — including the
+  * conservation laws of the DESTRUCTIVE families (excision never
+  * invents or loses tokens; removal outputs are subsets; split
+  * assignments partition the corpus; packing never overfills a
+  * multi-item sequence) — and parameter sensitivity (a nudged
+  * parameter must actually change the output for a floor of seeds —
+  * otherwise the parameter sweep would be vacuously comparing
+  * parameter-independent results). */
 class OpFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
@@ -45,8 +49,23 @@ class OpFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("family invariants hold for seeds 1-21") {
-    (1L to 21L).foreach { seed =>
+  private def param(g: OpFuzz.Generated, key: String): String =
+    g.params.split(' ').find(_.startsWith(key + "="))
+      .getOrElse(fail(s"param $key missing from '${g.params}'"))
+      .stripPrefix(key + "=")
+
+  private lazy val corpusSize: Long =
+    spark.read.parquet(s"$dir/documents.parquet").count()
+
+  private lazy val clickCount: Long =
+    spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type") === "click").count()
+
+  private def tokCount(text: String): Long =
+    text.trim.toLowerCase.split("\\s+").count(_.nonEmpty).toLong
+
+  test("family invariants hold for seeds 1-32") {
+    (1L to 32L).foreach { seed =>
       val g = OpFuzz.generate(seed)
       val out = g.query(spark, dir)
       val rows = out.collect()
@@ -64,7 +83,6 @@ class OpFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             case _ => None
           }
           metric.foreach { case (c, lo, hi) =>
-            rows.foreach { _ => }
             out.select(col(c)).collect().foreach { r =>
               val v = r.getDouble(0)
               assert(v >= lo && v <= hi, s"seed=$seed ${g.family}.$c=$v out of [$lo,$hi]")
@@ -91,19 +109,108 @@ class OpFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             assert(idxs == (0L until idxs.size).toVector,
               s"seed=$seed chunk_idx not consecutive for doc $d")
           }
+        case "spanrm" | "spankeep" =>
+          // excision conservation: every input doc appears exactly once,
+          // tokens are never invented, and clean_text holds exactly the
+          // surviving token count — (doc_id, clean_text, n_tokens, n_removed)
+          assert(rows.length.toLong == corpusSize,
+            s"seed=$seed ${g.family}: ${rows.length} rows != corpus $corpusSize")
+          rows.foreach { r =>
+            val (nTok, nRem) = (r.getLong(2), r.getLong(3))
+            assert(nRem >= 0 && nRem <= nTok,
+              s"seed=$seed ${g.family}: n_removed=$nRem outside [0, $nTok]")
+            val kept = if (r.getString(1).isEmpty) 0L else tokCount(r.getString(1))
+            assert(kept == nTok - nRem,
+              s"seed=$seed ${g.family} doc=${r.getLong(0)}: clean_text has " +
+                s"$kept tokens, expected ${nTok - nRem}")
+          }
+        case "neardup" =>
+          // removal output is a SUBSET of the corpus, ids unique
+          val ids = rows.map(_.getLong(0))
+          assert(ids.distinct.length == ids.length, s"seed=$seed neardup dup ids")
+          assert(ids.length.toLong <= corpusSize,
+            s"seed=$seed neardup: ${ids.length} survivors > corpus $corpusSize")
+        case "split" =>
+          // split assignments PARTITION the corpus: per-split doc counts
+          // sum to the corpus size, labels come from the generated set
+          val labels = param(g, "splits").split(',').map(_.split(':')(0)).toSet
+          assert(rows.map(_.getLong(1)).sum == corpusSize,
+            s"seed=$seed split: n_docs sums to ${rows.map(_.getLong(1)).sum}, " +
+              s"corpus is $corpusSize")
+          rows.foreach { r =>
+            assert(labels.contains(r.getString(0)),
+              s"seed=$seed split: label ${r.getString(0)} not in $labels")
+          }
+        case "pack" =>
+          // (doc_id, n_tokens, pack_bucket, seq_idx): every doc assigned,
+          // and a sequence holding >= 2 items never exceeds the budget
+          val budget = param(g, "budget").toLong
+          assert(rows.length.toLong == corpusSize,
+            s"seed=$seed pack: ${rows.length} rows != corpus $corpusSize")
+          rows.groupBy(r => (r.getLong(2), r.getLong(3))).foreach {
+            case (key, rs) if rs.length >= 2 =>
+              val tot = rs.map(_.getLong(1)).sum
+              assert(tot <= budget,
+                s"seed=$seed pack: sequence $key holds $tot tokens > budget $budget")
+            case _ => ()
+          }
+        case "shard" =>
+          // (doc_id, shard_bucket, shard_idx, n_tokens): every doc
+          // assigned, indices non-negative, buckets inside the ring
+          val nb = param(g, "numBuckets").toLong
+          assert(rows.length.toLong == corpusSize,
+            s"seed=$seed shard: ${rows.length} rows != corpus $corpusSize")
+          rows.foreach { r =>
+            assert(r.getLong(1) >= 0 && r.getLong(1) < nb,
+              s"seed=$seed shard: bucket ${r.getLong(1)} outside [0, $nb)")
+            assert(r.getLong(2) >= 0, s"seed=$seed shard: negative shard_idx")
+          }
+        case "asof" =>
+          // one output row per left (click) row; matches respect the
+          // direction (the timestamp format is lexically chronological)
+          // and the tolerance
+          assert(rows.length.toLong == clickCount,
+            s"seed=$seed asof: ${rows.length} rows != $clickCount clicks")
+          val dirn = param(g, "direction")
+          val tol = param(g, "tolMicros").toLong
+          val fmt = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+          def us(t: String): Long = {
+            val ldt = java.time.LocalDateTime.parse(t, fmt)
+            ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              ldt.getNano / 1000L
+          }
+          rows.foreach { r =>
+            val click = r.getString(2)
+            val err = r.getString(3)
+            if (err != null) {
+              dirn match {
+                case "backward" => assert(err <= click,
+                  s"seed=$seed asof backward matched a LATER row: $err > $click")
+                case "forward" => assert(err >= click,
+                  s"seed=$seed asof forward matched an EARLIER row: $err < $click")
+                case _ => ()
+              }
+              if (tol >= 0)
+                assert(math.abs(us(click) - us(err)) <= tol,
+                  s"seed=$seed asof: |${us(click)} - ${us(err)}| > tol $tol")
+            }
+          }
         case other => fail(s"unknown family $other")
       }
     }
   }
 
   test("sensitivity: a nudged parameter changes the output for most battery seeds") {
-    var changed = 0
-    OpFuzz.batterySeeds.foreach { case (_, seed) =>
+    val unchanged = OpFuzz.batterySeeds.filter { case (_, seed) =>
       val g = OpFuzz.generate(seed)
-      if (canon(g.query(spark, dir)) != canon(g.mutated(spark, dir))) changed += 1
-    }
+      canon(g.query(spark, dir)) == canon(g.mutated(spark, dir))
+    }.map(_._1)
+    val total = OpFuzz.batterySeeds.size
     // a seed whose nudge happens not to move the result on this tiny
     // fixture is "not applicable"; the floor is the real assertion
-    assert(changed >= 5, s"only $changed/7 parameter nudges changed the output")
+    assert(total - unchanged.size >= total - 2,
+      s"only ${total - unchanged.size}/$total parameter nudges changed " +
+        s"the output (insensitive: ${unchanged.mkString(", ")})")
   }
 }

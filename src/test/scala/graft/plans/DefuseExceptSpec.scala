@@ -25,11 +25,24 @@ import org.scalatest.BeforeAndAfterAll
   * session.
   */
 class DefuseExceptSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  // spark.sql.extensions is STATIC config: getOrCreate() would happily
+  // hand back an extension-bearing session another suite left active,
+  // falsifying the "vanilla session" canary below. Stop any leaked
+  // session first, then fail fast if the session isn't actually vanilla.
+  lazy val spark: SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    assert(!s.conf.get(graft.core.SessionDefaults.ExtensionsKey, "")
+        .contains(graft.core.SessionDefaults.ExtensionsClass),
+      "DefuseExceptSpec needs a VANILLA session (an extension-bearing " +
+        "session leaked past the stop() guard)")
+    s
+  }
 
   override def beforeAll(): Unit =
     spark.read.parquet("/root/testdata/sf0.001/part.parquet")

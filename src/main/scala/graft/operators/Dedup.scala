@@ -97,6 +97,10 @@ object Dedup {
   /** (id, band, bucket) banding of a signature table: band value =
     * hash of its signature slice; ids only past this point. */
   private def bandedOf(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    // bands >= 1 FIRST: bands = 0 would raise ArithmeticException from
+    // the modulo below — an engine fault (HTTP 500), not the clean
+    // caller-shaped IllegalArgumentException (HTTP 400) it must be
+    require(bands >= 1, s"bands must be >= 1, got $bands")
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     sigs.select(col("id"),
@@ -395,6 +399,8 @@ object Dedup {
     * (up to the `maxBucketSize` skew cap). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucketSize: Int = 500): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming") // -1 would divide by zero below
     val nBands = maxHamming + 1
     val width = 64 / nBands
     val sh = df.select(col(idCol).as("id"),
@@ -872,6 +878,7 @@ object Dedup {
                         numHashes: Int = 32, bands: Int = 8, shingleWidth: Int = 3,
                         nParts: Int = 64, mode: String = "overwrite"): Unit = {
     require(nParts >= 1, s"nParts must be >= 1, got $nParts")
+    require(bands >= 1, s"bands must be >= 1, got $bands") // before the modulo: no ArithmeticException
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = df.sparkSession
     if (mode.equalsIgnoreCase("append") && metaExists(spark, path)) {

@@ -231,6 +231,7 @@ object SimilaritySearch {
     val paired =
       if (exact) a.crossJoin(b).filter(col("id_a") < col("id_b"))
       else {
+        require(nBands >= 1, s"nBands must be >= 1, got $nBands") // before the modulo: no ArithmeticException
         require(nPlanes % nBands == 0, "nBands must divide nPlanes")
         val width = nPlanes / nBands
         val mask = (1 << width) - 1

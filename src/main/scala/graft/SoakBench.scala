@@ -1,0 +1,245 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api.{Server, ServerConfig}
+import graft.engine.QueryExecutor
+import graft.store.{IngestService, MetaStore, Spool, SpoolConfig, TableCatalog}
+
+/** Multi-tenant steady-state soak — the standing receipt that the
+  * per-request guardrails (FAIR pools, job groups, read guards, build
+  * locks, spool rotation) compose into a server that holds MIXED load
+  * without accumulating state. The FAIR-pool overlap test in ServerSpec
+  * proves one interleaving; this drives thousands.
+  *
+  * Load mix, concurrent for the whole run:
+  *  - two QUERY tenants looping a fixed SQL + analytics set (funnel,
+  *    bm25, dedup_near, text_quality, hot_keys, SQL aggregates) over
+  *    their own staged corpora;
+  *  - one INGEST tenant streaming NDJSON inserts (spool-rotated into
+  *    real catalog batches) and periodically reading its own count;
+  *  - one STORE tenant looping index_build (minhash, overwrite) →
+  *    indexed probe → DELETE of its store.
+  *
+  * Pass criteria, printed as one JSON line and exit-coded:
+  *  - zero 5xx anywhere (4xx are fine — the DELETE/build race answers
+  *    409 by design);
+  *  - no leaked state: active Spark jobs drain to zero, persistent
+  *    RDDs return to the baseline, no store build-lock survives, the
+  *    ingest tenant's final count equals what was acknowledged;
+  *  - bounded memory: post-soak RSS within `maxRssGrowth` of the
+  *    post-warmup baseline (default 1.5x — JVM heap churn, not a leak).
+  *
+  * Usage: `sbt "runMain graft.SoakBench <seconds> [sfDir]"` — 600 for
+  * the PLANS receipt, 30 for the SoakSpec smoke.
+  */
+object SoakBench {
+  private val client = HttpClient.newHttpClient()
+
+  private def rssKb(): Long = {
+    val line = scala.io.Source.fromFile("/proc/self/status").getLines()
+      .find(_.startsWith("VmRSS:")).getOrElse("VmRSS: 0 kB")
+    line.split("\\s+")(1).toLong
+  }
+
+  final case class Result(ok: Boolean, detail: String)
+
+  /** Run the soak; shared by the main (receipt) and SoakSpec (smoke). */
+  def run(spark: SparkSession, seconds: Int, sfDir: String): Result = {
+    val base = Files.createTempDirectory("graft-soak").toString
+    val catalog = new TableCatalog(s"$base/tables")
+    // q1/q2: query corpora; q3: ingest target (starts empty); q4: store builder
+    Seq("1", "2", "4").foreach { db =>
+      catalog.append(spark, db, "docs", spark.read.parquet(s"$sfDir/documents.parquet"))
+    }
+    Seq("1", "2").foreach { db =>
+      catalog.append(spark, db, "events", spark.read.parquet(s"$sfDir/events.parquet"))
+    }
+    val executor = new QueryExecutor(spark, catalog)
+    val ingestSvc = new IngestService(spark, catalog)
+    val spool = new Spool(s"$base/spool",
+      SpoolConfig(maxRows = 500, rotatePeriodMillis = 200),
+      f => ingestSvc.ingestFile(f.getParentFile.getParentFile.getName,
+        f.getParentFile.getName, f))
+    val server = new Server(
+      ServerConfig(0, Map("k1" -> "1", "k2" -> "2", "k3" -> "3", "k4" -> "4"),
+        None, s"$base/unhealthy", queryTimeoutSeconds = 120),
+      catalog, ingestSvc, spool, executor, new MetaStore(base, Set(1L, 2L, 3L, 4L)))
+    val port = server.start()
+
+    val stop = new AtomicBoolean(false)
+    val fiveXx = new AtomicLong(0)
+    val requests = new AtomicLong(0)
+    val acknowledged = new AtomicLong(0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+    def send(method: String, path: String, body: String = ""): HttpResponse[String] = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      val req = method match {
+        case "GET"    => b.GET().build()
+        case "DELETE" => b.DELETE().build()
+        case _        => b.POST(HttpRequest.BodyPublishers.ofString(body)).build()
+      }
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      requests.incrementAndGet()
+      if (resp.statusCode() >= 500) {
+        fiveXx.incrementAndGet()
+        if (errors.size < 10)
+          errors.add(s"$method $path -> ${resp.statusCode()}: ${resp.body().take(200)}")
+      }
+      resp
+    }
+    def sql(key: String, q: String): HttpResponse[String] =
+      send("GET", s"/api/data/query?api_key=$key&query=" +
+        java.net.URLEncoder.encode(q, "UTF-8"))
+    def analytics(key: String, op: String, body: String): HttpResponse[String] =
+      send("POST", s"/api/data/analytics/$op?api_key=$key", body)
+
+    // fixed per-tenant workloads (deterministic loops; the soak's
+    // randomness is the SCHEDULING, which is the thing under test)
+    def queryLoop(key: String): Unit = {
+      val sqls = Vector(
+        "SELECT lang, count(*) AS n, sum(n_chars) AS c FROM docs GROUP BY lang ORDER BY lang",
+        "SELECT count(DISTINCT user_id) AS u FROM events",
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY n DESC",
+        "SELECT d.lang, count(*) AS n FROM docs d JOIN docs e ON d.doc_id = e.doc_id GROUP BY d.lang")
+      val ops = Vector(
+        "funnel" -> """{"table": "events", "user_col": "user_id", "ts_col": "ts", "tie_col": "event_id", "type_col": "event_type", "steps": ["view", "click"]}""",
+        "bm25" -> """{"table": "docs", "id_col": "doc_id", "text_col": "text", "query": "join hash row", "k": 10}""",
+        "dedup_near" -> """{"table": "docs", "id_col": "doc_id", "text_col": "text", "min_jaccard": 0.5}""",
+        "text_quality" -> """{"table": "docs", "text_col": "text"}""",
+        "hot_keys" -> """{"table": "events", "keys": ["event_type"], "k": 5}""")
+      var i = 0
+      while (!stop.get()) {
+        sql(key, sqls(i % sqls.size))
+        val (op, body) = ops(i % ops.size)
+        analytics(key, op, body)
+        i += 1
+      }
+    }
+    def ingestLoop(): Unit = {
+      var id = 0L
+      while (!stop.get()) {
+        // one JSON-array body = 50 rows through the array-unwrap path
+        val batch = (1 to 50).map { _ =>
+          id += 1
+          s"""{"id": $id, "v": ${id % 97}, "tag": "soak"}"""
+        }.mkString("[", ",", "]")
+        val r = send("POST", "/api/data/insert/soaked?api_key=k3", batch)
+        if (r.statusCode() == 200) acknowledged.addAndGet(50)
+        Thread.sleep(20)
+      }
+    }
+    def storeLoop(): Unit = {
+      var i = 0
+      while (!stop.get()) {
+        val build = analytics("k4", "index_build",
+          """{"kind": "minhash", "store": "soakmh", "table": "docs",
+            | "id_col": "doc_id", "text_col": "text", "n_parts": 2,
+            | "mode": "overwrite"}""".stripMargin)
+        if (build.statusCode() == 200) {
+          analytics("k4", "dedup_near_indexed",
+            """{"store": "soakmh", "table": "docs", "id_col": "doc_id",
+              | "text_col": "text", "min_jaccard": 0.5}""".stripMargin)
+          // every third cycle: drop and rebuild (exercises the
+          // delete-vs-build/probe guards; 409s here are by design)
+          if (i % 3 == 2) send("DELETE", "/api/stores/soakmh?api_key=k4")
+        }
+        i += 1
+      }
+    }
+
+    // one warm-up pass, then baseline AFTER it (first-call codegen and
+    // session prep are one-time costs, not leaks)
+    sql("k1", "SELECT count(*) AS n FROM docs")
+    analytics("k1", "hot_keys", """{"table": "events", "keys": ["event_type"]}""")
+    System.gc(); Thread.sleep(500)
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+
+    val threads = Seq(
+      new Thread(() => queryLoop("k1"), "soak-q1"),
+      new Thread(() => queryLoop("k2"), "soak-q2"),
+      new Thread(() => ingestLoop(), "soak-ingest"),
+      new Thread(() => storeLoop(), "soak-store"))
+    threads.foreach(_.start())
+    // the RSS baseline lands HALFWAY through the soak: the JVM expands
+    // heap toward -Xmx under first load (expansion, not a leak) — the
+    // leak signal is growth BETWEEN half-time and the end
+    Thread.sleep(seconds * 500L)
+    val rssBefore = rssKb()
+    Thread.sleep(seconds * 500L)
+    stop.set(true)
+    threads.foreach(_.join(120000))
+
+    // drain: acknowledged inserts land through spool rotation (200 ms)
+    spool.shutdown()
+    val deadline = System.currentTimeMillis() + 60000
+    def activeJobs = spark.sparkContext.statusTracker.getActiveJobIds.length
+    while (activeJobs > 0 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    var finalCount = -1L
+    while (finalCount != acknowledged.get() && System.currentTimeMillis() < deadline) {
+      finalCount =
+        if (catalog.exists("3", "soaked")) catalog.read(spark, "3", "soaked").count() else 0L
+      if (finalCount != acknowledged.get()) Thread.sleep(500)
+    }
+    server.stop()
+    // persisted operator intermediates (e.g. minhash signature tables)
+    // unpersist through Spark's ContextCleaner once the plan is
+    // unreachable — weak-ref + async, so GC and poll rather than
+    // snapshot (the property under test is "drains to baseline", which
+    // IS the cleaner contract a resident server relies on)
+    def rddsNow = spark.sparkContext.getPersistentRDDs.size
+    val rddDeadline = System.currentTimeMillis() + 60000
+    while (rddsNow > rddsBefore && System.currentTimeMillis() < rddDeadline) {
+      System.gc(); Thread.sleep(1000)
+    }
+    val rssAfter = rssKb()
+    val rddsAfter = rddsNow
+    val jobsAfter = activeJobs
+    val buildLockLeaked = graft.api.Analytics.isBuilding(catalog.storeDir("4", "soakmh"))
+    val maxRssGrowth = 1.5
+
+    val checks = Seq(
+      ("no_5xx", fiveXx.get() == 0, s"${fiveXx.get()} (${errors.toArray.mkString(" | ")})"),
+      ("jobs_drained", jobsAfter == 0, s"$jobsAfter active"),
+      ("rdds_stable", rddsAfter <= rddsBefore, s"$rddsBefore -> $rddsAfter"),
+      ("no_build_lock_leak", !buildLockLeaked, s"leaked=$buildLockLeaked"),
+      ("ingest_exact", finalCount == acknowledged.get(),
+        s"acked=${acknowledged.get()} landed=$finalCount"),
+      ("rss_bounded", rssAfter <= rssBefore * maxRssGrowth,
+        s"${rssBefore}kB -> ${rssAfter}kB"))
+    val failed = checks.filterNot(_._2)
+    val detail =
+      s"""{"metric":"soak","seconds":$seconds,"requests":${requests.get()},""" +
+        s""""five_xx":${fiveXx.get()},"rss_kb_before":$rssBefore,"rss_kb_after":$rssAfter,""" +
+        s""""persistent_rdds_before":$rddsBefore,"persistent_rdds_after":$rddsAfter,""" +
+        s""""active_jobs_after":$jobsAfter,"ingest_acked":${acknowledged.get()},""" +
+        s""""ingest_landed":$finalCount,""" +
+        s""""failed_checks":[${failed.map(c => "\"" + c._1 + ": " + c._3 + "\"").mkString(",")}]}"""
+    Result(failed.isEmpty, detail)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val seconds = if (args.nonEmpty) args(0).toInt else 600
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.core.SessionDefaults.ExtensionsKey,
+        graft.core.SessionDefaults.ExtensionsClass)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val res = run(spark, seconds, sfDir)
+    println(res.detail)
+    spark.stop()
+    if (!res.ok) sys.exit(1)
+  }
+}

@@ -354,7 +354,7 @@ object Analytics {
   /** Whether a build for the store at `path` is in flight (DELETE
     * /api/stores/{name} refuses to rip a directory out from under a
     * running build). */
-  private[api] def isBuilding(path: String): Boolean = building.contains(path)
+  private[graft] def isBuilding(path: String): Boolean = building.contains(path)
 
   /** Atomically claim the per-store lock for a NON-build purpose —
     * DELETE /api/stores holds it across the drop so a build cannot

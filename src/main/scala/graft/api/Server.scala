@@ -288,7 +288,11 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
                   s"(limit ${config.maxStoreBytes} bytes); drop stores via " +
                   "DELETE /api/stores/{name} or rebuild with mode=overwrite")
               else {
-                runBuild(ex, session)(Analytics.planBuild(session, tableOf, storeOf, n))
+                // builds unpersist their own eager intermediates; the
+                // scope catches any lazily-persisted stragglers too
+                graft.core.CacheScope.scoped {
+                  runBuild(ex, session)(Analytics.planBuild(session, tableOf, storeOf, n))
+                }
                 // the gate above is advisory check-then-act (two
                 // concurrent builds can both pass, and an overwrite
                 // rebuild transiently holds old store + tmp sibling →
@@ -313,9 +317,18 @@ final class Server(config: ServerConfig, catalog: TableCatalog,
                 touched.add(path)
                 path
               }
-              try streamPlanned(ex, p.getOrElse("format", ""))(
-                Analytics.plan(session, tableOf, guardedStoreOf, op, n))
-              finally touched.forEach(path => Analytics.releaseStoreRead(path))
+              // CacheScope: operator-persisted intermediates (minhash
+              // signatures, probe fingerprints) are released when this
+              // request finishes streaming — a resident server must not
+              // accumulate one CacheManager entry per distinct plan.
+              // Guard release is INSIDE the scope: the read guards must
+              // drop the instant streaming ends (a waiting DELETE
+              // unblocks), not after the unpersist bookkeeping
+              graft.core.CacheScope.scoped {
+                try streamPlanned(ex, p.getOrElse("format", ""))(
+                  Analytics.plan(session, tableOf, guardedStoreOf, op, n))
+                finally touched.forEach(path => Analytics.releaseStoreRead(path))
+              }
             }
           case _ => respond(ex, 400, "Invalid request body")
         }

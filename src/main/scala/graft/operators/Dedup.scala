@@ -117,8 +117,9 @@ object Dedup {
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 32, bands: Int = 8,
                         shingleWidth: Int = 3, maxBucketSize: Int = 500): DataFrame = {
-    val sigs = minhashSigs(df, idCol, textCol, numHashes, shingleWidth)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = graft.core.CacheScope.track(
+      minhashSigs(df, idCol, textCol, numHashes, shingleWidth)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val banded = bandedOf(sigs, numHashes, bands)
     val pairs = blockPairs(banded, "id", Seq("band", "bucket"), maxBucketSize)
     val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
@@ -403,10 +404,10 @@ object Dedup {
       s"maxHamming must be in [0, 63], got $maxHamming") // -1 would divide by zero below
     val nBands = maxHamming + 1
     val width = 64 / nBands
-    val sh = df.select(col(idCol).as("id"),
+    val sh = graft.core.CacheScope.track(df.select(col(idCol).as("id"),
       TextFunctions.simhash64(TextFunctions.token_hashes(col(textCol))).as("sh"))
       .filter(col("sh").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val mask = (1L << width) - 1
     val banded = sh.select(col("id"),
       posexplode(expr(
@@ -849,9 +850,9 @@ object Dedup {
     // feeds BOTH the driver-side distinct-bucket collect and the anti
     // join — without the persist the whole batch is scanned and hashed
     // twice
-    val probe = df.withColumn("__fp", md5(col(textCol)))
+    val probe = graft.core.CacheScope.track(df.withColumn("__fp", md5(col(textCol)))
       .withColumn("__bucket", pmod(xxhash64(col("__fp")), lit(nBuckets.toLong)).cast("int"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val buckets = probe.select("__bucket").distinct()
       .collect().map(_.getInt(0)).sorted // driver-bounded: <= nBuckets values
     val store = spark.read.parquet(s"$path/fps")
@@ -927,8 +928,9 @@ object Dedup {
     val m = spark.read.parquet(s"$path/meta").head()
     val (numHashes, bands, shingleWidth, nParts) =
       (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3))
-    val sigs = minhashSigs(batch, idCol, textCol, numHashes, shingleWidth)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = graft.core.CacheScope.track(
+      minhashSigs(batch, idCol, textCol, numHashes, shingleWidth)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val banded = bandedOf(sigs, numHashes, bands)
       .withColumn("part", pmod(xxhash64(col("band"), col("bucket")), lit(nParts.toLong)).cast("int"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -956,6 +958,7 @@ object Dedup {
         greatest(col("id"), col("__bid")).as("id_b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheScope.track(rawPairs)
     val sigParts = rawPairs
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .select(pmod(xxhash64(col("id")), lit(nParts.toLong)).cast("int").as("part"))
@@ -963,10 +966,10 @@ object Dedup {
     // the collect above materialized rawPairs, and banded feeds nothing
     // else — release it here so repeated incremental probes in a
     // long-lived session don't accumulate cached band partitions. `sigs`
-    // (and now rawPairs) stay cached deliberately: the RETURNED plan
-    // still scores pairs from them; callers running many probes should
-    // unpersist via sparkSession.catalog.clearCache() or consume the
-    // result eagerly.
+    // and rawPairs stay cached while the RETURNED plan scores pairs from
+    // them; both are CacheScope-tracked, so the HTTP layer releases them
+    // when the response finishes streaming (batch callers: they live
+    // until session end, as before).
     banded.unpersist()
     val storeSigs = spark.read.parquet(s"$path/sigs")
       .filter(col("part").isin(sigParts.map(Int.box): _*))

@@ -1107,8 +1107,11 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
         .statusCode() == 200)
     } finally Analytics.releaseStoreRead(path)
     // the probe side of the two-phase protocol: a probe arriving while
-    // a drop is declared backs off with 409 instead of racing the rm
-    Analytics.beginDrop(path)
+    // a drop is declared backs off with 409 instead of racing the rm.
+    // beginDrop self-cancels while readers are present, and the probe
+    // above releases its guard a hair AFTER its response body lands
+    // (handler finally vs client recv) — so declare until it sticks
+    eventually { assert(Analytics.beginDrop(path), "readers still present") }
     try {
       val probeDenied = post("/api/data/analytics/dedup_new?api_key=key1",
         """{"store": "dropguard", "table": "sbatch", "text_col": "body"}""")

@@ -1,0 +1,33 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Standing smoke for the multi-tenant soak harness ([[graft.SoakBench]]):
+  * 25 s of the full mixed load (two query tenants, one ingesting, one
+  * building/probing/dropping stores) with every steady-state check
+  * asserted — no 5xx, jobs drained, persistent RDDs back to baseline
+  * (the CacheScope release path), no leaked build lock, ingest
+  * exactly-once, bounded RSS. The 10-minute receipt run uses the same
+  * `run()`; this pins the harness and the release path per round.
+  *
+  * Found by this harness's first run: operator `Dataset.persist`
+  * intermediates (minhash signatures, probe fingerprints) accumulated
+  * one CacheManager entry per distinct analytics plan, forever —
+  * CacheManager holds plans strongly, ContextCleaner never reaps them.
+  * Fixed by CacheScope (request-scoped unpersist in the HTTP layer);
+  * the `rdds_stable` check here is the regression pin. */
+class SoakSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.scheduler.mode", "FAIR")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("25s mixed-load soak: no 5xx, no leaked state, ingest exactly-once") {
+    val res = graft.SoakBench.run(spark, seconds = 25, sfDir = "/root/testdata/sf0.001")
+    assert(res.ok, res.detail)
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
+import graft.operators.{Dedup, EventAnalytics, SimilaritySearch, TextAnalysis}
 import scala.collection.immutable.ListMap
 import scala.util.Random
 
@@ -11,23 +11,28 @@ import scala.util.Random
   * aims the same weapon at the custom operator surface, where the
   * engine's own code (and therefore its bug mass) actually lives. Each
   * seed draws a family — the report-shaped ops (exact-overlap dedup,
-  * MinHash LSH, winnowing, SimHash, BM25, chunking, IVF ANN, k-means)
-  * plus, since r18, the DESTRUCTIVE/composite ops that excise or
-  * reassign user data (span removal both variants, near-dup removal,
-  * leakage-safe split, sequence packing, token-budget sharding, as-of
-  * direction x tolerance) — and a random point in that operator's REAL
-  * parameter space (shingle width, thresholds, minShared, DF caps, hash
-  * counts, band counts, bucket caps, chunk size/overlap, query-token
-  * sets, k, span k/minCount, split fractions/salts, token budgets,
-  * as-of direction/tolerance), then emits the paired artifacts: the
-  * operator call and the DuckDB SQL that replays it at those exact
-  * parameters (the parameterized generators in [[OracleSql]]).
+  * MinHash LSH, winnowing, SimHash, BM25, chunking, IVF ANN, k-means),
+  * the DESTRUCTIVE/composite ops that excise or reassign user data
+  * (span removal both variants, near-dup removal, leakage-safe split,
+  * sequence packing, token-budget sharding, as-of direction x
+  * tolerance), and — round 3 — the EVENT-ANALYTICS ops (funnels open
+  * and time-boxed, top paths, transition matrices, OHLC resampling,
+  * volume-anomaly scoring, gap filling) — and a random point in that
+  * operator's REAL parameter space (shingle width, thresholds,
+  * minShared, DF caps, hash counts, band counts, bucket caps, chunk
+  * size/overlap, query-token sets, k, span k/minCount, split
+  * fractions/salts, token budgets, as-of direction/tolerance, funnel
+  * step sequences/deadlines, path lengths, type alphabets, bucket
+  * units, trailing windows, z thresholds, grid sparsity), then emits
+  * the paired artifacts: the operator call and the DuckDB SQL that
+  * replays it at those exact parameters (the parameterized generators
+  * in [[OracleSql]]).
   *
   * Verification levels, mirroring [[FuzzQueries]]:
   *  1. [[OpFuzzSpec]]: in-process invariants + parameter-mutation
   *     sensitivity (a changed parameter must change the output for a
   *     floor of seeds — the differential is not vacuous) + determinism.
-  *  2. Sixteen FIXED seeds join the battery as q208–q223 (one per
+  *  2. Twenty-two FIXED seeds join the battery as q208–q229 (one per
   *     family), hash-checked by the driver's DuckDB gate every round.
   *  3. [[OpFuzzSweep]] replays arbitrary seed ranges through
   *     `scripts/check_oracle.py` — the full cross-engine differential
@@ -289,7 +294,7 @@ object OpFuzz {
   }
 
   private def events(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
+    Queries.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
 
   private def asofGen(r: Random): Generated = {
     val dir = pick(r, Vector("backward", "forward", "nearest"))
@@ -338,18 +343,136 @@ object OpFuzz {
         .orderBy("vec_id"))
   }
 
+  // ----------------------------------------------- r18 round 3: the
+  // EVENT-ANALYTICS families — funnels, journeys, resampling, anomaly
+  // scoring, gap filling — swept over their real parameter spaces
+  // against the parameterized replays generalizing the fixed
+  // q94/q98/q120/q121/q125/q127/q128 oracles.
+
+  /** Every event_type value present in the synthetic events table at
+    * every SF (verified: click/error/purchase/signup/view, each with
+    * hundreds of rows at sf0.001). */
+  private val eventTypes = Vector("click", "error", "purchase", "signup", "view")
+
+  private def funnelGen(r: Random): Generated = {
+    val n = 2 + r.nextInt(3)
+    val steps = r.shuffle(eventTypes).take(n)
+    val within = pick(r, Vector(Option.empty[Long], Some(3600L), Some(14400L),
+      Some(86400L)))
+    def run(w: Option[Long]): Q = (s, d) => (w match {
+      case Some(secs) => EventAnalytics.funnelWithin(events(s, d), "user_id",
+        "ts", "event_id", "event_type", steps, withinSeconds = secs)
+      case None => EventAnalytics.funnel(events(s, d), "user_id", "ts",
+        "event_id", "event_type", steps)
+    }).orderBy("step_idx")
+    // mutation TOGGLES the deadline (drop it when set; clamp to 60 s
+    // when open) — the strong differential: any chain the tolerance
+    // bound (or would bind) moves a later step's user count
+    Generated("funnel", s"steps=${steps.mkString(">")} within=${within.getOrElse(-1L)}",
+      run(within),
+      OracleSql.funnelSql(steps, within),
+      run(within match { case Some(_) => None; case None => Some(60L) }))
+  }
+
+  private def pathsGen(r: Random): Generated = {
+    val pathLen = pick(r, Vector(2, 3, 4, 6, 8))
+    val k = pick(r, Vector(5, 10, 20))
+    def run(pl: Int): Q = (s, d) =>
+      EventAnalytics.topPaths(events(s, d), "user_id", "ts", "event_id",
+        "event_type", pathLen = pl, k = k)
+    Generated("paths", s"pathLen=$pathLen k=$k",
+      run(pathLen),
+      OracleSql.topPathsSql(pathLen, k),
+      run(pathLen + 1))
+  }
+
+  private def transitionsGen(r: Random): Generated = {
+    val n = 2 + r.nextInt(3)
+    val types = r.shuffle(eventTypes).take(n).sorted
+    def run(ts: Seq[String]): Q = (s, d) =>
+      EventAnalytics.transitions(
+          events(s, d).filter(col("event_type").isin(ts: _*)),
+          "user_id", "ts", "event_id", "event_type")
+        .orderBy("from_type", "to_type")
+    // mutation reshapes the alphabet: dropping (or adding) a type
+    // changes which events are ADJACENT, not just which rows appear
+    val mutTypes = if (types.size > 2) types.init
+      else types :+ eventTypes.find(!types.contains(_)).get
+    Generated("transitions", s"types=${types.mkString("+")}",
+      run(types),
+      OracleSql.transitionsSql(types),
+      run(mutTypes))
+  }
+
+  private def ohlcGen(r: Random): Generated = {
+    val bucket = pick(r, Vector("minute", "hour", "day", "week"))
+    val mod = pick(r, Vector(1, 2, 3))
+    val rem = if (mod == 1) 0 else r.nextInt(mod)
+    def run(b: String): Q = (s, d) =>
+      EventAnalytics.downsampleOhlc(
+          events(s, d).filter(col("user_id") % mod === rem),
+          "ts", "event_id", "event_type", "value", bucket = b)
+        .orderBy("bucket", "event_type")
+    val coarser = Map("minute" -> "hour", "hour" -> "day",
+      "day" -> "week", "week" -> "day")
+    Generated("ohlc", s"bucket=$bucket mod=$mod rem=$rem",
+      run(bucket),
+      OracleSql.ohlcSql(bucket, mod, rem),
+      run(coarser(bucket)))
+  }
+
+  private def anomaliesGen(r: Random): Generated = {
+    val bucket = pick(r, Vector("hour", "day"))
+    // a day-bucketed series only has a few dozen buckets per type at
+    // test scale — a 24-bucket baseline would withhold everything
+    val trailing = if (bucket == "day") pick(r, Vector(3, 6))
+      else pick(r, Vector(6, 12, 24))
+    val z = pick(r, Vector(1.5, 2.0, 2.5, 3.0))
+    def run(zt: Double): Q = (s, d) =>
+      EventAnalytics.anomalies(events(s, d), "ts", "event_type",
+          bucket = bucket, trailing = trailing, zThreshold = zt)
+        .orderBy("event_type", "bucket")
+    Generated("anomalies", s"bucket=$bucket trailing=$trailing z=$z",
+      run(z),
+      OracleSql.anomaliesSql(bucket, trailing, z),
+      run(0.5))
+  }
+
+  private def gapfillGen(r: Random): Generated = {
+    val mod = pick(r, Vector(17, 37, 53))
+    val unit = pick(r, Vector("hour", "day"))
+    val stepUs = (if (unit == "hour") 3600L else 86400L) * 1000000L
+    def run(m: Int): Q = (s, d) => {
+      val sparse = events(s, d).filter(col("event_id") % m === 0)
+        .groupBy(col("event_type"), date_trunc(unit, col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      EventAnalytics.fillGaps(sparse, "event_type", "bucket", "n",
+          stepUs = stepUs)
+        .orderBy("event_type", "bucket")
+    }
+    // mutation re-samples the sparse series (different modulus →
+    // different holes → different fills), grid unit unchanged
+    val mutMod = Map(17 -> 37, 37 -> 53, 53 -> 17)
+    Generated("gapfill", s"mod=$mod unit=$unit",
+      run(mod),
+      OracleSql.gapFillSql(mod, unit),
+      run(mutMod(mod)))
+  }
+
   private val families: Vector[Random => Generated] = Vector(
     jaccardGen, containmentGen, minhashGen, winnowGen,
     simhashGen, bm25Gen, chunkGen, ivfGen, kmeansGen,
-    spanrmGen, spankeepGen, neardupGen, splitGen, packGen, shardGen, asofGen)
+    spanrmGen, spankeepGen, neardupGen, splitGen, packGen, shardGen, asofGen,
+    funnelGen, pathsGen, transitionsGen, ohlcGen, anomaliesGen, gapfillGen)
 
   /** splitmix64 finalizer — java.util.Random's 48-bit LCG seeds so
     * weakly that SEQUENTIAL seeds give near-identical first draws
     * through the power-of-two nextInt path (top bits of one LCG step);
-    * a 16-family grammar drawn that way would map seeds 1–200 onto a
-    * couple of families. Scrambling the seed through a full-avalanche
-    * mixer first restores per-seed diversity (measured: 9–18 per
-    * family over seeds 1–200). */
+    * a power-of-two family grammar drawn that way would map seeds
+    * 1–200 onto a couple of families (observed at 16). Scrambling the
+    * seed through a full-avalanche mixer first restores per-seed
+    * diversity (measured on the 22-family grammar: 3–17 per family
+    * over seeds 1–200, every family hit). */
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -363,29 +486,37 @@ object OpFuzz {
     families(r.nextInt(families.size))(r)
   }
 
-  /** Battery seeds — sixteen rows, one per family (asserted by
-    * OpFuzzSpec), each non-empty at sf0.001. Re-picked when the
-    * family vector grew to 16 (the family draw is mod families.size
-    * over the mixed seed, so growing the vector remaps every seed —
+  /** Battery seeds — twenty-two rows, one per family (asserted by
+    * OpFuzzSpec), each both NON-EMPTY and MUTATION-SENSITIVE at
+    * sf0.001 (scanned for, not hoped for — so the sensitivity gate's
+    * floor has no structural escapes). Re-picked when the family
+    * vector grew to 22 (the family draw is mod families.size over the
+    * mixed seed, so growing the vector remaps every seed —
     * content-neutral: the gate re-derives operator call and oracle
     * together per seed). */
   private[graft] val batterySeeds: Vector[(String, Long)] = Vector(
-    ("q208_opfuzz_jaccard", 21L),
-    ("q209_opfuzz_containment", 27L),
-    ("q210_opfuzz_minhash", 69L),
-    ("q211_opfuzz_winnow", 32L),
-    ("q212_opfuzz_simhash", 22L),
-    ("q213_opfuzz_bm25", 2L),
-    ("q214_opfuzz_chunk", 23L),
+    ("q208_opfuzz_jaccard", 26L),
+    ("q209_opfuzz_containment", 7L),
+    ("q210_opfuzz_minhash", 36L),
+    ("q211_opfuzz_winnow", 19L),
+    ("q212_opfuzz_simhash", 10L),
+    ("q213_opfuzz_bm25", 59L),
+    ("q214_opfuzz_chunk", 14L),
     ("q215_opfuzz_ivf", 3L),
-    ("q216_opfuzz_kmeans", 16L),
-    ("q217_opfuzz_spanrm", 9L),
-    ("q218_opfuzz_spankeep", 19L),
-    ("q219_opfuzz_neardup", 5L),
-    ("q220_opfuzz_split", 12L),
-    ("q221_opfuzz_pack", 37L),
-    ("q222_opfuzz_shard", 1L),
-    ("q223_opfuzz_asof", 4L))
+    ("q216_opfuzz_kmeans", 58L),
+    ("q217_opfuzz_spanrm", 23L),
+    ("q218_opfuzz_spankeep", 49L),
+    ("q219_opfuzz_neardup", 13L),
+    ("q220_opfuzz_split", 2L),
+    ("q221_opfuzz_pack", 35L),
+    ("q222_opfuzz_shard", 9L),
+    ("q223_opfuzz_asof", 6L),
+    ("q224_opfuzz_funnel", 1L),
+    ("q225_opfuzz_paths", 18L),
+    ("q226_opfuzz_transitions", 22L),
+    ("q227_opfuzz_ohlc", 11L),
+    ("q228_opfuzz_anomalies", 17L),
+    ("q229_opfuzz_gapfill", 54L))
 
   private[graft] def expectedFamily(name: String): String =
     name.substring("q2NN_opfuzz_".length)

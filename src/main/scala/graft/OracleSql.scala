@@ -1458,4 +1458,284 @@ object OracleSql {
            |ORDER BY c.event_id""".stripMargin
     }
   }
+
+  // ------------------------------------------------------- r18 round 3:
+  // parameterized replays for the EVENT-ANALYTICS surface — the
+  // generators generalizing the fixed q94/q98/q120/q121/q125/q127/q128
+  // oracles so OpFuzz can sweep their parameter spaces.
+
+  /** Parameterized q94/q98 oracle: ordered funnel over the events
+    * stream at any step sequence, optionally time-boxed to
+    * `withinSeconds` of the chain's step-0 anchor (the q98 max-anchor
+    * recurrence). Both variants replay EventAnalytics.funnel /
+    * funnelWithin's stacked-window recurrence literally — the
+    * completion-time min for the open funnel, the integer-epoch-micros
+    * anchor max for the boxed one — so the (users, rate) rows
+    * hash-check bit-exact. */
+  def funnelSql(steps: Seq[String], withinSeconds: Option[Long]): String = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got ${steps.size}")
+    val n = steps.size
+    val win =
+      """  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+    val chain = withinSeconds match {
+      case None =>
+        val w0 =
+          s"""WITH w0 AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         CASE WHEN event_type = '${steps.head}' THEN ts END AS q0
+             |  FROM events
+             |)""".stripMargin
+        val rest = (1 until n).map { k =>
+          s""" w$k AS (
+             |  SELECT *, CASE WHEN event_type = '${steps(k)}'
+             |      AND min(q${k - 1}) OVER pw IS NOT NULL THEN ts END AS q$k
+             |  FROM w${k - 1}
+             |$win
+             |)""".stripMargin
+        }
+        (w0 +: rest).mkString(",")
+      case Some(secs) =>
+        val tUs = math.multiplyExact(secs, 1000000L)
+        val e0 =
+          s"""WITH w0 AS (
+             |  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS tsu,
+             |         CASE WHEN event_type = '${steps.head}' THEN epoch_us(ts) END AS q0
+             |  FROM events
+             |)""".stripMargin
+        val rest = (1 until n).map { k =>
+          s""" w$k AS (
+             |  SELECT *, CASE WHEN event_type = '${steps(k)}' AND max(q${k - 1}) OVER pw IS NOT NULL
+             |      AND tsu - max(q${k - 1}) OVER pw <= $tUs THEN max(q${k - 1}) OVER pw END AS q$k
+             |  FROM w${k - 1}
+             |$win
+             |)""".stripMargin
+        }
+        (e0 +: rest).mkString(",")
+    }
+    val rCols = (0 until n).map(k =>
+      s"         max(CASE WHEN q$k IS NOT NULL THEN 1 ELSE 0 END) AS r$k").mkString(",\n")
+    val uCols = (0 until n).map(k => s"sum(r$k) AS u$k").mkString(", ")
+    val stRows = (s"  SELECT 0 AS step_idx, '${steps.head}' AS step, u0 AS users FROM tot" +:
+      (1 until n).map(k => s"  UNION ALL SELECT $k, '${steps(k)}', u$k FROM tot")).mkString("\n")
+    s"""$chain, pu AS (
+       |  SELECT user_id,
+       |$rCols
+       |  FROM w${n - 1} GROUP BY user_id
+       |), tot AS (
+       |  SELECT $uCols FROM pu
+       |), st AS (
+       |$stRows
+       |)
+       |SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+       |       CAST(users AS BIGINT) AS users,
+       |       CASE WHEN first_value(users) OVER w = 0 THEN 0.0
+       |            ELSE CAST(users AS DOUBLE) /
+       |                 CAST(first_value(users) OVER w AS DOUBLE) END AS rate
+       |FROM st
+       |WINDOW w AS (ORDER BY step_idx
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |ORDER BY step_idx""".stripMargin
+  }
+
+  /** Parameterized q121 oracle: EventAnalytics.topPaths at any
+    * (pathLen, k) — each user's first `pathLen` events as a '>'-joined
+    * string, counted, top-k under the total (n_users DESC, path)
+    * order so the cut is deterministic on both engines. */
+  def topPathsSql(pathLen: Int, k: Int): String =
+    s"""WITH p AS (
+       |  SELECT user_id,
+       |         array_to_string((list(event_type ORDER BY ts, event_id))[1:$pathLen], '>') AS path,
+       |         len((list(event_type ORDER BY ts, event_id))[1:$pathLen]) AS path_len
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT path, path_len, count(*) AS n_users FROM p GROUP BY 1, 2
+       |ORDER BY n_users DESC, path LIMIT $k""".stripMargin
+
+  /** Parameterized q120 oracle: first-order transition matrix over the
+    * per-user event stream RESTRICTED to `types` — adjacency is
+    * computed after the filter (the lag skips excluded events),
+    * identically to filtering the DataFrame before
+    * EventAnalytics.transitions. */
+  def transitionsSql(types: Seq[String]): String = {
+    val inList = types.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT user_id, event_type,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events WHERE event_type IN ($inList)
+       |)
+       |SELECT prev AS from_type, event_type AS to_type,
+       |       count(*) AS n_transitions
+       |FROM t WHERE prev IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Parameterized q125 oracle: OHLC downsampling at any date_trunc
+    * `bucket` unit over the user_id % mod = rem slice of the stream.
+    * open/close replay min_by/max_by's zero-padded
+    * (epoch micros, event_id) composite ordering via arg_min/arg_max
+    * over the same byte-comparable string. */
+  def ohlcSql(bucket: String, mod: Int, rem: Int): String =
+    s"""SELECT CAST(date_trunc('$bucket', ts) AS TIMESTAMP) AS bucket, event_type,
+       |       arg_min(value, printf('%020d%020d', epoch_us(ts), event_id)) AS open,
+       |       arg_max(value, printf('%020d%020d', epoch_us(ts), event_id)) AS close,
+       |       min(value) AS low, max(value) AS high, count(*) AS n
+       |FROM events WHERE user_id % $mod = $rem
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Parameterized q127 oracle: volume anomalies at any (bucket unit,
+    * trailing window, z threshold). The z-score formula is the same
+    * correctly-rounded IEEE op chain over exact integer window sums on
+    * both engines (q127's scaladoc carries the bit-exactness
+    * argument), so it hash-checks at ANY parameter point. */
+  def anomaliesSql(bucket: String, trailing: Int, zThreshold: Double): String =
+    s"""WITH b AS (
+       |  SELECT event_type, CAST(date_trunc('$bucket', ts) AS TIMESTAMP) AS bucket,
+       |         count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), w AS (
+       |  SELECT *,
+       |    sum(n)   OVER tw AS s,
+       |    sum(n*n) OVER tw AS ss,
+       |    count(n) OVER tw AS c
+       |  FROM b
+       |  WINDOW tw AS (PARTITION BY event_type ORDER BY bucket
+       |                ROWS BETWEEN $trailing PRECEDING AND 1 PRECEDING)
+       |), m AS (
+       |  SELECT *, CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/c AS m2
+       |  FROM w WHERE c = $trailing
+       |), z AS (
+       |  SELECT event_type, bucket, n,
+       |    (CAST(n AS DOUBLE) - CAST(s AS DOUBLE)/c) / sqrt(m2/(c-1)) AS zscore
+       |  FROM m WHERE m2 > 0
+       |)
+       |SELECT event_type, bucket, n, zscore FROM z
+       |WHERE abs(zscore) >= $zThreshold
+       |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------- r18 round 4:
+  // parameterized replays for the MERGE-STORE surface (StoreFuzz) —
+  // generalizing the fixed q122/q123/q129/q133/q148/q150 oracles.
+
+  /** Parameterized q122/q133/q150 oracle: latest-wins merge over a base
+    * part plus `nUpserts` upsert parts (part k re-emits the
+    * `user_id % upsertMod = (k-1) % upsertMod` slice at version k+1
+    * with value shifted by `delta * k`), optionally followed by a
+    * tombstone part deleting the `user_id % tm = tr` slice at the top
+    * version. The replay unions the logical parts and takes the
+    * row_number-latest per event_id — so a lost upsert, a resurrected
+    * tombstone, or a compaction that changed anything observable all
+    * hash-mismatch. Compaction does NOT appear in the SQL: the whole
+    * point is that compacted and raw stores must replay identically. */
+  def latestStoreSql(upsertMod: Int, nUpserts: Int, delta: Int,
+                     tomb: Option[(Int, Int)]): String = {
+    val withDel = tomb.isDefined
+    val delBase = if (withDel) ", FALSE AS deleted" else ""
+    val base =
+      s"""  SELECT event_id, user_id, event_type,
+         |         CAST(value AS DECIMAL(18,2)) AS value$delBase, 1 AS version
+         |  FROM events""".stripMargin
+    val upserts = (1 to nUpserts).map { k =>
+      val delK = if (withDel) ", FALSE" else ""
+      s"""  UNION ALL
+         |  SELECT event_id, user_id, event_type,
+         |         CAST(CAST(value AS DECIMAL(18,2)) + ${delta * k} AS DECIMAL(18,2))$delK, ${k + 1}
+         |  FROM events WHERE user_id % $upsertMod = ${(k - 1) % upsertMod}""".stripMargin
+    }
+    val tombPart = tomb.map { case (tm, tr) =>
+      s"""  UNION ALL
+         |  SELECT event_id, user_id, event_type,
+         |         CAST(NULL AS DECIMAL(18,2)), TRUE, ${nUpserts + 2}
+         |  FROM events WHERE user_id % $tm = $tr""".stripMargin
+    }.toSeq
+    val aliveFilter = if (withDel) " AND NOT deleted" else ""
+    s"""WITH parts AS (
+       |${(base +: upserts ++: tombPart).mkString("\n")}
+       |), merged AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY version DESC) AS rn
+       |  FROM parts
+       |)
+       |SELECT event_type, count(*) AS n,
+       |       CAST(sum(version) AS BIGINT) AS version_sum,
+       |       CAST(sum(value) AS DOUBLE) AS value_sum
+       |FROM merged WHERE rn = 1$aliveFilter
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Parameterized q123 oracle: the summing store replay is a PLAIN
+    * group-by over all events at the bucket `unit` — deliberately
+    * independent of how the fuzzer split the stream into parts,
+    * because any disjoint split must merge back to the from-scratch
+    * aggregate. */
+  def summingStoreSql(unit: String): String =
+    s"""SELECT CAST(date_trunc('$unit', ts) AS TIMESTAMP) AS day, event_type,
+       |       count(*) AS n,
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Parameterized q148 oracle: the quantile store's binned replay at
+    * any (quantile set, scale). Mirrors `readQuantiles` exactly —
+    * nulls excluded before binning, round-half-up binning, rank test
+    * in integer micro-units — and is independent of the part split for
+    * the same reason as [[summingStoreSql]]. */
+  def quantileStoreSql(qs: Seq[Double], scale: Int): String = {
+    def label(q: Double): String = {
+      val c = q * 100
+      if ((c - c.round).abs < 1e-9) s"p${c.round}" else s"p$c".replace('.', '_')
+    }
+    val qCols = qs.map { q =>
+      val qMicro = math.round(q * 1000000L)
+      s"  CAST(min(CASE WHEN cum * 1000000 >= $qMicro * tot THEN vb END) AS DOUBLE) / $scale AS ${label(q)}"
+    }.mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT event_type, CAST(round(value * $scale) AS BIGINT) AS vb, count(*) AS cnt
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+       |), c AS (
+       |  SELECT event_type, vb,
+       |         sum(cnt) OVER (PARTITION BY event_type ORDER BY vb) AS cum,
+       |         sum(cnt) OVER (PARTITION BY event_type) AS tot
+       |  FROM b
+       |)
+       |SELECT event_type,
+       |$qCols
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Parameterized q129 oracle: SCD2 validity intervals over the
+    * `event_id % sampleMod = 0` changelog sample — the lead window
+    * replayed with the operator's exact (ts, event_id) ordering. */
+  def scd2Sql(sampleMod: Int): String =
+    s"""SELECT user_id, event_id AS change_id, event_type, ts AS valid_from,
+       |       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       |       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+       |FROM events WHERE event_id % $sampleMod = 0
+       |ORDER BY user_id, valid_from, change_id""".stripMargin
+
+  /** Parameterized q128 oracle: gap filling of the sparse
+    * (event_id % mod = 0) per-type series at any grid `unit`
+    * (hour/day) — the grid rebuilt with generate_series, the forward
+    * fill replayed as a running last_value IGNORE NULLS. */
+  def gapFillSql(mod: Int, unit: String): String = {
+    require(Seq("hour", "day").contains(unit), s"unit must be hour/day, got $unit")
+    s"""WITH sparse AS (
+       |  SELECT event_type, CAST(date_trunc('$unit', ts) AS TIMESTAMP) AS bucket,
+       |         count(*) AS n
+       |  FROM events WHERE event_id % $mod = 0 GROUP BY 1, 2
+       |), spans AS (
+       |  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+       |  FROM sparse GROUP BY 1
+       |), grid AS (
+       |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 ${unit.toUpperCase})) AS bucket
+       |  FROM spans
+       |), j AS (
+       |  SELECT g.event_type, g.bucket, s.n FROM grid g
+       |  LEFT JOIN sparse s ON g.event_type = s.event_type AND g.bucket = s.bucket
+       |)
+       |SELECT event_type, bucket,
+       |       last_value(n IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+       |       n IS NULL AS filled
+       |FROM j ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -11,13 +11,16 @@ object SparkEntry {
     Queries.queries("q06_join_multi")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2, plus the
-    * seeded operator-composition fuzz rows (q190–q207) and the
-    * operator-parameter fuzz rows (q208–q216). */
+    * seeded operator-composition fuzz rows (q190–q207), the
+    * operator-parameter fuzz rows (q208–q229) and the merge-store fuzz
+    * rows (q230–q235). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.queries ++ ExtQueries.queries ++ FuzzQueries.queries ++ OpFuzz.queries
+    Queries.queries ++ ExtQueries.queries ++ FuzzQueries.queries ++
+      OpFuzz.queries ++ StoreFuzz.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ ExtQueries.oracles ++ FuzzQueries.oracles ++ OpFuzz.oracles
+    Queries.oracles ++ ExtQueries.oracles ++ FuzzQueries.oracles ++
+      OpFuzz.oracles ++ StoreFuzz.oracles
 }

@@ -3,17 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Cross-engine sweep for the operator-PARAMETER fuzzer ([[OpFuzz]]):
-  * dumps a seed range in Verify's format (parquet per seed +
-  * oracle_sql.json) so `scripts/check_oracle.py` replays each generated
-  * parameterization in DuckDB — the full differential over the custom
-  * operator surface, beyond the committed battery seeds (one per
-  * family).
+/** Cross-engine sweep for the merge-store fuzzer ([[StoreFuzz]]) —
+  * [[OpFuzzSweep]]'s sibling: each seed physically builds its store
+  * under /tmp, reads it back through the production read path, and the
+  * dump replays in DuckDB via `scripts/check_oracle.py`.
   *
-  *   sbt "runMain graft.OpFuzzSweep /root/testdata/sf0.01 /tmp/opfuzz 1 200"
-  *   python3 scripts/check_oracle.py /root/testdata/sf0.01 /tmp/opfuzz
+  *   sbt "runMain graft.StoreFuzzSweep /root/testdata/sf0.01 /tmp/storefuzz 1 100"
+  *   python3 scripts/check_oracle.py /root/testdata/sf0.01 /tmp/storefuzz
   */
-object OpFuzzSweep {
+object StoreFuzzSweep {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, fromS, toS) = args
     val (from, to) = (fromS.toLong, toS.toLong)
@@ -29,10 +27,10 @@ object OpFuzzSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val gens = (from to to).map(s => (f"opfuzz_s$s%04d", OpFuzz.generate(s)))
+    val gens = (from to to).map(s => (f"storefuzz_s$s%04d", StoreFuzz.generate(s)))
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     gens.foreach { case (name, g) =>
-      System.err.println(s"[opfuzz] running $name (${g.family} ${g.params})")
+      System.err.println(s"[storefuzz] running $name (${g.family} ${g.params})")
       try g.query(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -50,7 +48,7 @@ object OpFuzzSweep {
     Files.writeString(Paths.get(s"$outDir/failures.json"),
       failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     if (failures.nonEmpty)
-      System.err.println(s"[opfuzz] FAILED: ${failures.keys.mkString(", ")}")
+      System.err.println(s"[storefuzz] FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -7,7 +7,7 @@ import org.scalatest.BeforeAndAfterAll
 
 /** Property checks on the operator-PARAMETER fuzzer ([[OpFuzz]]). The
   * cross-engine half (each generated parameterization replayed in
-  * DuckDB) runs in the driver's gate via q208–q223 and in bulk via
+  * DuckDB) runs in the driver's gate via q208–q229 and in bulk via
   * OpFuzzSweep + check_oracle.py (receipted in PLANS.md); what can be
   * pinned IN-PROCESS is pinned here: determinism, family coverage,
   * per-family output invariants at arbitrary seeds — including the
@@ -57,9 +57,11 @@ class OpFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val corpusSize: Long =
     spark.read.parquet(s"$dir/documents.parquet").count()
 
-  private lazy val clickCount: Long =
+  private lazy val eventsDf: DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
-      .filter(col("event_type") === "click").count()
+
+  private lazy val clickCount: Long =
+    eventsDf.filter(col("event_type") === "click").count()
 
   private def tokCount(text: String): Long =
     text.trim.toLowerCase.split("\\s+").count(_.nonEmpty).toLong
@@ -196,6 +198,104 @@ class OpFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
                   s"seed=$seed asof: |${us(click)} - ${us(err)}| > tol $tol")
             }
           }
+        case "funnel" =>
+          // one row per step; users monotonically non-increasing down
+          // the funnel (an ordered funnel can never GAIN users at a
+          // later step); rate bounded
+          val steps = param(g, "steps").split('>')
+          assert(rows.length == steps.length,
+            s"seed=$seed funnel: ${rows.length} rows != ${steps.length} steps")
+          val byIdx = rows.sortBy(_.getLong(0))
+          byIdx.zip(steps).foreach { case (r, st) =>
+            assert(r.getString(1) == st,
+              s"seed=$seed funnel: step ${r.getLong(0)} is ${r.getString(1)}, expected $st")
+          }
+          byIdx.sliding(2).foreach {
+            case Array(a, b) => assert(b.getLong(2) <= a.getLong(2),
+              s"seed=$seed funnel: users GREW ${a.getLong(2)} -> ${b.getLong(2)}")
+            case _ => ()
+          }
+          byIdx.foreach { r =>
+            val rate = r.getDouble(3)
+            assert(rate >= 0.0 && rate <= 1.0, s"seed=$seed funnel rate=$rate")
+          }
+        case "paths" =>
+          // top-k respected; every path string has exactly path_len
+          // segments and path_len never exceeds the cut
+          val pl = param(g, "pathLen").toInt
+          val k = param(g, "k").toInt
+          assert(rows.length <= k, s"seed=$seed paths: ${rows.length} > k=$k")
+          rows.foreach { r =>
+            val segs = r.getString(0).split('>').length
+            assert(segs == r.getLong(1),
+              s"seed=$seed paths: '${r.getString(0)}' has $segs segments, " +
+                s"path_len says ${r.getLong(1)}")
+            assert(r.getLong(1) <= pl,
+              s"seed=$seed paths: path_len ${r.getLong(1)} > pathLen $pl")
+            assert(r.getLong(2) >= 1, s"seed=$seed paths: n_users < 1")
+          }
+        case "transitions" =>
+          // conservation: each user with m >= 1 surviving events emits
+          // exactly m - 1 transitions, so the matrix total equals
+          // filtered-events minus active-users; labels stay inside the
+          // drawn alphabet
+          val types = param(g, "types").split('+').toSet
+          val filtered = eventsDf.filter(col("event_type").isin(types.toSeq: _*))
+          val total = filtered.count()
+          val users = filtered.select("user_id").distinct().count()
+          rows.foreach { r =>
+            assert(types.contains(r.getString(0)) && types.contains(r.getString(1)),
+              s"seed=$seed transitions: (${r.getString(0)}, ${r.getString(1)}) " +
+                s"outside alphabet $types")
+          }
+          assert(rows.map(_.getLong(2)).sum == total - users,
+            s"seed=$seed transitions: total ${rows.map(_.getLong(2)).sum} != " +
+              s"$total events - $users users")
+        case "ohlc" =>
+          // OHLC sanity per bucket (low <= open/close <= high) and
+          // count conservation: bucket ns sum to the filtered input
+          val mod = param(g, "mod").toInt
+          val rem = param(g, "rem").toInt
+          val inputN = eventsDf.filter(col("user_id") % mod === rem).count()
+          rows.foreach { r =>
+            val (open, close) = (r.getDouble(2), r.getDouble(3))
+            val (low, high) = (r.getDouble(4), r.getDouble(5))
+            assert(low <= open && open <= high && low <= close && close <= high,
+              s"seed=$seed ohlc: o=$open c=$close outside [l=$low, h=$high]")
+            assert(r.getLong(6) >= 1, s"seed=$seed ohlc: empty bucket row")
+          }
+          assert(rows.map(_.getLong(6)).sum == inputN,
+            s"seed=$seed ohlc: bucket ns sum ${rows.map(_.getLong(6)).sum} != $inputN")
+        case "anomalies" =>
+          // every surfaced bucket clears the z threshold
+          val z = param(g, "z").toDouble
+          out.select(col("zscore")).collect().foreach { r =>
+            assert(math.abs(r.getDouble(0)) >= z,
+              s"seed=$seed anomalies: |z|=${math.abs(r.getDouble(0))} < $z")
+          }
+        case "gapfill" =>
+          // the densified series is an exact contiguous grid per key
+          // (that is the operator's whole contract) and the non-filled
+          // rows are exactly the sparse observations
+          val m = param(g, "mod").toInt
+          val unit = param(g, "unit")
+          val stepSecs = if (unit == "hour") 3600L else 86400L
+          val sparseN = eventsDf.filter(col("event_id") % m === 0)
+            .select(col("event_type"), date_trunc(unit, col("ts"))).distinct().count()
+          val grid = out.select(col("event_type"), col("bucket").cast("long"),
+            col("filled")).collect()
+          assert(grid.count(!_.getBoolean(2)).toLong == sparseN,
+            s"seed=$seed gapfill: ${grid.count(!_.getBoolean(2))} observed rows " +
+              s"!= $sparseN sparse buckets")
+          grid.groupBy(_.getString(0)).foreach { case (key, rs) =>
+            val epochs = rs.map(_.getLong(1)).sorted.toVector
+            val expected = (epochs.head to epochs.last by stepSecs).toVector
+            assert(epochs == expected,
+              s"seed=$seed gapfill: key $key grid not contiguous at ${stepSecs}s " +
+                s"(${epochs.size} rows, expected ${expected.size})")
+          }
+          assert(rows.forall(!_.isNullAt(2)),
+            s"seed=$seed gapfill: null n after forward fill")
         case other => fail(s"unknown family $other")
       }
     }

@@ -37,7 +37,7 @@ class LocalClusterSpec extends AnyFunSuite {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  test("q70/q131/q145 run green under local-cluster (real executor JVMs)") {
+  test("q70/q131/q145/q235 run green under local-cluster (real executor JVMs)") {
     val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
     assume(new File(sparkHome, "jars").isDirectory,
       s"SPARK_HOME=$sparkHome has no jars/ — local-cluster cannot launch workers")
@@ -54,9 +54,12 @@ class LocalClusterSpec extends AnyFunSuite {
     // the worker launcher resolves the executor classpath via the Scala
     // version; a distribution layout needs it pinned explicitly
     env.put("SPARK_SCALA_VERSION", "2.13")
+    // q235 joins the pinned set in r18: a StoreFuzz row whose store
+    // BUILD (upsert parts + tombstone + compactLatest) runs from real
+    // executor JVMs — the multi-JVM path for the merge-store surface
     env.put("SPARK_GRAFT_MASTER", "local-cluster[2,4,2048]")
     env.put("SPARK_GRAFT_ONLY",
-      "q70_cc_exact,q131_minhash_store,q145_bigram_surprisal")
+      "q70_cc_exact,q131_minhash_store,q145_bigram_surprisal,q235_storefuzz_tombstone")
     val p = pb.start()
     val finished = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) p.destroyForcibly()
@@ -69,7 +72,8 @@ class LocalClusterSpec extends AnyFunSuite {
     val failures = new String(
       Files.readAllBytes(new File(out, "failures.json").toPath), "UTF-8").trim
     assert(failures == "{}", s"queries failed under local-cluster: $failures")
-    for (q <- Seq("q70_cc_exact", "q131_minhash_store", "q145_bigram_surprisal")) {
+    for (q <- Seq("q70_cc_exact", "q131_minhash_store", "q145_bigram_surprisal",
+        "q235_storefuzz_tombstone")) {
       val dir = new File(out, q)
       assert(dir.isDirectory && dir.listFiles().exists(_.getName.endsWith(".parquet")),
         s"$q wrote no parquet under local-cluster")

@@ -1712,6 +1712,66 @@ object OracleSql {
        |FROM events WHERE event_id % $sampleMod = 0
        |ORDER BY user_id, valid_from, change_id""".stripMargin
 
+  // ------------------------------------------------------- r18 round 5:
+  // parameterized replays for the STRUCTURED-STREAMING surface
+  // (StreamFuzz) — generalizing the fixed q139/q69/q118 oracles. The
+  // streaming side runs the real machinery (staged files, watermarks,
+  // AvailableNow, append-mode emission); the replay is the equivalent
+  // BATCH query, which is exactly the guarantee a streaming MV sells.
+
+  /** Parameterized q139 oracle: gap-based sessions at any gap. A
+    * session breaks when the intra-user gap is >= `gapMinutes` (Spark
+    * session_window semantics: the window extends while events arrive
+    * STRICTLY inside the gap), and session_end = last event + gap. */
+  def sessionCountsSql(gapMinutes: Long): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH d AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= $gapUs
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), g AS (
+       |  SELECT user_id, ts,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |                   ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM d
+       |)
+       |SELECT user_id,
+       |       min(ts) AS session_start,
+       |       max(ts) + INTERVAL $gapMinutes MINUTE AS session_end,
+       |       count(*) AS n_events
+       |FROM g GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+  }
+
+  /** Parameterized q69 oracle: tumbling event-time windows at any
+    * width. Spark's `window()` aligns tumbling windows to the UNIX
+    * epoch, so the replay floors epoch-microseconds to the width —
+    * identical to date_trunc only for calendar-aligned widths, correct
+    * for ALL widths. */
+  def windowedCountsSql(widthUs: Long): String =
+    s"""SELECT make_timestamp((epoch_us(ts) // $widthUs) * $widthUs) AS window_start,
+       |       event_type,
+       |       count(*) AS n,
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Parameterized q118 oracle: stream-stream interval join at any
+    * (type pair, before, after) — inclusive bounds on both edges,
+    * matching StreamingIngest.intervalJoin's predicate literally. */
+  def intervalJoinSql(leftType: String, rightType: String,
+                      beforeMinutes: Long, afterMinutes: Long): String =
+    s"""SELECT l.event_id AS left_id, count(*) AS n_matches,
+       |       CAST(sum(r.event_id) AS BIGINT) AS right_id_sum
+       |FROM events l JOIN events r
+       |  ON l.user_id = r.user_id
+       | AND r.ts >= l.ts - INTERVAL $beforeMinutes MINUTE
+       | AND r.ts <= l.ts + INTERVAL $afterMinutes MINUTE
+       |WHERE l.event_type = '$leftType' AND r.event_type = '$rightType'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Parameterized q128 oracle: gap filling of the sparse
     * (event_id % mod = 0) per-type series at any grid `unit`
     * (hour/day) — the grid rebuilt with generate_series, the forward

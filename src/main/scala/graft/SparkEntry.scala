@@ -12,15 +12,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * seeded operator-composition fuzz rows (q190–q207), the
-    * operator-parameter fuzz rows (q208–q229) and the merge-store fuzz
-    * rows (q230–q235). */
+    * operator-parameter fuzz rows (q208–q229), the merge-store fuzz
+    * rows (q230–q235) and the streaming fuzz rows (q236–q238). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.queries ++ ExtQueries.queries ++ FuzzQueries.queries ++
-      OpFuzz.queries ++ StoreFuzz.queries
+      OpFuzz.queries ++ StoreFuzz.queries ++ StreamFuzz.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Queries.oracles ++ ExtQueries.oracles ++ FuzzQueries.oracles ++
-      OpFuzz.oracles ++ StoreFuzz.oracles
+      OpFuzz.oracles ++ StoreFuzz.oracles ++ StreamFuzz.oracles
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Property checks on the streaming fuzzer ([[StreamFuzz]]). The
+  * cross-engine half (streamed result == batch replay in DuckDB) runs
+  * in the driver's gate via q236–q238 and in bulk via StreamFuzzSweep;
+  * pinned in-process here: determinism of generation, battery family
+  * coverage, per-family invariants (sessions tile each user's events
+  * without overlap, windows are epoch-aligned and carry the whole
+  * stream, join matches respect the interval), and mutation
+  * sensitivity. Each invariant check runs a REAL streaming query
+  * (staging, watermark, AvailableNow), so the seed range is small. */
+class StreamFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def canon(df: DataFrame): Vector[String] =
+    df.collect().map(_.toSeq.map(v => if (v == null) "NULL" else v.toString)
+      .mkString("|")).toVector.sorted
+
+  private def param(g: StreamFuzz.Generated, key: String): String =
+    g.params.split(' ').find(_.startsWith(key + "="))
+      .getOrElse(fail(s"param $key missing from '${g.params}'"))
+      .stripPrefix(key + "=")
+
+  private lazy val eventsDf: DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  private lazy val eventCount: Long = eventsDf.count()
+
+  test("generation is deterministic: same seed, same family, params, SQL") {
+    (1L to 12L).foreach { seed =>
+      val (a, b) = (StreamFuzz.generate(seed), StreamFuzz.generate(seed))
+      assert(a.family == b.family && a.params == b.params && a.sql == b.sql)
+    }
+  }
+
+  test("battery seeds produce their named families, each with rows at sf0.001") {
+    StreamFuzz.batterySeeds.foreach { case (name, seed) =>
+      val g = StreamFuzz.generate(seed)
+      assert(g.family == StreamFuzz.expectedFamily(name),
+        s"$name (seed $seed) generated family ${g.family}")
+      assert(g.query(spark, dir).count() > 0, s"$name (${g.params}) is empty at sf0.001")
+    }
+  }
+
+  test("family invariants hold for seeds 1-6") {
+    (1L to 6L).foreach { seed =>
+      val g = StreamFuzz.generate(seed)
+      val rows = g.query(spark, dir).collect()
+      g.family match {
+        case "ssession" =>
+          // sessions TILE each user's events: every event lands in
+          // exactly one emitted session (append mode emitted them all —
+          // the sentinel drove the watermark past every real session),
+          // and a user's sessions never overlap (next start >= prev
+          // end, where end = last event + gap)
+          val gapMs = param(g, "gapMinutes").toLong * 60000L
+          assert(rows.map(_.getLong(3)).sum == eventCount,
+            s"seed=$seed ssession: ${rows.map(_.getLong(3)).sum} events in " +
+              s"sessions != $eventCount")
+          rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+            val ordered = rs.sortBy(_.getTimestamp(1).getTime)
+            ordered.foreach { r =>
+              assert(r.getTimestamp(2).getTime - r.getTimestamp(1).getTime >= gapMs,
+                s"seed=$seed ssession: user $u session shorter than the gap")
+            }
+            ordered.sliding(2).foreach {
+              case Array(a, b) =>
+                assert(b.getTimestamp(1).getTime >= a.getTimestamp(2).getTime,
+                  s"seed=$seed ssession: user $u sessions overlap")
+              case _ => ()
+            }
+          }
+        case "swindow" =>
+          // epoch-aligned tumbling windows carrying the whole stream
+          val widthUs = param(g, "window") match {
+            case "1_hour" => 3600000000L
+            case "6_hours" => 21600000000L
+            case "1_day" => 86400000000L
+            case other => fail(s"unknown window $other")
+          }
+          assert(rows.map(_.getLong(2)).sum == eventCount,
+            s"seed=$seed swindow: ${rows.map(_.getLong(2)).sum} != $eventCount")
+          rows.foreach { r =>
+            val us = r.getTimestamp(0).getTime * 1000L
+            assert(us % widthUs == 0,
+              s"seed=$seed swindow: window_start ${r.getTimestamp(0)} not " +
+                s"aligned to ${widthUs}us")
+          }
+        case "sjoin" =>
+          // one output row per MATCHED left event, every match count
+          // positive, and no more rows than left-type events exist
+          val lt = param(g, "leftType")
+          val leftN = eventsDf.filter(col("event_type") === lt).count()
+          assert(rows.length.toLong <= leftN,
+            s"seed=$seed sjoin: ${rows.length} rows > $leftN $lt events")
+          rows.foreach { r =>
+            assert(r.getLong(1) >= 1, s"seed=$seed sjoin: n_matches < 1")
+          }
+        case other => fail(s"unknown family $other")
+      }
+    }
+  }
+
+  test("sensitivity: a nudged parameter changes the output for every battery seed") {
+    val unchanged = StreamFuzz.batterySeeds.filter { case (_, seed) =>
+      val g = StreamFuzz.generate(seed)
+      canon(g.query(spark, dir)) == canon(g.mutated(spark, dir))
+    }.map(_._1)
+    assert(unchanged.isEmpty,
+      s"parameter nudges left output unchanged for: ${unchanged.mkString(", ")}")
+  }
+}

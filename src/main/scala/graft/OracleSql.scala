@@ -1759,18 +1759,51 @@ object OracleSql {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Parameterized q118 oracle: stream-stream interval join at any
-    * (type pair, before, after) — inclusive bounds on both edges,
-    * matching StreamingIngest.intervalJoin's predicate literally. */
+    * (type pair, before, after, join type) — inclusive bounds on both
+    * edges, matching StreamingIngest.intervalJoin's predicate
+    * literally. `left_outer` replays as a LEFT JOIN with
+    * count(right) (an unmatched left emits once with n_matches = 0
+    * and a NULL sum — exactly the streamed outer row the watermark
+    * eventually releases). */
   def intervalJoinSql(leftType: String, rightType: String,
-                      beforeMinutes: Long, afterMinutes: Long): String =
-    s"""SELECT l.event_id AS left_id, count(*) AS n_matches,
+                      beforeMinutes: Long, afterMinutes: Long,
+                      joinType: String = "inner"): String = {
+    val jt = if (joinType == "inner") "JOIN" else "LEFT JOIN"
+    s"""SELECT l.event_id AS left_id, count(r.event_id) AS n_matches,
        |       CAST(sum(r.event_id) AS BIGINT) AS right_id_sum
-       |FROM events l JOIN events r
+       |FROM (SELECT * FROM events WHERE event_type = '$leftType') l
+       |$jt (SELECT * FROM events WHERE event_type = '$rightType') r
        |  ON l.user_id = r.user_id
        | AND r.ts >= l.ts - INTERVAL $beforeMinutes MINUTE
        | AND r.ts <= l.ts + INTERVAL $afterMinutes MINUTE
-       |WHERE l.event_type = '$leftType' AND r.event_type = '$rightType'
        |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** LATE-DATA window semantics oracle: the stream arrives as two
+    * micro-batches split by event_id parity — batch 1 (even ids) spans
+    * the whole time range, so after it commits the watermark sits at
+    * `max(even ts) − delay` (Spark tracks event-time stats in
+    * MILLISECONDS, so the max is ms-floored), and batch 2's odd rows
+    * are LATE: Spark drops exactly those whose window has already
+    * closed (window_end ≤ watermark — state evicted, row filtered),
+    * and absorbs the rest into still-open windows. The replay keeps an
+    * odd row iff its window end is strictly past the watermark. This
+    * is the semantic every monotone-staged streaming test structurally
+    * cannot observe. */
+  def lateWindowSql(widthUs: Long, delayMinutes: Long): String =
+    s"""WITH wm AS (
+       |  SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
+       |         - INTERVAL $delayMinutes MINUTE AS w
+       |  FROM events WHERE event_id % 2 = 0
+       |)
+       |SELECT make_timestamp((epoch_us(ts) // $widthUs) * $widthUs) AS window_start,
+       |       event_type,
+       |       count(*) AS n,
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+       |FROM events, wm
+       |WHERE event_id % 2 = 0
+       |   OR make_timestamp((epoch_us(ts) // $widthUs) * $widthUs + $widthUs) > wm.w
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Parameterized q128 oracle: gap filling of the sparse
     * (event_id % mod = 0) per-type series at any grid `unit`

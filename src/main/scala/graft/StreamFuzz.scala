@@ -28,11 +28,19 @@ import scala.util.Random
   *    epoch-aligned window() against an epoch-floor replay (date_trunc
   *    could not express it).
   *  - `sjoin`: stream-stream interval join at (type pair) × before ∈
-  *    {0, 30 min} × after ∈ {30 min, 1 h, 4 h}.
+  *    {0, 30 min} × after ∈ {30 min, 1 h, 4 h} × {inner, left_outer}
+  *    (outer rows need the watermark to pass the interval edge — a
+  *    two-sided far-future sentinel forces every real row out).
+  *  - `slate`: LATE-DATA semantics — batch 1 carries the even-id half
+  *    of the stream (watermark then sits at max(even) − delay), batch
+  *    2 the odd half, almost all of it behind the watermark; the
+  *    oracle predicts exactly which late rows Spark drops (closed
+  *    window) vs absorbs (still-open window). Monotone-staged tests
+  *    structurally cannot observe this semantic.
   *
   * Verification mirrors the siblings: StreamFuzzSpec (determinism,
   * battery pins, invariants, mutation sensitivity), battery rows
-  * q236–q238, [[StreamFuzzSweep]] for seed ranges through the DuckDB
+  * q236–q239, [[StreamFuzzSweep]] for seed ranges through the DuckDB
   * gate. Battery seeds are scanned to be non-empty AND
   * mutation-sensitive at sf0.001.
   */
@@ -160,12 +168,24 @@ object StreamFuzz {
     val (lt, rt) = pick(r, typePairs)
     val before = pick(r, Vector(0L, 30L))
     val after = pick(r, Vector(30L, 60L, 240L))
+    val joinType = pick(r, Vector("inner", "left_outer"))
     def run(a: Long): Q = (s, d) => {
       val base = freshBase("sjoin", d)
       val inDir = new java.io.File(base, "in"); inDir.mkdirs()
       val ev = events(s, d).select(col("ts"), col("event_id"), col("user_id"),
         col("event_type"))
-      stage(base, inDir, ev, "000_events.parquet", System.currentTimeMillis() - 60000)
+      val now = System.currentTimeMillis()
+      stage(base, inDir, ev, "000_events.parquet", now - 120000)
+      // outer rows only emit once BOTH sides' watermarks pass the
+      // row's interval edge; a far-future sentinel on each side (user
+      // -1, never matching) forces that for every real row
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 40L * 24 * 3600 * 1000)
+      stage(base, inDir, s.createDataFrame(
+          java.util.List.of(
+            Row(sentinelTs, -1L, -1L, lt), Row(sentinelTs, -2L, -1L, rt)),
+          ev.schema),
+        "001_sentinel.parquet", now - 60000)
       def side(tpe: String, idAs: String, tsAs: String) =
         s.readStream.schema(ev.schema).parquet(inDir.toString)
           .filter(col("event_type") === tpe)
@@ -173,7 +193,8 @@ object StreamFuzz {
       val j = StreamingIngest.intervalJoin(
         side(lt, "left_id", "left_ts"), side(rt, "right_id", "right_ts"),
         "user_id", "left_ts", "right_ts",
-        watermark = "1 hour", before = s"$before minutes", after = s"$a minutes")
+        watermark = "1 hour", before = s"$before minutes", after = s"$a minutes",
+        joinType = joinType)
       val sink = "g_streamfuzz_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val q = j.writeStream.format("memory").queryName(sink)
@@ -182,19 +203,81 @@ object StreamFuzz {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(sink)
+        .filter(col("user_id") =!= -1L)
         .groupBy("left_id")
-        .agg(count(lit(1)).as("n_matches"),
+        .agg(count(col("right_id")).as("n_matches"),
           sum(col("right_id")).cast("long").as("right_id_sum"))
         .orderBy("left_id")
     }
-    Generated("sjoin", s"leftType=$lt rightType=$rt beforeMin=$before afterMin=$after",
+    Generated("sjoin",
+      s"leftType=$lt rightType=$rt beforeMin=$before afterMin=$after joinType=$joinType",
       run(after),
-      OracleSql.intervalJoinSql(lt, rt, before, after),
+      OracleSql.intervalJoinSql(lt, rt, before, after, joinType),
       run(Map(30L -> 60L, 60L -> 240L, 240L -> 30L)(after)))
   }
 
+  /** LATE-DATA semantics family: batch 0 carries the EVEN-id half of
+    * the stream (spanning the whole time range, so the watermark
+    * advances to max(even) − delay), and the ODD half arrives TWO
+    * batches later — behind the watermark. Spark's late-events filter
+    * lags ONE batch (`eventTimeWatermarkForLateEvents` is the
+    * PREVIOUS batch's watermark — probed empirically: odd rows staged
+    * directly after the even batch are all absorbed), so a
+    * do-nothing filler batch sits between: the odd batch is then
+    * filtered against max(even) − delay, dropping exactly the rows
+    * whose window already closed and absorbing the rest into
+    * still-open windows. The oracle predicts that row set
+    * ([[OracleSql.lateWindowSql]]). Every other streaming test here
+    * stages monotone batches, which structurally cannot observe the
+    * late-drop semantic. */
+  private def slateGen(r: Random): Generated = {
+    val (win, widthUs) = pick(r, windows)
+    val delay = pick(r, Vector(1L, 60L))
+    def run(dm: Long): Q = (s, d) => {
+      val base = freshBase("slate", d)
+      val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+      val evAll = events(s, d).select(col("ts"), col("event_type"),
+        col("value").cast(DecimalType(18, 2)).as("value"), col("event_id"))
+      val schema = org.apache.spark.sql.types.StructType(evAll.schema.dropRight(1))
+      val now = System.currentTimeMillis()
+      stage(base, inDir, evAll.filter(col("event_id") % 2 === 0).drop("event_id"),
+        "000_even.parquet", now - 120000)
+      val maxTs = evAll.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 40L * 24 * 3600 * 1000)
+      def sentinelRow(ts: java.sql.Timestamp) =
+        s.createDataFrame(java.util.List.of(Row(ts, "zz_sentinel",
+          new java.math.BigDecimal("0.00"))), schema)
+      // filler at max(even) — advances NOTHING, but shifts the lagging
+      // late-events filter to the even batch's watermark
+      stage(base, inDir, sentinelRow(maxTs), "001_filler.parquet", now - 90000)
+      stage(base, inDir, evAll.filter(col("event_id") % 2 === 1).drop("event_id"),
+        "002_odd.parquet", now - 60000)
+      stage(base, inDir, sentinelRow(sentinelTs), "003_sentinel.parquet", now - 30000)
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      val counts = StreamingIngest.windowedCounts(stream, "ts", "event_type",
+        win, s"$dm minutes")
+      val outDir = new java.io.File(base, "out").toString
+      val q = counts.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .filter(col("event_type") =!= "zz_sentinel")
+        .select(col("window_start"), col("event_type"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("window_start", "event_type")
+    }
+    Generated("slate", s"window=${win.replace(' ', '_')} delayMin=$delay",
+      run(delay),
+      OracleSql.lateWindowSql(widthUs, delay),
+      run(if (delay == 1L) 60L else 1L))
+  }
+
   private val families: Vector[Random => Generated] = Vector(
-    ssessionGen, swindowGen, sjoinGen)
+    ssessionGen, swindowGen, sjoinGen, slateGen)
 
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -212,9 +295,10 @@ object StreamFuzz {
   /** Battery seeds — one per family, scanned for non-emptiness +
     * mutation sensitivity at sf0.001. */
   private[graft] val batterySeeds: Vector[(String, Long)] = Vector(
-    ("q236_streamfuzz_ssession", 2L),
-    ("q237_streamfuzz_swindow", 1L),
-    ("q238_streamfuzz_sjoin", 3L))
+    ("q236_streamfuzz_ssession", 10L),
+    ("q237_streamfuzz_swindow", 2L),
+    ("q238_streamfuzz_sjoin", 5L),
+    ("q239_streamfuzz_slate", 7L))
 
   private[graft] def expectedFamily(name: String): String =
     name.substring("q2NN_streamfuzz_".length)

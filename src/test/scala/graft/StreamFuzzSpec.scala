@@ -7,7 +7,7 @@ import org.scalatest.BeforeAndAfterAll
 
 /** Property checks on the streaming fuzzer ([[StreamFuzz]]). The
   * cross-engine half (streamed result == batch replay in DuckDB) runs
-  * in the driver's gate via q236–q238 and in bulk via StreamFuzzSweep;
+  * in the driver's gate via q236–q239 and in bulk via StreamFuzzSweep;
   * pinned in-process here: determinism of generation, battery family
   * coverage, per-family invariants (sessions tile each user's events
   * without overlap, windows are epoch-aligned and carry the whole
@@ -100,14 +100,46 @@ class StreamFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
                 s"aligned to ${widthUs}us")
           }
         case "sjoin" =>
-          // one output row per MATCHED left event, every match count
-          // positive, and no more rows than left-type events exist
+          // inner: one row per MATCHED left event, counts positive,
+          // bounded by the left-type population. left_outer: EVERY
+          // left event emits exactly once (the sentinel pushed both
+          // watermarks past every interval edge), unmatched with
+          // n_matches = 0
           val lt = param(g, "leftType")
           val leftN = eventsDf.filter(col("event_type") === lt).count()
-          assert(rows.length.toLong <= leftN,
-            s"seed=$seed sjoin: ${rows.length} rows > $leftN $lt events")
+          if (param(g, "joinType") == "left_outer") {
+            assert(rows.length.toLong == leftN,
+              s"seed=$seed sjoin outer: ${rows.length} rows != $leftN $lt events")
+            rows.foreach { r =>
+              assert(r.getLong(1) >= 0, s"seed=$seed sjoin: n_matches < 0")
+            }
+          } else {
+            assert(rows.length.toLong <= leftN,
+              s"seed=$seed sjoin: ${rows.length} rows > $leftN $lt events")
+            rows.foreach { r =>
+              assert(r.getLong(1) >= 1, s"seed=$seed sjoin: n_matches < 1")
+            }
+          }
+        case "slate" =>
+          // the late-drop semantic bounds the surviving mass: every
+          // even (on-time) row is counted, no more than the whole
+          // stream is, and windows stay epoch-aligned
+          val widthUs = param(g, "window") match {
+            case "1_hour" => 3600000000L
+            case "6_hours" => 21600000000L
+            case "1_day" => 86400000000L
+            case other => fail(s"unknown window $other")
+          }
+          val evenN = eventsDf.filter(col("event_id") % 2 === 0).count()
+          val total = rows.map(_.getLong(2)).sum
+          assert(total >= evenN && total <= eventCount,
+            s"seed=$seed slate: surviving mass $total outside [$evenN, $eventCount]")
+          assert(total < eventCount,
+            s"seed=$seed slate: nothing was dropped — the late path did not engage")
           rows.foreach { r =>
-            assert(r.getLong(1) >= 1, s"seed=$seed sjoin: n_matches < 1")
+            val us = r.getTimestamp(0).getTime * 1000L
+            assert(us % widthUs == 0,
+              s"seed=$seed slate: window_start ${r.getTimestamp(0)} misaligned")
           }
         case other => fail(s"unknown family $other")
       }

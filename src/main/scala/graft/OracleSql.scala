@@ -1805,6 +1805,75 @@ object OracleSql {
        |   OR make_timestamp((epoch_us(ts) // $widthUs) * $widthUs + $widthUs) > wm.w
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** LATE-DATA session semantics oracle — [[lateWindowSql]]'s sibling
+    * for gap sessions, where streaming and batch GENUINELY diverge:
+    * once the watermark (max even-id ts, ms-floored, − delay) passes a
+    * session's end, Spark evicts and emits it; a late row landing just
+    * after that session's last event starts a NEW session — the batch
+    * engine would have merged them, so the streamed output can contain
+    * overlapping sessions batch sessionization cannot produce. The
+    * replay reproduces the streaming semantics exactly:
+    * (1) sessions over the even (on-time) half; those ending ≤ wm are
+    * EVICTED as-is; (2) rows of surviving even sessions plus late odd
+    * rows whose own window end (ts + gap) clears wm re-sessionize
+    * from scratch; (3) union. */
+  def lateSessionSql(gapMinutes: Long, delayMinutes: Long): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH wm AS (
+       |  SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
+       |         - INTERVAL $delayMinutes MINUTE AS w
+       |  FROM events WHERE event_id % 2 = 0
+       |), even AS (
+       |  SELECT user_id, ts FROM events WHERE event_id % 2 = 0
+       |), ed AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= $gapUs
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM even WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), eg AS (
+       |  SELECT user_id, ts,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |                   ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM ed
+       |), es AS (
+       |  SELECT user_id, sid, min(ts) AS session_start,
+       |         max(ts) + INTERVAL $gapMinutes MINUTE AS session_end,
+       |         count(*) AS n_events
+       |  FROM eg GROUP BY 1, 2
+       |), evicted AS (
+       |  SELECT user_id, session_start, session_end, n_events
+       |  FROM es, wm WHERE session_end <= wm.w
+       |), keep AS (
+       |  SELECT g.user_id, g.ts
+       |  FROM eg g JOIN es s USING (user_id, sid) CROSS JOIN wm
+       |  WHERE s.session_end > wm.w
+       |  UNION ALL
+       |  SELECT user_id, ts FROM events, wm
+       |  WHERE event_id % 2 = 1 AND ts + INTERVAL $gapMinutes MINUTE > wm.w
+       |), fd AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= $gapUs
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM keep WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), fg AS (
+       |  SELECT user_id, ts,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |                   ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM fd
+       |), fs AS (
+       |  SELECT user_id, min(ts) AS session_start,
+       |         max(ts) + INTERVAL $gapMinutes MINUTE AS session_end,
+       |         count(*) AS n_events
+       |  FROM fg GROUP BY user_id, sid
+       |)
+       |SELECT user_id, session_start, session_end, n_events FROM evicted
+       |UNION ALL
+       |SELECT user_id, session_start, session_end, n_events FROM fs
+       |ORDER BY user_id, session_start, session_end""".stripMargin
+  }
+
   /** Parameterized q128 oracle: gap filling of the sparse
     * (event_id % mod = 0) per-type series at any grid `unit`
     * (hour/day) — the grid rebuilt with generate_series, the forward

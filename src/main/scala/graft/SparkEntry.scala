@@ -13,7 +13,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * seeded operator-composition fuzz rows (q190–q207), the
     * operator-parameter fuzz rows (q208–q229), the merge-store fuzz
-    * rows (q230–q235) and the streaming fuzz rows (q236–q239). */
+    * rows (q230–q235) and the streaming fuzz rows (q236–q240). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.queries ++ ExtQueries.queries ++ FuzzQueries.queries ++
       OpFuzz.queries ++ StoreFuzz.queries ++ StreamFuzz.queries

@@ -38,9 +38,14 @@ import scala.util.Random
   *    window) vs absorbs (still-open window). Monotone-staged tests
   *    structurally cannot observe this semantic.
   *
+  *  - `slatesession`: late data over GAP SESSIONS — the corner where
+  *    streaming and batch genuinely diverge (a late row after an
+  *    evicted session starts a NEW session that can OVERLAP the
+  *    emitted one); the oracle replays the exact streaming semantics.
+  *
   * Verification mirrors the siblings: StreamFuzzSpec (determinism,
   * battery pins, invariants, mutation sensitivity), battery rows
-  * q236–q239, [[StreamFuzzSweep]] for seed ranges through the DuckDB
+  * q236–q240, [[StreamFuzzSweep]] for seed ranges through the DuckDB
   * gate. Battery seeds are scanned to be non-empty AND
   * mutation-sensitive at sf0.001.
   */
@@ -276,8 +281,59 @@ object StreamFuzz {
       run(if (delay == 1L) 60L else 1L))
   }
 
+  /** LATE-DATA semantics over GAP SESSIONS — where streaming and batch
+    * GENUINELY diverge: once the watermark passes a session's end the
+    * session is evicted and emitted; a late row landing just after its
+    * last event then starts a NEW session, which can OVERLAP the
+    * emitted one — a shape batch sessionization cannot produce. Same
+    * filler-batch staging as [[slateGen]] (the late-events filter lags
+    * one batch); the oracle replays the exact streaming semantics:
+    * evicted even-only sessions ∪ re-sessionized (surviving even ∪
+    * kept late) rows ([[OracleSql.lateSessionSql]]). */
+  private def slateSessionGen(r: Random): Generated = {
+    val gap = pick(r, Vector(10L, 30L, 120L))
+    val delay = pick(r, Vector(1L, 60L))
+    def run(dm: Long): Q = (s, d) => {
+      val base = freshBase("slatesession", d)
+      val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+      val evAll = events(s, d).select(col("ts"), col("user_id"), col("event_id"))
+      val schema = org.apache.spark.sql.types.StructType(evAll.schema.dropRight(1))
+      val now = System.currentTimeMillis()
+      stage(base, inDir, evAll.filter(col("event_id") % 2 === 0).drop("event_id"),
+        "000_even.parquet", now - 120000)
+      val maxTs = evAll.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 40L * 24 * 3600 * 1000)
+      def oneRow(ts: java.sql.Timestamp) =
+        s.createDataFrame(java.util.List.of(Row(ts, -1L)), schema)
+      stage(base, inDir, oneRow(maxTs), "001_filler.parquet", now - 90000)
+      stage(base, inDir, evAll.filter(col("event_id") % 2 === 1).drop("event_id"),
+        "002_odd.parquet", now - 60000)
+      stage(base, inDir, oneRow(sentinelTs), "003_sentinel.parquet", now - 30000)
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      val sessions = StreamingIngest.sessionCounts(
+        stream, "ts", "user_id", s"$gap minutes", s"$dm minutes")
+      val outDir = new java.io.File(base, "out").toString
+      val q = sessions.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start", "session_end")
+    }
+    Generated("slatesession", s"gapMinutes=$gap delayMin=$delay",
+      run(delay),
+      OracleSql.lateSessionSql(gap, delay),
+      run(if (delay == 1L) 60L else 1L))
+  }
+
   private val families: Vector[Random => Generated] = Vector(
-    ssessionGen, swindowGen, sjoinGen, slateGen)
+    ssessionGen, swindowGen, sjoinGen, slateGen, slateSessionGen)
 
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -295,10 +351,11 @@ object StreamFuzz {
   /** Battery seeds — one per family, scanned for non-emptiness +
     * mutation sensitivity at sf0.001. */
   private[graft] val batterySeeds: Vector[(String, Long)] = Vector(
-    ("q236_streamfuzz_ssession", 10L),
+    ("q236_streamfuzz_ssession", 4L),
     ("q237_streamfuzz_swindow", 2L),
-    ("q238_streamfuzz_sjoin", 5L),
-    ("q239_streamfuzz_slate", 7L))
+    ("q238_streamfuzz_sjoin", 8L),
+    ("q239_streamfuzz_slate", 21L),
+    ("q240_streamfuzz_slatesession", 3L))
 
   private[graft] def expectedFamily(name: String): String =
     name.substring("q2NN_streamfuzz_".length)

@@ -7,7 +7,7 @@ import org.scalatest.BeforeAndAfterAll
 
 /** Property checks on the streaming fuzzer ([[StreamFuzz]]). The
   * cross-engine half (streamed result == batch replay in DuckDB) runs
-  * in the driver's gate via q236–q239 and in bulk via StreamFuzzSweep;
+  * in the driver's gate via q236–q240 and in bulk via StreamFuzzSweep;
   * pinned in-process here: determinism of generation, battery family
   * coverage, per-family invariants (sessions tile each user's events
   * without overlap, windows are epoch-aligned and carry the whole
@@ -140,6 +140,29 @@ class StreamFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             val us = r.getTimestamp(0).getTime * 1000L
             assert(us % widthUs == 0,
               s"seed=$seed slate: window_start ${r.getTimestamp(0)} misaligned")
+          }
+        case "slatesession" =>
+          // exact conservation of the late-drop semantic: the emitted
+          // sessions carry every even (on-time) row plus exactly the
+          // odd rows whose own session window (ts + gap) cleared the
+          // watermark (ms-floored max even ts − delay) — computed here
+          // independently of the SQL oracle
+          val gapUs = param(g, "gapMinutes").toLong * 60000000L
+          val delayUs = param(g, "delayMin").toLong * 60000000L
+          val evenTs = eventsDf.filter(col("event_id") % 2 === 0)
+            .select(unix_micros(col("ts").cast("timestamp"))).collect().map(_.getLong(0))
+          val wmUs = (evenTs.max / 1000L) * 1000L - delayUs
+          val keptOdd = eventsDf.filter(col("event_id") % 2 === 1)
+            .select(unix_micros(col("ts").cast("timestamp"))).collect()
+            .count(r => r.getLong(0) + gapUs > wmUs)
+          val mass = rows.map(_.getLong(3)).sum
+          assert(mass == evenTs.length + keptOdd,
+            s"seed=$seed slatesession: session mass $mass != " +
+              s"${evenTs.length} even + $keptOdd kept-late rows")
+          rows.foreach { r =>
+            assert(r.getTimestamp(2).getTime - r.getTimestamp(1).getTime >=
+              gapUs / 1000L,
+              s"seed=$seed slatesession: session shorter than the gap")
           }
         case other => fail(s"unknown family $other")
       }

@@ -1,8 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
-
 /** Cross-engine sweep for the operator-PARAMETER fuzzer ([[OpFuzz]]):
   * dumps a seed range in Verify's format (parquet per seed +
   * oracle_sql.json) so `scripts/check_oracle.py` replays each generated
@@ -14,43 +11,9 @@ import java.nio.file.{Files, Paths}
   *   python3 scripts/check_oracle.py /root/testdata/sf0.01 /tmp/opfuzz
   */
 object OpFuzzSweep {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir, fromS, toS) = args
-    val (from, to) = (fromS.toLong, toS.toLong)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config(graft.core.SessionDefaults.ExtensionsKey,
-        graft.core.SessionDefaults.ExtensionsClass)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    val gens = (from to to).map(s => (f"opfuzz_s$s%04d", OpFuzz.generate(s)))
-    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    gens.foreach { case (name, g) =>
-      System.err.println(s"[opfuzz] running $name (${g.family} ${g.params})")
-      try g.query(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        failures += name -> String.valueOf(e.getMessage).take(400)
-      }
-    }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      gens.map { case (n, g) => s"${q(n)}: ${q(g.sql)}" }.mkString("{", ",", "}"))
-    Files.writeString(Paths.get(s"$outDir/failures.json"),
-      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
-    if (failures.nonEmpty)
-      System.err.println(s"[opfuzz] FAILED: ${failures.keys.mkString(", ")}")
-    spark.stop()
-  }
+  def main(args: Array[String]): Unit =
+    FuzzSweepRunner.run("opfuzz", args, { seed =>
+      val g = OpFuzz.generate(seed)
+      (g.family, g.params, g.query, g.sql)
+    })
 }

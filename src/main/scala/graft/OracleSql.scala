@@ -1483,12 +1483,12 @@ object OracleSql {
         val w0 =
           s"""WITH w0 AS (
              |  SELECT user_id, ts, event_id, event_type,
-             |         CASE WHEN event_type = '${steps.head}' THEN ts END AS q0
+             |         CASE WHEN event_type = '${sq(steps.head)}' THEN ts END AS q0
              |  FROM events
              |)""".stripMargin
         val rest = (1 until n).map { k =>
           s""" w$k AS (
-             |  SELECT *, CASE WHEN event_type = '${steps(k)}'
+             |  SELECT *, CASE WHEN event_type = '${sq(steps(k))}'
              |      AND min(q${k - 1}) OVER pw IS NOT NULL THEN ts END AS q$k
              |  FROM w${k - 1}
              |$win
@@ -1500,12 +1500,12 @@ object OracleSql {
         val e0 =
           s"""WITH w0 AS (
              |  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS tsu,
-             |         CASE WHEN event_type = '${steps.head}' THEN epoch_us(ts) END AS q0
+             |         CASE WHEN event_type = '${sq(steps.head)}' THEN epoch_us(ts) END AS q0
              |  FROM events
              |)""".stripMargin
         val rest = (1 until n).map { k =>
           s""" w$k AS (
-             |  SELECT *, CASE WHEN event_type = '${steps(k)}' AND max(q${k - 1}) OVER pw IS NOT NULL
+             |  SELECT *, CASE WHEN event_type = '${sq(steps(k))}' AND max(q${k - 1}) OVER pw IS NOT NULL
              |      AND tsu - max(q${k - 1}) OVER pw <= $tUs THEN max(q${k - 1}) OVER pw END AS q$k
              |  FROM w${k - 1}
              |$win
@@ -1516,8 +1516,8 @@ object OracleSql {
     val rCols = (0 until n).map(k =>
       s"         max(CASE WHEN q$k IS NOT NULL THEN 1 ELSE 0 END) AS r$k").mkString(",\n")
     val uCols = (0 until n).map(k => s"sum(r$k) AS u$k").mkString(", ")
-    val stRows = (s"  SELECT 0 AS step_idx, '${steps.head}' AS step, u0 AS users FROM tot" +:
-      (1 until n).map(k => s"  UNION ALL SELECT $k, '${steps(k)}', u$k FROM tot")).mkString("\n")
+    val stRows = (s"  SELECT 0 AS step_idx, '${sq(steps.head)}' AS step, u0 AS users FROM tot" +:
+      (1 until n).map(k => s"  UNION ALL SELECT $k, '${sq(steps(k))}', u$k FROM tot")).mkString("\n")
     s"""$chain, pu AS (
        |  SELECT user_id,
        |$rCols
@@ -1558,7 +1558,7 @@ object OracleSql {
     * identically to filtering the DataFrame before
     * EventAnalytics.transitions. */
   def transitionsSql(types: Seq[String]): String = {
-    val inList = types.map(t => s"'$t'").mkString(", ")
+    val inList = types.map(t => s"'${sq(t)}'").mkString(", ")
     s"""WITH t AS (
        |  SELECT user_id, event_type,
        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -1771,8 +1771,8 @@ object OracleSql {
     val jt = if (joinType == "inner") "JOIN" else "LEFT JOIN"
     s"""SELECT l.event_id AS left_id, count(r.event_id) AS n_matches,
        |       CAST(sum(r.event_id) AS BIGINT) AS right_id_sum
-       |FROM (SELECT * FROM events WHERE event_type = '$leftType') l
-       |$jt (SELECT * FROM events WHERE event_type = '$rightType') r
+       |FROM (SELECT * FROM events WHERE event_type = '${sq(leftType)}') l
+       |$jt (SELECT * FROM events WHERE event_type = '${sq(rightType)}') r
        |  ON l.user_id = r.user_id
        | AND r.ts >= l.ts - INTERVAL $beforeMinutes MINUTE
        | AND r.ts <= l.ts + INTERVAL $afterMinutes MINUTE
@@ -1872,6 +1872,48 @@ object OracleSql {
        |UNION ALL
        |SELECT user_id, session_start, session_end, n_events FROM fs
        |ORDER BY user_id, session_start, session_end""".stripMargin
+  }
+
+  /** StreamFuzz `sdedup` oracle: first-occurrence dedup through the
+    * `mapGroupsWithState` custom-state path replayed as a batch
+    * row_number. The stream arrives as `nBatches` micro-batches split
+    * by `event_id % nBatches`, each pre-reduced to one winning row per
+    * (key, batch) — min (ts, event_id) — so the streamed survivor per
+    * key is the winner of the EARLIEST batch containing the key:
+    * exactly `row_number() OVER (PARTITION BY key ORDER BY batch, ts,
+    * event_id) = 1`. `keyExpr` arrives as a SQL fragment from the
+    * fixed [[StreamFuzz.sdedupKeyExprs]] alphabet (not user input). */
+  def firstOccurrenceSql(keyExpr: String, nBatches: Int): String =
+    s"""WITH ranked AS (
+       |  SELECT $keyExpr AS k,
+       |         event_type || '#' || CAST(event_id AS VARCHAR) AS payload,
+       |         row_number() OVER (PARTITION BY $keyExpr
+       |           ORDER BY event_id % $nBatches, ts, event_id) AS rn
+       |  FROM events
+       |)
+       |SELECT k, payload FROM ranked WHERE rn = 1 ORDER BY k""".stripMargin
+
+  /** StreamFuzz `ssum` oracle: the streaming summing-MV
+    * ([[graft.streaming.StreamingIngest.maintainSummingParts]]) at any
+    * key shape — event_type, a date_trunc bucket, or both. Deliberately
+    * INDEPENDENT of the epoch split: any disjoint split of the stream
+    * into epoch parts must merge back to this from-scratch GROUP BY
+    * (DECIMAL sums + integer counts make that bit-exact). */
+  def streamSummingSql(keyMode: String, grain: String): String = {
+    require(Seq("hour", "day").contains(grain), s"grain must be hour/day, got $grain")
+    val keys = keyMode match {
+      case "type"       => Seq("event_type")
+      case "grain"      => Seq(s"CAST(date_trunc('$grain', ts) AS TIMESTAMP) AS bucket")
+      case "type_grain" =>
+        Seq("event_type", s"CAST(date_trunc('$grain', ts) AS TIMESTAMP) AS bucket")
+      case other        => sys.error(s"unknown keyMode $other")
+    }
+    val positions = (1 to keys.size).mkString(", ")
+    s"""SELECT ${keys.mkString(", ")},
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       |       count(*) AS n
+       |FROM events
+       |GROUP BY $positions ORDER BY $positions""".stripMargin
   }
 
   /** Parameterized q128 oracle: gap filling of the sparse

@@ -50,20 +50,12 @@ object StoreFuzz {
 
   private def pick[A](r: Random, xs: Vector[A]): A = xs(r.nextInt(xs.size))
 
-  private def rmrf(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmrf)
-    f.delete()
-  }
-
-  /** Fresh store dir per (family, sf, process): rebuilt on every call —
-    * the query must be re-runnable (Verify, the spec and the sweep all
-    * invoke it repeatedly). */
-  private def storePath(family: String, d: String): String = {
-    val p = s"/tmp/graft_storefuzz_${family}_${new java.io.File(d).getName}_" +
-      ProcessHandle.current().pid()
-    rmrf(new java.io.File(p))
-    p
-  }
+  /** Fresh store dir per INVOCATION ([[FuzzScratch]]): unique paths, so
+    * the query is re-runnable (Verify, the spec and the sweep all
+    * invoke it repeatedly) and two concurrent same-family runs in one
+    * JVM can never delete each other's parts. */
+  private def storePath(family: String, d: String): String =
+    FuzzScratch.fresh(s"storefuzz_$family").toString
 
   /** Base + upsert parts shared by latest/compact/tombstone: part k
     * re-emits the `user_id % mod = (k-1) % mod` slice at version k+1

@@ -57,8 +57,12 @@ class OpFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val corpusSize: Long =
     spark.read.parquet(s"$dir/documents.parquet").count()
 
+  // normalized like the operators themselves (events.ts has shipped as
+  // a nanos LONG in past testdata generations — the r9 incident); the
+  // date_trunc/ts invariant checks below would otherwise compute
+  // garbage on such a regeneration while the fuzzer stayed correct
   private lazy val eventsDf: DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    Queries.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
 
   private lazy val clickCount: Long =
     eventsDf.filter(col("event_type") === "click").count()

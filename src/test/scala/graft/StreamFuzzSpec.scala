@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -34,8 +35,12 @@ class StreamFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getOrElse(fail(s"param $key missing from '${g.params}'"))
       .stripPrefix(key + "=")
 
+  // through normalizeEventTs, like the fuzzer itself: events.ts has
+  // shipped as a nanos LONG in past testdata generations (the r9
+  // incident) — a raw read would compute garbage watermarks here while
+  // the fuzzer stayed correct
   private lazy val eventsDf: DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    Queries.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
 
   private lazy val eventCount: Long = eventsDf.count()
 
@@ -55,8 +60,8 @@ class StreamFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("family invariants hold for seeds 1-6") {
-    (1L to 6L).foreach { seed =>
+  test("family invariants hold for seeds 1-12") {
+    (1L to 12L).foreach { seed =>
       val g = StreamFuzz.generate(seed)
       val rows = g.query(spark, dir).collect()
       g.family match {
@@ -163,6 +168,63 @@ class StreamFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             assert(r.getTimestamp(2).getTime - r.getTimestamp(1).getTime >=
               gapUs / 1000L,
               s"seed=$seed slatesession: session shorter than the gap")
+          }
+        case "sdedup" =>
+          // exactly one survivor per distinct key, keys unique, every
+          // payload is a real (type#id) row — the duplicates (within
+          // batch AND across batches) all died in the state path
+          val keyCol = param(g, "keyMode") match {
+            case "type"      => col("event_type")
+            case "user"      => col("user_id").cast("string")
+            case "usermod7"  => (col("user_id") % 7).cast("string")
+            case "usermod10" => (col("user_id") % 10).cast("string")
+            case other       => fail(s"unknown keyMode $other")
+          }
+          val distinctKeys = eventsDf.select(keyCol).distinct().count()
+          assert(rows.length.toLong == distinctKeys,
+            s"seed=$seed sdedup: ${rows.length} survivors != $distinctKeys keys")
+          assert(rows.map(_.getString(0)).distinct.length == rows.length,
+            s"seed=$seed sdedup: duplicate keys in the output")
+          rows.foreach { r =>
+            assert(r.getString(1).matches(".+#\\d+"),
+              s"seed=$seed sdedup: malformed payload ${r.getString(1)}")
+          }
+        case "ssum" =>
+          // conservation at any key shape and epoch split: group counts
+          // carry the whole stream, and the DECIMAL totals merge to the
+          // global sum exactly (the doubles here are casts of exact
+          // decimals, so only the final fold wobbles)
+          val nIdx = rows.head.length - 1
+          assert(rows.map(_.getLong(nIdx)).sum == eventCount,
+            s"seed=$seed ssum: n sum ${rows.map(_.getLong(nIdx)).sum} != $eventCount")
+          val globalTotal = eventsDf
+            .select(sum(col("value").cast(DecimalType(18, 2)))).head()
+            .getDecimal(0).doubleValue()
+          val got = rows.map(_.getDouble(nIdx - 1)).sum
+          assert(math.abs(got - globalTotal) <=
+            math.abs(globalTotal) * 1e-9 + 1e-6,
+            s"seed=$seed ssum: totals $got != $globalTotal")
+        case "squant" =>
+          // one row per key, quantiles non-null, monotone in q, and on
+          // the 1/scale quantization grid (values the data actually
+          // binned to — the store's whole contract)
+          val sc = param(g, "scale").toInt
+          val nTypes = eventsDf.select(col("event_type")).distinct().count()
+          assert(rows.length.toLong == nTypes,
+            s"seed=$seed squant: ${rows.length} rows != $nTypes types")
+          rows.foreach { r =>
+            val qvals = (1 until r.length).map { i =>
+              assert(!r.isNullAt(i), s"seed=$seed squant: null quantile")
+              r.getDouble(i)
+            }
+            qvals.sliding(2).foreach {
+              case Seq(a, b) => assert(a <= b,
+                s"seed=$seed squant: quantiles not monotone ($a > $b)")
+              case _ => ()
+            }
+            qvals.foreach(v => assert(
+              math.abs(v * sc - math.round(v * sc).toDouble) < 1e-6,
+              s"seed=$seed squant: $v not on the 1/$sc grid"))
           }
         case other => fail(s"unknown family $other")
       }

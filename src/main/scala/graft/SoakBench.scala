@@ -24,19 +24,38 @@ import graft.store.{IngestService, MetaStore, Spool, SpoolConfig, TableCatalog}
   *  - one INGEST tenant streaming NDJSON inserts (spool-rotated into
   *    real catalog batches) and periodically reading its own count;
   *  - one STORE tenant looping index_build (minhash, overwrite) →
-  *    indexed probe → DELETE of its store.
+  *    indexed probe → DELETE of its store;
+  *  - one STREAMING tenant maintaining a windowed-count MV
+  *    continuously: a feeder writes CSV micro-files with ADVANCING
+  *    event time, a watermarked Structured-Streaming aggregation runs
+  *    through a real checkpoint + state store for the whole soak, and
+  *    a far-future sentinel at shutdown flushes every open window so
+  *    the emitted counts must equal the fed rows EXACTLY. The state
+  *    store is under sustained eviction pressure (windows close ~100×
+  *    faster than wall time) — the state-size series below is the
+  *    "cleanup actually runs" receipt.
+  *
+  * A SAMPLER thread records (t, rss, persistent RDDs, active jobs,
+  * state-store bytes, emitted MV rows) through the run — the time
+  * series that separates one-time heap EXPANSION from a slow leak,
+  * which a before/after pair cannot do.
   *
   * Pass criteria, printed as one JSON line and exit-coded:
   *  - zero 5xx anywhere (4xx are fine — the DELETE/build race answers
   *    409 by design);
   *  - no leaked state: active Spark jobs drain to zero, persistent
   *    RDDs return to the baseline, no store build-lock survives, the
-  *    ingest tenant's final count equals what was acknowledged;
+  *    ingest tenant's final count equals what was acknowledged, the
+  *    streaming MV's flushed counts equal the fed rows;
   *  - bounded memory: post-soak RSS within `maxRssGrowth` of the
-  *    post-warmup baseline (default 1.5x — JVM heap churn, not a leak).
+  *    post-warmup baseline (default 1.5x — JVM heap churn, not a leak);
+  *  - bounded streaming state (runs ≥ 600 s): the final state-store
+  *    size within 2× of its first-quartile sample — flat after
+  *    warmup, not creeping.
   *
-  * Usage: `sbt "runMain graft.SoakBench <seconds> [sfDir]"` — 600 for
-  * the PLANS receipt, 30 for the SoakSpec smoke.
+  * Usage: `sbt "runMain graft.SoakBench <seconds> [sfDir]"` — 600+ for
+  * the PLANS receipt (3600 for the long-haul), 30 for the SoakSpec
+  * smoke.
   */
 object SoakBench {
   private val client = HttpClient.newHttpClient()
@@ -154,6 +173,89 @@ object SoakBench {
       }
     }
 
+    // ---- streaming-MV tenant: feeder → watermarked windowed counts →
+    // parquet sink, through a real checkpoint + state store
+    val streamBase = new java.io.File(s"$base/stream")
+    val streamIn = new java.io.File(streamBase, "in"); streamIn.mkdirs()
+    val streamOut = new java.io.File(streamBase, "out").toString
+    val streamCkpt = new java.io.File(streamBase, "ckpt")
+    val streamFed = new AtomicLong(0)
+    // event time advances 100 ms per row, 200 rows per ~150 ms wall:
+    // windows (1 min) close ~100× faster than wall time, so the state
+    // store is constantly evicting — exactly the cleanup under test
+    val eventEpochMs = new AtomicLong(1700000000000L)
+    def writeFeedFile(idx: Long, rows: Int, sentinel: Boolean): Unit = {
+      val sb = new StringBuilder
+      if (sentinel) {
+        sb.append(s"${eventEpochMs.get() + 10L * 24 * 3600 * 1000},zz_sentinel,0\n")
+      } else (0 until rows).foreach { r =>
+        val ts = eventEpochMs.addAndGet(100)
+        sb.append(s"$ts,k${r % 5},1\n")
+        streamFed.incrementAndGet()
+      }
+      val tmp = new java.io.File(streamIn, s".tmp_$idx")
+      Files.writeString(tmp.toPath, sb.toString)
+      // atomic rename so the file source never reads a half-written file
+      tmp.renameTo(new java.io.File(streamIn, f"feed_$idx%08d.csv")); ()
+    }
+    writeFeedFile(0, 200, sentinel = false) // schema present before start
+    val streamDf = spark.readStream
+      .schema("tsl LONG, k STRING, value LONG")
+      .option("maxFilesPerTrigger", "20")
+      .csv(streamIn.toString)
+      .select(org.apache.spark.sql.functions.timestamp_millis(
+        org.apache.spark.sql.functions.col("tsl")).as("ts"),
+        org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.col("value"))
+    val streamQuery = graft.streaming.StreamingIngest
+      .windowedCounts(streamDf, "ts", "k", "1 minute", "30 seconds")
+      .writeStream.format("parquet")
+      .option("path", streamOut)
+      .option("checkpointLocation", streamCkpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(500))
+      .start()
+    def feederLoop(): Unit = {
+      var i = 1L
+      while (!stop.get()) {
+        writeFeedFile(i, 200, sentinel = false)
+        i += 1
+        Thread.sleep(150)
+      }
+    }
+    def dirBytes(d: java.io.File): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else f.length()
+      if (d.exists()) walk(d) else 0L
+    }
+    def emittedRows(): Long =
+      try {
+        if (new java.io.File(streamOut).exists())
+          spark.read.parquet(streamOut)
+            .filter(org.apache.spark.sql.functions.col("k") =!= "zz_sentinel")
+            .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+        else 0L
+      } catch { case _: Throwable => 0L }
+
+    // ---- sampler: the time series that separates heap EXPANSION from
+    // a slow leak, and proves state-store eviction keeps up
+    final case class Sample(t: Long, rssKbV: Long, rdds: Int, jobs: Int,
+                            stateKb: Long, mvRows: Long)
+    val samples = new java.util.concurrent.ConcurrentLinkedQueue[Sample]()
+    val sampleEveryMs = math.max(5000L, seconds * 1000L / 20)
+    val t0 = System.currentTimeMillis()
+    def samplerLoop(): Unit = {
+      while (!stop.get()) {
+        samples.add(Sample((System.currentTimeMillis() - t0) / 1000,
+          rssKb(), spark.sparkContext.getPersistentRDDs.size,
+          spark.sparkContext.statusTracker.getActiveJobIds.length,
+          dirBytes(new java.io.File(streamCkpt, "state")) / 1024,
+          emittedRows()))
+        Thread.sleep(sampleEveryMs)
+      }
+    }
+
     // one warm-up pass, then baseline AFTER it (first-call codegen and
     // session prep are one-time costs, not leaks)
     sql("k1", "SELECT count(*) AS n FROM docs")
@@ -165,7 +267,9 @@ object SoakBench {
       new Thread(() => queryLoop("k1"), "soak-q1"),
       new Thread(() => queryLoop("k2"), "soak-q2"),
       new Thread(() => ingestLoop(), "soak-ingest"),
-      new Thread(() => storeLoop(), "soak-store"))
+      new Thread(() => storeLoop(), "soak-store"),
+      new Thread(() => feederLoop(), "soak-stream-feeder"),
+      new Thread(() => samplerLoop(), "soak-sampler"))
     threads.foreach(_.start())
     // the RSS baseline lands HALFWAY through the soak: the JVM expands
     // heap toward -Xmx under first load (expansion, not a leak) — the
@@ -175,6 +279,17 @@ object SoakBench {
     Thread.sleep(seconds * 500L)
     stop.set(true)
     threads.foreach(_.join(120000))
+
+    // flush the streaming MV: a far-future sentinel closes every real
+    // window, so the emitted counts must equal the fed rows EXACTLY
+    writeFeedFile(99999999L, 0, sentinel = true)
+    val streamDeadline = System.currentTimeMillis() + 120000
+    var streamLanded = emittedRows()
+    while (streamLanded != streamFed.get() &&
+      System.currentTimeMillis() < streamDeadline) {
+      Thread.sleep(1000); streamLanded = emittedRows()
+    }
+    streamQuery.stop()
 
     // drain: acknowledged inserts land through spool rotation (200 ms)
     spool.shutdown()
@@ -204,6 +319,16 @@ object SoakBench {
     val buildLockLeaked = graft.api.Analytics.isBuilding(catalog.storeDir("4", "soakmh"))
     val maxRssGrowth = 1.5
 
+    val series = samples.toArray(Array.empty[Sample]).toVector
+    // state flat-after-warmup: only meaningful once enough windows have
+    // cycled through the store — short smokes skip it
+    val stateCheck: Option[(String, Boolean, String)] =
+      if (seconds >= 600 && series.size >= 8) {
+        val warm = series(series.size / 4).stateKb
+        val last = series.last.stateKb
+        Some(("stream_state_bounded", last <= math.max(warm, 64L) * 2,
+          s"q1=${warm}kB last=${last}kB"))
+      } else None
     val checks = Seq(
       ("no_5xx", fiveXx.get() == 0, s"${fiveXx.get()} (${errors.toArray.mkString(" | ")})"),
       ("jobs_drained", jobsAfter == 0, s"$jobsAfter active"),
@@ -211,16 +336,23 @@ object SoakBench {
       ("no_build_lock_leak", !buildLockLeaked, s"leaked=$buildLockLeaked"),
       ("ingest_exact", finalCount == acknowledged.get(),
         s"acked=${acknowledged.get()} landed=$finalCount"),
+      ("stream_exact", streamLanded == streamFed.get(),
+        s"fed=${streamFed.get()} landed=$streamLanded"),
       ("rss_bounded", rssAfter <= rssBefore * maxRssGrowth,
-        s"${rssBefore}kB -> ${rssAfter}kB"))
+        s"${rssBefore}kB -> ${rssAfter}kB")) ++ stateCheck
     val failed = checks.filterNot(_._2)
+    val seriesJson = series.map(s =>
+      s"""{"t":${s.t},"rss_kb":${s.rssKbV},"rdds":${s.rdds},"jobs":${s.jobs},""" +
+        s""""state_kb":${s.stateKb},"mv_rows":${s.mvRows}}""").mkString("[", ",", "]")
     val detail =
       s"""{"metric":"soak","seconds":$seconds,"requests":${requests.get()},""" +
         s""""five_xx":${fiveXx.get()},"rss_kb_before":$rssBefore,"rss_kb_after":$rssAfter,""" +
         s""""persistent_rdds_before":$rddsBefore,"persistent_rdds_after":$rddsAfter,""" +
         s""""active_jobs_after":$jobsAfter,"ingest_acked":${acknowledged.get()},""" +
         s""""ingest_landed":$finalCount,""" +
-        s""""failed_checks":[${failed.map(c => "\"" + c._1 + ": " + c._3 + "\"").mkString(",")}]}"""
+        s""""stream_fed":${streamFed.get()},"stream_landed":$streamLanded,""" +
+        s""""failed_checks":[${failed.map(c => "\"" + c._1 + ": " + c._3 + "\"").mkString(",")}],""" +
+        s""""series":$seriesJson}"""
     Result(failed.isEmpty, detail)
   }
 

@@ -24,7 +24,9 @@ object StreamChaosSweep {
     new java.io.File(outDir).mkdirs()
     val results = (fromS.toLong to toS.toLong).map { seed =>
       val name = f"streamchaos_s$seed%04d"
-      val base = new java.io.File(outDir, s"work_$name")
+      // staging/checkpoints live BESIDE the dump dir: check_oracle.py
+      // iterates every subdir of outDir as a result set
+      val base = new java.io.File(outDir + "_work", name)
       System.err.println(s"[streamchaos] running $name")
       val (plan, res) = StreamChaos.runPoint(spark, sfDir, seed, base)
       System.err.println(s"[streamchaos] $name family=${res.family} " +

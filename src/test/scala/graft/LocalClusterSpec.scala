@@ -37,7 +37,7 @@ class LocalClusterSpec extends AnyFunSuite {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  test("q70/q131/q145/q235 run green under local-cluster (real executor JVMs)") {
+  test("q70/q131/q145/q235/q241 run green under local-cluster (real executor JVMs)") {
     val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
     assume(new File(sparkHome, "jars").isDirectory,
       s"SPARK_HOME=$sparkHome has no jars/ — local-cluster cannot launch workers")
@@ -56,10 +56,15 @@ class LocalClusterSpec extends AnyFunSuite {
     env.put("SPARK_SCALA_VERSION", "2.13")
     // q235 joins the pinned set in r18: a StoreFuzz row whose store
     // BUILD (upsert parts + tombstone + compactLatest) runs from real
-    // executor JVMs — the multi-JVM path for the merge-store surface
+    // executor JVMs — the multi-JVM path for the merge-store surface.
+    // q241 joins in r19: firstOccurrenceDedup's mapGroupsWithState
+    // custom state lives in executor-side state stores here, with
+    // checkpoint/state files crossing the worker-JVM boundary — the
+    // one stateful-streaming API local[n] exercises only in-process
     env.put("SPARK_GRAFT_MASTER", "local-cluster[2,4,2048]")
     env.put("SPARK_GRAFT_ONLY",
-      "q70_cc_exact,q131_minhash_store,q145_bigram_surprisal,q235_storefuzz_tombstone")
+      "q70_cc_exact,q131_minhash_store,q145_bigram_surprisal," +
+        "q235_storefuzz_tombstone,q241_streamfuzz_sdedup")
     val p = pb.start()
     val finished = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) p.destroyForcibly()
@@ -73,7 +78,7 @@ class LocalClusterSpec extends AnyFunSuite {
       Files.readAllBytes(new File(out, "failures.json").toPath), "UTF-8").trim
     assert(failures == "{}", s"queries failed under local-cluster: $failures")
     for (q <- Seq("q70_cc_exact", "q131_minhash_store", "q145_bigram_surprisal",
-        "q235_storefuzz_tombstone")) {
+        "q235_storefuzz_tombstone", "q241_streamfuzz_sdedup")) {
       val dir = new File(out, q)
       assert(dir.isDirectory && dir.listFiles().exists(_.getName.endsWith(".parquet")),
         s"$q wrote no parquet under local-cluster")

@@ -331,6 +331,65 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Set(("k1", "first"), ("k2", "second"), ("k3", "third")))
   }
 
+  test("firstOccurrenceDedup TTL: expired keys pass again, live keys still dedup") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // tiny TTL: the seen-set entry expires between batches, so the SAME
+    // key passes again — the state-bound contract a 100 TB/day stream
+    // relies on (duplicates only dedup within the TTL horizon).
+    // NOTE: with a pending ProcessingTimeTimeout the engine re-triggers
+    // batches continuously to check deadlines, so processAllAvailable
+    // never quiesces (probed empirically — it spins hundreds of
+    // no-data batches); the test polls the sink instead.
+    def waitFor(table: String, want: Set[(String, String)]): Set[(String, String)] = {
+      val deadline = System.currentTimeMillis() + 60000
+      var got = Set.empty[(String, String)]
+      while (!want.subsetOf(got) && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        got = spark.sql(s"select * from $table").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+      }
+      got
+    }
+    val mem = MemoryStream[(String, String)]
+    val out = StreamingIngest.firstOccurrenceDedup(mem.toDS(),
+      stateTtl = Some("50 milliseconds"))
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("fo_ttl")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .start()
+    try {
+      mem.addData(("k1", "first"))
+      assert(waitFor("fo_ttl", Set(("k1", "first"))).contains(("k1", "first")))
+      Thread.sleep(500) // let k1's processing-time timeout expire
+      mem.addData(("nudge", "x")) // this batch also fires k1's timeout
+      assert(waitFor("fo_ttl", Set(("nudge", "x"))).contains(("nudge", "x")))
+      mem.addData(("k1", "after-ttl"))
+      val rows = waitFor("fo_ttl",
+        Set(("k1", "first"), ("nudge", "x"), ("k1", "after-ttl")))
+      // k1 re-passed after its seen-state expired — the TTL contract
+      assert(rows == Set(("k1", "first"), ("nudge", "x"), ("k1", "after-ttl")),
+        s"got $rows")
+    } finally q.stop()
+
+    // opposite pole: a generous TTL still dedups (the timeout never
+    // fires, state survives across batches)
+    val mem2 = MemoryStream[(String, String)]
+    val out2 = StreamingIngest.firstOccurrenceDedup(mem2.toDS(),
+      stateTtl = Some("1 hour"))
+    val q2 = out2.writeStream.outputMode("update").format("memory")
+      .queryName("fo_ttl_long")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .start()
+    try {
+      mem2.addData(("k1", "first"))
+      assert(waitFor("fo_ttl_long", Set(("k1", "first"))).contains(("k1", "first")))
+      mem2.addData(("k1", "dupe"), ("k2", "second"))
+      val rows2 = waitFor("fo_ttl_long", Set(("k1", "first"), ("k2", "second")))
+      assert(rows2 == Set(("k1", "first"), ("k2", "second")), s"got $rows2")
+    } finally q2.stop()
+  }
+
   test("sessionCounts: gap sessions merge nearby events per key") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

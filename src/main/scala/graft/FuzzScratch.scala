@@ -39,4 +39,26 @@ private[graft] object FuzzScratch {
     created.add(f)
     f
   }
+
+  /** Eagerly free one scratch dir (and drop it from the exit-hook
+    * list). Shutdown-hook-only reclamation made a 200+-seed streaming
+    * sweep accumulate every seed's staged inputs + checkpoint + sink
+    * output in /tmp for the whole run (ADVICE r19) — long sweeps call
+    * this per seed once the seed's result is durably materialized. */
+  def release(dir: java.io.File): Unit = {
+    rmrf(dir)
+    created.remove(dir)
+    ()
+  }
+
+  /** Free EVERY scratch dir this JVM has created so far — the per-seed
+    * hook for sweep loops, which run seeds strictly sequentially and
+    * materialize each result to the dump dir before moving on (so no
+    * live query can still be reading a prior seed's staging). The
+    * shutdown hook remains the backstop for whatever is created after
+    * the last drain. */
+  def drain(): Unit = {
+    val snapshot = created.toArray(Array.empty[java.io.File])
+    snapshot.foreach(release)
+  }
 }

@@ -55,6 +55,10 @@ object FuzzSweepRunner {
       catch { case e: Throwable =>
         failures += name -> String.valueOf(e.getMessage).take(400)
       }
+      // the result (or the failure) is durable: reclaim this seed's
+      // scratch now instead of letting a 200-seed streaming sweep pile
+      // every staged input + checkpoint in /tmp until JVM exit
+      finally FuzzScratch.drain()
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       gens.map { case (n, (_, _, _, sql)) => s"${jsonStr(n)}: ${jsonStr(sql)}" }

@@ -61,7 +61,8 @@ object StreamChaos {
   }
 
   final case class PointResult(seed: Long, family: String, params: String,
-                               killedMidFlight: Boolean, resumedClean: Boolean,
+                               killedMidFlight: Boolean, timedOut: Boolean,
+                               resumedClean: Boolean,
                                log1: String, log2: String)
 
   /** One chaos point: stage (driver session) → worker 1, kill -9 at
@@ -79,15 +80,23 @@ object StreamChaos {
     val deadline = System.currentTimeMillis() + 180000
     while (w1.isAlive && firstOutput(base).isEmpty &&
       System.currentTimeMillis() < deadline) Thread.sleep(5)
-    val killedMidFlight = w1.isAlive
-    if (killedMidFlight) { w1.destroyForcibly(); w1.waitFor() }
+    // three exits: worker drained (no kill), first output observed
+    // (kill lands genuinely mid-flight, in the write/commit window), or
+    // deadline with the worker alive but NO durable output yet — that
+    // last one is a kill-before-any-output, not a mid-flight kill, and
+    // is reported as timedOut so the receipt never over-claims
+    // (ADVICE r19).
+    val sawOutput = firstOutput(base).isDefined
+    val killedMidFlight = w1.isAlive && sawOutput
+    val timedOut = w1.isAlive && !sawOutput
+    if (w1.isAlive) { w1.destroyForcibly(); w1.waitFor() }
     val w2 = forkWorker(seed, base, log2)
     val finished = w2.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) w2.destroyForcibly()
     val resumedClean = finished && w2.exitValue() == 0 &&
       text(log2).contains("CHAOS_DONE")
     (plan, PointResult(seed, plan.family, plan.params, killedMidFlight,
-      resumedClean, text(log1).takeRight(400), text(log2).takeRight(400)))
+      timedOut, resumedClean, text(log1).takeRight(400), text(log2).takeRight(400)))
   }
 
   private def text(f: File): String =

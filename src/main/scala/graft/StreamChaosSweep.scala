@@ -22,6 +22,8 @@ object StreamChaosSweep {
     val Array(sfDir, outDir, fromS, toS) = args
     val spark = FuzzSweepRunner.session()
     new java.io.File(outDir).mkdirs()
+    import FuzzSweepRunner.jsonStr
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = (fromS.toLong to toS.toLong).map { seed =>
       val name = f"streamchaos_s$seed%04d"
       // staging/checkpoints live BESIDE the dump dir: check_oracle.py
@@ -30,27 +32,41 @@ object StreamChaosSweep {
       System.err.println(s"[streamchaos] running $name")
       val (plan, res) = StreamChaos.runPoint(spark, sfDir, seed, base)
       System.err.println(s"[streamchaos] $name family=${res.family} " +
-        s"killed=${res.killedMidFlight} resumed=${res.resumedClean}")
+        s"killed=${res.killedMidFlight} timed_out=${res.timedOut} " +
+        s"resumed=${res.resumedClean}")
+      // a failed read writes no result dir, and check_oracle.py only
+      // iterates existing subdirs — without a failures.json entry +
+      // nonzero exit the seed would silently drop out of the DuckDB
+      // gate and the sweep could read as fully green (ADVICE r19)
       try plan.read(spark, base).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[streamchaos] $name READ FAILED: ${e.getMessage}")
+        failures += name -> String.valueOf(e.getMessage).take(400)
       }
       (name, plan.sql, res)
     }
-    import FuzzSweepRunner.jsonStr
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       results.map { case (n, sql, _) => s"${jsonStr(n)}: ${jsonStr(sql)}" }
+        .mkString("{", ",", "}"))
+    Files.writeString(Paths.get(s"$outDir/failures.json"),
+      failures.map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
         .mkString("{", ",", "}"))
     val receipt = results.map { case (n, _, r) =>
       s"""{"seed":${r.seed},"name":${jsonStr(n)},"family":${jsonStr(r.family)},""" +
         s""""params":${jsonStr(r.params)},"killed_mid_flight":${r.killedMidFlight},""" +
-        s""""resumed_clean":${r.resumedClean}}"""
+        s""""timed_out":${r.timedOut},"resumed_clean":${r.resumedClean}}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"stream_chaos","points":${results.size},""" +
       s""""killed":${results.count(_._3.killedMidFlight)},""" +
+      s""""timed_out":${results.count(_._3.timedOut)},""" +
       s""""resumed_clean":${results.count(_._3.resumedClean)},""" +
-      s""""points_detail":$receipt}""")
+      s""""read_failures":${failures.size},"points_detail":$receipt}""")
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[streamchaos] ${failures.size} reads FAILED: " +
+        failures.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -409,10 +409,13 @@ object StreamFuzz {
         keyExpr.as("k"),
         concat(col("event_type"), lit("#"), col("event_id").cast("string"))
           .as("payload"),
-        // zero-padded byte-comparable (event time, id) — the unique,
-        // deterministic "first" the oracle's row_number replays
-        format_string("%020d%020d", unix_micros(col("ts")), col("event_id"))
-          .as("ord"),
+        // (event time, id) as a STRUCT — Spark orders structs
+        // field-by-field, so this is the unique, deterministic "first"
+        // the oracle's row_number (ORDER BY ts, event_id) replays. A
+        // padded-decimal string would mis-order negative values ('-'
+        // sorts before digits), silently picking a different winner for
+        // pre-1970 timestamps or negative ids (ADVICE r19).
+        struct(col("ts"), col("event_id")).as("ord"),
         (col("event_id") % nB).as("b"))
       val now = System.currentTimeMillis()
       (0 until nB).foreach { b =>

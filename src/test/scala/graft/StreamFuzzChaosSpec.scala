@@ -40,22 +40,33 @@ class StreamFuzzChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
   // at least one kill landed while the worker was genuinely mid-flight
   private val seeds = Seq(6L, 37L)
 
+  private def runConvergedPoint(seed: Long): StreamChaos.PointResult = {
+    val base = FuzzScratch.fresh(s"streamchaos_spec_$seed")
+    val (plan, res) = StreamChaos.runPoint(spark, dir, seed, base)
+    assert(res.resumedClean,
+      s"seed=$seed (${res.family} ${res.params}): resume did not complete " +
+        s"cleanly; worker2 log tail: ${res.log2}")
+    val chaotic = canon(plan.read(spark, base))
+    val clean = canon(StreamFuzz.generate(seed).query(spark, dir))
+    assert(chaotic == clean,
+      s"seed=$seed (${res.family} ${res.params}): kill-restart result " +
+        s"diverged from the clean run (${chaotic.size} vs ${clean.size} rows)")
+    res
+  }
+
   test("kill -9 at a fuzzed point converges to the clean run") {
-    val results = seeds.map { seed =>
-      val base = FuzzScratch.fresh(s"streamchaos_spec_$seed")
-      val (plan, res) = StreamChaos.runPoint(spark, dir, seed, base)
-      assert(res.resumedClean,
-        s"seed=$seed (${res.family} ${res.params}): resume did not complete " +
-          s"cleanly; worker2 log tail: ${res.log2}")
-      val chaotic = canon(plan.read(spark, base))
-      val clean = canon(StreamFuzz.generate(seed).query(spark, dir))
-      assert(chaotic == clean,
-        s"seed=$seed (${res.family} ${res.params}): kill-restart result " +
-          s"diverged from the clean run (${chaotic.size} vs ${clean.size} rows)")
-      res
-    }
-    assert(results.exists(_.killedMidFlight),
-      "no worker was killed mid-flight — the chaos window never opened " +
-        s"(families: ${results.map(r => s"${r.family}:${r.killedMidFlight}").mkString(", ")})")
+    val results = seeds.map(runConvergedPoint)
+    // the mid-flight-kill signal is inherently racy: if both workers
+    // drain their AvailableNow run before the 5 ms poll sees the first
+    // output file, no kill lands — a scheduling artifact, not a product
+    // regression. Retry with a third seed before failing (ADVICE r19);
+    // convergence is still asserted on every point, retried or not.
+    val retried =
+      if (results.exists(_.killedMidFlight)) results
+      else results :+ runConvergedPoint(23L)
+    assert(retried.exists(_.killedMidFlight),
+      "no worker was killed mid-flight across three points — the chaos " +
+        "window never opened (families: " +
+        s"${retried.map(r => s"${r.family}:${r.killedMidFlight}").mkString(", ")})")
   }
 }

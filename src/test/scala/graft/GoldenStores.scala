@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.{Dedup, SimilaritySearch}
-import graft.store.{MergeStore, SketchStore}
+import graft.store.{Bucketed, Layout, MergeStore, SketchStore}
 
 /** Format-stability fixture for every PERSISTED store kind: one small
   * instance of each store, built ONCE from sf0.001 at pinned
@@ -68,6 +68,51 @@ object GoldenStores {
     * novel (misses), so both probe branches stay exercised. */
   private def probeDocs(s: SparkSession, root: String): DataFrame =
     s.read.parquet(s"$root/probe_docs")
+
+  /** Layout signatures (the layout-writer goldens): one row per
+    * physical FILE — the key range it covers and its row count. File
+    * names are uuids, so identity is dropped and canon's row sort
+    * makes the signature a set; what survives is exactly the
+    * row-to-file ASSIGNMENT. The read side computes this twice — once
+    * over the committed store bytes, once over a fresh rebuild from
+    * the committed input — so BOTH a reader change and a writer change
+    * (range boundaries, quantile bucketing, Morton interleave, bucket
+    * hashing) that reassigns rows to files fails the spec, which is
+    * the drift that silently invalidates layouts users already wrote. */
+  private def rangeSignature(s: SparkSession, path: String, keyCol: String): DataFrame =
+    s.read.parquet(path)
+      .groupBy(input_file_name().as("__f"))
+      .agg(min(col(keyCol)).as("min_k"), max(col(keyCol)).as("max_k"),
+        count(lit(1)).as("n"))
+      .drop("__f")
+
+  private def zSignature(s: SparkSession, path: String,
+                         a: String, b: String): DataFrame =
+    s.read.parquet(path)
+      .groupBy(input_file_name().as("__f"))
+      .agg(min(col(a)).as("min_a"), max(col(a)).as("max_a"),
+        min(col(b)).as("min_b"), max(col(b)).as("max_b"),
+        count(lit(1)).as("n"))
+      .drop("__f")
+
+  /** Bucket files carry their bucket id in the name (`_NNNNN.c000`);
+    * key ranges overlap across buckets by design, so the signature is
+    * per-BUCKET: count, range, and an order-free key checksum — a
+    * bucket-hash change moves keys between buckets and breaks the
+    * checksum even when counts happen to collide. */
+  private def bucketSignature(s: SparkSession, path: String, keyCol: String): DataFrame =
+    s.read.parquet(path)
+      .groupBy(regexp_extract(input_file_name(), "_(\\d{5})\\.c000", 1)
+        .cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        // decimal sum: order-free and overflow-proof under ANSI (a
+        // long sum of 64-bit hashes overflows)
+        sum(xxhash64(col(keyCol)).cast(DecimalType(38, 0))).as("key_checksum"),
+        min(col(keyCol)).as("min_k"), max(col(keyCol)).as("max_k"))
+
+  private def bothSignatures(committed: DataFrame, rebuilt: DataFrame): DataFrame =
+    committed.withColumn("src", lit("committed"))
+      .unionAll(rebuilt.withColumn("src", lit("rebuilt")))
 
   /** `exact = false` marks stores whose READ is legitimately
     * randomized (KLL merge compaction draws): the spec then pins keys
@@ -196,7 +241,81 @@ object GoldenStores {
       read = (s, p) => SketchStore.estimateDistinct(s, s"$p/store",
           Seq("event_type"))
         .select(col("event_type"),
-          round(col("approx_distinct"), 3).as("approx_distinct")))
+          round(col("approx_distinct"), 3).as("approx_distinct"))),
+
+    Golden("theta",
+      // element = user x value-digit rather than bare user_id: sf0.001
+      // has only 15 users, ALL of whom both click and purchase, which
+      // would pin n_a_only at a degenerate 0 no broken a-not-b could
+      // miss; the finer element gives 115/113/87 partially-overlapping
+      // audiences so every set-op column carries signal
+      build = (s, sf, p) => SketchStore.writeThetaSketches(
+        events(s, sf).withColumn("el",
+          col("user_id") * 10 + col("value").cast("long") % 10),
+        Seq("event_type"), "el", s"$p/store",
+        partExpr = pmod(xxhash64(col("event_type")), lit(3L)), lgK = 12),
+      // the overlap report drives every theta read path over the
+      // committed bytes: per-part scan, theta_union merge, estimate,
+      // intersect, a-not-b, union — a compact-encoding or set-algebra
+      // drift breaks one of the five columns
+      read = (s, p) => SketchStore.estimateOverlap(s, s"$p/store",
+          "event_type", "click", "purchase")
+        .select(round(col("n_a"), 3).as("n_a"), round(col("n_b"), 3).as("n_b"),
+          round(col("n_both"), 3).as("n_both"),
+          round(col("n_a_only"), 3).as("n_a_only"),
+          round(col("n_union"), 3).as("n_union"))),
+
+    Golden("layout_range",
+      build = (s, sf, p) => {
+        events(s, sf).select(col("event_id"), col("value"))
+          .coalesce(1).write.parquet(s"$p/input")
+        Layout.writeRangeSorted(s.read.parquet(s"$p/input"), s"$p/store",
+          Seq("value"), numFiles = 4)
+      },
+      read = (s, p) => {
+        val rebuilt = FuzzScratch.fresh("golden_layout_range")
+        Layout.writeRangeSorted(s.read.parquet(s"$p/input"),
+          s"$rebuilt/store", Seq("value"), numFiles = 4)
+        bothSignatures(rangeSignature(s, s"$p/store", "value"),
+          rangeSignature(s, s"$rebuilt/store", "value"))
+      }),
+
+    Golden("layout_zorder",
+      build = (s, sf, p) => {
+        events(s, sf).select(col("event_id"), col("user_id"), col("value"))
+          .coalesce(1).write.parquet(s"$p/input")
+        Layout.writeZOrdered(s.read.parquet(s"$p/input"), s"$p/store",
+          Seq("user_id", "value"), numFiles = 4, bitsPerDim = 6)
+      },
+      read = (s, p) => {
+        val rebuilt = FuzzScratch.fresh("golden_layout_zorder")
+        Layout.writeZOrdered(s.read.parquet(s"$p/input"),
+          s"$rebuilt/store", Seq("user_id", "value"), numFiles = 4, bitsPerDim = 6)
+        bothSignatures(zSignature(s, s"$p/store", "user_id", "value"),
+          zSignature(s, s"$rebuilt/store", "user_id", "value"))
+      }),
+
+    Golden("layout_bucketed",
+      build = (s, sf, p) => {
+        events(s, sf).select(col("event_id"), col("user_id"), col("event_type"))
+          .coalesce(1).write.parquet(s"$p/input")
+        s.sql("DROP TABLE IF EXISTS golden_bucketed_build")
+        Bucketed.writeBucketed(s.read.parquet(s"$p/input"),
+          "golden_bucketed_build", s"$p/store", Seq("user_id"), numBuckets = 4)
+        // external table: dropping the catalog entry keeps the files
+        s.sql("DROP TABLE IF EXISTS golden_bucketed_build")
+        ()
+      },
+      read = (s, p) => {
+        val rebuilt = FuzzScratch.fresh("golden_layout_bucketed")
+        s.sql("DROP TABLE IF EXISTS golden_bucketed_rebuild")
+        Bucketed.writeBucketed(s.read.parquet(s"$p/input"),
+          "golden_bucketed_rebuild", s"$rebuilt/store", Seq("user_id"),
+          numBuckets = 4)
+        s.sql("DROP TABLE IF EXISTS golden_bucketed_rebuild")
+        bothSignatures(bucketSignature(s, s"$p/store", "user_id"),
+          bucketSignature(s, s"$rebuilt/store", "user_id"))
+      })
   )
 }
 
@@ -211,22 +330,32 @@ private object StreamingIngestShim {
       batch, groupCols, sumCols, storePath, epochId)
 }
 
-/** Builder main — run ONCE (or when a layout change is intentional):
-  * wipes `src/test/resources/golden/`, builds every store from the
-  * given sf dir, runs each production read, and commits the canonical
-  * rows as `<name>.expected.txt`. */
+/** Builder main — run ONCE per kind (or when a layout change is
+  * intentional): builds each store from the given sf dir, runs each
+  * production read, and commits the canonical rows as
+  * `<name>.expected.txt`. With no names given it wipes and rebuilds
+  * the ENTIRE fixture; naming kinds (`... sf0.001 theta layout_range`)
+  * rebuilds only those, leaving every other kind's committed
+  * past-build bytes untouched — which is the fixture's whole value. */
 object GoldenStoreBuild {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val names = args.drop(1).toSet
+    val unknown = names.diff(GoldenStores.all.map(_.name).toSet)
+    require(unknown.isEmpty, s"unknown golden kinds: ${unknown.mkString(", ")}")
+    val selected = if (names.isEmpty) GoldenStores.all
+                   else GoldenStores.all.filter(g => names(g.name))
     val root = new File(GoldenStores.fixtureRoot)
     def rmrf(f: File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
       f.delete(); ()
     }
-    rmrf(root); root.mkdirs()
+    if (names.isEmpty) rmrf(root)
+    root.mkdirs()
     val spark = FuzzSweepRunner.session()
-    GoldenStores.all.foreach { g =>
+    selected.foreach { g =>
       val p = new File(root, g.name).getAbsolutePath
+      rmrf(new File(root, g.name))
       System.err.println(s"[golden] building ${g.name}")
       g.build(spark, sfDir, p)
       val rows = GoldenStores.canon(g.read(spark, p))

@@ -37,7 +37,7 @@ class LocalClusterSpec extends AnyFunSuite {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  test("q70/q131/q145/q235/q241 run green under local-cluster (real executor JVMs)") {
+  test("q70/q131/q145/q235/q236/q241/q243 run green under local-cluster (real executor JVMs)") {
     val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
     assume(new File(sparkHome, "jars").isDirectory,
       s"SPARK_HOME=$sparkHome has no jars/ — local-cluster cannot launch workers")
@@ -60,11 +60,16 @@ class LocalClusterSpec extends AnyFunSuite {
     // q241 joins in r19: firstOccurrenceDedup's mapGroupsWithState
     // custom state lives in executor-side state stores here, with
     // checkpoint/state files crossing the worker-JVM boundary — the
-    // one stateful-streaming API local[n] exercises only in-process
+    // one stateful-streaming API local[n] exercises only in-process.
+    // q236/q243 join in r20 (the state-store-heaviest remaining
+    // streaming families): session_window merge state across
+    // micro-batches, and the quantile-MV foreachBatch path whose
+    // epoch parts are written from executor JVMs.
     env.put("SPARK_GRAFT_MASTER", "local-cluster[2,4,2048]")
     env.put("SPARK_GRAFT_ONLY",
       "q70_cc_exact,q131_minhash_store,q145_bigram_surprisal," +
-        "q235_storefuzz_tombstone,q241_streamfuzz_sdedup")
+        "q235_storefuzz_tombstone,q241_streamfuzz_sdedup," +
+        "q236_streamfuzz_ssession,q243_streamfuzz_squant")
     val p = pb.start()
     val finished = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) p.destroyForcibly()
@@ -78,7 +83,8 @@ class LocalClusterSpec extends AnyFunSuite {
       Files.readAllBytes(new File(out, "failures.json").toPath), "UTF-8").trim
     assert(failures == "{}", s"queries failed under local-cluster: $failures")
     for (q <- Seq("q70_cc_exact", "q131_minhash_store", "q145_bigram_surprisal",
-        "q235_storefuzz_tombstone", "q241_streamfuzz_sdedup")) {
+        "q235_storefuzz_tombstone", "q241_streamfuzz_sdedup",
+        "q236_streamfuzz_ssession", "q243_streamfuzz_squant")) {
       val dir = new File(out, q)
       assert(dir.isDirectory && dir.listFiles().exists(_.getName.endsWith(".parquet")),
         s"$q wrote no parquet under local-cluster")

@@ -68,8 +68,24 @@ object SoakBench {
 
   final case class Result(ok: Boolean, detail: String)
 
-  /** Run the soak; shared by the main (receipt) and SoakSpec (smoke). */
-  def run(spark: SparkSession, seconds: Int, sfDir: String): Result = {
+  /** Run the soak; shared by the main (receipt) and SoakSpec (smoke).
+    *
+    * `chaos = true` composes the kill receipts INTO the soak (r19
+    * verdict ask 3 — chaos and soak had only ever run separately):
+    *  - the streaming-MV query is abruptly stopped mid-flight TWICE
+    *    (~30% and ~60% of the run) and restarted from the same
+    *    checkpoint in-process — uncommitted micro-batches replay, and
+    *    the end-of-run `stream_exact` equality must still hold through
+    *    the file-sink metadata log;
+    *  - a second ingest lane runs the two-process seam (producer spool
+    *    → shared blob store → TWO SeamWorker consumer JVMs under file
+    *    leases), and the slow consumer is kill -9'd mid-batch (~45%)
+    *    so the survivor lease-steals its claimed blob under full soak
+    *    load — `seam_exact` requires landed == produced with zero
+    *    duplicate ids at the end.
+    * Kills are recorded in the artifact as `chaos_events`. */
+  def run(spark: SparkSession, seconds: Int, sfDir: String,
+          chaos: Boolean = false): Result = {
     val base = Files.createTempDirectory("graft-soak").toString
     val catalog = new TableCatalog(s"$base/tables")
     // q1/q2: query corpora; q3: ingest target (starts empty); q4: store builder
@@ -199,7 +215,7 @@ object SoakBench {
       tmp.renameTo(new java.io.File(streamIn, f"feed_$idx%08d.csv")); ()
     }
     writeFeedFile(0, 200, sentinel = false) // schema present before start
-    val streamDf = spark.readStream
+    def streamDf = spark.readStream
       .schema("tsl LONG, k STRING, value LONG")
       .option("maxFilesPerTrigger", "20")
       .csv(streamIn.toString)
@@ -207,14 +223,21 @@ object SoakBench {
         org.apache.spark.sql.functions.col("tsl")).as("ts"),
         org.apache.spark.sql.functions.col("k"),
         org.apache.spark.sql.functions.col("value"))
-    val streamQuery = graft.streaming.StreamingIngest
-      .windowedCounts(streamDf, "ts", "k", "1 minute", "30 seconds")
-      .writeStream.format("parquet")
-      .option("path", streamOut)
-      .option("checkpointLocation", streamCkpt.toString)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(500))
-      .start()
+    // restartable: the chaos injection stops the query mid-flight and
+    // re-starts it from the SAME checkpoint + sink (the in-process
+    // crash-resume path — uncommitted offsets replay, the file-sink
+    // metadata log keeps replayed parts out of every read)
+    def startStreamQuery(): org.apache.spark.sql.streaming.StreamingQuery =
+      graft.streaming.StreamingIngest
+        .windowedCounts(streamDf, "ts", "k", "1 minute", "30 seconds")
+        .writeStream.format("parquet")
+        .option("path", streamOut)
+        .option("checkpointLocation", streamCkpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(500))
+        .start()
+    val streamQueryRef =
+      new java.util.concurrent.atomic.AtomicReference(startStreamQuery())
     def feederLoop(): Unit = {
       var i = 1L
       while (!stop.get()) {
@@ -256,6 +279,92 @@ object SoakBench {
       }
     }
 
+    // ---- chaos injections (chaos = true): stream stop/restart x2 and
+    // a kill -9'd seam consumer, recorded as chaos_events
+    final case class ChaosEvent(t: Long, kind: String)
+    val chaosEvents = new java.util.concurrent.ConcurrentLinkedQueue[ChaosEvent]()
+    val seamShared = s"$base/seam"
+    val seamProduced = new AtomicLong(0)
+    def seamBlobStore() = graft.api.Main.storesFromEnv(
+      Map("GRAFT_BLOB_ROOT" -> s"$seamShared/blobs",
+        "GRAFT_CLAIM_QUEUE" -> s"file-lease:$seamShared/leases",
+        "GRAFT_LEASE_TTL_MS" -> "3000"),
+      seamShared, spark.sparkContext.hadoopConfiguration)._1
+    def seamProducerLoop(): Unit = {
+      val blob = seamBlobStore()
+      val spool = new Spool(s"$seamShared/spool-soak",
+        SpoolConfig(maxRows = 100, rotatePeriodMillis = 100),
+        f => blob.put(s"${f.getParentFile.getParentFile.getName}/" +
+          s"${f.getParentFile.getName}/${f.getName}", f))
+      var id = 0L
+      var b = 0L
+      while (!stop.get()) {
+        b += 1
+        (1 to 100).foreach { _ =>
+          id += 1
+          spool.writeData("1", "seam", s"""{"id": $id, "batch": $b}""")
+        }
+        seamProduced.addAndGet(100)
+        Thread.sleep(2000)
+      }
+      spool.shutdown() // flush closes the open file -> final upload
+    }
+    def forkSeamConsumer(tag: String, sleepMs: Long): (Process, java.io.File) = {
+      val log = new java.io.File(seamShared, s"$tag.log")
+      log.getParentFile.mkdirs()
+      val cmd = Seq(new java.io.File(System.getProperty("java.home"),
+        "bin/java").getAbsolutePath) ++ StreamChaos.opens ++
+        Seq("-Xmx2g", "-cp", System.getProperty("java.class.path"),
+          "graft.SeamWorker", "consume", seamShared, tag)
+      val pb = new ProcessBuilder(cmd: _*)
+        .redirectOutput(log).redirectErrorStream(true)
+      // the doomed consumer holds every claimed batch open for sleepMs
+      // (heartbeat-renewing its lease), so the kill provably lands
+      // between its CLAIMED and INGESTED lines
+      if (sleepMs > 0) pb.environment().put("SEAM_SLEEP_MS", sleepMs.toString)
+      (pb.start(), log)
+    }
+    val seamWorkers: Seq[(String, Process, java.io.File)] =
+      if (!chaos) Nil
+      else Seq(forkSeamConsumer("survivor", 0L), forkSeamConsumer("doomed", 8000L))
+        .zip(Seq("survivor", "doomed")).map { case ((p, l), t) => (t, p, l) }
+    def logTextOf(f: java.io.File): String =
+      if (f.exists()) new String(Files.readAllBytes(f.toPath), "UTF-8") else ""
+    def chaosLoop(): Unit = {
+      def sleepUntil(ms: Long): Unit = {
+        val rem = t0 + ms - System.currentTimeMillis()
+        if (rem > 0) Thread.sleep(rem)
+      }
+      def streamKill(): Unit = {
+        streamQueryRef.get().stop() // interrupts any in-flight micro-batch
+        chaosEvents.add(ChaosEvent((System.currentTimeMillis() - t0) / 1000,
+          "stream_stop_restart"))
+        streamQueryRef.set(startStreamQuery())
+      }
+      sleepUntil(seconds * 300L)
+      streamKill()
+      // seam kill: wait until the doomed worker is mid-batch (a CLAIMED
+      // without its INGESTED — its SEAM_SLEEP_MS holds an 8 s window)
+      sleepUntil(seconds * 450L)
+      seamWorkers.find(_._1 == "doomed").foreach { case (_, p, log) =>
+        val deadline = System.currentTimeMillis() +
+          math.max(60000L, seconds * 150L)
+        def midBatch = {
+          val t = logTextOf(log)
+          t.linesIterator.count(_.startsWith("CLAIMED")) >
+            t.linesIterator.count(_.startsWith("INGESTED"))
+        }
+        while (p.isAlive && !midBatch &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+        val kind = if (midBatch) "seam_worker_kill9_mid_batch"
+                   else "seam_worker_kill9" // window never opened: kill anyway
+        p.destroyForcibly(); p.waitFor()
+        chaosEvents.add(ChaosEvent((System.currentTimeMillis() - t0) / 1000, kind))
+      }
+      sleepUntil(seconds * 600L)
+      streamKill()
+    }
+
     // one warm-up pass, then baseline AFTER it (first-call codegen and
     // session prep are one-time costs, not leaks)
     sql("k1", "SELECT count(*) AS n FROM docs")
@@ -269,7 +378,10 @@ object SoakBench {
       new Thread(() => ingestLoop(), "soak-ingest"),
       new Thread(() => storeLoop(), "soak-store"),
       new Thread(() => feederLoop(), "soak-stream-feeder"),
-      new Thread(() => samplerLoop(), "soak-sampler"))
+      new Thread(() => samplerLoop(), "soak-sampler")) ++
+      (if (chaos) Seq(
+        new Thread(() => seamProducerLoop(), "soak-seam-producer"),
+        new Thread(() => chaosLoop(), "soak-chaos")) else Nil)
     threads.foreach(_.start())
     // the RSS baseline lands HALFWAY through the soak: the JVM expands
     // heap toward -Xmx under first load (expansion, not a leak) — the
@@ -289,7 +401,28 @@ object SoakBench {
       System.currentTimeMillis() < streamDeadline) {
       Thread.sleep(1000); streamLanded = emittedRows()
     }
-    streamQuery.stop()
+    streamQueryRef.get().stop()
+
+    // seam lane drain (chaos only): stop file -> survivor sweeps the
+    // remaining blobs (including whatever the dead worker had claimed,
+    // lease-stolen after the TTL) and exits
+    var seamLanded = -1L
+    var seamDistinct = -1L
+    if (chaos) {
+      new java.io.File(seamShared, "stop").createNewFile()
+      seamWorkers.foreach { case (tag, p, _) =>
+        if (tag == "survivor") {
+          if (!p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS))
+            p.destroyForcibly()
+        } else if (p.isAlive) { p.destroyForcibly(); p.waitFor() }
+      }
+      val seamCatalog = new TableCatalog(s"$seamShared/tables")
+      if (seamCatalog.exists("1", "seam")) {
+        val t = seamCatalog.read(spark, "1", "seam")
+        seamLanded = t.count()
+        seamDistinct = t.select("id").distinct().count()
+      }
+    }
 
     // drain: acknowledged inserts land through spool rotation (200 ms)
     spool.shutdown()
@@ -339,7 +472,16 @@ object SoakBench {
       ("stream_exact", streamLanded == streamFed.get(),
         s"fed=${streamFed.get()} landed=$streamLanded"),
       ("rss_bounded", rssAfter <= rssBefore * maxRssGrowth,
-        s"${rssBefore}kB -> ${rssAfter}kB")) ++ stateCheck
+        s"${rssBefore}kB -> ${rssAfter}kB")) ++ stateCheck ++
+      (if (chaos) Seq(
+        // exactly-once EFFECT across the kill: everything produced
+        // landed once — no loss from the dead worker's claim, no
+        // duplicate from the survivor's re-ingest
+        ("seam_exact",
+          seamLanded == seamProduced.get() && seamDistinct == seamProduced.get(),
+          s"produced=${seamProduced.get()} landed=$seamLanded distinct=$seamDistinct"),
+        ("chaos_injected", chaosEvents.size >= 3,
+          s"${chaosEvents.size} events")) else Nil)
     val failed = checks.filterNot(_._2)
     val seriesJson = series.map(s =>
       s"""{"t":${s.t},"rss_kb":${s.rssKbV},"rdds":${s.rdds},"jobs":${s.jobs},""" +
@@ -352,6 +494,10 @@ object SoakBench {
         s""""ingest_landed":$finalCount,""" +
         s""""stream_fed":${streamFed.get()},"stream_landed":$streamLanded,""" +
         s""""failed_checks":[${failed.map(c => "\"" + c._1 + ": " + c._3 + "\"").mkString(",")}],""" +
+        s""""chaos":$chaos,"seam_produced":${seamProduced.get()},""" +
+        s""""seam_landed":$seamLanded,"seam_distinct":$seamDistinct,""" +
+        s""""chaos_events":[${chaosEvents.toArray(Array.empty[ChaosEvent])
+          .map(e => s"""{"t":${e.t},"kind":"${e.kind}"}""").mkString(",")}],""" +
         s""""series":$seriesJson}"""
     Result(failed.isEmpty, detail)
   }
@@ -359,6 +505,7 @@ object SoakBench {
   def main(args: Array[String]): Unit = {
     val seconds = if (args.nonEmpty) args(0).toInt else 600
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val chaos = args.length > 2 && args(2) == "chaos"
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -369,7 +516,7 @@ object SoakBench {
         graft.core.SessionDefaults.ExtensionsClass)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val res = run(spark, seconds, sfDir)
+    val res = run(spark, seconds, sfDir, chaos)
     println(res.detail)
     spark.stop()
     if (!res.ok) sys.exit(1)

@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   */
 object StreamChaos {
 
-  private val opens = Seq(
+  private[graft] val opens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
     "java.base/java.net", "java.base/java.nio",

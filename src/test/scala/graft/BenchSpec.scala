@@ -54,4 +54,17 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.defaultBenchOut(subset = false) == "BENCH_FULL_latest.json")
   }
 
+  test("CPU calibration probe: fixed work, positive, repeatable within a loose band") {
+    // the probe is the bench's host-speed self-adjudication (uniform
+    // wall inflation moves the probe and the battery together); the pin
+    // is deliberately loose — scheduling noise must not flake the suite,
+    // only a broken probe (elided loop ~0 ms, or wildly unstable)
+    val a = Bench.calibrateMedianMs()
+    val b = Bench.calibrateMedianMs()
+    assert(a > 1.0 && b > 1.0, s"probe too fast to be real work: $a ms / $b ms")
+    assert(a < 10000 && b < 10000, s"probe absurdly slow: $a ms / $b ms")
+    assert(math.max(a, b) / math.min(a, b) < 5.0,
+      s"probe unstable across back-to-back medians: $a ms vs $b ms")
+  }
+
 }

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Ingest-seam scaling-knee bench: 1/2/4 SeamWorker consumer JVMs
+"""Ingest-seam scaling-knee bench: 1/2/4/8 SeamWorker consumer JVMs
 draining one shared blob store + FileLeaseQueue into one shared table.
 
 Per point: a producer JVM spools BATCHES x ROWS NDJSON rows into the
@@ -194,7 +194,7 @@ def main():
         return
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/seam_knee.json"
     points = {}
-    for w in (1, 2, 4):
+    for w in (1, 2, 4, 8):
         points[str(w)] = one_point(w)
         print(f"{w} workers: {points[str(w)]}", file=sys.stderr)
     r1 = points["1"]["rows_per_sec_steady"]
@@ -204,6 +204,7 @@ def main():
         "workers": points,
         "scaling_2w": round(points["2"]["rows_per_sec_steady"] / r1, 2),
         "scaling_4w": round(points["4"]["rows_per_sec_steady"] / r1, 2),
+        "scaling_8w": round(points["8"]["rows_per_sec_steady"] / r1, 2),
         "note": ("steady-state excludes every worker JVM's first batch "
                  "(one-time codegen warm-up); claim_wait_frac is the share "
                  "of steady worker-time not spent inside an ingest span "

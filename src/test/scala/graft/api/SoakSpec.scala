@@ -30,4 +30,20 @@ class SoakSpec extends AnyFunSuite with BeforeAndAfterAll {
     val res = graft.SoakBench.run(spark, seconds = 25, sfDir = "/root/testdata/sf0.001")
     assert(res.ok, res.detail)
   }
+
+  test("90s chaos soak: kills injected mid-run, exactness checks still pass") {
+    // the chaos COMPOSITION pin (the 1 h receipt runs the same code at
+    // scale): two mid-flight stream stop/restarts + a kill -9'd seam
+    // consumer JVM land inside the run, and stream_exact / seam_exact /
+    // chaos_injected must all still hold. 90 s is the floor where the
+    // seam consumers (own Spark JVMs, ~10 s boot) reliably claim before
+    // the ~40% kill point; the kill loop itself waits for a provable
+    // mid-batch window (CLAIMED without INGESTED) before firing.
+    val res = graft.SoakBench.run(spark, seconds = 90,
+      sfDir = "/root/testdata/sf0.001", chaos = true)
+    assert(res.ok, res.detail)
+    assert(res.detail.contains("stream_stop_restart") &&
+      res.detail.contains("seam_worker_kill9"),
+      s"chaos events missing from the artifact: ${res.detail.take(400)}")
+  }
 }

@@ -889,13 +889,15 @@ object ExtQueries {
               new java.math.BigDecimal("0.00"))), ev.schema),
           "001_sentinel.parquet", now - 60000)
         val catalog = new graft.store.TableCatalog(new java.io.File(base, "tables").toString)
-        val stream = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
-        val q = graft.streaming.StreamingIngest.materializeWindowedCounts(
-          catalog, "mv", "daily", stream, "ts", "event_type", "1 day", "1 minute",
-          new java.io.File(base, "ckpt").toString,
-          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        q.awaitTermination()
+        graft.streaming.StreamTuning.withStateParts(s) {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          val q = graft.streaming.StreamingIngest.materializeWindowedCounts(
+            catalog, "mv", "daily", stream, "ts", "event_type", "1 day", "1 minute",
+            new java.io.File(base, "ckpt").toString,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          q.awaitTermination()
+        }
         catalog.read(s, "mv", "daily")
           .filter(col("event_type") =!= "zz_sentinel")
           .select(col("window_start"), col("event_type"), col("n"),
@@ -2299,11 +2301,13 @@ object ExtQueries {
         val j = graft.streaming.StreamingIngest.intervalJoin(
           l, r, "user_id", "view_ts", "click_ts",
           watermark = "1 hour", before = "0 seconds", after = "1 hour")
-        val q = j.writeStream.format("memory").queryName(sink)
-          .outputMode("append").option("checkpointLocation", ckpt.toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        graft.streaming.StreamTuning.withStateParts(s) {
+          val q = j.writeStream.format("memory").queryName(sink)
+            .outputMode("append").option("checkpointLocation", ckpt.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles.foreach(rm)
           f.delete(); ()
@@ -2954,17 +2958,19 @@ object ExtQueries {
             s.createDataFrame(
               java.util.List.of(org.apache.spark.sql.Row(sentinelTs, -1L)), ev.schema)),
           inDir, "001_late.parquet", now - 60000)
-        val stream = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
-        val sessions = graft.streaming.StreamingIngest.sessionCounts(
-          stream, "ts", "user_id", "30 minutes", "1 minute")
         val outDir = new java.io.File(base, "out").toString
-        val q = sessions.writeStream.format("parquet")
-          .option("path", outDir)
-          .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        graft.streaming.StreamTuning.withStateParts(s) {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          val sessions = graft.streaming.StreamingIngest.sessionCounts(
+            stream, "ts", "user_id", "30 minutes", "1 minute")
+          val q = sessions.writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", new java.io.File(base, "ckpt").toString)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
         s.read.parquet(outDir)
           .filter(col("user_id") =!= -1L)
           .select(col("user_id"), col("session_start"), col("session_end"),
@@ -3058,15 +3064,17 @@ object ExtQueries {
           now - 120000)
         stageFile(ev.filter(col("event_id") % 2 === 1), inDir, "001_odd.parquet",
           now - 60000)
-        val stream = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
-          .drop("event_id")
         val store = new java.io.File(base, "store").toString
-        val q = graft.streaming.StreamingIngest.maintainSummingParts(
-          stream, Seq("event_type"), Seq("value", "n"), store,
-          new java.io.File(base, "ckpt").toString,
-          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        q.awaitTermination()
+        graft.streaming.StreamTuning.withStateParts(s) {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+            .drop("event_id")
+          val q = graft.streaming.StreamingIngest.maintainSummingParts(
+            stream, Seq("event_type"), Seq("value", "n"), store,
+            new java.io.File(base, "ckpt").toString,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          q.awaitTermination()
+        }
         graft.store.MergeStore.readSummed(s, store, Seq("event_type"), Seq("value", "n"))
           .select(col("event_type"), col("value").cast("double").as("total"),
             col("n").cast("long").as("n"))
@@ -3223,15 +3231,17 @@ object ExtQueries {
           now - 120000)
         stageFile(ev.filter(col("event_id") % 2 === 1), inDir, "001_odd.parquet",
           now - 60000)
-        val stream = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
-          .drop("event_id")
         val store = new java.io.File(base, "store").toString
-        val q = graft.streaming.StreamingIngest.maintainQuantileParts(
-          stream, Seq("event_type"), "value", store,
-          new java.io.File(base, "ckpt").toString, scale = 100,
-          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        q.awaitTermination()
+        graft.streaming.StreamTuning.withStateParts(s) {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+            .drop("event_id")
+          val q = graft.streaming.StreamingIngest.maintainQuantileParts(
+            stream, Seq("event_type"), "value", store,
+            new java.io.File(base, "ckpt").toString, scale = 100,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          q.awaitTermination()
+        }
         graft.store.MergeStore.readQuantiles(s, store, Seq("event_type"),
             Seq(0.5, 0.95), scale = 100)
           .orderBy("event_type")
@@ -3441,15 +3451,17 @@ object ExtQueries {
           now - 120000)
         stageFile(ev.filter(col("event_id") % 2 === 1), inDir, "001_odd.parquet",
           now - 60000)
-        val stream = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
-          .drop("event_id")
         val store = new java.io.File(base, "store").toString
-        val q = graft.streaming.StreamingIngest.maintainSummingParts(
-          stream, Seq("event_type", "bucket"), Seq("n"), store,
-          new java.io.File(base, "ckpt").toString,
-          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        q.awaitTermination()
+        graft.streaming.StreamTuning.withStateParts(s) {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+            .drop("event_id")
+          val q = graft.streaming.StreamingIngest.maintainSummingParts(
+            stream, Seq("event_type", "bucket"), Seq("n"), store,
+            new java.io.File(base, "ckpt").toString,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          q.awaitTermination()
+        }
         val counts = graft.store.MergeStore.readSummed(s, store,
           Seq("event_type", "bucket"), Seq("n"))
         graft.operators.EventAnalytics.anomaliesFromCounts(counts,

@@ -109,8 +109,12 @@ object StreamFuzz {
     def q(pl: Plan): Q = (s, d) => {
       val base = FuzzScratch.fresh(s"streamfuzz_${pl.family}")
       pl.stage(s, d, base)
-      val sq = pl.start(s, base)
-      sq.awaitTermination()
+      // state partitions sized to the bounded run's state, not the host
+      // core count — see StreamTuning (commit count is the wall sink)
+      graft.streaming.StreamTuning.withStateParts(s) {
+        val sq = pl.start(s, base)
+        sq.awaitTermination()
+      }
       pl.read(s, base)
     }
     Generated(p.family, p.params, q(p), p.sql, q(mut))

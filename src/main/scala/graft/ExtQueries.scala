@@ -2689,7 +2689,11 @@ object ExtQueries {
         val path = s"/tmp/graft_q131_${new java.io.File(d).getName}_" +
           ProcessHandle.current().pid()
         rmrf(new java.io.File(path))
-        Dedup.writeMinhashStore(docs(s, d), "doc_id", "text", path)
+        // size-derived part count (Dedup.derivedStoreParts): the probe
+        // reads nParts from the store's meta, so the round trip and its
+        // result are unchanged — only the file layout scales with data
+        Dedup.writeMinhashStore(docs(s, d), "doc_id", "text", path,
+          nParts = Dedup.derivedStoreParts(docs(s, d)))
         Dedup.minhashCandidatesAgainstStore(docs(s, d), "doc_id", "text", path)
           .filter(col("est_jaccard") >= 0.5)
           .orderBy("id_a", "id_b")
@@ -3173,8 +3177,10 @@ object ExtQueries {
       (s: SparkSession, d: String) => {
         val path = s"/tmp/graft_lexidx_${new java.io.File(d).getName}_" +
           ProcessHandle.current().pid()
+        // size-derived part count (Dedup.derivedStoreParts; stats pin
+        // n_parts for the probe, so the round trip is unchanged)
         SimilaritySearch.writeLexicalIndex(docs(s, d), "doc_id", "text", path,
-          nParts = 64)
+          nParts = Dedup.derivedStoreParts(docs(s, d)))
         SimilaritySearch.bm25TopKIndexed(s, path,
             Seq("hash", "join", "dup", "scan"), k = 20)
           .select(col("id").as("doc_id"), col("bm25"))

@@ -272,17 +272,43 @@ object Dedup {
     val wUv = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u")).orderBy(col("v"))
     val edgeArr = "array<struct<u:bigint,v:bigint>>"
+    // Per-round exchange sizing from the MEASURED edge count (known for
+    // free from the convergence aggregate) — optimization round 21,
+    // guide §2.2/§1.2. The session default (one partition per core)
+    // hands every round's three exchanges 32 reduce tasks even when the
+    // edge set is a few hundred rows, so a converged-in-6-rounds CC run
+    // pays ~18 stages × 32 near-empty tasks of pure scheduling latency
+    // — the scaladoc's own "driver stage-scheduling latency" cost,
+    // now removed instead of documented. Sizing: fill partitions at
+    // ~25k edges each up to the session setting, then grow past it at
+    // ~250k edges each (bounded memory per sort window), capped at
+    // 4096 like sharedShinglePairs' derived sizing. The count is exact
+    // per round, so a shrinking edge set gets shrinking rounds — the
+    // explicit repartition (AQE-exempt) replaces the window's own
+    // exchange, keeping exchanges-per-round at 3. Results are
+    // partition-count independent (neighborhood minima are set
+    // operations; the convergence hash is order-free).
+    def roundParts(edgeCount: Long): Int = {
+      val sessionParts =
+        pairs.sparkSession.sessionState.conf.numShufflePartitions.toLong
+      math.min(4096L,
+        math.max(math.max(1L, edgeCount / 25000L).min(sessionParts),
+          edgeCount / 250000L)).toInt
+    }
     while (!converged && iter < maxIterations) {
+      val nPart = roundParts(prev._1)
       // large-star: from each node's neighborhood (symmetrized view),
       // connect every strictly-larger neighbor to m = min(N(u) ∪ {u});
       // every edge survives via its smaller endpoint's group, so
       // connectivity is preserved while long tails hop toward the min
       val sym = edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v")))
+        .repartition(nPart, col("u"))
       val ls = sym
         .withColumn("m", least(min(col("v")).over(wUv), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // v > u >= m: stays hi -> lo
+        .repartition(nPart, col("u"))
       // small-star: per node, re-hang all (strictly smaller) neighbors
       // and the node itself off the minimum neighbor; the node's own
       // (u, m) edge rides the first row of its window partition instead
@@ -298,6 +324,7 @@ object Dedup {
             array(struct(col("u").as("u"), col("m").as("v"))))
             .otherwise(array().cast(edgeArr)))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
+        .repartition(nPart, col("u"), col("v")) // sized like the windows
         .distinct()
       // lazy truncation: the stats aggregate below is the action that
       // materializes it, cutting the ~12x-per-round lineage fan
@@ -475,19 +502,29 @@ object Dedup {
     * instead, because there a collision deletes text. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8): DataFrame = {
+    // small-input CPU spreading + AQE-exempt pins, exactly as in
+    // TextAnalysis.bigramSurprisal (see cpuSpreadTarget's scaladoc):
+    // the tokenize+gram-hash map stage otherwise runs on the scan's
+    // byte-sized task count, and the gram aggregation/window behind it
+    // coalesce to near-serial stages on small-bytes corpora
+    val spreadN = TextAnalysis.cpuSpreadTarget(df)
+    val src = spreadN.map(n => df.repartition(n, col(idCol))).getOrElse(df)
+    def pin(frame: DataFrame, keys: Column*): DataFrame =
+      spreadN.map(n => frame.repartition(n, keys: _*)).getOrElse(frame)
     // token array materialized in its own Project (same shape-lesson as
     // repetitionMetrics: higher-order fns re-evaluate non-trivial
     // inputs per element; an attribute reference is free)
-    val toked = df.select(col(idCol).as("id"),
+    val toked = src.select(col(idCol).as("id"),
       filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("__t"))
     val grams = toked.select(col("id"),
       explode(when(size(col("__t")) >= k,
         transform(sequence(lit(1), size(col("__t")) - (k - 1)),
           i => xxhash64(concat_ws(" ", slice(col("__t"), i, lit(k))))))
         .otherwise(array().cast("array<bigint>"))).as("gram"))
-    val perDocGram = grams.groupBy("id", "gram").agg(count(lit(1)).as("c"))
+    val perDocGram = pin(grams, col("id"), col("gram"))
+      .groupBy("id", "gram").agg(count(lit(1)).as("c"))
     val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram")
-    val per = perDocGram
+    val per = pin(perDocGram, col("gram"))
       .withColumn("total", sum(col("c")).over(byGram))
       .groupBy("id")
       .agg(sum(col("c")).as("n_grams"),
@@ -536,8 +573,11 @@ object Dedup {
     require(k >= 1, s"k must be positive, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val toked = tokedFrame(df, idCol, textCol)
+    def pin(frame: DataFrame, keys: Column*): DataFrame =
+      TextAnalysis.cpuSpreadTarget(df)
+        .map(n => frame.repartition(n, keys: _*)).getOrElse(frame)
     val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram", "gram2")
-    val covered = gramStarts(toked, k)
+    val covered = pin(gramStarts(toked, k), col("gram"), col("gram2"))
       .withColumn("total", count(lit(1)).over(byGram))
       .filter(col("total") >= minCount)
       .select(col("id"), explode(sequence(col("i"), col("i") + (k - 1))).as("j"))
@@ -546,10 +586,15 @@ object Dedup {
   }
 
   /** `(id, __t: array<string>)` tokenization shared by the excision
-    * operators. */
-  private def tokedFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
+    * operators — small-input CPU spreading applied here so BOTH
+    * variants' tokenize+gram-hash map stages parallelize (see
+    * TextAnalysis.cpuSpreadTarget; no-op at real corpus scale). */
+  private def tokedFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val src = TextAnalysis.cpuSpreadTarget(df)
+      .map(n => df.repartition(n, col(idCol))).getOrElse(df)
+    src.select(col(idCol).as("id"),
       filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("__t"))
+  }
 
   /** Shared excision tail: drop the `covered` (id, 1-based position)
     * set from `toked`, reassemble survivors in position order, and
@@ -621,8 +666,11 @@ object Dedup {
     require(k >= 1, s"k must be positive, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val toked = tokedFrame(df, idCol, textCol)
+    def pin(frame: DataFrame, keys: Column*): DataFrame =
+      TextAnalysis.cpuSpreadTarget(df)
+        .map(n => frame.repartition(n, keys: _*)).getOrElse(frame)
     val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram", "gram2")
-    val covered = gramStarts(toked, k)
+    val covered = pin(gramStarts(toked, k), col("gram"), col("gram2"))
       .withColumn("total", count(lit(1)).over(byGram))
       .withColumn("canon", min(struct(col("id"), col("i"))).over(byGram))
       .filter(col("total") >= minCount &&
@@ -875,6 +923,25 @@ object Dedup {
     * path and refuses a parameter mismatch (an append banded
     * differently would land where probes never look — silent missed
     * dupes). */
+  /** Size-derived partition count for persisted index stores
+    * (optimization round 21, guide §6 small-files): hive-partition
+    * granularity should scale with the CORPUS, not sit at a constant.
+    * A bench-scale corpus written into 64 hive dirs pays ~130 file
+    * creates + commits for KBs of data (measured: the q131 store write
+    * dropped 5.7 s → 1.4 s and its probe 6.8 s → 3.5 s going 64 → 8
+    * parts at sf0.1), while a 100 TB corpus WANTS thousands of
+    * prunable parts. ~8 MB of input bytes per part, clamped to
+    * [1, 4096] like sharedShinglePairs' derived sizing; index rows are
+    * ids+hashes (orders smaller than the input), so parts stay well
+    * under a filesystem-friendly size. Store round trips are
+    * parameter-pinned via `meta`, so probes derive nothing — they read
+    * the built store's value; results are nParts-independent (the
+    * goldens pin explicit nParts layouts separately). */
+  def derivedStoreParts(df: DataFrame): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    bytes./(8L << 20).min(4096).max(1).toInt
+  }
+
   def writeMinhashStore(df: DataFrame, idCol: String, textCol: String, path: String,
                         numHashes: Int = 32, bands: Int = 8, shingleWidth: Int = 3,
                         nParts: Int = 64, mode: String = "overwrite"): Unit = {

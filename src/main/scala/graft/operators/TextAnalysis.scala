@@ -13,6 +13,33 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Small-input CPU spreading for tokenize-heavy operators
+    * (optimization round 21, guide §2.5 "input skew" / §1.2).
+    *
+    * Scan parallelism is sized by BYTES (`maxPartitionBytes`), but the
+    * surprisal family's cost is CPU per row (tokenize → explode
+    * bigrams → aggregate), so a small-bytes corpus — one parquet file,
+    * one scan task — serializes tens of seconds of CPU behind a single
+    * core, and AQE's byte-based partition coalescing then serializes
+    * the downstream pair aggregation and window stages the same way
+    * (measured on q145 at sf0.1: 16 tasks TOTAL across ~6 stages,
+    * 16.7 s CPU, 8.6 s wall on 32 cores).
+    *
+    * `spreadForCpu` hash-repartitions such an input across the default
+    * parallelism (deterministic key, guide §2.5 — never `rand()`), and
+    * the SAME `small` verdict gates explicit `repartition(n, keys)`
+    * pins on the downstream CPU-dense exchanges (an explicit partition
+    * count is exempt from AQE coalescing). Both are NO-OPS at real
+    * scale: a corpus with >= defaultParallelism/2 scan partitions keeps
+    * its original plan, including map-side partial aggregation (the
+    * pins shuffle pre-aggregation rows, the right trade only when the
+    * alternative is a serial stage). Measured q145 effect: 16 s → 4 s
+    * wall at sf0.1 (with the V-reuse change below). */
+  private[operators] def cpuSpreadTarget(df: DataFrame): Option[Int] = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) Some(target) else None
+  }
+
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
@@ -751,6 +778,11 @@ object TextAnalysis {
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String,
                        scale: Int = 10000): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
+    // NOT spread like bigramSurprisal: measured at sf0.1 (A/B, one
+    // session) the single-pass tokenize+explode here is cheap enough
+    // that added exchanges cost more than the serial scan — old shape
+    // 1.6–3.8 s vs spread 3.1–5.6 s. The bigram transform is ~10× the
+    // per-row CPU, which is why the same change wins there.
     val pairs = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
       .groupBy("id", "token").agg(count(lit(1)).as("__m"))
     val counts = pairs.groupBy("token").agg(sum(col("__m")).as("__c"))
@@ -801,22 +833,31 @@ object TextAnalysis {
                       scale: Int = 10000): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
     import org.apache.spark.sql.expressions.Window
+    // small-input CPU spreading + AQE-exempt pins on the CPU-dense
+    // exchanges — see cpuSpreadTarget; no-ops at real corpus scale
+    val spreadN = cpuSpreadTarget(df)
+    val src = spreadN.map(n => df.repartition(n, col(idCol))).getOrElse(df)
+    def pin(frame: DataFrame, keys: Column*): DataFrame =
+      spreadN.map(n => frame.repartition(n, keys: _*)).getOrElse(frame)
     val t = tokens(col(textCol))
     val trArr = when(size(t) >= 2,
       transform(sequence(lit(1), size(t) - 1), i =>
         struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val pairs = df.select(col(idCol).as("id"), explode(trArr).as("b"))
-      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairs = pin(src.select(col(idCol).as("id"), explode(trArr).as("b"))
+        .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2")),
+        col("id"), col("w1"), col("w2"))
       .groupBy("id", "w1", "w2").agg(count(lit(1)).as("__m"))
-    val withCounts = pairs
+    val withCounts = pin(pairs, col("w1"))
       .withColumn("__c12", sum(col("__m")).over(Window.partitionBy(col("w1"), col("w2"))))
       .withColumn("__c1", sum(col("__m")).over(Window.partitionBy(col("w1"))))
-    // V = |distinct w2| off the (w1, w2) aggregate, whose exchange is
-    // the same one the __c12 window shuffles through (reused, not
-    // recomputed)
-    val totals = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("__one"))
-      .agg(countDistinct(col("w2")).as("__v"))
+    // V = |distinct w2| straight off the (id, w1, w2) pair aggregate:
+    // its exchange is byte-identical to the pair pipeline's, so
+    // ReuseExchange serves BOTH from one tokenize+explode pass (the
+    // previous groupBy(w1,w2)-then-countDistinct formulation planned a
+    // third full corpus scan — plan receipt: plans/r21/q145_* 3 scans
+    // before, 2 after, the survivor being the column-pruned id spine)
+    val totals = pairs.agg(countDistinct(col("w2")).as("__v"))
     val uCtx = round(log((col("__c1") + col("__v")).cast("double")) * scale).cast("long")
     val uBig = round(log((col("__c12") + 1L).cast("double")) * scale).cast("long")
     val per = withCounts

@@ -31,9 +31,16 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     val names = sys.env.getOrElse("PLAN_QUERIES", "").split(",").map(_.trim).filter(_.nonEmpty)
+    // PLAN_EXEC=1: run the query first (same action as the bench) so an
+    // AdaptiveSparkPlan is dumped in its FINAL form — runtime stage
+    // reuse (ReusedExchange / table-cache dedup) is invisible in the
+    // initial plan, and that reuse is exactly what some optimizations
+    // claim (e.g. q145's V-from-pairs).
+    val exec = sys.env.get("PLAN_EXEC").contains("1")
     names.foreach { n =>
       System.err.println(s"[plandump] $n")
       val df = SparkEntry.queries(n)(spark, sfDir)
+      if (exec) df.queryExecution.toRdd.count()
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.writeString(

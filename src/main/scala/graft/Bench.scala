@@ -114,6 +114,29 @@ object Bench {
   private[graft] def calibrateMedianMs(): Double =
     Seq(calibrateMs(), calibrateMs(), calibrateMs()).sorted.apply(1)
 
+  /** The FINAL stdout line, sized for the driver's tail window.
+    *
+    * The driver records only the LAST 2000 chars of stdout (measured:
+    * every BENCH_r17–r21 "tail" is exactly 2000 chars) and "parsed" was
+    * null in ALL of them — the full record line is ~15 KB, so the window
+    * only ever held its truncated end and the driver's per-query/scaling
+    * comparison has been empty five rounds running. The last line must
+    * therefore be a compact SELF-CONTAINED summary that fits the window
+    * together with sbt's trailing "[success] ..." line (~85 chars):
+    * headline value, calibration probe, failures, reruns, and EVERY
+    * query's wall via the positional walls array (~1.1 KB at 243
+    * queries — the field name carries the qNN range, so the mapping is
+    * self-describing). The short-key walls_s map is ~2.6 KB at this
+    * battery size and the full-name queries map ~6.6 KB; neither can
+    * ever fit, which is why they stay in the full record line (printed
+    * FIRST, unchanged — no entry was removed or renamed) and in the
+    * artifact file. BenchSpec pins the size bound. */
+  private[graft] def compactSummary(wallsArr: String, failedJson: String,
+                                    quiesceTimeouts: Long, rerunS: String,
+                                    calibJson: String, sfDir: String,
+                                    total: Double): String =
+    s"""{"metric":"total","sf":"$sfDir",$wallsArr,"failed":$failedJson,"quiesceTimeouts":$quiesceTimeouts,"rerun_s":$rerunS,$calibJson,"value":$total,"unit":"sec"}"""
+
   private[graft] def isContentionOutlier(wall: Double, cpuMs: Double,
                                          priorWall: Option[Double],
                                          priorCpu: Option[Double]): Boolean =
@@ -328,6 +351,9 @@ object Bench {
       s""""value_calib":${n1(if (calibMean > 0) total * 100.0 / calibMean else 0.0)}"""
     val line = s"""{"taskMetrics":$ms,"queries":$qs,"walls_s":$wallsS,"exec_s":$execS,"cpu_s":$cpuS,$wallsArr,"failed":$failedJson,"quiesceTimeouts":${listener.quiesceTimeouts.get},"load_before":"$loadBefore","load_after":"$loadAfter","rerun_s":$rerunS,$calibJson,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}"""
     println(line)
+    val compactLine = compactSummary(wallsArr, failedJson,
+      listener.quiesceTimeouts.get, rerunS, calibJson, sfDir, total)
+    println(compactLine)
     // file copy: stdout passes through harnesses that keep only a
     // bounded tail — the file preserves the full per-query receipts.
     // Defaults into the cwd so the driver's own run leaves a complete

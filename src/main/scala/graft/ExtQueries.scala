@@ -889,7 +889,7 @@ object ExtQueries {
               new java.math.BigDecimal("0.00"))), ev.schema),
           "001_sentinel.parquet", now - 60000)
         val catalog = new graft.store.TableCatalog(new java.io.File(base, "tables").toString)
-        graft.streaming.StreamTuning.withStateParts(s) {
+        graft.streaming.StreamTuning.withStateParts(s, inDir) {
           val stream = s.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
           val q = graft.streaming.StreamingIngest.materializeWindowedCounts(
@@ -2301,7 +2301,7 @@ object ExtQueries {
         val j = graft.streaming.StreamingIngest.intervalJoin(
           l, r, "user_id", "view_ts", "click_ts",
           watermark = "1 hour", before = "0 seconds", after = "1 hour")
-        graft.streaming.StreamTuning.withStateParts(s) {
+        graft.streaming.StreamTuning.withStateParts(s, inDir) {
           val q = j.writeStream.format("memory").queryName(sink)
             .outputMode("append").option("checkpointLocation", ckpt.toString)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2692,8 +2692,9 @@ object ExtQueries {
         // size-derived part count (Dedup.derivedStoreParts): the probe
         // reads nParts from the store's meta, so the round trip and its
         // result are unchanged — only the file layout scales with data
-        Dedup.writeMinhashStore(docs(s, d), "doc_id", "text", path,
-          nParts = Dedup.derivedStoreParts(docs(s, d)))
+        val src = docs(s, d)
+        Dedup.writeMinhashStore(src, "doc_id", "text", path,
+          nParts = Dedup.derivedStoreParts(src))
         Dedup.minhashCandidatesAgainstStore(docs(s, d), "doc_id", "text", path)
           .filter(col("est_jaccard") >= 0.5)
           .orderBy("id_a", "id_b")
@@ -2963,7 +2964,7 @@ object ExtQueries {
               java.util.List.of(org.apache.spark.sql.Row(sentinelTs, -1L)), ev.schema)),
           inDir, "001_late.parquet", now - 60000)
         val outDir = new java.io.File(base, "out").toString
-        graft.streaming.StreamTuning.withStateParts(s) {
+        graft.streaming.StreamTuning.withStateParts(s, inDir) {
           val stream = s.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
           val sessions = graft.streaming.StreamingIngest.sessionCounts(
@@ -3069,7 +3070,7 @@ object ExtQueries {
         stageFile(ev.filter(col("event_id") % 2 === 1), inDir, "001_odd.parquet",
           now - 60000)
         val store = new java.io.File(base, "store").toString
-        graft.streaming.StreamTuning.withStateParts(s) {
+        graft.streaming.StreamTuning.withStateParts(s, inDir) {
           val stream = s.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
             .drop("event_id")
@@ -3178,9 +3179,13 @@ object ExtQueries {
         val path = s"/tmp/graft_lexidx_${new java.io.File(d).getName}_" +
           ProcessHandle.current().pid()
         // size-derived part count (Dedup.derivedStoreParts; stats pin
-        // n_parts for the probe, so the round trip is unchanged)
+        // n_parts for the probe, so the round trip is unchanged).
+        // minParts = 4: r21 derived ONE part at bench scale and the
+        // single-task build write regressed q146 1.7 → 2.2 s — a
+        // probe-facing index keeps a handful of prunable directories
+        // at any corpus size (A/B receipt in OPTIMIZATION_r22.md)
         SimilaritySearch.writeLexicalIndex(docs(s, d), "doc_id", "text", path,
-          nParts = Dedup.derivedStoreParts(docs(s, d)))
+          nParts = Dedup.derivedStoreParts(docs(s, d), minParts = 4))
         SimilaritySearch.bm25TopKIndexed(s, path,
             Seq("hash", "join", "dup", "scan"), k = 20)
           .select(col("id").as("doc_id"), col("bm25"))
@@ -3238,7 +3243,7 @@ object ExtQueries {
         stageFile(ev.filter(col("event_id") % 2 === 1), inDir, "001_odd.parquet",
           now - 60000)
         val store = new java.io.File(base, "store").toString
-        graft.streaming.StreamTuning.withStateParts(s) {
+        graft.streaming.StreamTuning.withStateParts(s, inDir) {
           val stream = s.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
             .drop("event_id")
@@ -3458,7 +3463,7 @@ object ExtQueries {
         stageFile(ev.filter(col("event_id") % 2 === 1), inDir, "001_odd.parquet",
           now - 60000)
         val store = new java.io.File(base, "store").toString
-        graft.streaming.StreamTuning.withStateParts(s) {
+        graft.streaming.StreamTuning.withStateParts(s, inDir) {
           val stream = s.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
             .drop("event_id")

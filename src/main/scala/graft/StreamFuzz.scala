@@ -111,7 +111,7 @@ object StreamFuzz {
       pl.stage(s, d, base)
       // state partitions sized to the bounded run's state, not the host
       // core count — see StreamTuning (commit count is the wall sink)
-      graft.streaming.StreamTuning.withStateParts(s) {
+      graft.streaming.StreamTuning.withStateParts(s, base) {
         val sq = pl.start(s, base)
         sq.awaitTermination()
       }

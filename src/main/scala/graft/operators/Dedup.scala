@@ -66,10 +66,15 @@ object Dedup {
       .filter(size(col("ids")).between(2, cap))
       .withColumn("ids", array_sort(col("ids")))
     val ids = col("ids")
-    // nested transform: for each i, pair ids[i] with every later element
-    val pairs = flatten(transform(ids, (a, i) =>
-      transform(slice(ids, i + lit(2), size(ids)),
-        b => struct(a.as("id_a"), b.as("id_b")))))
+    // index-pair construction via element_at (optimization round 22,
+    // guide §1.2 per-task work): the previous nested-transform form
+    // sliced the array tail once per outer element — O(B²) element
+    // COPIES per block before the structs were even built; 1-based
+    // index pairs read each element in place. Same pairs, same order.
+    val n = size(ids)
+    val pairs = flatten(transform(sequence(lit(1), n - 1), i =>
+      transform(sequence(i + 1, n), j =>
+        struct(element_at(ids, i).as("id_a"), element_at(ids, j).as("id_b")))))
     val exploded = grouped.select(explode(pairs).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
     if (dedup) exploded.distinct() else exploded
@@ -796,9 +801,14 @@ object Dedup {
       .filter(size(col("docs")).between(2, maxDf))
       .withColumn("docs", array_sort(col("docs"))) // struct sort: by id, ids unique -> id_a < id_b
     val docs = col("docs")
-    val pairs = flatten(transform(docs, (a, i) =>
-      transform(slice(docs, i + lit(2), size(docs)),
-        b => struct(a.as("a"), b.as("b")))))
+    // element_at index pairs instead of per-element tail slices — the
+    // same rewrite as blockPairs (this explode is the CPU sink of the
+    // exact-overlap family: q49/q135/q209 burn ~20-25 s CPU each at
+    // sf0.1, mostly copying (id, n_sh) structs out of sliced tails)
+    val nd = size(docs)
+    val pairs = flatten(transform(sequence(lit(1), nd - 1), i =>
+      transform(sequence(i + 1, nd), j =>
+        struct(element_at(docs, i).as("a"), element_at(docs, j).as("b")))))
     grouped.select(explode(pairs).as("p"))
       .select(col("p.a.id").as("id_a"), col("p.a.n_sh").as("n_a"),
         col("p.b.id").as("id_b"), col("p.b.n_sh").as("n_b"))
@@ -937,9 +947,24 @@ object Dedup {
     * parameter-pinned via `meta`, so probes derive nothing — they read
     * the built store's value; results are nParts-independent (the
     * goldens pin explicit nParts layouts separately). */
-  def derivedStoreParts(df: DataFrame): Int = {
+  /** `minParts` floors the derived count: a probe-facing store (the
+    * BM25 lexical index) wants a handful of prunable directories even
+    * for a tiny corpus — r21 derived 1 part at bench scale and the
+    * single-task build write cost more than the small-files problem it
+    * avoided (q146 1.7 → 2.2 s in the only clean r21 measurement).
+    *
+    * Size estimates are only trusted for narrow scan-rooted frames:
+    * for exchange-bearing inputs (joins especially) Catalyst's
+    * estimate can be a product of child sizes — wildly high — and the
+    * 4096 clamp would recreate the thousands-of-tiny-files problem
+    * this derivation exists to fix (r21 ADVICE). Those fall back to
+    * the session parallelism, the pre-r21 behavior's scale. */
+  def derivedStoreParts(df: DataFrame, minParts: Int = 1): Int = {
+    require(minParts >= 1, s"minParts must be >= 1, got $minParts")
+    if (!TextAnalysis.narrowOnly(df.queryExecution.optimizedPlan))
+      return math.max(minParts, df.sparkSession.sessionState.conf.numShufflePartitions)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    bytes./(8L << 20).min(4096).max(1).toInt
+    bytes./(8L << 20).min(4096).max(minParts).toInt
   }
 
   def writeMinhashStore(df: DataFrame, idCol: String, textCol: String, path: String,

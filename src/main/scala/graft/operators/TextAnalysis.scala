@@ -35,9 +35,30 @@ object TextAnalysis {
     * pins shuffle pre-aggregation rows, the right trade only when the
     * alternative is a serial stage). Measured q145 effect: 16 s → 4 s
     * wall at sf0.1 (with the V-reuse change below). */
+  /** Only narrow plans over leaves may consult `df.rdd`: on an
+    * exchange-bearing input (join/aggregate/window/shuffling
+    * repartition output) with AQE enabled, `Dataset.rdd` resolves the
+    * adaptive final plan, which EXECUTES the upstream query stages at
+    * operator-construction time — and that work is recomputed when the
+    * returned frame actually runs (r21 ADVICE). Exchange outputs are
+    * produced at the session shuffle-partition count anyway — already
+    * spread — so the spread verdict for them is None without looking. */
+  private[operators] def narrowOnly(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case r: Repartition => !r.shuffle && narrowOnly(r.child)
+      case _: Filter | _: Project | _: Generate | _: SubqueryAlias | _: Union |
+           _: LocalLimit =>
+        p.children.forall(narrowOnly)
+      case _: LeafNode => true
+      case _ => false
+    }
+  }
+
   private[operators] def cpuSpreadTarget(df: DataFrame): Option[Int] = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) Some(target) else None
+    if (!narrowOnly(df.queryExecution.optimizedPlan)) None
+    else if (df.rdd.getNumPartitions * 2 < target) Some(target) else None
   }
 
   /** Lowercased whitespace tokens. */

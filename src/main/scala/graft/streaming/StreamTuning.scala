@@ -46,21 +46,62 @@ import org.apache.spark.sql.SparkSession
 object StreamTuning {
   val EnvKey = "SPARK_GRAFT_STREAM_STATE_PARTITIONS"
 
-  /** Local default 4 (see scaladoc): generous for KB–MB state, small
-    * enough that per-batch commit count — the measured wall sink — is
+  /** Floor 4 (see scaladoc): generous for KB–MB state, small enough
+    * that per-batch commit count — the measured wall sink — is
     * bounded. Overridable per deployment via [[EnvKey]]. */
   def stateParts: Int =
     sys.env.get(EnvKey).flatMap(_.toIntOption).filter(_ >= 1).getOrElse(4)
+
+  /** ~8 MB of STAGED INPUT per state partition (optimization round 22,
+    * VERDICT r21 item 6 — the constant 4 was scale-safe only via the
+    * env override). Input bytes are an upper-bound proxy for state
+    * bytes: windowed/session aggregates and interval joins retain a
+    * bounded watermark window of the input, and parquet staging is
+    * ~3-5× compressed, so 8 MB of staged input per partition keeps
+    * per-partition state well under the ~64 MB a state store handles
+    * comfortably while the bench-scale commit count stays at the
+    * measured-optimal floor (4 — see the commit-cost numbers above).
+    * Clamped to 4096 like every derived count in the engine. */
+  private val BytesPerStatePartition = 8L << 20
+
+  /** Partition count derived from the bounded stream's input volume;
+    * the [[EnvKey]] deployment override wins verbatim when set. */
+  def statePartsFor(inputBytes: Long): Int =
+    sys.env.get(EnvKey).flatMap(_.toIntOption).filter(_ >= 1).getOrElse {
+      val derived =
+        (inputBytes + BytesPerStatePartition - 1) / BytesPerStatePartition
+      derived.max(4L).min(4096L).toInt
+    }
+
+  /** Recursive byte count of a staged input directory — local FS
+    * metadata only, no Spark job. */
+  def dirBytes(dir: java.io.File): Long =
+    if (dir == null || !dir.exists()) 0L
+    else if (dir.isFile) dir.length()
+    else {
+      val fs = dir.listFiles()
+      if (fs == null) 0L else fs.map(dirBytes).sum
+    }
 
   /** Run `body` (stream start → awaitTermination) with
     * `spark.sql.shuffle.partitions` set to [[stateParts]], restoring
     * the caller's value afterwards. The conf must span the WHOLE run,
     * not just `.start()`: the micro-batch planner reads it when batch 0
     * is planned, which happens asynchronously after start returns. */
-  def withStateParts[T](s: SparkSession)(body: => T): T = {
+  def withStateParts[T](s: SparkSession)(body: => T): T =
+    withParts(s, stateParts)(body)
+
+  /** Like [[withStateParts]], but sized to the staged input under
+    * `inputDir` via [[statePartsFor]] — partitions scale with DATA
+    * (4 at bench scale, growing past ~32 MB of staged input), never
+    * with the host's core count. */
+  def withStateParts[T](s: SparkSession, inputDir: java.io.File)(body: => T): T =
+    withParts(s, statePartsFor(dirBytes(inputDir)))(body)
+
+  private def withParts[T](s: SparkSession, parts: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
-    s.conf.set(key, stateParts.toString)
+    s.conf.set(key, parts.toString)
     try body finally s.conf.set(key, old)
   }
 }

@@ -54,6 +54,29 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.defaultBenchOut(subset = false) == "BENCH_FULL_latest.json")
   }
 
+  test("compact final stdout line fits the driver's 2000-char tail window and parses") {
+    // the driver records the LAST 2000 chars of stdout and parses JSON
+    // lines out of it; BENCH_r17–r21 all have parsed=null because the
+    // full record line is ~15 KB. The compact summary must fit the
+    // window TOGETHER with sbt's trailing "[success] ..." line (~85
+    // chars) at the full 243-query battery size, pessimistic values.
+    val walls = (1 to 243).map(_ => "117.2").mkString(
+      "\"walls_q01_to_q243\":[", ",", "]")
+    val failed = "[\"q49\",\"q86\"]"
+    val reruns = (1 to 10).map(i => s""""q$i":117.2""").mkString("{", ",", "}")
+    val calib = """"calib_ms_before":33.9,"calib_ms_after":61.6,"value_calib":941.2"""
+    val line = Bench.compactSummary(walls, failed, 3, reruns, calib,
+      "/root/testdata/sf0.1", 449.2923282370001)
+    assert(line.length <= 1900, s"compact line ${line.length} chars > 1900 budget")
+    assert(!line.contains("\n"))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(root.get("metric").asText() == "total")
+    assert(root.get("unit").asText() == "sec")
+    assert(math.abs(root.get("value").asDouble() - 449.2923282370001) < 1e-9)
+    assert(root.get("walls_q01_to_q243").size() == 243)
+    assert(root.get("sf").asText() == "/root/testdata/sf0.1")
+  }
+
   test("CPU calibration probe: fixed work, positive, repeatable within a loose band") {
     // the probe is the bench's host-speed self-adjudication (uniform
     // wall inflation moves the probe and the battery together); the pin

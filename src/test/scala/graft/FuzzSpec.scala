@@ -11,25 +11,15 @@ import org.scalatest.BeforeAndAfterAll
   * covers; the cross-ENGINE half of the differential (same SQL in
   * DuckDB) runs in the driver's gate via q190–q207. */
 class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
-  // spark.sql.extensions is STATIC config: getOrCreate() in the shared
-  // forked test JVM would silently reuse a vanilla session another
-  // suite left active, dropping DefuseExceptRewrite and crashing the
-  // seed-166/hazard assertions. Stop any leaked session first, then
-  // fail fast if the extension still didn't take.
+  // spark.sql.extensions is STATIC config: TestSpark guarantees the
+  // shared context carries the engine extensions (replacing a vanilla
+  // context another suite left active); the canary below fails fast if
+  // that guarantee ever breaks.
   lazy val spark: SparkSession = {
-    SparkSession.getActiveSession.foreach(_.stop())
-    SparkSession.getDefaultSession.foreach(_.stop())
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config(graft.core.SessionDefaults.ExtensionsKey,
-        graft.core.SessionDefaults.ExtensionsClass)
-      .getOrCreate()
+    val s = TestSpark.session()
     assert(s.conf.get(graft.core.SessionDefaults.ExtensionsKey, "")
         .contains(graft.core.SessionDefaults.ExtensionsClass),
-      "FuzzSpec needs a session built WITH the engine extensions " +
-        "(a pre-existing session leaked past the stop() guard)")
+      "FuzzSpec needs a session built WITH the engine extensions")
     s
   }
 
@@ -42,8 +32,6 @@ class FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
     }
   }
-
-  override def afterAll(): Unit = spark.stop()
 
   /** Canonical form: (column names, sorted row renderings). Rows render
     * through toString in one JVM, so identical values — including

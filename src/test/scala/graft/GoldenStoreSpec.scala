@@ -19,13 +19,8 @@ import org.scalatest.BeforeAndAfterAll
   * see.) If a break is INTENTIONAL, rebuild via GoldenStoreBuild and
   * let the fixture diff document it. */
 class GoldenStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  lazy val spark: SparkSession = TestSpark.session()
 
-  override def afterAll(): Unit = spark.stop()
 
   private val root = new File(GoldenStores.fixtureRoot)
 

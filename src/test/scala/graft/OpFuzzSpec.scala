@@ -19,15 +19,10 @@ import org.scalatest.BeforeAndAfterAll
   * otherwise the parameter sweep would be vacuously comparing
   * parameter-independent results). */
 class OpFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  lazy val spark: SparkSession = TestSpark.session()
 
   private val dir = "/root/testdata/sf0.001"
 
-  override def afterAll(): Unit = spark.stop()
 
   private def canon(df: DataFrame): Vector[String] =
     df.collect().map(_.toSeq.map(v => if (v == null) "NULL" else v.toString)

@@ -15,15 +15,10 @@ import org.scalatest.BeforeAndAfterAll
   * monotone in q; SCD2 intervals tile each key's history), and
   * parameter-mutation sensitivity. */
 class StoreFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  lazy val spark: SparkSession = TestSpark.session()
 
   private val dir = "/root/testdata/sf0.001"
 
-  override def afterAll(): Unit = spark.stop()
 
   private def canon(df: DataFrame): Vector[String] =
     df.collect().map(_.toSeq.map(v => if (v == null) "NULL" else v.toString)

@@ -19,15 +19,10 @@ import org.scalatest.BeforeAndAfterAll
   * checkpoint resume after SIGKILL is only meaningful when the first
   * query's JVM actually died mid-flight. */
 class StreamFuzzChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  lazy val spark: SparkSession = TestSpark.session()
 
   private val dir = "/root/testdata/sf0.001"
 
-  override def afterAll(): Unit = spark.stop()
 
   private def canon(df: DataFrame): Vector[String] =
     df.collect().map(_.toSeq.map(v => if (v == null) "NULL" else v.toString)

@@ -16,15 +16,10 @@ import org.scalatest.BeforeAndAfterAll
   * sensitivity. Each invariant check runs a REAL streaming query
   * (staging, watermark, AvailableNow), so the seed range is small. */
 class StreamFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  lazy val spark: SparkSession = TestSpark.session()
 
   private val dir = "/root/testdata/sf0.001"
 
-  override def afterAll(): Unit = spark.stop()
 
   private def canon(df: DataFrame): Vector[String] =
     df.collect().map(_.toSeq.map(v => if (v == null) "NULL" else v.toString)

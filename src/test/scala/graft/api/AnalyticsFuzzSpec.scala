@@ -50,11 +50,7 @@ import scala.util.Random
   * dedup_near boundary payloads below).
   */
 class AnalyticsFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session()
 
   private val sf = "/root/testdata/sf0.001"
   private var base: String = _

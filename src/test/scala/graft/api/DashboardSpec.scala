@@ -15,10 +15,7 @@ import java.nio.file.Files
   * (the FakeS3 pattern): /login redirect -> provider -> /oauth/callback
   * code exchange + userinfo -> JWT cookie -> gated dashboard pages. */
 class DashboardSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session()
 
   private var base: String = _
   private var server: Server = _
@@ -78,7 +75,7 @@ class DashboardSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   override def afterAll(): Unit = {
-    server.stop(); provider.stop(0); spark.stop()
+    server.stop(); provider.stop(0)
   }
 
   private def get(path: String, headers: (String, String)*): HttpResponse[String] = {

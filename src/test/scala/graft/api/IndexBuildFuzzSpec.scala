@@ -245,13 +245,8 @@ object IndexBuildFuzz {
 }
 
 class IndexBuildFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session()
 
-  override def afterAll(): Unit = spark.stop()
 
   private val dir = "/root/testdata/sf0.001"
 

@@ -14,12 +14,7 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
   // FAIR mode is context-level and first-creator-wins across the shared
   // test JVM; build.sbt also passes -Dspark.scheduler.mode=FAIR so the
   // fairness test below holds regardless of which suite booted Spark
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.scheduler.mode", "FAIR")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session()
 
   private var base: String = _
   private var server: Server = _
@@ -47,7 +42,7 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     port = server.start()
   }
 
-  override def afterAll(): Unit = { server.stop(); spark.stop() }
+  override def afterAll(): Unit = server.stop()
 
   private def get(path: String): HttpResponse[String] =
     client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).GET().build(),

@@ -19,12 +19,7 @@ import org.scalatest.BeforeAndAfterAll
   * Fixed by CacheScope (request-scoped unpersist in the HTTP layer);
   * the `rdds_stable` check here is the regression pin. */
 class SoakSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.scheduler.mode", "FAIR")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session()
 
   test("25s mixed-load soak: no 5xx, no leaked state, ingest exactly-once") {
     val res = graft.SoakBench.run(spark, seconds = 25, sfDir = "/root/testdata/sf0.001")

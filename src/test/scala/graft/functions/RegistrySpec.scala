@@ -11,13 +11,8 @@ import org.scalatest.BeforeAndAfterAll
   * tenant runs the SAME codegen'd expressions, not a re-implementation
   * that can drift. */
 class RegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session()
 
-  override def afterAll(): Unit = spark.stop()
 
   private lazy val docs = {
     import spark.implicits._

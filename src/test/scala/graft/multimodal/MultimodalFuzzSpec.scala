@@ -32,13 +32,8 @@ import scala.util.Random
   *    infinite-loop, negative-length windows).
   */
 class MultimodalFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session()
 
-  override def afterAll(): Unit = spark.stop()
 
   // ---- minimal valid-asset builders (the MultimodalSpec shapes) ----
 

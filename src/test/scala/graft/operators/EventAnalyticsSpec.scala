@@ -8,13 +8,8 @@ import org.scalatest.BeforeAndAfterAll
 import java.sql.Timestamp
 
 class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session()
 
-  override def afterAll(): Unit = spark.stop()
 
   private def ts(s: String) = Timestamp.valueOf(s)
 

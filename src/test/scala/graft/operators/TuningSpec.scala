@@ -16,12 +16,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * attribute. */
 class TuningSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .appName("tuning-spec")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = graft.TestSpark.session()
 
   test("cpuSpreadTarget fires on single-partition input, no-ops on spread input") {
     import spark.implicits._
@@ -31,6 +26,25 @@ class TuningSpec extends AnyFunSuite {
     val wide = (1 to 100).toDF("id")
       .repartition(spark.sparkContext.defaultParallelism)
     assert(TextAnalysis.cpuSpreadTarget(wide).isEmpty)
+  }
+
+  test("cpuSpreadTarget is None for exchange-bearing inputs, decided from the plan alone") {
+    import spark.implicits._
+    // r21 ADVICE: df.rdd on a join/aggregate output resolves the AQE
+    // final plan, EXECUTING the upstream stages at operator-construction
+    // time (and recomputing them at run time). The gate must therefore
+    // refuse exchange-bearing plans structurally — narrowOnly(plan) is
+    // checked BEFORE df.rdd is ever touched — and exchange outputs are
+    // already produced at the session shuffle-partition count anyway.
+    val agg = (1 to 100).toDF("id").groupBy("id").count()
+    assert(!TextAnalysis.narrowOnly(agg.queryExecution.optimizedPlan))
+    assert(TextAnalysis.cpuSpreadTarget(agg).isEmpty)
+    val joined = (1 to 10).toDF("id").join((1 to 10).toDF("id"), "id")
+    assert(TextAnalysis.cpuSpreadTarget(joined).isEmpty)
+    // narrow wrappers stay spreadable: filter/project over a leaf
+    val narrow = (1 to 100).toDF("id").coalesce(1)
+      .filter(col("id") > 0).select(col("id"))
+    assert(TextAnalysis.narrowOnly(narrow.queryExecution.optimizedPlan))
   }
 
   test("bigramSurprisal result is identical with and without spreading") {
@@ -47,15 +61,38 @@ class TuningSpec extends AnyFunSuite {
     assert(a == b)
   }
 
-  test("derivedStoreParts clamps to [1, 4096] and grows with input size") {
+  test("derivedStoreParts clamps to [1, 4096], honors minParts, and grows with input size") {
     import spark.implicits._
     val tiny = Seq((1L, "x")).toDF("doc_id", "text")
     assert(Dedup.derivedStoreParts(tiny) == 1)
-    // the derivation is bytes/8MB — synthesize a frame whose stats are
-    // plan-size-estimated large enough to exceed one part
-    val wide = spark.range(0, 1L << 20).select(col("id"),
-      lit("0123456789abcdef0123456789abcdef").as("text"))
-    assert(Dedup.derivedStoreParts(wide) >= 1) // estimate-dependent, never throws
+    // probe-facing floor (the q146 fix): a tiny corpus still gets a
+    // handful of prunable directories
+    assert(Dedup.derivedStoreParts(tiny, minParts = 4) == 4)
+    // growth: Range stats are exact (numElements × row width), so a
+    // 256M-row long frame is ≥ 2 GB under any row-size accounting —
+    // the derivation at 8 MB/part must yield well over 16 parts, and
+    // double the rows must derive strictly more parts
+    val big = spark.range(0, 1L << 28).toDF("id")
+    val bigger = spark.range(0, 1L << 29).toDF("id")
+    val p1 = Dedup.derivedStoreParts(big)
+    val p2 = Dedup.derivedStoreParts(bigger)
+    assert(p1 >= 16, s"expected >= 16 parts for a 2 GB frame, got $p1")
+    assert(p2 > p1, s"parts did not grow with input size: $p1 -> $p2")
+    assert(p2 <= 4096)
+  }
+
+  test("derivedStoreParts distrusts exchange-bearing stats (falls back to session parallelism)") {
+    import spark.implicits._
+    // r21 ADVICE: a join's size estimate can be a PRODUCT of child
+    // sizes; trusting it would clamp at 4096 and write thousands of
+    // tiny hive partitions for small data. Exchange-bearing inputs
+    // fall back to max(minParts, session shuffle partitions).
+    val joined = spark.range(0, 1L << 20).toDF("id")
+      .join(spark.range(0, 1L << 20).toDF("id"), "id")
+    val parts = Dedup.derivedStoreParts(joined)
+    val session = spark.sessionState.conf.numShufflePartitions
+    assert(parts == math.max(1, session), s"expected session fallback $session, got $parts")
+    assert(Dedup.derivedStoreParts(joined, minParts = 8) == math.max(8, session))
   }
 
   test("connectedComponents is partition-count invariant (sizing engages at any session setting)") {
@@ -93,5 +130,34 @@ class TuningSpec extends AnyFunSuite {
     // the suite does not set SPARK_GRAFT_STREAM_STATE_PARTITIONS
     if (!sys.env.contains(StreamTuning.EnvKey))
       assert(StreamTuning.stateParts == 4)
+  }
+
+  test("statePartsFor scales with staged input volume: floor 4, ~8 MB/part, cap 4096") {
+    if (!sys.env.contains(StreamTuning.EnvKey)) {
+      // bench-scale streams (KB–MB staged input) stay at the measured
+      // commit-cost floor; partitions grow with DATA past ~32 MB and
+      // clamp at 4096 — never a function of the host's core count
+      assert(StreamTuning.statePartsFor(0L) == 4)
+      assert(StreamTuning.statePartsFor(10L << 20) == 4)
+      assert(StreamTuning.statePartsFor(100L << 20) == 13)   // ceil(100/8)
+      assert(StreamTuning.statePartsFor(1L << 40) == 4096)   // 1 TB caps
+    }
+  }
+
+  test("dirBytes sums a staged directory recursively and is 0 for missing paths") {
+    val base = java.nio.file.Files.createTempDirectory("graft-tuning-dirbytes").toFile
+    try {
+      val sub = new java.io.File(base, "in"); sub.mkdirs()
+      java.nio.file.Files.write(new java.io.File(sub, "a.bin").toPath, new Array[Byte](1234))
+      java.nio.file.Files.write(new java.io.File(base, "b.bin").toPath, new Array[Byte](766))
+      assert(StreamTuning.dirBytes(base) == 2000L)
+      assert(StreamTuning.dirBytes(new java.io.File(base, "nope")) == 0L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(base)
+    }
   }
 }

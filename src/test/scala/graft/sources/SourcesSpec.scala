@@ -10,12 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * plan properties that matter at 100 TB and that a values-only check
   * can't see. */
 class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session()
 
-  override def afterAll(): Unit = spark.stop()
 
   test("ORC scan: round trip lossless, filter pushed to the stripe reader, projection pruned") {
     import spark.implicits._

@@ -10,12 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * zero extra sorts on the streamed side) — the recurring-join layout
   * whose network cost is paid once at write. */
 class BucketedSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session()
 
-  override def afterAll(): Unit = spark.stop()
 
   test("bucketed x bucketed join plans with no exchange; values match the plain join") {
     import spark.implicits._

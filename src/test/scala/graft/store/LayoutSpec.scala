@@ -16,12 +16,8 @@ import scala.jdk.CollectionConverters._
   * statistics prune at 100 TB — disjoint per-file sort-key ranges and
   * a sort-key predicate that reaches the parquet scan. */
 class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session()
 
-  override def afterAll(): Unit = spark.stop()
 
   /** Per-file [min,max] of a long column, straight from the footers. */
   private def fileRanges(dir: String, column: String): Seq[(Long, Long)] = {

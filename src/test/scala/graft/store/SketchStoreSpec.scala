@@ -11,12 +11,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * estimate), close to exact counts within the lgK error budget, and
   * idempotent under re-appends of the same batch. */
 class SketchStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session()
 
-  override def afterAll(): Unit = spark.stop()
 
   test("merged parts == one global sketch exactly; near exact counts; append idempotent") {
     import spark.implicits._

@@ -9,15 +9,10 @@ import java.io.File
 import java.nio.file.Files
 
 class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session()
 
   private def tmpDir(): String = Files.createTempDirectory("graft-store").toString
 
-  override def afterAll(): Unit = spark.stop()
 
   test("auto-create, additive evolution, NULL fill across batches (FIXTURES A6)") {
     val cat = new TableCatalog(tmpDir())

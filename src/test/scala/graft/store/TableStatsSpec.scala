@@ -9,12 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * HLL++ error budget, and the whole multi-column analyze is ONE scan
   * (Catalyst Expand, not one pass per distinct). */
 class TableStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session()
 
-  override def afterAll(): Unit = spark.stop()
 
   test("exact stats on a known table; approx ndv within budget; single scan") {
     import spark.implicits._

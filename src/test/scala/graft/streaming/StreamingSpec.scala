@@ -11,13 +11,8 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session()
 
-  override def afterAll(): Unit = spark.stop()
 
   test("ingestStream: closed NDJSON files land in the catalog, each file once") {
     val base = Files.createTempDirectory("graft-stream").toString
